@@ -1,0 +1,10 @@
+from jobanalytics_bigdataproject_spark.operators import (
+    analytics,
+    cleaning,
+    dedup,
+    sampling,
+    similarity,
+    text,
+)
+
+__all__ = ["analytics", "cleaning", "dedup", "sampling", "similarity", "text"]

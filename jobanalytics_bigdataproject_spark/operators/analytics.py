@@ -1,0 +1,371 @@
+"""Analytics queries: the reference's 5 SQL queries (Q1-Q5) and 5 RDD tasks
+(T1-T5) re-expressed as parameterized DataFrame functions over the star
+schema (SURVEY.md §2.4-§2.6, §2.10; FIXTURES.md §C mapping).
+
+Scale notes (100 TB posture), applied throughout:
+- dimension joins (``nation``, small post-agg frames) are explicit
+  ``F.broadcast`` hints — no shuffle of the fact side;
+- fact-fact joins shuffle on the join key and rely on AQE for skew;
+- global RANK windows are fed *pre-aggregated* frames only (thousands of
+  groups, never raw fact rows) and carry deterministic tiebreaks;
+- float aggregates are ROUND-ed (2dp) so results are reproducible across
+  engines/summation orders (SURVEY.md §5.3);
+- every computed column is aliased identically in the DuckDB oracle
+  (__spark_entry__.oracle_sql) — driver hash-compares by column name.
+
+Reference citations per function in docstrings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.functions.exact import (
+    cents,
+    money_avg,
+    money_median,
+    money_sum,
+)
+from jobanalytics_bigdataproject_spark.functions.textfns import tokenize
+
+# Stopword list for T3 word-count, mirroring the reference's hand-rolled set
+# (code/02_RDDOperations.scala:221-225) adapted to the fixture corpus.
+STOPWORDS: tuple[str, ...] = (
+    "the", "and", "for", "with", "from", "this", "that", "are", "was",
+    "not", "all", "any", "can", "has", "have", "will", "you",
+)
+
+
+def q1_pricing_summary(lineitem: DataFrame, min_count: int = 50) -> DataFrame:
+    """Q1 shape (reference code/03_SQLOperations.scala:28-43): 2-key GROUP BY
+    + COUNT/AVG/MIN/MAX suite + HAVING + ORDER BY.
+
+    Realized as the TPC-H-Q1-like pricing summary on lineitem. One hash
+    aggregate with map-side partials; the two grouping keys have tiny
+    cardinality (~6 groups) so the shuffle is negligible at any scale."""
+    return (
+        lineitem.filter(F.col("l_shipdate").isNotNull())
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .filter(F.col("line_count") > min_count)
+        .orderBy(F.desc("line_count"), "l_returnflag", "l_linestatus")
+    )
+
+
+def q2_top_nations(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    min_orders: int = 100,
+    top_k: int = 10,
+) -> DataFrame:
+    """Q2 shape (reference 03:54-68): top-10 groups by avg with exact median,
+    SUM cast to BIGINT, HAVING count ≥ N, LIMIT.
+
+    orders⋈customer shuffles on custkey (both fact-sized at 100 TB);
+    nation is broadcast. Median is exact ``F.median`` (not
+    percentile_approx) per SURVEY.md §5.3 so the oracle hash-matches."""
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            money_avg("o_totalprice").alias("avg_order_value"),
+            money_median("o_totalprice").alias("median_order_value"),
+            F.floor(F.sum(cents("o_totalprice")) / F.lit(100.0)).cast("bigint").alias("total_value"),
+        )
+        .filter(F.col("order_count") >= min_orders)
+        .orderBy(F.desc("avg_order_value"), "n_name")
+        .limit(top_k)
+    )
+
+
+def q3_priority_vs_overall(orders: DataFrame) -> DataFrame:
+    """Q3 shape (reference 03:79-94): group avg vs ``AVG(AVG(x)) OVER ()``
+    + diff column — aggregate-inside-window over an empty window spec.
+
+    The empty-window AVG runs on the *post-aggregate* frame (5 rows here;
+    group-count rows generally), so the single-partition window exchange
+    touches only group rows — safe at any fact-table scale."""
+    w = Window.partitionBy()
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"),
+        money_avg("o_totalprice").alias("avg_price"),
+    )
+    # AVG(AVG(x)) OVER () over exact cents of the already-rounded group avgs:
+    # integer window-sum is order-independent, so the overall avg hashes
+    # identically on any engine/partitioning (functions/exact.py rationale).
+    overall = F.round(
+        F.sum(cents("avg_price")).over(w) / F.lit(100.0) / F.count(F.lit(1)).over(w), 2
+    )
+    return agg.select(
+        "o_orderpriority",
+        "order_count",
+        "avg_price",
+        overall.alias("overall_avg"),
+        F.round(F.col("avg_price") - overall, 2).alias("diff_from_overall"),
+    ).orderBy("o_orderpriority")
+
+
+def q4_brand_rank(
+    lineitem: DataFrame,
+    part: DataFrame,
+    min_lines: int = 100,
+    max_rank: int = 15,
+) -> DataFrame:
+    """Q4 shape (reference 03:106-127): CTE stats + COUNT(DISTINCT) + HAVING
+    + RANK() ≤ k with ties.
+
+    The RANK window is global but runs on the aggregated per-brand frame
+    (25 brands; bounded cardinality), and Spark ≥3.5 inserts a
+    WindowGroupLimit so the rank-filter prunes early. Tiebreak on p_brand
+    makes ties deterministic (SURVEY.md §5.3)."""
+    stats = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.countDistinct("l_suppkey").alias("supplier_count"),
+            money_sum("l_extendedprice").alias("total_revenue"),
+        )
+        .filter(F.col("line_count") >= min_lines)
+    )
+    w = Window.orderBy(F.desc("line_count"), "p_brand")
+    return (
+        stats.withColumn("popularity_rank", F.rank().over(w))
+        .filter(F.col("popularity_rank") <= max_rank)
+        .orderBy("popularity_rank")
+    )
+
+
+def q5_event_mix(events: DataFrame) -> DataFrame:
+    """Q5 shape (reference 03:138-152): derived ratio metric with NULLIF
+    div-by-zero guard + empty-window total.
+
+    Per event_type: count, rounded avg value, and pct-of-all-events =
+    100*count/NULLIF(total,0) — the conversion-rate pattern."""
+    w = Window.partitionBy()
+    agg = events.groupBy("event_type").agg(
+        F.count("*").alias("event_count"),
+        money_avg("value").alias("avg_value"),
+        money_sum("value").alias("total_value"),
+    )
+    total = F.sum("event_count").over(w)
+    return agg.select(
+        "event_type",
+        "event_count",
+        "avg_value",
+        "total_value",
+        F.round(F.lit(100.0) * F.col("event_count") / F.nullif(total, F.lit(0)), 2).alias(
+            "pct_of_events"
+        ),
+    ).orderBy("event_type")
+
+
+def t1_filter_lines(lineitem: DataFrame, returnflag: str = "N") -> DataFrame:
+    """T1 (reference code/02_RDDOperations.scala:45-49): filter + not-null,
+    re-expressed declaratively (the reference drops to RDD). Both predicates
+    push down to the parquet scan."""
+    return lineitem.filter(
+        (F.upper(F.trim(F.col("l_returnflag"))) == returnflag)
+        & F.col("l_extendedprice").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_extendedprice", 2).alias("extendedprice"),
+    )
+
+
+def t2_price_tiers(
+    lineitem: DataFrame,
+    probabilities: Sequence[float] = (0.33, 0.67),
+    labels: Sequence[str] = ("LOW", "MID", "HIGH"),
+) -> DataFrame:
+    """T2 (reference 02:111-202): percentile tier bucketing + distribution.
+
+    The reference collects every salary to the driver and indexes the sorted
+    array (02:111-133) — a driver-memory cliff. Here the cutoffs are a
+    distributed exact interpolated percentile (``F.percentile``, ==
+    DuckDB ``quantile_cont`` so the oracle matches), cross-joined back as a
+    1-row broadcast; bucketing is a codegen'd CASE; distribution is one
+    tiny hash agg. Fully distributed, two passes over the fact table."""
+    cuts = lineitem.agg(
+        F.percentile("l_extendedprice", F.lit(list(probabilities))).alias("__cuts")
+    )
+    v = F.col("l_extendedprice")
+    tier = F.when(v <= F.element_at("__cuts", 1), F.lit(labels[0]))
+    for i in range(1, len(probabilities)):
+        tier = tier.when(v <= F.element_at("__cuts", i + 1), F.lit(labels[i]))
+    tier = tier.otherwise(F.lit(labels[-1]))
+    w = Window.partitionBy()
+    return (
+        lineitem.filter(v.isNotNull())
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(F.count("*").alias("tier_count"))
+        .select(
+            "tier",
+            "tier_count",
+            F.round(F.lit(100.0) * F.col("tier_count") / F.sum("tier_count").over(w), 2).alias(
+                "tier_pct"
+            ),
+        )
+        .orderBy("tier")
+    )
+
+
+def t3_word_count(
+    documents: DataFrame,
+    stopwords: Sequence[str] = STOPWORDS,
+    min_len: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """T3 (reference 02:221-264): tokenize/strip/stopword-filter word count,
+    top-k. RDD flatMap+reduceByKey re-expressed as explode + hash agg —
+    map-side partial aggregation replaces the reference's reduceByKey
+    exactly; deterministic tiebreak on the word."""
+    words = documents.select(F.explode(tokenize("text", min_len)).alias("word"))
+    return (
+        words.filter(~F.col("word").isin(*stopwords) & (F.length("word") >= min_len))
+        .groupBy("word")
+        .agg(F.count("*").alias("word_count"))
+        .orderBy(F.desc("word_count"), "word")
+        .limit(top_k)
+    )
+
+
+def t4_segment_stats(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """T4 (reference 02:298-341): hand-rolled (k,(sum,sum,flag,cnt))
+    reduceByKey → one declarative groupBy.agg. ``avg`` ignores NULLs
+    natively, replacing the reference's manual null-flag counter
+    (SURVEY.md §2.4 A10)."""
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("order_count"),
+            money_sum("o_totalprice").alias("total_value"),
+            money_avg("o_totalprice").alias("avg_value"),
+            F.countDistinct("o_custkey").alias("customer_count"),
+        )
+        .orderBy(F.desc("order_count"), "c_mktsegment")
+    )
+
+
+def _nation_stats(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame, min_orders: int
+) -> DataFrame:
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            money_avg("o_totalprice").alias("avg_order_value"),
+        )
+        .filter((F.col("order_count") >= min_orders) & (F.col("avg_order_value") > 0))
+    )
+
+
+def t5_ranking_top(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    min_orders: int = 30,
+    top_k: int = 20,
+) -> DataFrame:
+    """T5 top-k (reference 02:384-413): filter n≥N & avg>0, sort desc, take k
+    — ``orderBy.limit`` stays distributed (TakeOrderedAndProject), unlike
+    the reference's driver-side ``take``."""
+    return _nation_stats(orders, customer, nation, min_orders).orderBy(
+        F.desc("avg_order_value"), "n_name"
+    ).limit(top_k)
+
+
+def t5_ranking_bottom(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    min_orders: int = 30,
+    bottom_k: int = 10,
+) -> DataFrame:
+    """T5 bottom-k (reference 02:433-435 does collect-then-takeRight on the
+    driver — SURVEY.md §2.6 O8 anti-pattern). Ascending orderBy + limit is
+    the distributed equivalent."""
+    return _nation_stats(orders, customer, nation, min_orders).orderBy(
+        F.asc("avg_order_value"), "n_name"
+    ).limit(bottom_k)
+
+
+def agg_join_report(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """Phase-1 Step-4 report (reference 01:160-179): two per-key aggregates
+    left-joined and sorted — counts/sum/countDistinct on one side, avg +
+    exact median on the other, J1 left join on the group key.
+
+    Both sides are post-aggregate (≤ group-count rows) so Catalyst picks a
+    broadcast-hash join automatically; the explicit hint keeps it that way
+    at any fact scale."""
+    base = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+    )
+    counts = base.groupBy("n_name").agg(
+        F.count("*").alias("total_orders"),
+        money_sum("o_totalprice").alias("total_value"),
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+    )
+    salary = base.groupBy("n_name").agg(
+        money_avg("o_totalprice").alias("avg_value"),
+        money_median("o_totalprice").alias("median_value"),
+    )
+    return (
+        counts.join(F.broadcast(salary), on="n_name", how="left")
+        .orderBy(F.desc("total_orders"), "n_name")
+    )
+
+
+def priority_mapping_report(
+    orders: DataFrame, mapping: Mapping[str, str] | None = None
+) -> DataFrame:
+    """When-chain / map-lookup standardization report (reference 01:275-295
+    generalized per SURVEY.md §2.8): map raw priority codes to standardized
+    labels, count per label."""
+    from jobanalytics_bigdataproject_spark.functions.derive import map_lookup
+
+    mapping = mapping or {
+        "1-URGENT": "URGENT",
+        "2-HIGH": "HIGH",
+        "3-MEDIUM": "MEDIUM",
+        "4-NOT SPECIFIED": "UNSPECIFIED",
+        "5-LOW": "LOW",
+    }
+    return (
+        orders.withColumn("priority_std", map_lookup("o_orderpriority", mapping, F.lit("OTHER")))
+        .groupBy("priority_std")
+        .agg(
+            F.count("*").alias("order_count"),
+            money_avg("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("priority_std")
+    )

@@ -1,0 +1,64 @@
+"""Sampling & statistics operators (SURVEY.md §2.9 ST1-ST3, §2.4 A8).
+
+All sampling ops are seed-pinned (42, like every seed in the reference —
+code/01_DataPreprocessing.scala:192, code/04_MachineLearning.scala:79) but
+RNG streams are implementation-specific, so these are rows-only checks,
+never oracle-hashed (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """ST1 (reference 01:190-193): ``stat.sampleBy`` per-stratum fractions.
+    Per-row Bernoulli draw — no shuffle, scales linearly."""
+    return df.sampleBy(strata_col, dict(fractions), seed)
+
+
+def train_test_split(
+    df: DataFrame, weights: Sequence[float] = (0.7, 0.3), seed: int = 42
+) -> list[DataFrame]:
+    """ST2 (reference 04:79): ``randomSplit`` with pinned seed."""
+    return df.randomSplit(list(weights), seed)
+
+
+def quantile_cutoffs(
+    df: DataFrame,
+    col: str,
+    probabilities: Sequence[float] = (0.33, 0.67),
+    relative_error: float = 0.0,
+) -> list[float]:
+    """ST3 (reference 02:111-133 collects+sorts on the driver): distributed
+    quantiles via approxQuantile — exact at relative_error=0, single-pass
+    Greenwald-Khanna sketch at e.g. 0.001 for the 100 TB path."""
+    return df.approxQuantile(col, list(probabilities), relative_error)
+
+
+def percentiles_exact(
+    df: DataFrame, col: str, probabilities: Sequence[float] = (0.25, 0.5, 0.75)
+) -> DataFrame:
+    """Exact interpolated percentiles as a 1-row DataFrame (== DuckDB
+    ``quantile_cont``, so this one IS oracle-checkable)."""
+    aggs = [
+        F.round(F.percentile(col, F.lit(p)), 2).alias(f"p{int(p * 100)}")
+        for p in probabilities
+    ]
+    return df.agg(*aggs)
+
+
+def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """A8 (reference 01:144-146): ``df.summary`` distribution snapshot.
+    Output is stringly-typed by Spark's API — rows-only check."""
+    return df.select(*cols).summary(
+        "count", "min", "25%", "50%", "75%", "max", "mean"
+    )

@@ -1,0 +1,129 @@
+"""[EXT] Text-analysis operators over the ``documents`` table: language ID,
+quality scoring, token counting, fingerprinting (north-star LLM-pipeline
+surface; absent from the reference, which only does the T3 word count —
+code/02_RDDOperations.scala:221-264).
+
+Design: everything is codegen'd built-ins over one scan — each operator
+appends columns without a shuffle, so a 100 TB corpus is one linear pass.
+All outputs are deterministic and (except xxhash64-based ones) expressible
+in DuckDB SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.functions.textfns import fingerprint, tokenize
+
+# Tiny per-language marker lexicons for the heuristic language scorer.
+# Deliberately SQL-expressible (the oracle repeats the same CASE logic).
+LANG_MARKERS: Mapping[str, tuple[str, ...]] = {
+    "en": ("the", "and", "with", "from"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "nicht"),
+    "fr": ("le", "la", "et", "que"),
+    "zh": ("de", "le", "shi", "bu"),
+}
+
+DEFAULT_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "for", "with", "from", "this", "that", "are", "was",
+)
+
+
+def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (runs of letters / digits / single punctuation, the common pre-tokenizer
+    shape) + char length. One projection, no shuffle."""
+    txt = F.col(text_col)
+    ws_tokens = F.split(F.trim(txt), r"\s+")
+    bpe_ish = F.regexp_count(txt, r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    return documents.select(
+        "doc_id",
+        F.size(ws_tokens).alias("ws_token_count"),
+        bpe_ish.alias("regex_token_count"),
+        F.length(txt).alias("char_count"),
+    )
+
+
+def quality_score(
+    documents: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Quality scoring: length score, punctuation ratio, stopword ratio and
+    a blended 0..1 quality score. Pure per-row arithmetic (linear scan)."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    tokens = F.split(F.lower(F.trim(txt)), r"\s+")
+    n_tokens = F.size(tokens)
+    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
+    n_punct = F.regexp_count(txt, r"[^\w\s]")
+    len_score = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
+    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
+    punct_ratio = n_punct.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")
+    quality = F.round(
+        F.lit(0.5) * len_score
+        + F.lit(0.5) * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))
+        - F.least(F.coalesce(punct_ratio, F.lit(0.0)), F.lit(0.5)),
+        4,
+    )
+    return documents.select(
+        "doc_id",
+        F.round(len_score, 4).alias("len_score"),
+        F.round(F.coalesce(stop_ratio, F.lit(0.0)), 4).alias("stopword_ratio"),
+        F.round(F.coalesce(punct_ratio, F.lit(0.0)), 4).alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def _marker_hits(tokens: Column, markers: Sequence[str]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+
+
+def language_id(
+    documents: DataFrame,
+    text_col: str = "text",
+    markers: Mapping[str, Sequence[str]] = LANG_MARKERS,
+) -> DataFrame:
+    """Heuristic language ID: score = marker-lexicon hits per language,
+    argmax wins (ties broken by language code order). An n-gram/lexicon
+    heuristic in the fastText spirit, kept SQL-expressible on purpose so the
+    oracle can replay it. Linear scan, no shuffle."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    scores = [
+        _marker_hits(tokens, tuple(ms)).alias(f"score_{lang}")
+        for lang, ms in markers.items()
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    langs = list(markers)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    # argmax with first-wins tie break, in declared language order
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("best_score"),
+    )
+
+
+def fingerprint_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact-dup key) plus
+    a rolling-shingle min-fingerprint (md5 over 3-token shingles, min) —
+    both engine- and oracle-computable. Linear scan."""
+    from jobanalytics_bigdataproject_spark.functions.textfns import shingles
+
+    toks = tokenize(text_col, min_len=1)
+    sh = shingles(toks, 3)
+    min_shingle_fp = F.array_min(F.transform(sh, F.md5))
+    return documents.select(
+        "doc_id",
+        fingerprint(text_col).alias("doc_fp"),
+        F.coalesce(min_shingle_fp, F.lit("")).alias("min_shingle_fp"),
+    )

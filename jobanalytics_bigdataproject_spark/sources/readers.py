@@ -1,0 +1,89 @@
+"""Readers: CSV/Parquet sources + star-schema loader (SURVEY.md §2.1 S1-S4).
+
+The reference ingests one CSV with inference + permissive parsing
+(reference code/01_DataPreprocessing.scala:14-21) and thereafter reads
+parquet (02:14, 03:13, 04:10). Our engine keeps those two sources, but:
+
+- CSV takes an *explicit* ``StructType`` by default — at 100 TB a schema
+  inference pass is a full extra scan of the input; inference stays
+  available as an opt-in fallback.
+- Parquet reads go through one helper so column pruning / predicate
+  pushdown can be asserted in tests (``.explain`` shows ``PushedFilters``
+  and a narrowed ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    multi_line: bool = True,
+) -> DataFrame:
+    """CSV scan mirroring reference S1 options (01_DataPreprocessing.scala:14-21):
+    header, multiLine, quote/escape = '"', PERMISSIVE. Explicit schema
+    preferred; ``inferSchema`` only when none is given."""
+    reader = (
+        spark.read.option("header", header)
+        .option("multiLine", multi_line)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one star-schema table (reference S2).
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as an epoch-ns long
+    and is converted here to a microsecond timestamp with exact integer
+    ``div`` (``/`` would go through double and lose precision above 2^53 —
+    epoch-ns is ~1.7e18). DuckDB performs the same ns→us truncation, so
+    both engines see identical timestamps."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_star(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES
+) -> dict[str, DataFrame]:
+    """Load the star-schema tables as a dict of DataFrames."""
+    return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = STAR_TABLES
+) -> None:
+    """Register each table as a temp view (reference S4,
+    03_SQLOperations.scala:16) so `spark.sql` entry points resolve them."""
+    for name in names:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
