@@ -3,21 +3,36 @@
 ``entry(spark)`` — flagship query (Q2 shape) at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 /
 FIXTURES.md §C as ``(spark, sf_dir) -> DataFrame`` callables.
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query (omitted for
-RNG/xxhash64-based ops → rows-only checks, as declared in SURVEY.md §5.3).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query. Omitted only for
+RNG-/xxhash64-/MLlib-based ops (rows-only checks, SURVEY.md §5.3).
 
-Column names are aliased identically on both sides; float aggregates are
-ROUND-ed; timestamps are emitted as formatted strings (SURVEY.md §5.3).
+Determinism rules used throughout (SURVEY.md §5.3 + functions/exact.py):
+- money aggregates accumulate integer cents (order-independent, exact);
+- rounded divisions use the integer-scaled form ROUND(10^dp·n/d)/10^dp;
+- timestamps are emitted as formatted strings; Spark dayofweek == DuckDB
+  dayofweek+1; every ranked window carries a total-order tiebreak;
+- column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
-from jobanalytics_bigdataproject_spark.operators import analytics
+from jobanalytics_bigdataproject_spark.functions.derive import parse_key_token
+from jobanalytics_bigdataproject_spark.functions.exact import cents
+from jobanalytics_bigdataproject_spark.operators import (
+    analytics,
+    cleaning,
+    dedup,
+    sampling,
+    similarity,
+    text,
+)
 from jobanalytics_bigdataproject_spark.sources.readers import load_star
+from jobanalytics_bigdataproject_spark.streaming import windows as stream
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,7 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# queries(): name -> (spark, sf_dir) -> DataFrame
+# query implementations that are thin compositions (the operator logic lives
+# in jobanalytics_bigdataproject_spark/operators|streaming; these adapt it to
+# the (spark, sf_dir) signature)
 # ---------------------------------------------------------------------------
 
 
@@ -42,37 +59,151 @@ def _q(names: tuple[str, ...], fn) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _clean_dedup_lines(t) -> DataFrame:
+    return cleaning.dedup_by_key_deterministic(
+        t["lineitem"],
+        ["l_orderkey", "l_linenumber"],
+        ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"],
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+
+
+def _clean_valid_orders(t) -> DataFrame:
+    df = t["orders"]
+    df = df.filter(cleaning.null_or_in_range("o_totalprice", 0, 5_000_000))
+    df = cleaning.drop_null_rows(df, ["o_custkey"])
+    df = cleaning.filter_range(df, "o_totalprice", 10_000, 600_000)
+    return df.select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("totalprice"))
+
+
+def _impute_customer_balance(t) -> DataFrame:
+    bal = F.coalesce(F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")), F.lit(0.0))
+    return t["customer"].select("c_custkey", bal.alias("bal_imputed"))
+
+
+def _derive_event_time(t) -> DataFrame:
+    ts = F.col("ts")
+    return t["events"].select(
+        "event_id",
+        F.date_format(ts, "yyyy-MM-dd").alias("event_date"),
+        F.month(ts).alias("event_month"),
+        F.dayofweek(ts).alias("event_dow"),
+        F.hour(ts).alias("event_hour"),
+    )
+
+
+def _derive_customer_key(t) -> DataFrame:
+    parsed = parse_key_token("c_name", "#", -1).cast("bigint")
+    return t["customer"].select(
+        "c_custkey",
+        parsed.alias("parsed_id"),
+        (parsed == F.col("c_custkey")).alias("is_match"),
+    )
+
+
+def _derive_log_quantity(t) -> DataFrame:
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log1p("l_quantity"), 6).alias("log_qty"),
+    )
+
+
+def _window_lag_events(t) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return t["events"].select("event_id", "user_id", gap.alias("gap_s"))
+
+
+def _ntile_customer_tiers(t) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("tier")
+    )
+
+
+def _rollup_lineitem(t) -> DataFrame:
+    return (
+        t["lineitem"]
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("line_count"))
+        .select("l_returnflag", "l_linestatus", "gid", "line_count")
+    )
+
+
+def _set_union_entities(t) -> DataFrame:
+    c = t["customer"].select(
+        F.col("c_custkey").alias("ent_id"),
+        F.col("c_name").alias("ent_name"),
+        F.lit("customer").alias("ent_type"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    s = t["supplier"].select(
+        F.col("s_suppkey").alias("ent_id"),
+        F.col("s_name").alias("ent_name"),
+        F.lit("supplier").alias("ent_type"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    return c.unionByName(s)
+
+
+def _set_intersect_nations(t) -> DataFrame:
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+def _set_except_nations(t) -> DataFrame:
+    return (
+        t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .exceptAll(t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct())
+    )
+
+
+def _docs_ngram_jaccard(t) -> DataFrame:
+    docs = t["documents"]
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_id_a"), F.col("source").alias("src")
+    )
+    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("src"))
+    pairs = (
+        a.join(b, on="src")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+    return dedup.ngram_jaccard_pairs(docs, pairs, threshold=0.0).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+def _percentiles_price(t) -> DataFrame:
+    c = cents("l_extendedprice")
+    return t["lineitem"].agg(
+        *[
+            (F.round(F.percentile(c, F.lit(p))) / F.lit(100.0)).alias(f"p{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- SQL phase shapes (reference code/03_SQLOperations.scala) ---
-        "q1_pricing_summary": _q(
-            ("lineitem",), lambda t: analytics.q1_pricing_summary(t["lineitem"])
-        ),
+        "q1_pricing_summary": _q(("lineitem",), lambda t: analytics.q1_pricing_summary(t["lineitem"])),
         "q2_top_nations": _q(
             ("orders", "customer", "nation"),
             lambda t: analytics.q2_top_nations(t["orders"], t["customer"], t["nation"]),
         ),
-        "q3_priority_vs_overall": _q(
-            ("orders",), lambda t: analytics.q3_priority_vs_overall(t["orders"])
-        ),
-        "q4_brand_rank": _q(
-            ("lineitem", "part"),
-            lambda t: analytics.q4_brand_rank(t["lineitem"], t["part"]),
-        ),
+        "q3_priority_vs_overall": _q(("orders",), lambda t: analytics.q3_priority_vs_overall(t["orders"])),
+        "q4_brand_rank": _q(("lineitem", "part"), lambda t: analytics.q4_brand_rank(t["lineitem"], t["part"])),
         "q5_event_mix": _q(("events",), lambda t: analytics.q5_event_mix(t["events"])),
         # --- RDD-task shapes, DataFrame-native (code/02_RDDOperations.scala) ---
-        "t1_filter_lines": _q(
-            ("lineitem",), lambda t: analytics.t1_filter_lines(t["lineitem"])
-        ),
-        "t2_price_tiers": _q(
-            ("lineitem",), lambda t: analytics.t2_price_tiers(t["lineitem"])
-        ),
-        "t3_word_count": _q(
-            ("documents",), lambda t: analytics.t3_word_count(t["documents"])
-        ),
+        "t1_filter_lines": _q(("lineitem",), lambda t: analytics.t1_filter_lines(t["lineitem"])),
+        "t2_price_tiers": _q(("lineitem",), lambda t: analytics.t2_price_tiers(t["lineitem"])),
+        "t3_word_count": _q(("documents",), lambda t: analytics.t3_word_count(t["documents"])),
         "t4_segment_stats": _q(
-            ("orders", "customer"),
-            lambda t: analytics.t4_segment_stats(t["orders"], t["customer"]),
+            ("orders", "customer"), lambda t: analytics.t4_segment_stats(t["orders"], t["customer"])
         ),
         "t5_top_nations": _q(
             ("orders", "customer", "nation"),
@@ -82,20 +213,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("orders", "customer", "nation"),
             lambda t: analytics.t5_ranking_bottom(t["orders"], t["customer"], t["nation"]),
         ),
-        # --- Phase-1 ETL report shapes (code/01_DataPreprocessing.scala) ---
+        # --- Phase-1 ETL shapes (code/01_DataPreprocessing.scala) ---
         "agg_join_report": _q(
             ("orders", "customer", "nation"),
             lambda t: analytics.agg_join_report(t["orders"], t["customer"], t["nation"]),
         ),
-        "priority_mapping_report": _q(
-            ("orders",), lambda t: analytics.priority_mapping_report(t["orders"])
+        "priority_mapping_report": _q(("orders",), lambda t: analytics.priority_mapping_report(t["orders"])),
+        "clean_dedup_lines": _q(("lineitem",), _clean_dedup_lines),
+        "clean_valid_orders": _q(("orders",), _clean_valid_orders),
+        "impute_customer_balance": _q(("customer",), _impute_customer_balance),
+        "derive_event_time": _q(("events",), _derive_event_time),
+        "derive_customer_key": _q(("customer",), _derive_customer_key),
+        "derive_log_quantity": _q(("lineitem",), _derive_log_quantity),
+        # --- window-function [EXT] surface (SURVEY.md §2.5 note) ---
+        "window_lag_events": _q(("events",), _window_lag_events),
+        "ntile_customer_tiers": _q(("customer",), _ntile_customer_tiers),
+        "rollup_lineitem_counts": _q(("lineitem",), _rollup_lineitem),
+        # --- set ops [EXT] (SURVEY.md §2.7) ---
+        "set_union_entities": _q(("customer", "supplier"), _set_union_entities),
+        "set_intersect_nations": _q(("customer", "supplier"), _set_intersect_nations),
+        "set_except_nations": _q(("customer", "supplier"), _set_except_nations),
+        # --- streaming-compatible event-time windows [EXT] (§2.11) ---
+        "events_tumbling_10m": _q(("events",), lambda t: stream.tumbling_window_agg(t["events"])),
+        "events_sliding_10m_5m": _q(("events",), lambda t: stream.sliding_window_agg(t["events"])),
+        "events_session_gap5m": _q(("events",), lambda t: stream.session_window_agg(t["events"])),
+        "events_json_props": _q(("events",), lambda t: stream.json_props_extract(t["events"])),
+        # --- text analysis [EXT] ---
+        "docs_token_stats": _q(("documents",), lambda t: text.token_stats(t["documents"])),
+        "docs_quality_score": _q(("documents",), lambda t: text.quality_score(t["documents"])),
+        "docs_language_id": _q(("documents",), lambda t: text.language_id(t["documents"])),
+        "docs_fingerprint": _q(("documents",), lambda t: text.fingerprint_docs(t["documents"])),
+        # --- dedup [EXT] ---
+        "docs_exact_dup_groups": _q(("documents",), lambda t: dedup.exact_dup_groups(t["documents"])),
+        "docs_dedup_exact": _q(
+            ("documents",),
+            lambda t: dedup.dedup_exact(t["documents"]).select("doc_id", "lang", "source", "n_chars"),
+        ),
+        "docs_minhash_signatures": _q(("documents",), lambda t: dedup.minhash_signatures(t["documents"])),
+        "docs_lsh_candidates": _q(("documents",), lambda t: dedup.minhash_lsh_candidates(t["documents"])),
+        "docs_simhash": _q(("documents",), lambda t: dedup.simhash_docs(t["documents"])),
+        "docs_ngram_jaccard": _q(("documents",), _docs_ngram_jaccard),
+        # --- similarity search [EXT] ---
+        "ann_cosine_topk": _q(
+            ("embeddings",),
+            lambda t: similarity.cosine_topk_bruteforce(
+                t["embeddings"], t["embeddings"].filter(F.col("vec_id") < 20)
+            ),
+        ),
+        "ann_cosine_lsh": _q(
+            ("embeddings",),
+            lambda t: similarity.cosine_topk_lsh(
+                t["embeddings"], t["embeddings"].filter(F.col("vec_id") < 20)
+            ),
+        ),
+        "embedding_near_dups": _q(
+            ("embeddings",), lambda t: similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
+        ),
+        # --- sampling / statistics (SURVEY.md §2.9; rows-only by design) ---
+        "sample_stratified_orders": _q(
+            ("orders",),
+            lambda t: sampling.stratified_sample(
+                t["orders"], "o_orderstatus", {"O": 0.2, "F": 0.2, "P": 0.2}
+            ).select("o_orderkey", "o_orderstatus"),
+        ),
+        "random_split_lineitem": _q(
+            ("lineitem",),
+            lambda t: sampling.train_test_split(t["lineitem"])[0].select("l_orderkey", "l_linenumber"),
+        ),
+        "percentiles_price": _q(("lineitem",), _percentiles_price),
+        "summary_lineitem": _q(
+            ("lineitem",),
+            lambda t: sampling.summary_stats(t["lineitem"], ["l_extendedprice", "l_quantity"]),
         ),
     }
 
 
 # ---------------------------------------------------------------------------
-# oracle_sql(): DuckDB-runnable equivalents (views pre-registered)
+# oracle_sql(): DuckDB-runnable equivalents (views pre-registered).
+# Rows-only (no oracle, per SURVEY.md §5.3): docs_minhash_signatures,
+# docs_lsh_candidates, docs_simhash (xxhash64 has no DuckDB equivalent),
+# ann_cosine_lsh (recall<1 by design), sample_stratified_orders,
+# random_split_lineitem (engine-specific RNG), summary_lineitem (stringly
+# API shape).
 # ---------------------------------------------------------------------------
+
+_DOC_TOKENS = (
+    "list_filter(list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " w -> regexp_replace(w, '[^a-z]', '', 'g')), w -> length(w) >= 1)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -162,7 +367,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS event_count,
                    ROUND(ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))*1.0/COUNT(value))/100.0, 2) AS avg_value,
                    ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS total_value,
-                   ROUND(100.0 * COUNT(*) / NULLIF(SUM(COUNT(*)) OVER (), 0), 2)
+                   ROUND(10000.0 * COUNT(*) / NULLIF(SUM(COUNT(*)) OVER (), 0))/100.0
                        AS pct_of_events
             FROM events
             GROUP BY event_type
@@ -188,7 +393,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE l_extendedprice IS NOT NULL
             )
             SELECT tier, COUNT(*) AS tier_count,
-                   ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 2) AS tier_pct
+                   ROUND(10000.0 * COUNT(*) / NULLIF(SUM(COUNT(*)) OVER (), 0))/100.0 AS tier_pct
             FROM tiers
             GROUP BY tier
             ORDER BY tier
@@ -279,5 +484,267 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY priority_std
             ORDER BY priority_std
+        """,
+        "clean_dedup_lines": """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+            FROM lineitem
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY l_orderkey, l_linenumber
+                ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1
+        """,
+        "clean_valid_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+            FROM orders
+            WHERE (o_totalprice IS NULL OR (o_totalprice > 0 AND o_totalprice <= 5000000))
+              AND o_custkey IS NOT NULL
+              AND o_totalprice BETWEEN 10000 AND 600000
+        """,
+        "impute_customer_balance": """
+            SELECT c_custkey,
+                   COALESCE(CASE WHEN c_acctbal >= 0 THEN c_acctbal END, 0.0) AS bal_imputed
+            FROM customer
+        """,
+        "derive_event_time": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%d') AS event_date,
+                   month(ts) AS event_month,
+                   dayofweek(ts) + 1 AS event_dow,
+                   hour(ts) AS event_hour
+            FROM events
+        """,
+        "derive_customer_key": """
+            SELECT c_custkey,
+                   CAST(split_part(c_name, '#', 2) AS BIGINT) AS parsed_id,
+                   CAST(split_part(c_name, '#', 2) AS BIGINT) = c_custkey AS is_match
+            FROM customer
+        """,
+        "derive_log_quantity": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(LN(1 + l_quantity), 6) AS log_qty
+            FROM lineitem
+        """,
+        "window_lag_events": """
+            SELECT event_id, user_id,
+                   date_diff('second',
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) AS gap_s
+            FROM events
+        """,
+        "ntile_customer_tiers": """
+            SELECT c_custkey, c_mktsegment,
+                   NTILE(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS tier
+            FROM customer
+        """,
+        "rollup_lineitem_counts": """
+            SELECT l_returnflag, l_linestatus,
+                   GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "set_union_entities": """
+            SELECT c_custkey AS ent_id, c_name AS ent_name,
+                   'customer' AS ent_type, c_acctbal AS bal
+            FROM customer
+            UNION ALL
+            SELECT s_suppkey, s_name, 'supplier', s_acctbal FROM supplier
+        """,
+        "set_intersect_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        """,
+        "set_except_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier
+        """,
+        "events_tumbling_10m": """
+            SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   COUNT(*) AS event_count,
+                   ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "events_sliding_10m_5m": """
+            WITH expanded AS (
+                SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                               time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']) AS ws,
+                       event_type, value
+                FROM events
+            )
+            SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   COUNT(*) AS event_count,
+                   ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS total_value
+            FROM expanded
+            GROUP BY 1, 2
+        """,
+        "events_session_gap5m": """
+            WITH f AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM f
+            )
+            SELECT user_id,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   COUNT(*) AS event_count,
+                   ROUND(SUM(CAST(ROUND(value*100) AS BIGINT))/100.0, 2) AS total_value
+            FROM s
+            GROUP BY user_id, sid
+        """,
+        "events_json_props": """
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+            FROM events
+        """,
+        "docs_token_stats": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS ws_token_count,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS regex_token_count,
+                   length(text) AS char_count
+            FROM documents
+        """,
+        "docs_quality_score": """
+            WITH b AS (
+                SELECT doc_id,
+                       LEAST(20 * length(text), 10000) AS len_bp,
+                       CAST(COALESCE(ROUND(10000.0 * len(list_filter(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> list_contains(['the','and','for','with','from','this','that','are','was'], t)))
+                            / NULLIF(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0)), 0) AS BIGINT) AS stop_bp,
+                       CAST(COALESCE(ROUND(10000.0 * len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                            / NULLIF(length(text), 0)), 0) AS BIGINT) AS punct_bp
+                FROM documents
+            )
+            SELECT doc_id,
+                   len_bp/10000.0 AS len_score,
+                   stop_bp/10000.0 AS stopword_ratio,
+                   punct_bp/10000.0 AS punct_ratio,
+                   ((len_bp + LEAST(5*stop_bp, 10000))/2.0 - LEAST(punct_bp, 5000))/10000.0 AS quality_score
+            FROM b
+        """,
+        "docs_language_id": """
+            WITH s AS (
+                SELECT doc_id, lang AS labeled_lang,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['the','and','with','from'], t))) AS score_en,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['el','la','de','que'], t))) AS score_es,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['der','die','und','nicht'], t))) AS score_de,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['le','la','et','que'], t))) AS score_fr,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['de','le','shi','bu'], t))) AS score_zh
+                FROM documents
+            )
+            SELECT doc_id, labeled_lang,
+                   CASE WHEN GREATEST(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+                        WHEN score_en = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+                        WHEN score_es = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+                        WHEN score_de = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+                        WHEN score_fr = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+                        ELSE 'zh' END AS predicted_lang,
+                   GREATEST(score_en, score_es, score_de, score_fr, score_zh) AS best_score
+            FROM s
+        """,
+        "docs_fingerprint": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS doc_fp,
+                       {_DOC_TOKENS} AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, doc_fp,
+                       list_transform(range(1, len(toks)-1),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shingles
+                FROM t
+            )
+            SELECT doc_id, doc_fp,
+                   COALESCE(list_sort(list_transform(shingles, s -> md5(s)))[1], '') AS min_shingle_fp
+            FROM sh
+        """,
+        "docs_exact_dup_groups": """
+            SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS doc_fp,
+                   COUNT(*) AS dup_count,
+                   MIN(doc_id) AS canonical_doc_id
+            FROM documents
+            GROUP BY doc_fp
+            ORDER BY doc_fp
+        """,
+        "docs_dedup_exact": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                ORDER BY doc_id) = 1
+        """,
+        "docs_ngram_jaccard": f"""
+            WITH t AS (
+                SELECT doc_id, source, {_DOC_TOKENS} AS toks
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, source,
+                       list_distinct(list_transform(range(1, len(toks)-1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+                FROM t
+            )
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   COALESCE(ROUND(10000.0 * len(list_intersect(a.s, b.s)) /
+                            NULLIF(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 0))/10000.0,
+                            0.0) AS jaccard
+            FROM sh a JOIN sh b
+              ON a.source = b.source AND a.doc_id < b.doc_id AND a.doc_id % 10 = 0
+            ORDER BY doc_id_a, doc_id_b
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            sims AS (
+                SELECT query_id, neighbor_id,
+                       ROUND(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) /
+                             NULLIF(sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE))) *
+                                    sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE))), 0),
+                             4) AS sim
+                FROM c CROSS JOIN q
+                WHERE query_id != neighbor_id
+            )
+            SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+            FROM sims
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "embedding_near_dups": """
+            SELECT * FROM (
+            SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                         NULLIF(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+                                sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 0),
+                         4) AS sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            ) WHERE sim >= 0.3
+            ORDER BY block, id_a, id_b
+        """,
+        "percentiles_price": """
+            SELECT ROUND(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25))/100.0 AS p25,
+                   ROUND(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.50))/100.0 AS p50,
+                   ROUND(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75))/100.0 AS p75
+            FROM lineitem
         """,
     }

@@ -48,6 +48,21 @@ def money_avg(c: Column | str, dp: int = 2) -> Column:
     return F.round(F.round(F.sum(cents(col)) / F.count(col)) / F.lit(100.0), dp)
 
 
+def exact_div(num: Column, den: Column, dp: int = 4) -> Column:
+    """Cross-engine-deterministic rounded division: ``ROUND(10^dp·n/d)/10^dp``.
+
+    ``ROUND(n/d, dp)`` directly is unsafe: a rational like 1/160 = 0.00625
+    is NOT binary-representable, Spark's decimal-string ROUND says .0063
+    while DuckDB's binary ROUND can say .0062. Scaling first makes every
+    half-boundary an exact ``k.5`` double (correctly-rounded division of an
+    exact rational), which both engines round identically; the final
+    division by 10^dp is exact-by-construction on both.
+    Oracle: ``ROUND(POW(10,dp)*n/NULLIF(d,0))/POW(10,dp)`` (spelled with
+    literals, e.g. ``ROUND(10000.0*n/NULLIF(d,0))/10000.0``)."""
+    scale = float(10**dp)
+    return F.round(F.lit(scale) * num / F.nullif(den, F.lit(0))) / F.lit(scale)
+
+
 def money_median(c: Column | str, dp: int = 2) -> Column:
     """Exact interpolated median over cents, rounded cents-first (see
     money_avg — an even row count lands on x.5 cents, which is exactly

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from jobanalytics_bigdataproject_spark.functions.exact import (
     cents,
+    exact_div,
     money_avg,
     money_median,
     money_sum,
@@ -168,9 +169,7 @@ def q5_event_mix(events: DataFrame) -> DataFrame:
         "event_count",
         "avg_value",
         "total_value",
-        F.round(F.lit(100.0) * F.col("event_count") / F.nullif(total, F.lit(0)), 2).alias(
-            "pct_of_events"
-        ),
+        exact_div(F.lit(100) * F.col("event_count"), total, 2).alias("pct_of_events"),
     ).orderBy("event_type")
 
 
@@ -221,7 +220,7 @@ def t2_price_tiers(
         .select(
             "tier",
             "tier_count",
-            F.round(F.lit(100.0) * F.col("tier_count") / F.sum("tier_count").over(w), 2).alias(
+            exact_div(F.lit(100) * F.col("tier_count"), F.sum("tier_count").over(w), 2).alias(
                 "tier_pct"
             ),
         )

@@ -127,14 +127,18 @@ def simhash64(tokens: Column) -> Column:
     sign. Expressed as aggregate-over-array; linear in tokens×64 — heavy-ish
     per row but shuffle-free (tune by sampling tokens at scale)."""
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _vote(bit: int):
+        def inner(acc, h):
+            return acc + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return inner
+
     bit_exprs = []
     for bit in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h, b=bit: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(hashes, F.lit(0), _vote(bit))
         bit_exprs.append(
             F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
                 F.lit(0).cast("long")
@@ -180,6 +184,8 @@ def ngram_jaccard_pairs(
     )
     a = sets.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    from jobanalytics_bigdataproject_spark.functions.exact import exact_div
+
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
@@ -188,7 +194,7 @@ def ngram_jaccard_pairs(
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(inter.cast("double") / F.nullif(union, F.lit(0)), 4).alias("jaccard"),
+            F.coalesce(exact_div(inter, union, 4), F.lit(0.0)).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

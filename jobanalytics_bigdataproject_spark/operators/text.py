@@ -39,7 +39,7 @@ def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     shape) + char length. One projection, no shuffle."""
     txt = F.col(text_col)
     ws_tokens = F.split(F.trim(txt), r"\s+")
-    bpe_ish = F.regexp_count(txt, r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    bpe_ish = F.regexp_count(txt, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
     return documents.select(
         "doc_id",
         F.size(ws_tokens).alias("ws_token_count"),
@@ -60,22 +60,27 @@ def quality_score(
     tokens = F.split(F.lower(F.trim(txt)), r"\s+")
     n_tokens = F.size(tokens)
     n_stop = F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
-    n_punct = F.regexp_count(txt, r"[^\w\s]")
-    len_score = F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0))
-    stop_ratio = n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
-    punct_ratio = n_punct.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")
-    quality = F.round(
-        F.lit(0.5) * len_score
-        + F.lit(0.5) * F.least(F.coalesce(stop_ratio, F.lit(0.0)) * F.lit(5.0), F.lit(1.0))
-        - F.least(F.coalesce(punct_ratio, F.lit(0.0)), F.lit(0.5)),
-        4,
+    n_punct = F.regexp_count(txt, F.lit(r"[^a-zA-Z0-9\s]"))
+    # All scores in integer basis points (0..10000) so every intermediate is
+    # an exact integer and the single final division is bit-identical across
+    # engines (functions/exact.py rationale) — no float ROUND anywhere.
+    len_bp = F.least(F.lit(20) * n_chars, F.lit(10000))
+    stop_bp = F.coalesce(
+        F.round(F.lit(10000.0) * n_stop / F.nullif(n_tokens, F.lit(0))), F.lit(0.0)
+    ).cast("long")
+    punct_bp = F.coalesce(
+        F.round(F.lit(10000.0) * n_punct / F.nullif(n_chars, F.lit(0))), F.lit(0.0)
+    ).cast("long")
+    quality_bp = (
+        (len_bp + F.least(F.lit(5) * stop_bp, F.lit(10000))) / F.lit(2.0)
+        - F.least(punct_bp, F.lit(5000))
     )
     return documents.select(
         "doc_id",
-        F.round(len_score, 4).alias("len_score"),
-        F.round(F.coalesce(stop_ratio, F.lit(0.0)), 4).alias("stopword_ratio"),
-        F.round(F.coalesce(punct_ratio, F.lit(0.0)), 4).alias("punct_ratio"),
-        quality.alias("quality_score"),
+        (len_bp / F.lit(10000.0)).alias("len_score"),
+        (stop_bp / F.lit(10000.0)).alias("stopword_ratio"),
+        (punct_bp / F.lit(10000.0)).alias("punct_ratio"),
+        (quality_bp / F.lit(10000.0)).alias("quality_score"),
     )
 
 
