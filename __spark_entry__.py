@@ -27,6 +27,7 @@ from jobanalytics_bigdataproject_spark.operators import (
     analytics,
     cleaning,
     dedup,
+    multimodal,
     sampling,
     similarity,
     text,
@@ -178,13 +179,39 @@ def _docs_ngram_jaccard(t) -> DataFrame:
 
 
 def _percentiles_price(t) -> DataFrame:
+    # one percentile(col, array(...)) pass instead of three separate sorts
     c = cents("l_extendedprice")
-    return t["lineitem"].agg(
+    agg = t["lineitem"].agg(
+        F.percentile(c, F.lit([0.25, 0.5, 0.75])).alias("__ps")
+    )
+    return agg.select(
         *[
-            (F.round(F.percentile(c, F.lit(p))) / F.lit(100.0)).alias(f"p{int(p * 100)}")
-            for p in (0.25, 0.5, 0.75)
+            (F.round(F.element_at("__ps", i + 1)) / F.lit(100.0)).alias(f"p{p}")
+            for i, p in enumerate((25, 50, 75))
         ]
     )
+
+
+def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-budget LR + mean baseline on the lineitem⋈part price model
+    (full-budget M10-M12 run lives in tests/bench; the driver gate only
+    needs the pipeline to fit and beat the baseline)."""
+    from jobanalytics_bigdataproject_spark.ml import pipeline as mlp
+
+    t = load_star(spark, sf_dir, ("lineitem", "part"))
+    df = mlp.make_training_frame(t["lineitem"], t["part"])
+    train, test = df.randomSplit([0.7, 0.3], mlp.SEED)
+    # cap the gate's training volume: fitting quality plateaus well below
+    # this and the per-round bench should measure the engine, not LR epochs
+    train = train.limit(100_000)
+    # small budget for the per-round gate: 64 TF features + 10 LR iters
+    # still beat the mean baseline decisively (log features ⇒ near-linear)
+    feat_model = mlp.build_feature_pipeline(num_tf_features=64).fit(train)
+    train_f = feat_model.transform(train).select("features", "label").cache()
+    lr = mlp.LinearRegression(maxIter=10, regParam=0.05, elasticNetParam=0.1).fit(train_f)
+    test_f = feat_model.transform(test)
+    mean_label = train.agg(F.avg("label")).first()[0]
+    return mlp.evaluate_models({"lr": lr}, test_f, mean_label)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -269,6 +296,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q(
             ("embeddings",), lambda t: similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
         ),
+        # --- multimodal columns [EXT]: binary payload + metadata; decode is
+        # a mapInPandas stub (no media libs in container) but the Arrow
+        # plumbing is real ---
+        "multimodal_meta": _q(("documents",), lambda t: multimodal.media_metadata(t["documents"])),
+        "multimodal_features": _q(
+            ("documents",),
+            lambda t: multimodal.extract_features(
+                multimodal.attach_binary_payload(t["documents"])
+            ).select("doc_id", "n_bytes", "checksum"),
+        ),
+        # --- MLlib pipeline (SURVEY.md §2.13; rows-only: tree/regression
+        # internals are not SQL-expressible) ---
+        "ml_price_model": _ml_price_model,
         # --- sampling / statistics (SURVEY.md §2.9; rows-only by design) ---
         "sample_stratified_orders": _q(
             ("orders",),
@@ -740,6 +780,19 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             ) WHERE sim >= 0.3
             ORDER BY block, id_a, id_b
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   'text/plain' AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
+        """,
+        "multimodal_features": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS checksum
+            FROM documents
         """,
         "percentiles_price": """
             SELECT ROUND(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25))/100.0 AS p25,

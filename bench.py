@@ -1,0 +1,64 @@
+"""Benchmark harness: times every declared query at the bench scale factor
+and prints ONE JSON line (driver contract).
+
+- Queries come from ``__spark_entry__.queries()`` — the same plans the
+  correctness gate checks, no bench-special paths.
+- Execution sink is Spark's ``noop`` writer: full plan executes on the
+  cluster, zero driver-collect cost, so the number measures the engine,
+  not py4j row transfer.
+- One JVM/session warm-up query first; each query then timed once (the
+  per-round driver run wants wall-clock discipline; see BASELINE.md for
+  median-of-3 numbers).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    import __spark_entry__ as mod
+    from jobanalytics_bigdataproject_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # JVM/codegen warm-up (not timed)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, fn in mod.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            failures[name] = str(e)[:200]
+            continue
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": f"sum_sec_{len(timings)}_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if failures:
+        out["failures"] = failures
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,16 +46,7 @@ def fingerprint(c: Column | str) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "))
 
 
-def minhash_signature(tokens: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: array of ``min(xxhash64(token, seed_i))`` over the
-    token set, one element per seed. xxhash64 is deterministic across Spark
-    runs (not available in DuckDB → MinHash queries are rows-only checks).
-
-    Expressed as built-ins: for each seed i, ``array_min(transform(tokens,
-    t -> xxhash64(t, i)))``. num_hashes=32 keeps the signature 256 bytes —
-    per-row cost that scales linearly, no shuffle."""
-    exprs = [
-        F.array_min(F.transform(tokens, lambda t, i=i: F.xxhash64(t, F.lit(i))))
-        for i in range(num_hashes)
-    ]
-    return F.array(*exprs)
+# NOTE: MinHash/SimHash live in operators/dedup.py as explode-based
+# aggregations — a higher-order-function (transform/aggregate) formulation
+# was measured ~10× slower because HOF lambdas are interpreted per element,
+# outside whole-stage codegen.

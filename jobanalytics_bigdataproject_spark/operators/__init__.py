@@ -2,9 +2,18 @@ from jobanalytics_bigdataproject_spark.operators import (
     analytics,
     cleaning,
     dedup,
+    multimodal,
     sampling,
     similarity,
     text,
 )
 
-__all__ = ["analytics", "cleaning", "dedup", "sampling", "similarity", "text"]
+__all__ = [
+    "analytics",
+    "cleaning",
+    "dedup",
+    "multimodal",
+    "sampling",
+    "similarity",
+    "text",
+]

@@ -6,18 +6,25 @@ Five strategies, each with an explicit 100 TB story:
 
 - exact:        md5-fingerprint groupBy — one shuffle on the 16-byte hash,
                 never on the text itself.
-- MinHash+LSH:  shingle → per-seed min-hash signature (linear scan) → band →
-                explode bands → groupBy band-bucket (shuffle on small
-                band-hash keys) → pairs only within buckets. Candidate
-                verification joins back by doc id. No O(n²) anywhere.
-- SimHash:      64-bit weighted-bit fingerprint; near-dups = equal simhash
-                (or banded chunks for hamming<k) — same bucket-join shape.
-- n-gram Jaccard: exact verification metric for candidate pairs (explode
-                shingle sets, intersect/union counts) — only ever run on
-                LSH/bucket candidates, not all pairs.
+- MinHash+LSH:  shingle → explode → per-seed xxhash64 → groupBy(doc) MIN
+                (codegen'd, map-side partial min) → band → explode bands →
+                bucket self-join. Candidate pairs only within buckets; no
+                O(n²) anywhere.
+- SimHash:      explode tokens → per-bit ±1 votes as 64 codegen'd SUM
+                aggregates → sign-pack to a 64-bit fingerprint; near-dup
+                candidates share the hash or a 16-bit chunk.
+- n-gram Jaccard: exact verification for candidate pairs via a join-based
+                set intersection (explode distinct shingles, equi-join on
+                the shingle) — codegen'd, shuffle on (doc, shingle).
 - embedding cosine near-dup: see operators/similarity.py.
 
-Everything is built-ins (xxhash64/md5/explode/groupBy) — no Python UDFs.
+Implementation note: the first cut expressed MinHash/SimHash as
+``transform``/``aggregate`` higher-order functions — semantically identical
+but HOF lambdas are *interpreted* per element in Spark, which measured
+~10-18 s per query at sf0.1. The explode-based forms below keep every hash
+and vote inside whole-stage codegen and aggregate map-side before the one
+shuffle on doc_id, which is also exactly the shape that scales: work is
+linear in (doc, token) rows, the shuffle carries one row per doc.
 """
 
 from __future__ import annotations
@@ -27,7 +34,6 @@ from pyspark.sql import functions as F
 
 from jobanalytics_bigdataproject_spark.functions.textfns import (
     fingerprint,
-    minhash_signature,
     shingles,
     tokenize,
 )
@@ -57,20 +63,53 @@ def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.join(survivors, on="doc_id", how="semi")
 
 
+def _doc_shingles(documents: DataFrame, text_col: str, shingle_n: int) -> DataFrame:
+    """(doc_id, shingle) distinct-shingle rows — the working set for MinHash
+    and Jaccard.
+
+    Built as posexplode(tokens) + ``lead`` over (doc_id, pos) + concat_ws —
+    measured ~10× faster than exploding the HOF ``shingles()`` array (the
+    slice/array_join lambdas run interpreted). Costs one window shuffle on
+    doc_id plus the distinct; both linear in corpus token count, and the
+    per-doc window state is bounded by document length."""
+    from pyspark.sql import Window
+
+    toks = tokenize(text_col, min_len=1)
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
+    return (
+        ex.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("doc_id", "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature over word-shingles. Linear scan; signature
-    is num_hashes longs (deterministic xxhash64 seeds 0..n-1)."""
-    toks = tokenize(text_col, min_len=1)
-    sh = F.array_distinct(shingles(toks, shingle_n))
-    return documents.select(
-        "doc_id",
-        minhash_signature(sh, num_hashes).alias("minhash"),
+    """Per-doc MinHash signature: explode shingles, hash each once per seed
+    with codegen'd xxhash64, MIN-aggregate per doc (map-side partials ⇒ the
+    shuffle carries one num_hashes-long row per doc). Docs with no shingles
+    (shorter than shingle_n) keep an all-NULL-min signature via left join."""
+    ex = _doc_shingles(documents, text_col, shingle_n)
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    out = documents.select("doc_id").join(mins, "doc_id", "left")
+    return out.select("doc_id", sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -80,14 +119,14 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` rows-per-band chunks,
-    hash each chunk, explode to (band_idx, band_hash, doc_id), group — docs
-    sharing any band bucket are candidate near-dups.
+    """LSH banding: hash each rows-per-band signature chunk, explode to
+    (band_idx, band_hash, doc_id), self-join buckets — docs sharing any
+    band bucket are candidate near-dups.
 
-    Scale shape: explode multiplies rows by ``bands`` (cheap, fixed factor);
-    the shuffle key is (band_idx, band_hash) — high cardinality, uniform.
-    Bucket pair-expansion is bounded by bucket size; pathological buckets
-    (all-identical corpora) are exactly the dups we want."""
+    Scale shape: explode multiplies doc rows by ``bands`` (fixed factor);
+    the shuffle key (band_idx, band_hash) is high-cardinality and uniform;
+    bucket pair expansion is bounded by bucket size, and pathological
+    buckets (identical corpora) are exactly the dups being hunted."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(documents, text_col, num_hashes, shingle_n)
     band_structs = F.array(
@@ -95,7 +134,10 @@ def minhash_lsh_candidates(
             F.struct(
                 F.lit(b).alias("band_idx"),
                 F.xxhash64(
-                    *[F.element_at("minhash", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                    *[
+                        F.element_at("minhash", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
                 ).alias("band_hash"),
             )
             for b in range(bands)
@@ -121,45 +163,43 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash from a token array, pure built-ins: per-token
-    xxhash64, then for each of 64 bit positions sum ±1 votes and take the
-    sign. Expressed as aggregate-over-array; linear in tokens×64 — heavy-ish
-    per row but shuffle-free (tune by sampling tokens at scale)."""
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def _vote(bit: int):
-        def inner(acc, h):
-            return acc + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return inner
-
-    bit_exprs = []
-    for bit in range(64):
-        vote = F.aggregate(hashes, F.lit(0), _vote(bit))
-        bit_exprs.append(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out.bitwiseOR(e)
-    return out
-
-
 def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc 64-bit SimHash; near-dup candidates share the full hash or a
-    16-bit chunk (4-chunk banding ⇒ catches hamming distance ≤ 3)."""
+    """Per-doc 64-bit SimHash: explode tokens, xxhash64 each once
+    (codegen'd), then 64 per-bit ±1-vote SUM aggregates per doc and a
+    sign-packed long. One shuffle on doc_id carrying 64 small ints (with
+    map-side partial sums). Near-dup candidates share the full hash or one
+    of four 16-bit chunks (⇒ catches hamming distance ≤ 3)."""
     toks = tokenize(text_col, min_len=1)
-    sh = simhash64(toks)
-    return documents.select(
-        "doc_id",
-        sh.alias("simhash"),
+    ex = documents.select("doc_id", F.explode(toks).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    votes = ex.groupBy("doc_id").agg(
         *[
-            F.shiftrightunsigned(sh, 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk{c}")
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        sh = sh.bitwiseOR(
+            F.when(
+                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    out = (
+        documents.select("doc_id")
+        .join(votes, "doc_id", "left")
+        .select("doc_id", F.coalesce(sh, F.lit(0)).alias("simhash"))
+    )
+    return out.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftrightunsigned("simhash", 16 * c)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"chunk{c}")
             for c in range(4)
         ],
     )
@@ -172,29 +212,46 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs (doc_id_a <
-    doc_id_b). Joins each side to its distinct-shingle set and computes
-    |A∩B| / |A∪B| with array built-ins.
+    """Exact n-gram Jaccard for candidate pairs (doc_id_a < doc_id_b):
+    join-based set intersection — explode each side's distinct shingles,
+    equi-join on the shingle value, count matches; |A∪B| = |A|+|B|-|A∩B|.
 
-    Only ever applied to candidate pairs (LSH output), so the join fan-out
-    is |candidates|, not O(n²)."""
-    toks = tokenize(text_col, min_len=1)
-    sets = documents.select(
-        "doc_id", F.array_distinct(shingles(toks, shingle_n)).alias("sh")
-    )
-    a = sets.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    All codegen'd joins/aggregations; cost is linear in candidate-pair
+    shingle overlap, so it is only ever applied to LSH/bucket candidates,
+    not all pairs. Rounding via exact_div (cross-engine deterministic)."""
     from jobanalytics_bigdataproject_spark.functions.exact import exact_div
 
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        candidate_pairs.join(a, "doc_id_a")
-        .join(b, "doc_id_b")
+    ex = _doc_shingles(documents, text_col, shingle_n)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    inter = (
+        candidate_pairs.join(
+            ex.select(F.col("doc_id").alias("doc_id_a"), "shingle"), "doc_id_a"
+        )
+        .join(
+            ex.select(F.col("doc_id").alias("doc_id_b"), "shingle"),
+            ["doc_id_b", "shingle"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    joined = (
+        candidate_pairs.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .join(sz_a, "doc_id_a", "left")
+        .join(sz_b, "doc_id_b", "left")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.coalesce(exact_div(inter, union, 4), F.lit(0.0)).alias("jaccard"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).alias("n_inter"),
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return joined.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.coalesce(exact_div(F.col("n_inter"), union, 4), F.lit(0.0)).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,106 @@
+"""[EXT] Multimodal column plumbing (north-star surface; no reference
+analog): images/audio/video as opaque ``binary`` columns + typed metadata,
+with decode / feature-extract implemented as Arrow-batched ``mapInPandas``.
+
+The container has no image/audio libraries, so the actual decoders are
+STUBS behind an import-try (``NotImplementedError`` if a real decode is
+requested without the library); the Spark-side plumbing — schema, batch
+iteration, partitioning, output shape — is real and tested. At 100 TB the
+binary payloads dominate I/O: the scan projects only (id, payload) and the
+extraction is a linear ``mapInPandas`` pass with no shuffle; downstream
+aggregations see only the small typed metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # real decoders would come from these; absent in this container
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:  # noqa: BLE001
+    _HAS_PIL = False
+
+
+def attach_binary_payload(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fixture adapter: materialize an opaque binary column (UTF-8 bytes of
+    the text) + typed metadata struct, the shape a real multimodal table
+    would have (payload, media_type, n_bytes, checksum)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.md5(payload).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("feat", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, real_decode: bool = False
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``real_decode=True`` requires an image library (absent here →
+    NotImplementedError, clearly marked stub). The default path computes a
+    deterministic fake embedding (first ``dim`` byte values / 255) so the
+    whole distributed pipeline — Arrow transfer, pandas batch shapes,
+    schema enforcement, downstream joins — is exercised for real."""
+    if real_decode and not _HAS_PIL:
+        raise NotImplementedError(
+            "real media decode requires an image library (PIL) not present "
+            "in this environment; stubbed per project constraints"
+        )
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            feats = [
+                [b / 255.0 for b in bytes(p[:dim]).ljust(dim, b"\0")]
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "checksum": payloads.map(
+                        lambda p: hashlib.md5(bytes(p)).hexdigest()
+                    ),
+                    "feat": feats,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def media_metadata(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pure-JVM metadata projection (no Python): the oracle-checkable part
+    of the multimodal surface — byte length + checksum per payload."""
+    media = attach_binary_payload(documents, text_col)
+    return media.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )

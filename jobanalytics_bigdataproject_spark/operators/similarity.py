@@ -140,22 +140,61 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs above ``threshold``, blocked by
     ``block_col`` to bound the pair expansion (at scale the block is an LSH
     bucket — see srp_bucket; here the fixture's label column doubles as the
-    block). Self-join shuffles both sides on the block key once."""
-    a = embeddings.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
+    block).
+
+    Pairwise similarity inside a block is dense linear algebra — the one
+    place the Python path wins: ``applyInPandas`` per block with a numpy
+    normalized gram matrix (vectorized, Arrow-batched) replaced a built-in
+    self-join + per-pair array expression that was interpreter-bound (HOF
+    lambdas). One shuffle on the block key; O(block²·dim) numpy flops.
+
+    Dot products accumulate in numpy's pairwise-summation order vs the
+    oracle's sequential order — identical to the last ulp in practice at
+    dim=64; outputs are rounded to 4dp."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("block", T.IntegerType()),
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    b = embeddings.select(
-        F.col(block_col).alias("block"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-    )
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    thr = float(threshold)
+
+    def per_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = np.nan
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        s = np.round(sims[iu, ju], 4)
+        keep = s >= thr
+        return pd.DataFrame(
+            {
+                "block": pdf[block_col].iloc[0],
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "sim": s[keep],
+            }
+        )
+
     return (
-        a.join(b, on="block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("block", "id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= threshold)
+        embeddings.select(
+            F.col(block_col).alias(block_col),
+            F.col(id_col).alias(id_col),
+            F.col(vec_col).alias(vec_col),
+        )
+        .groupBy(block_col)
+        .applyInPandas(per_block, schema)
         .orderBy("block", "id_a", "id_b")
     )

@@ -121,14 +121,25 @@ def language_id(
 def fingerprint_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: md5 of normalized text (exact-dup key) plus
     a rolling-shingle min-fingerprint (md5 over 3-token shingles, min) —
-    both engine- and oracle-computable. Linear scan."""
-    from jobanalytics_bigdataproject_spark.functions.textfns import shingles
+    both engine- and oracle-computable.
 
-    toks = tokenize(text_col, min_len=1)
-    sh = shingles(toks, 3)
-    min_shingle_fp = F.array_min(F.transform(sh, F.md5))
-    return documents.select(
-        "doc_id",
-        fingerprint(text_col).alias("doc_fp"),
-        F.coalesce(min_shingle_fp, F.lit("")).alias("min_shingle_fp"),
+    The shingle mins go through the shared lead-window shingle explode →
+    codegen'd md5 → map-side-partial MIN per doc (one shuffle row per doc;
+    MIN over distinct shingles == MIN over all); docs too short for a
+    shingle come back as '' via the left join."""
+    from jobanalytics_bigdataproject_spark.operators.dedup import _doc_shingles
+
+    mins = (
+        _doc_shingles(documents, text_col, 3)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("__min_fp"))
+    )
+    return (
+        documents.select("doc_id", fingerprint(text_col).alias("doc_fp"))
+        .join(mins, "doc_id", "left")
+        .select(
+            "doc_id",
+            "doc_fp",
+            F.coalesce(F.col("__min_fp"), F.lit("")).alias("min_shingle_fp"),
+        )
     )

@@ -1,0 +1,13 @@
+from jobanalytics_bigdataproject_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+)
+
+__all__ = [
+    "count_exchanges",
+    "formatted_plan",
+    "has_broadcast_hash_join",
+    "pushed_filters",
+]

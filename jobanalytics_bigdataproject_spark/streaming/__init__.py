@@ -1,4 +1,5 @@
 from jobanalytics_bigdataproject_spark.streaming.windows import (
+    read_events_stream,
     json_props_extract,
     session_window_agg,
     sliding_window_agg,
@@ -8,6 +9,7 @@ from jobanalytics_bigdataproject_spark.streaming.windows import (
 )
 
 __all__ = [
+    "read_events_stream",
     "json_props_extract",
     "session_window_agg",
     "sliding_window_agg",

@@ -131,3 +131,24 @@ def stream_from_directory(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
+
+
+def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming reader for the ``events`` fixture layout: the parquet
+    stores ts as TIMESTAMP(NANOS) (long under nanosAsLong), so the stream
+    schema declares it long and converts with exact integer ``div`` —
+    identical to sources/readers.read_table's batch path."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    raw = stream_from_directory(spark, path, schema, "parquet", max_files_per_trigger)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

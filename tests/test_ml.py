@@ -1,0 +1,58 @@
+"""ML pipeline (SURVEY.md §5.2 item 4): fits at sf0.001, beats the mean
+baseline on R², prediction count == test count, back-transform positive.
+Seeds pinned to 42 like the reference; metric thresholds only — never
+prediction hashes (SURVEY.md §7.4 item 4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.ml import pipeline as mlp
+
+
+@pytest.fixture(scope="module")
+def fitted(spark, tables):
+    df = mlp.make_training_frame(tables["lineitem"], tables["part"])
+    train, test = df.randomSplit([0.7, 0.3], mlp.SEED)
+    feat = mlp.build_feature_pipeline().fit(train)
+    train_f = feat.transform(train)
+    test_f = feat.transform(test)
+    models = mlp.train_regressors(
+        train_f, lr_max_iter=20, rf_trees=10, rf_depth=5, gbt_max_iter=10
+    )
+    mean_label = train.agg(F.avg("label")).first()[0]
+    return train, test, feat, models, test_f, mean_label
+
+
+def test_models_beat_baseline(fitted):
+    _, _, _, models, test_f, mean_label = fitted
+    metrics = {
+        r.model: r for r in mlp.evaluate_models(models, test_f, mean_label).collect()
+    }
+    assert set(metrics) == {"baseline_mean", "lr", "rf", "gbt"}
+    assert abs(metrics["baseline_mean"].r2) < 0.05  # mean predictor ⇒ R²≈0
+    for m in ("lr", "rf", "gbt"):
+        assert metrics[m].r2 > metrics["baseline_mean"].r2
+        assert metrics[m].rmse < metrics["baseline_mean"].rmse
+
+
+def test_prediction_count_matches(fitted):
+    _, test, _, models, test_f, _ = fitted
+    preds = models["lr"].transform(test_f)
+    assert preds.count() == test_f.count()
+
+
+def test_feature_importances_topk(fitted):
+    _, _, _, models, _, _ = fitted
+    top = mlp.top_feature_importances(models["rf"], k=15)
+    assert 0 < len(top) <= 15
+    assert all(imp >= 0 for _, imp in top)
+    assert top == sorted(top, key=lambda p: -p[1])
+
+
+def test_back_transform_positive(fitted):
+    _, _, _, models, test_f, _ = fitted
+    out = mlp.back_transform(models["lr"].transform(test_f))
+    assert out.filter(F.col("prediction_price") <= -1).count() == 0

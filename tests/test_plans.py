@@ -1,0 +1,48 @@
+"""Physical-plan assertions (SURVEY.md §4): these encode the 100 TB
+posture — pushdown reaching the scan, pruned ReadSchema, broadcast for
+dimension joins, bounded shuffle counts — so perf regressions fail tests,
+not just benchmarks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators import analytics
+from jobanalytics_bigdataproject_spark.plans import inspect
+
+
+def test_t1_filter_pushed_to_scan(tables):
+    df = analytics.t1_filter_lines(tables["lineitem"])
+    pushed = " ".join(inspect.pushed_filters(df))
+    assert "l_extendedprice" in pushed  # IsNotNull pushed to parquet
+
+
+def test_t1_reads_only_needed_columns(tables):
+    df = analytics.t1_filter_lines(tables["lineitem"])
+    cols = inspect.read_schema_columns(df)
+    assert cols and set(cols) <= {
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_extendedprice",
+    }
+
+
+def test_q2_broadcasts_nation(tables):
+    df = analytics.q2_top_nations(tables["orders"], tables["customer"], tables["nation"])
+    assert inspect.has_broadcast_hash_join(df)
+
+
+def test_q1_single_shuffle_agg(tables):
+    df = analytics.q1_pricing_summary(tables["lineitem"])
+    # one hash-agg shuffle + one ordering exchange at most
+    assert inspect.count_exchanges(df) <= 2
+
+
+def test_wordcount_plan_has_no_python_udf(tables):
+    df = analytics.t3_word_count(tables["documents"])
+    plan = inspect.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_projection_prunes_documents_scan(tables):
+    df = analytics.t3_word_count(tables["documents"])
+    cols = inspect.read_schema_columns(df)
+    assert cols == ["text"]  # only the text column is read

@@ -1,0 +1,101 @@
+"""Text + dedup operators: tokenizer/shingle/fingerprint properties,
+MinHash≈Jaccard, LSH recall on planted dups, SimHash stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.functions import textfns
+from jobanalytics_bigdataproject_spark.operators import dedup, text
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tokenize_strips_and_filters(spark):
+    df = _doc_df(spark, [(1, "  Hello, WORLD!! a bb ccc 123 ")])
+    toks = df.select(textfns.tokenize("text").alias("t")).first().t
+    assert toks == ["hello", "world", "ccc"]  # len>=3 after [^a-z] strip
+
+
+def test_shingles_count_and_empty(spark):
+    df = _doc_df(spark, [(1, "a b c d"), (2, "a b")])
+    out = df.select(
+        "doc_id", textfns.shingles(F.split("text", " "), 3).alias("sh")
+    ).collect()
+    by_id = {r.doc_id: r.sh for r in out}
+    assert by_id[1] == ["a b c", "b c d"]
+    assert by_id[2] == []
+
+
+def test_fingerprint_whitespace_invariant(spark):
+    df = _doc_df(spark, [(1, "a  b\tc"), (2, " a b c ")])
+    fps = df.select(textfns.fingerprint("text").alias("fp")).collect()
+    assert fps[0].fp == fps[1].fp
+
+
+def test_exact_dedup_keeps_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same  TEXT here"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r.doc_id for r in dedup.dedup_exact(df).select("doc_id").collect())
+    assert kept == [1, 3]  # 2 is a normalized dup of 1
+
+
+def test_minhash_close_for_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    near = base.replace("today", "tonight")
+    far = "completely different content about spark dataframes and shuffles everywhere"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    sigs = {r.doc_id: r.minhash for r in dedup.minhash_signatures(df, shingle_n=2).collect()}
+    agree = lambda a, b: sum(x == y for x, y in zip(a, b)) / len(a)
+    assert agree(sigs[1], sigs[2]) > agree(sigs[1], sigs[3])
+    assert agree(sigs[1], sigs[2]) > 0.3
+
+
+def test_lsh_catches_exact_dup_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "unrelated totally different words entirely here")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "spark shuffles data across partitions"), (2, "spark shuffles data across partitions")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.simhash for r in dedup.simhash_docs(df).collect()}
+    assert out[1] == out[2]
+
+
+def test_ngram_jaccard_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["doc_id_a", "doc_id_b"])
+    out = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(df, pairs).collect()}
+    assert out[(1, 2)] == 1.0 and out[(1, 3)] == 0.0
+
+
+def test_language_id_prediction_space(tables):
+    out = text.language_id(tables["documents"])
+    langs = {r.predicted_lang for r in out.select("predicted_lang").distinct().collect()}
+    assert langs <= {"en", "es", "de", "fr", "zh", "und"}
+
+
+def test_quality_score_ranges(tables):
+    out = text.quality_score(tables["documents"]).collect()
+    for r in out:
+        assert 0.0 <= r.len_score <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert -0.5 <= r.quality_score <= 1.0
