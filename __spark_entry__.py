@@ -27,12 +27,13 @@ from jobanalytics_bigdataproject_spark.operators import (
     analytics,
     cleaning,
     dedup,
+    etl,
     multimodal,
     sampling,
     similarity,
     text,
 )
-from jobanalytics_bigdataproject_spark.sources.readers import load_star
+from jobanalytics_bigdataproject_spark.sources.readers import load_star, register_views
 from jobanalytics_bigdataproject_spark.streaming import windows as stream
 
 
@@ -192,6 +193,71 @@ def _percentiles_price(t) -> DataFrame:
     )
 
 
+def _etl_cleaned_orders(t) -> DataFrame:
+    df = etl.clean_orders(t["orders"])
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").alias("totalprice"),
+        "priority_std",
+        F.date_format("order_date", "yyyy-MM-dd").alias("order_date"),
+        "order_month",
+        "order_dow",
+        "order_hour",
+        F.round("log_o_totalprice", 6).alias("log_totalprice"),
+    )
+
+
+_SQL_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS line_count,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           -- NB: in Spark SQL the literal 1.0 is DECIMAL (DuckDB: DOUBLE);
+           -- cast explicitly so both engines do the same double division
+           ROUND(ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/CAST(COUNT(l_extendedprice) AS DOUBLE))/CAST(100 AS DOUBLE), 2) AS avg_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    WHERE l_shipdate IS NOT NULL
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 50
+    ORDER BY line_count DESC, l_returnflag, l_linestatus
+"""
+
+
+def _sql_entry_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-4 mechanism (reference 03:13-16): temp-view registration +
+    ``spark.sql`` text entry point — same ANSI SQL runs on both engines."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_SQL_Q1)
+
+
+def _approx_median_nations(t) -> DataFrame:
+    """A2's literal operator — percentile_approx(col, 0.5, 10000)
+    (reference 01:168-175). Approximate ⇒ rows-only (SURVEY.md §5.3);
+    the exact-median variant is oracle-checked in agg_join_report/q2."""
+    joined = t["orders"].join(
+        t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
+    ).join(F.broadcast(t["nation"]), t["customer"].c_nationkey == t["nation"].n_nationkey)
+    return joined.groupBy("n_name").agg(
+        F.round(F.percentile_approx("o_totalprice", 0.5, 10000), 2).alias("approx_median"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_raw"),
+    )
+
+
+def _events_props_struct(t) -> DataFrame:
+    """[EXT] StructType/MapType JSON parsing (SURVEY.md §1.2 note):
+    from_json into a typed struct AND a map, both extracted."""
+    ev = t["events"]
+    st = F.from_json("props", "k LONG")
+    mp = F.from_json("props", "map<string,long>")
+    return ev.select(
+        "event_id",
+        st.getField("k").alias("k_struct"),
+        F.element_at(mp, "k").alias("k_map"),
+    )
+
+
 def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-budget LR + mean baseline on the lineitem⋈part price model
     (full-budget M10-M12 run lives in tests/bench; the driver gate only
@@ -247,6 +313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "priority_mapping_report": _q(("orders",), lambda t: analytics.priority_mapping_report(t["orders"])),
         "clean_dedup_lines": _q(("lineitem",), _clean_dedup_lines),
+        "etl_cleaned_orders": _q(("orders",), _etl_cleaned_orders),
+        "sql_entry_q1": _sql_entry_q1,
+        "approx_median_nations": _q(("orders", "customer", "nation"), _approx_median_nations),
+        "events_props_struct": _q(("events",), _events_props_struct),
         "clean_valid_orders": _q(("orders",), _clean_valid_orders),
         "impute_customer_balance": _q(("customer",), _impute_customer_balance),
         "derive_event_time": _q(("events",), _derive_event_time),
@@ -531,6 +601,45 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY l_orderkey, l_linenumber
                 ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1
+        """,
+        "etl_cleaned_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice AS totalprice,
+                   CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 'URGENT'
+                       WHEN '2-HIGH' THEN 'HIGH'
+                       WHEN '3-MEDIUM' THEN 'MEDIUM'
+                       WHEN '4-NOT SPECIFIED' THEN 'UNSPECIFIED'
+                       WHEN '5-LOW' THEN 'LOW'
+                       ELSE 'OTHER' END AS priority_std,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   month(o_orderdate) AS order_month,
+                   dayofweek(o_orderdate) + 1 AS order_dow,
+                   hour(o_orderdate) AS order_hour,
+                   ROUND(LN(1 + COALESCE(o_totalprice, 0)), 6) AS log_totalprice
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+              AND (o_totalprice IS NULL OR (o_totalprice > 0 AND o_totalprice <= 5000000))
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY o_custkey, o_totalprice) = 1
+        """,
+        "sql_entry_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   COUNT(*) AS line_count,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))*1.0/COUNT(l_extendedprice))/100.0, 2) AS avg_price,
+                   ROUND(MIN(l_extendedprice), 2) AS min_price,
+                   ROUND(MAX(l_extendedprice), 2) AS max_price
+            FROM lineitem
+            WHERE l_shipdate IS NOT NULL
+            GROUP BY l_returnflag, l_linestatus
+            HAVING COUNT(*) > 50
+            ORDER BY line_count DESC, l_returnflag, l_linestatus
+        """,
+        "events_props_struct": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
+            FROM events
         """,
         "clean_valid_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice AS totalprice

@@ -1,4 +1,5 @@
 from jobanalytics_bigdataproject_spark.plans.inspect import (
+    codegen_spans,
     count_exchanges,
     formatted_plan,
     has_broadcast_hash_join,
@@ -6,6 +7,7 @@ from jobanalytics_bigdataproject_spark.plans.inspect import (
 )
 
 __all__ = [
+    "codegen_spans",
     "count_exchanges",
     "formatted_plan",
     "has_broadcast_hash_join",

@@ -36,9 +36,19 @@ def has_broadcast_hash_join(df: DataFrame) -> bool:
 
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan (broadcast
-    exchanges excluded)."""
+    exchanges excluded). Formatted mode names nodes as ``(N) Exchange``
+    detail blocks."""
     plan = formatted_plan(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning|\bExchange SinglePartition", plan))
+    return len(re.findall(r"^\(\d+\) Exchange\s*$", plan, re.MULTILINE))
+
+
+def codegen_spans(df: DataFrame) -> int:
+    """Whole-stage-codegen span count, from the *executed* plan (under AQE
+    the pre-execution explain hides ``*(id)`` markers). Triggers one
+    execution of the frame."""
+    df.collect()  # finalize THIS frame's QueryExecution under AQE
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", executed)))
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:

