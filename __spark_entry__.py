@@ -99,6 +99,7 @@ def _derive_customer_key(t) -> DataFrame:
         "c_custkey",
         parsed.alias("parsed_id"),
         (parsed == F.col("c_custkey")).alias("is_match"),
+        F.col("c_name").startswith("Customer").alias("is_customer"),
     )
 
 
@@ -664,7 +665,8 @@ def oracle_sql() -> dict[str, str]:
         "derive_customer_key": """
             SELECT c_custkey,
                    CAST(split_part(c_name, '#', 2) AS BIGINT) AS parsed_id,
-                   CAST(split_part(c_name, '#', 2) AS BIGINT) = c_custkey AS is_match
+                   CAST(split_part(c_name, '#', 2) AS BIGINT) = c_custkey AS is_match,
+                   starts_with(c_name, 'Customer') AS is_customer
             FROM customer
         """,
         "derive_log_quantity": """

@@ -58,6 +58,18 @@ def read_csv(
     return reader.csv(path)
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive session conf for externally-created sessions (the driver
+    passes its own SparkSession to the contract functions): nanos-parquet
+    reads and UTC timestamp rendering are required for correct results;
+    both are runtime-settable."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # pragma: no cover - conf locked down
+        pass
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one star-schema table (reference S2).
 
@@ -67,6 +79,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``div`` (``/`` would go through double and lose precision above 2^53 —
     epoch-ns is ~1.7e18). DuckDB performs the same ns→us truncation, so
     both engines see identical timestamps."""
+    _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
