@@ -28,6 +28,7 @@ from jobanalytics_bigdataproject_spark.operators import (
     cleaning,
     dedup,
     etl,
+    joins,
     multimodal,
     sampling,
     similarity,
@@ -259,6 +260,60 @@ def _events_props_struct(t) -> DataFrame:
     )
 
 
+def _asof_events_orders(t) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time (operators/joins.asof_join — one co-partitioned
+    shuffle, the scalable merge form). Output holds only the matched
+    orderdate so equal-date ties are result-invariant."""
+    out = joins.asof_join(
+        t["events"],
+        t["orders"],
+        left_key="user_id",
+        right_key="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderdate"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_o_orderdate", "yyyy-MM-dd").alias("asof_orderdate"),
+    )
+
+
+def _range_join_event_bands(t) -> DataFrame:
+    bands = [("P0", 0, 50), ("P1", 50, 100), ("P2", 100, 150), ("P3", 150, 10_000)]
+    joined = joins.range_join_bands(t["events"], "value", bands)
+    return (
+        joined.groupBy("band")
+        .agg(F.count("*").alias("event_count"))
+        .orderBy("band")
+    )
+
+
+def _pivot_events_daily(t) -> DataFrame:
+    """Pivot [EXT]: per-day event-type counts as columns (explicit value
+    list ⇒ deterministic schema; absent cells filled 0 to match COUNT
+    FILTER semantics)."""
+    return (
+        t["events"]
+        .withColumn("event_date", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("event_date")
+        .pivot("event_type", ["view", "click", "signup", "purchase", "error"])
+        .count()
+        .na.fill(0)
+    )
+
+
+def _cube_orders(t) -> DataFrame:
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("order_count"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "order_count")
+    )
+
+
 def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-budget LR + mean baseline on the lineitem⋈part price model
     (full-budget M10-M12 run lives in tests/bench; the driver gate only
@@ -327,6 +382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_events": _q(("events",), _window_lag_events),
         "ntile_customer_tiers": _q(("customer",), _ntile_customer_tiers),
         "rollup_lineitem_counts": _q(("lineitem",), _rollup_lineitem),
+        "cube_orders_counts": _q(("orders",), _cube_orders),
+        "pivot_events_daily": _q(("events",), _pivot_events_daily),
+        # --- as-of / range joins [EXT] (operators Spark lacks as primitives) ---
+        "asof_events_orders": _q(("events", "orders"), _asof_events_orders),
+        "range_join_event_bands": _q(("events",), _range_join_event_bands),
         # --- set ops [EXT] (SURVEY.md §2.7) ---
         "set_union_entities": _q(("customer", "supplier"), _set_union_entities),
         "set_intersect_nations": _q(("customer", "supplier"), _set_intersect_nations),
@@ -693,6 +753,40 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS line_count
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube_orders_counts": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+                   COUNT(*) AS order_count
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "pivot_events_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+                   COUNT(*) FILTER (event_type = 'view') AS view,
+                   COUNT(*) FILTER (event_type = 'click') AS click,
+                   COUNT(*) FILTER (event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'error') AS error
+            FROM events
+            GROUP BY 1
+        """,
+        "asof_events_orders": """
+            SELECT e.event_id, e.user_id,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS asof_orderdate
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "range_join_event_bands": """
+            WITH bands(band, band_lo, band_hi) AS (
+                VALUES ('P0', 0.0, 50.0), ('P1', 50.0, 100.0),
+                       ('P2', 100.0, 150.0), ('P3', 150.0, 10000.0)
+            )
+            SELECT band, COUNT(*) AS event_count
+            FROM events JOIN bands
+              ON value >= band_lo AND value < band_hi
+            GROUP BY band
+            ORDER BY band
         """,
         "set_union_entities": """
             SELECT c_custkey AS ent_id, c_name AS ent_name,

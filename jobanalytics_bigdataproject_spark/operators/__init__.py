@@ -2,6 +2,8 @@ from jobanalytics_bigdataproject_spark.operators import (
     analytics,
     cleaning,
     dedup,
+    etl,
+    joins,
     multimodal,
     sampling,
     similarity,
@@ -12,6 +14,8 @@ __all__ = [
     "analytics",
     "cleaning",
     "dedup",
+    "etl",
+    "joins",
     "multimodal",
     "sampling",
     "similarity",

@@ -1,0 +1,75 @@
+"""As-of and range joins (operators/joins.py): semantics on hand-built
+frames where the expected matches are known exactly."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators import joins
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-10T00:00:00"), "e1"),
+         (1, _ts("2024-01-20T00:00:00"), "e2"),
+         (2, _ts("2024-01-05T00:00:00"), "e3")],
+        ["uid", "ts", "name"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), 100.0),
+         (1, _ts("2024-01-15T00:00:00"), 200.0),
+         (1, _ts("2024-02-01T00:00:00"), 300.0),
+         (2, _ts("2024-01-06T00:00:00"), 999.0)],
+        ["uid", "rts", "val"],
+    )
+    out = {
+        r.name: r.asof_val
+        for r in joins.asof_join(
+            left, right, "uid", "uid", "ts", "rts", ["val"]
+        ).collect()
+    }
+    assert out["e1"] == 100.0       # only 01-01 is at-or-before 01-10
+    assert out["e2"] == 200.0       # 01-15 beats 01-01; 02-01 is future
+    assert out["e3"] is None        # 2's only order is after the event
+
+
+def test_asof_join_inclusive_boundary(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-15T00:00:00"), "e")], ["uid", "ts", "name"])
+    right = spark.createDataFrame([(1, _ts("2024-01-15T00:00:00"), 7.0)], ["uid", "rts", "val"])
+    out = joins.asof_join(left, right, "uid", "uid", "ts", "rts", ["val"]).first()
+    assert out.asof_val == 7.0      # right_time == left_time matches (<=)
+
+
+def test_range_join_bands_assignment(spark):
+    df = spark.createDataFrame([(0.0,), (49.9,), (50.0,), (120.0,)], ["v"])
+    bands = [("LOW", 0, 50), ("MID", 50, 100), ("HIGH", 100, 200)]
+    out = sorted(
+        (r.v, r.band) for r in joins.range_join_bands(df, "v", bands).collect()
+    )
+    assert out == [(0.0, "LOW"), (49.9, "LOW"), (50.0, "MID"), (120.0, "HIGH")]
+
+
+def test_range_join_broadcasts_bands(spark, tables):
+    from jobanalytics_bigdataproject_spark.plans import inspect
+
+    bands = [("P0", 0, 50), ("P1", 50, 10_000)]
+    df = joins.range_join_bands(tables["events"], "value", bands)
+    plan = inspect.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan  # fact side streams, bands broadcast
+
+
+def test_asof_single_shuffle(tables):
+    from jobanalytics_bigdataproject_spark.plans import inspect
+
+    out = joins.asof_join(
+        tables["events"], tables["orders"],
+        "user_id", "o_custkey", "ts", "o_orderdate", ["o_orderdate"],
+    )
+    # one hashpartitioning exchange on the union (key) — the merge shape
+    assert inspect.count_exchanges(out) <= 1
