@@ -118,6 +118,25 @@ def _window_lag_events(t) -> DataFrame:
     return t["events"].select("event_id", "user_id", gap.alias("gap_s"))
 
 
+def _window_running_totals(t) -> DataFrame:
+    """Cumulative frame spec (rowsBetween unbounded→current): per-user
+    running event count + running value total — the batch equivalent of
+    streaming/stateful.running_user_totals (cents-exact)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = t["events"]
+    run_cents = F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("running_count"),
+        (run_cents / F.lit(100.0)).alias("running_value"),
+    )
+
+
 def _ntile_customer_tiers(t) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return t["customer"].select(
@@ -325,7 +344,9 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, test = df.randomSplit([0.7, 0.3], mlp.SEED)
     # cap the gate's training volume: fitting quality plateaus well below
     # this and the per-round bench should measure the engine, not LR epochs
-    train = train.limit(100_000)
+    train = train.limit(100_000).cache()
+    # cache before the pipeline fit: each of the 8 stage fits (indexers,
+    # IDF, ...) otherwise re-executes the lineitem⋈part join from scratch
     # small budget for the per-round gate: 64 TF features + 10 LR iters
     # still beat the mean baseline decisively (log features ⇒ near-linear)
     feat_model = mlp.build_feature_pipeline(num_tf_features=64).fit(train)
@@ -380,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derive_log_quantity": _q(("lineitem",), _derive_log_quantity),
         # --- window-function [EXT] surface (SURVEY.md §2.5 note) ---
         "window_lag_events": _q(("events",), _window_lag_events),
+        "window_running_totals": _q(("events",), _window_running_totals),
         "ntile_customer_tiers": _q(("customer",), _ntile_customer_tiers),
         "rollup_lineitem_counts": _q(("lineitem",), _rollup_lineitem),
         "cube_orders_counts": _q(("orders",), _cube_orders),
@@ -740,6 +762,14 @@ def oracle_sql() -> dict[str, str]:
                              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                              ts) AS gap_s
             FROM events
+        """,
+        "window_running_totals": """
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w AS running_count,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0 AS running_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "ntile_customer_tiers": """
             SELECT c_custkey, c_mktsegment,

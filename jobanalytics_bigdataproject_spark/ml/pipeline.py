@@ -187,12 +187,17 @@ def evaluate_models(
     for name, model in models.items():
         frames[name] = model.transform(test_features)
     for name, frame in frames.items():
+        # cache the 2-column projection: each RegressionEvaluator.evaluate
+        # is its own job and would otherwise re-run the whole feature
+        # transform three times per model
+        frame = frame.select("label", "prediction").cache()
         metrics = {}
         for metric in ("rmse", "mae", "r2"):
             ev = RegressionEvaluator(
                 labelCol="label", predictionCol="prediction", metricName=metric
             )
             metrics[metric] = float(ev.evaluate(frame))
+        frame.unpersist()
         rows.append((name, metrics["rmse"], metrics["mae"], metrics["r2"]))
     return spark.createDataFrame(rows, ["model", "rmse", "mae", "r2"])
 
