@@ -433,6 +433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lsh_candidates": _q(("documents",), lambda t: dedup.minhash_lsh_candidates(t["documents"])),
         "docs_simhash": _q(("documents",), lambda t: dedup.simhash_docs(t["documents"])),
         "docs_ngram_jaccard": _q(("documents",), _docs_ngram_jaccard),
+        "docs_neardup_dedup": _q(
+            ("documents",),
+            lambda t: dedup.neardup_dedup(t["documents"], jaccard_threshold=0.5).select(
+                "doc_id", "lang", "source"
+            ),
+        ),
         # --- similarity search [EXT] ---
         "ann_cosine_topk": _q(
             ("embeddings",),
@@ -453,6 +459,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a mapInPandas stub (no media libs in container) but the Arrow
         # plumbing is real ---
         "multimodal_meta": _q(("documents",), lambda t: multimodal.media_metadata(t["documents"])),
+        "multimodal_resize": _q(
+            ("documents",),
+            lambda t: multimodal.resize_stub(
+                multimodal.attach_binary_payload(t["documents"])
+            ).select("doc_id", "thumb_bytes"),
+        ),
+        "multimodal_frame_sample": _q(
+            ("documents",),
+            lambda t: multimodal.frame_sample_stub(
+                multimodal.attach_binary_payload(t["documents"])
+            ).select("doc_id", "frame_idx"),
+        ),
         "multimodal_features": _q(
             ("documents",),
             lambda t: multimodal.extract_features(

@@ -255,3 +255,83 @@ def ngram_jaccard_pairs(
         "doc_id_b",
         F.coalesce(exact_div(F.col("n_inter"), union, 4), F.lit(0.0)).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list → (doc_id,
+    component) where component = min doc_id in the cluster. This is the
+    final step of near-dup removal: LSH candidates → Jaccard verify →
+    components → keep one doc per component.
+
+    Min-label propagation: each node takes the min label among itself and
+    its neighbors, iterated to fixpoint (≤ graph-diameter rounds, checked
+    with a distributed count — no collect of the graph). Each round is one
+    join + one aggregate, both shuffling on the node id; edges are tiny
+    relative to the corpus (candidate pairs only), so at 100 TB this runs
+    over the near-dup subgraph, never the full corpus."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        # localCheckpoint truncates the lineage each round — without it the
+        # logical plan (and per-round analysis cost) grows with iterations,
+        # the classic iterative-algorithm trap
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def neardup_dedup(
+    documents: DataFrame,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """End-to-end near-duplicate removal: MinHash-LSH candidates →
+    exact Jaccard verification → connected components → keep the min
+    doc_id per component. Returns the surviving documents."""
+    cands = minhash_lsh_candidates(documents, text_col, num_hashes, bands, shingle_n)
+    verified = ngram_jaccard_pairs(
+        documents, cands, text_col, shingle_n, threshold=jaccard_threshold
+    ).select("doc_id_a", "doc_id_b")
+    comps = connected_components(verified)
+    losers = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return documents.join(losers, "doc_id", "anti")

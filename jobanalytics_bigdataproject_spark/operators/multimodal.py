@@ -104,3 +104,74 @@ def media_metadata(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.checksum").alias("checksum"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, target_bytes: int = 64, real_decode: bool = False) -> DataFrame:
+    """Image-resize plumbing: mapInPandas over payloads producing a
+    'thumbnail' binary column. STUB transform (deterministic byte
+    truncation) — a real implementation swaps the inner function for a
+    PIL resize; schema/batching/partitioning are the real thing."""
+    if real_decode and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image resize requires PIL; stubbed per project constraints"
+        )
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            thumbs = pdf["payload"].map(lambda p: bytes(p[:target_bytes]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_bytes": thumbs.map(len),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample_stub(
+    media: DataFrame, frame_size: int = 32, every_nth: int = 4, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling plumbing: one payload row fans out to N frame
+    rows (mapInPandas may emit more rows than it receives — the exact
+    shape a real decoder needs). STUB: fixed-size byte windows at a
+    stride; a real implementation swaps in an actual demuxer."""
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for k in range(max_frames):
+                    start = k * frame_size * every_nth
+                    if start >= len(raw):
+                        break
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(raw[start : start + frame_size])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -1,0 +1,72 @@
+"""Connected components / near-dup pipeline + multimodal resize &
+frame-sample plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators import dedup, multimodal
+
+
+def test_connected_components_clusters(spark):
+    # two clusters {1,2,3} (chain) and {10,11}; singleton 20 has no edges
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_id_a", "doc_id_b"]
+    )
+    comps = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    # 0-1-2-...-9 chain: needs multiple propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["doc_id_a", "doc_id_b"]
+    )
+    comps = {r.doc_id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 10
+
+
+def test_neardup_dedup_removes_planted_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                                # exact dup of 1
+        (3, base.replace("kappa", "lambda")),     # near dup of 1
+        (4, "totally different content with many unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(
+        r.doc_id
+        for r in dedup.neardup_dedup(df, jaccard_threshold=0.5).select("doc_id").collect()
+    )
+    assert 1 in kept and 4 in kept
+    assert 2 not in kept          # exact dup clustered with 1
+    assert len(kept) <= 3
+
+
+def test_resize_stub_shapes(tables):
+    media = multimodal.attach_binary_payload(tables["documents"].limit(10))
+    out = multimodal.resize_stub(media, target_bytes=16).collect()
+    assert len(out) == 10
+    assert all(r.thumb_bytes <= 16 and len(r.thumb) == r.thumb_bytes for r in out)
+
+
+def test_frame_sample_fanout(tables):
+    media = multimodal.attach_binary_payload(tables["documents"].limit(5))
+    out = multimodal.frame_sample_stub(media, frame_size=8, every_nth=2, max_frames=4)
+    rows = out.collect()
+    assert len(rows) > 5  # fan-out: more frame rows than docs
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for idxs in per_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame idx
+        assert len(idxs) <= 4
+
+
+def test_real_decode_stub_raises(tables):
+    import pytest
+
+    media = multimodal.attach_binary_payload(tables["documents"].limit(1))
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_stub(media, real_decode=True)
