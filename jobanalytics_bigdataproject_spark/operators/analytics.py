@@ -201,7 +201,13 @@ def t2_price_tiers(
     distributed exact interpolated percentile (``F.percentile``, ==
     DuckDB ``quantile_cont`` so the oracle matches), cross-joined back as a
     1-row broadcast; bucketing is a codegen'd CASE; distribution is one
-    tiny hash agg. Fully distributed, two passes over the fact table."""
+    tiny hash agg. Fully distributed, two passes over the fact table.
+
+    Scale note: exact percentile buffers the column's values during the
+    final merge — fine to ~1e9 rows, a memory cliff beyond. At 100 TB use
+    the sketch path (``sampling.quantile_cutoffs`` with relative_error>0 or
+    ``percentile_approx`` — see the rows-only ``approx_median_nations``);
+    exactness here is what makes the oracle hash-match."""
     cuts = lineitem.agg(
         F.percentile("l_extendedprice", F.lit(list(probabilities))).alias("__cuts")
     )

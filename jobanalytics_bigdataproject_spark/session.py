@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
+        # in-memory derby metastore + tmp warehouse: bucketed-table support
+        # (sources/writers.write_bucketed_table) without littering the repo
+        .config(
+            "spark.hadoop.javax.jdo.option.ConnectionURL",
+            "jdbc:derby:memory:metastore;create=true",
+        )
+        .config("spark.sql.warehouse.dir", f"/tmp/spark-warehouse-{os.getpid()}")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
