@@ -446,6 +446,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["embeddings"], t["embeddings"].filter(F.col("vec_id") < 20)
             ),
         ),
+        "ann_cosine_ivf": _q(
+            ("embeddings",),
+            lambda t: similarity.cosine_topk_ivf(
+                t["embeddings"], t["embeddings"].filter(F.col("vec_id") < 20)
+            ),
+        ),
         "ann_cosine_lsh": _q(
             ("embeddings",),
             lambda t: similarity.cosine_topk_lsh(

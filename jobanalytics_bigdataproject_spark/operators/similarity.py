@@ -198,3 +198,57 @@ def embedding_near_dups(
         .applyInPandas(per_block, schema)
         .orderBy("block", "id_a", "id_b")
     )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus with KMeans (the inverted-file
+    coarse quantizer), probe the query's nearest centroid's cell, exact
+    cosine re-rank inside it.
+
+    Scale shape: the corpus is clustered once at ingest (here: fit per
+    call, seed-pinned) and physically partitioned/bucketed by cell id; a
+    query then touches ~1/n_clusters of the data. Recall < 1 by
+    construction (rows-only check), like every IVF with n_probe=1; raise
+    recall by probing more cells (extension point: rank cells by
+    query→centroid distance instead of model.predict)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("__features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__features").fit(feat)
+    assign = model.transform(feat).select(
+        F.col(id_col), F.col("prediction").alias("cell")
+    )
+    c = embeddings.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+    q = (
+        queries.join(assign, id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "cell",
+        )
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

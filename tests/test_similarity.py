@@ -51,3 +51,14 @@ def test_near_dups_symmetric_blocked(tables):
     rows = out.collect()
     assert all(r.id_a < r.id_b for r in rows)
     assert all(r.sim >= 0.2 for r in rows)
+
+
+def test_ivf_results_subset_of_bruteforce(tables):
+    from pyspark.sql import functions as F
+
+    q = tables["embeddings"].filter(F.col("vec_id") < 3)
+    brute = similarity.cosine_topk_bruteforce(tables["embeddings"], q, k=1000)
+    ivf = similarity.cosine_topk_ivf(tables["embeddings"], q, k=1000, n_clusters=4)
+    brute_pairs = {(r.query_id, r.neighbor_id) for r in brute.collect()}
+    ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    assert ivf_pairs and ivf_pairs <= brute_pairs
