@@ -200,6 +200,28 @@ def _docs_ngram_jaccard(t) -> DataFrame:
     )
 
 
+def _approx_distinct_customers(t) -> DataFrame:
+    """Approximate distinct (HyperLogLog++) — the sketch twin of A1's
+    countDistinct; rows-only (sketch internals differ from DuckDB's)."""
+    return t["orders"].groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+def _unpivot_customer_metrics(t) -> DataFrame:
+    """Unpivot/melt [EXT]: wide → long on customer numeric metrics."""
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "value")
+    )
+
+
 def _percentiles_price(t) -> DataFrame:
     # one percentile(col, array(...)) pass instead of three separate sorts
     c = cents("l_extendedprice")
@@ -497,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("lineitem",),
             lambda t: sampling.train_test_split(t["lineitem"])[0].select("l_orderkey", "l_linenumber"),
         ),
+        "approx_distinct_customers": _q(("orders",), _approx_distinct_customers),
+        "unpivot_customer_metrics": _q(("customer",), _unpivot_customer_metrics),
         "percentiles_price": _q(("lineitem",), _percentiles_price),
         "summary_lineitem": _q(
             ("lineitem",),
@@ -1052,6 +1076,11 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS checksum
             FROM documents
+        """,
+        "unpivot_customer_metrics": """
+            SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+            UNION ALL
+            SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
         """,
         "percentiles_price": """
             SELECT ROUND(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25))/100.0 AS p25,

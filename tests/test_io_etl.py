@@ -71,3 +71,15 @@ def test_priority_std_total_mapping(tables):
     cleaned = etl.clean_orders(tables["orders"])
     vals = {r.priority_std for r in cleaned.select("priority_std").distinct().collect()}
     assert vals <= {"URGENT", "HIGH", "MEDIUM", "UNSPECIFIED", "LOW", "OTHER"}
+
+
+def test_orc_and_json_roundtrip(spark, tables, tmp_path):
+    # [EXT] additional source formats beyond the reference's CSV/parquet
+    nation = tables["nation"]
+    orc_p, json_p = str(tmp_path / "n_orc"), str(tmp_path / "n_json")
+    nation.write.mode("overwrite").orc(orc_p)
+    nation.write.mode("overwrite").json(json_p)
+    assert spark.read.orc(orc_p).count() == nation.count()
+    back = spark.read.schema(nation.schema).json(json_p)
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)
