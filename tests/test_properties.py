@@ -1,0 +1,95 @@
+"""Property-based tests (SURVEY.md §5.2 item 3, hypothesis): the
+cross-engine determinism helpers must agree with DuckDB on *arbitrary*
+inputs, not just the fixtures; tokenization must be idempotent."""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+money = st.integers(min_value=-(10**9), max_value=10**9).map(lambda c: c / 100.0)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(vals=st.lists(money, min_size=1, max_size=40))
+@SET
+def test_money_avg_matches_duckdb(spark, vals):
+    from jobanalytics_bigdataproject_spark.functions.exact import money_avg
+
+    got = (
+        spark.createDataFrame([(v,) for v in vals], ["x"])
+        .agg(money_avg("x").alias("a"))
+        .first()
+        .a
+    )
+    want = duckdb.execute(
+        """SELECT ROUND(ROUND(SUM(CAST(ROUND(x*100) AS BIGINT))*1.0/COUNT(x))/100.0, 2)
+           FROM (SELECT unnest(?) AS x)""",
+        [vals],
+    ).fetchone()[0]
+    assert got == want
+
+
+@given(
+    num=st.integers(min_value=0, max_value=10**6),
+    den=st.integers(min_value=1, max_value=10**6),
+)
+@SET
+def test_exact_div_matches_duckdb(spark, num, den):
+    from jobanalytics_bigdataproject_spark.functions.exact import exact_div
+
+    got = (
+        spark.range(1)
+        .select(exact_div(F.lit(num), F.lit(den), 4).alias("r"))
+        .first()
+        .r
+    )
+    want = duckdb.execute(
+        "SELECT ROUND(10000.0*?/NULLIF(?,0))/10000.0", [num, den]
+    ).fetchone()[0]
+    assert got == want
+
+
+@given(vals=st.lists(money, min_size=2, max_size=31))
+@SET
+def test_money_median_matches_duckdb(spark, vals):
+    from jobanalytics_bigdataproject_spark.functions.exact import money_median
+
+    got = (
+        spark.createDataFrame([(v,) for v in vals], ["x"])
+        .agg(money_median("x").alias("m"))
+        .first()
+        .m
+    )
+    want = duckdb.execute(
+        """SELECT ROUND(ROUND(MEDIAN(CAST(ROUND(x*100) AS BIGINT)))/100.0, 2)
+           FROM (SELECT unnest(?) AS x)""",
+        [vals],
+    ).fetchone()[0]
+    assert got == want
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs", "Po")),
+        max_size=80,
+    )
+)
+@SET
+def test_tokenize_idempotent(spark, text):
+    from jobanalytics_bigdataproject_spark.functions.textfns import tokenize
+
+    df = spark.createDataFrame([(text,)], ["t"])
+    once = df.select(tokenize("t").alias("tok"))
+    twice = once.select(
+        F.array_join("tok", " ").alias("t")
+    ).select(tokenize("t").alias("tok"))
+    assert once.first().tok == twice.first().tok
