@@ -355,6 +355,34 @@ def _cube_orders(t) -> DataFrame:
     )
 
 
+_SQL_EXISTS = """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
+"""
+
+_SQL_NOT_EXISTS = """
+    SELECT c_custkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+"""
+
+
+def _exists_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (decorrelated by Catalyst into a
+    left-semi hash join — SURVEY.md §4.2 row 'subquery decorrelation')."""
+    register_views(spark, sf_dir, ("orders", "lineitem"))
+    return spark.sql(_SQL_EXISTS)
+
+
+def _not_exists_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → left-anti join."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_SQL_NOT_EXISTS)
+
+
 def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-budget LR + mean baseline on the lineitem⋈part price model
     (full-budget M10-M12 run lives in tests/bench; the driver gate only
@@ -405,6 +433,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("orders", "customer", "nation"),
             lambda t: analytics.t5_ranking_bottom(t["orders"], t["customer"], t["nation"]),
         ),
+        # --- TPC-H-shaped multi-join analytics [EXT] ---
+        "tpch_q3_shipping_priority": _q(
+            ("customer", "orders", "lineitem"),
+            lambda t: analytics.tpch_q3_shipping_priority(
+                t["customer"], t["orders"], t["lineitem"]
+            ),
+        ),
+        "tpch_q5_local_supplier_volume": _q(
+            ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+            lambda t: analytics.tpch_q5_local_supplier_volume(
+                t["customer"], t["orders"], t["lineitem"],
+                t["supplier"], t["nation"], t["region"],
+            ),
+        ),
+        "exists_high_value_orders": _exists_high_value_orders,
+        "not_exists_orderless_customers": _not_exists_orderless_customers,
         # --- Phase-1 ETL shapes (code/01_DataPreprocessing.scala) ---
         "agg_join_report": _q(
             ("orders", "customer", "nation"),
@@ -725,6 +769,44 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY priority_std
             ORDER BY priority_std
+        """,
+        "tpch_q3_shipping_priority": """
+            SELECT o_orderkey, o_orderpriority,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_local_supplier_volume": """
+            SELECT n_name,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue
+            FROM region
+            JOIN nation ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "exists_high_value_orders": """
+            SELECT o_orderkey, o_custkey
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
+        """,
+        "not_exists_orderless_customers": """
+            SELECT c_custkey
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         """,
         "clean_dedup_lines": """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity

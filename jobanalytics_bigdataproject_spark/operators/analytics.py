@@ -350,6 +350,76 @@ def agg_join_report(
     )
 
 
+def revenue_cents(extendedprice: Column | str = "l_extendedprice", discount: Column | str = "l_discount") -> Column:
+    """Per-line revenue ``extprice*(1-discount)`` as exact integer cents —
+    sums of float products are summation-order-dependent, so the product is
+    rounded to cents per row BEFORE aggregation (functions/exact.py rule).
+    Oracle: ``CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)``."""
+    ep = F.col(extendedprice) if isinstance(extendedprice, str) else extendedprice
+    d = F.col(discount) if isinstance(discount, str) else discount
+    return F.round(ep * (F.lit(1.0) - d) * 100).cast("long")
+
+
+def tpch_q3_shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-01-01",
+    top_k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape [EXT]: 3-way fact join with selective filters on both
+    sides, revenue aggregation, top-k.
+
+    Scale shape: both date/segment filters push to the scans; the two
+    fact-fact joins shuffle on o_orderkey/o_custkey with AQE; the top-k is
+    TakeOrderedAndProject. Revenue accumulates in exact cents."""
+    return (
+        customer.filter(F.col("c_mktsegment") == segment)
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg((F.sum(revenue_cents()) / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(top_k)
+    )
+
+
+def tpch_q5_local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+) -> DataFrame:
+    """TPC-H Q5 shape [EXT]: 6-way join with the local-supplier condition
+    (customer and supplier in the SAME nation), per-nation revenue.
+
+    Scale shape: region→nation is a broadcast chain pruning the fact rows
+    early; lineitem⋈supplier and orders⋈customer shuffle on their keys;
+    the same-nation predicate is an equi-condition (c_nationkey ==
+    s_nationkey) so everything stays hash-joinable — no theta join."""
+    return (
+        region.filter(F.col("r_name") == region_name)
+        .join(F.broadcast(nation), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(customer, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supplier,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg((F.sum(revenue_cents()) / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def priority_mapping_report(
     orders: DataFrame, mapping: Mapping[str, str] | None = None
 ) -> DataFrame:
