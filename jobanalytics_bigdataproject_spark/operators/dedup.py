@@ -29,12 +29,11 @@ linear in (doc, token) rows, the shuffle carries one row per doc.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jobanalytics_bigdataproject_spark.functions.textfns import (
     fingerprint,
-    shingles,
     tokenize,
 )
 

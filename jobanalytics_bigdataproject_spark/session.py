@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter join pruning: build a bloom filter from the
+        # selective side of a shuffle join and push it into the other
+        # side's scan — at 100 TB this skips row groups that cannot match
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.ts is parquet TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and convert in the reader

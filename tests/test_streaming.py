@@ -70,3 +70,25 @@ def test_session_window_stream_runs(spark, tables, events_stream):
 def test_watermark_set(events_stream):
     wm = stream.with_watermark(events_stream, "30 minutes")
     assert "watermark" in wm._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_foreachbatch_sink_roundtrip(spark, tables, events_stream, tmp_path):
+    """foreachBatch: the exactly-once-style custom sink pattern — each
+    micro-batch lands as parquet keyed by batch id; total rows must equal
+    the source."""
+    out = str(tmp_path / "fb_out")
+
+    def write_batch(df, epoch_id: int):
+        df.write.mode("overwrite").parquet(f"{out}/batch={epoch_id}")
+
+    q = (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    back = spark.read.option("basePath", out).parquet(out)
+    assert back.count() == tables["events"].count()
