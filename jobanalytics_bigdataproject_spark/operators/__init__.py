@@ -5,6 +5,7 @@ from jobanalytics_bigdataproject_spark.operators import (
     etl,
     joins,
     multimodal,
+    rollup_table,
     sampling,
     similarity,
     text,
@@ -17,6 +18,7 @@ __all__ = [
     "etl",
     "joins",
     "multimodal",
+    "rollup_table",
     "sampling",
     "similarity",
     "text",

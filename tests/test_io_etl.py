@@ -83,3 +83,30 @@ def test_orc_and_json_roundtrip(spark, tables, tmp_path):
     back = spark.read.schema(nation.schema).json(json_p)
     assert back.count() == nation.count()
     assert set(back.columns) == set(nation.columns)
+
+
+def test_incremental_rollup_equals_full_rebuild(spark, tables, tmp_path):
+    """Hypertable-style continuous aggregate: building the rollup on 80% of
+    events then incrementally refreshing with the late 20% must equal a
+    full rebuild — and the refresh must only rewrite affected partitions."""
+    from jobanalytics_bigdataproject_spark.operators import rollup_table as rt
+
+    events = tables["events"]
+    early = events.filter(F.col("event_id") % 5 != 0)
+    late = events.filter(F.col("event_id") % 5 == 0)
+    inc_path = str(tmp_path / "rollup_inc")
+    full_path = str(tmp_path / "rollup_full")
+
+    rt.write_rollup(rt.rollup_partials(early), inc_path)
+    rt.refresh_rollup(spark, inc_path, late)
+    rt.write_rollup(rt.rollup_partials(events), full_path)
+
+    inc = rt.read_rollup(spark, inc_path)
+    full = rt.read_rollup(spark, full_path)
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+    # partition layout: one directory per event_date
+    import os
+
+    dates = [d for d in os.listdir(inc_path) if d.startswith("event_date=")]
+    assert len(dates) >= 25  # events span ~30 days
