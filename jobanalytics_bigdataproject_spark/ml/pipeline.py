@@ -108,13 +108,17 @@ def build_feature_pipeline(
     """M1-M8 as one Pipeline (fit on train only ⇒ no leakage, same
     discipline as reference 04:85,117,134 comments)."""
     stages = []
-    idx_cols, vec_cols = [], []
-    for c in categorical_cols:
-        stages.append(
-            StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep")
+    idx_cols = [f"{c}_idx" for c in categorical_cols]
+    vec_cols = [f"{c}_vec" for c in categorical_cols]
+    # one multi-column StringIndexer == the reference's 3 separate fits
+    # (04:88-104) semantically, but a single pass over the data
+    stages.append(
+        StringIndexer(
+            inputCols=list(categorical_cols),
+            outputCols=idx_cols,
+            handleInvalid="keep",
         )
-        idx_cols.append(f"{c}_idx")
-        vec_cols.append(f"{c}_vec")
+    )
     stages.append(OneHotEncoder(inputCols=idx_cols, outputCols=vec_cols))
     stages.append(Tokenizer(inputCol=text_col, outputCol="__tokens"))
     stages.append(StopWordsRemover(inputCol="__tokens", outputCol="__tokens_clean"))
