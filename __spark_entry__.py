@@ -362,6 +362,21 @@ _SQL_EXISTS = """
                   WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
 """
 
+_SQL_SCALAR_SUB = """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+          (SELECT CAST(ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                             / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+           FROM orders)
+"""
+
+_SQL_IN_SUB = """
+    SELECT c_custkey, c_nationkey
+    FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+"""
+
 _SQL_NOT_EXISTS = """
     SELECT c_custkey
     FROM customer
@@ -375,6 +390,20 @@ def _exists_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi hash join — SURVEY.md §4.2 row 'subquery decorrelation')."""
     register_views(spark, sf_dir, ("orders", "lineitem"))
     return spark.sql(_SQL_EXISTS)
+
+
+def _scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (orders above the mean price). The
+    threshold is computed in exact integer cents on BOTH engines so the
+    float mean's last-ulp never decides row membership."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_SCALAR_SUB)
+
+
+def _in_subquery_region0_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN subquery → left-semi join after rewrite."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(_SQL_IN_SUB)
 
 
 def _not_exists_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,6 +477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "exists_high_value_orders": _exists_high_value_orders,
+        "scalar_subquery_above_avg": _scalar_subquery_above_avg,
+        "in_subquery_region0_customers": _in_subquery_region0_customers,
         "not_exists_orderless_customers": _not_exists_orderless_customers,
         # --- Phase-1 ETL shapes (code/01_DataPreprocessing.scala) ---
         "agg_join_report": _q(
@@ -801,6 +832,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000)
+        """,
+        "scalar_subquery_above_avg": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) >
+                  (SELECT CAST(ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                                     / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+                   FROM orders)
+        """,
+        "in_subquery_region0_customers": """
+            SELECT c_custkey, c_nationkey
+            FROM customer
+            WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
         """,
         "not_exists_orderless_customers": """
             SELECT c_custkey
