@@ -95,7 +95,8 @@ def _derive_event_time(t) -> DataFrame:
 
 
 def _derive_customer_key(t) -> DataFrame:
-    parsed = parse_key_token("c_name", "#", -1).cast("bigint")
+    # try_cast: a malformed name yields NULL instead of an ANSI cast error
+    parsed = parse_key_token("c_name", "#", -1).try_cast("bigint")
     return t["customer"].select(
         "c_custkey",
         parsed.alias("parsed_id"),
@@ -607,10 +608,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle_sql(): DuckDB-runnable equivalents (views pre-registered).
 # Rows-only (no oracle, per SURVEY.md §5.3): docs_minhash_signatures,
-# docs_lsh_candidates, docs_simhash (xxhash64 has no DuckDB equivalent),
-# ann_cosine_lsh (recall<1 by design), sample_stratified_orders,
-# random_split_lineitem (engine-specific RNG), summary_lineitem (stringly
-# API shape).
+# docs_lsh_candidates, docs_simhash, docs_neardup_dedup (xxhash64 has no
+# DuckDB equivalent), ann_cosine_lsh / ann_cosine_ivf (recall<1 by
+# design), approx_median_nations / approx_distinct_customers (sketch
+# internals differ), sample_stratified_orders / random_split_lineitem
+# (engine-specific RNG), summary_lineitem (stringly API shape),
+# ml_price_model (MLlib internals), multimodal_resize /
+# multimodal_frame_sample (binary outputs exercised by tests instead).
 # ---------------------------------------------------------------------------
 
 _DOC_TOKENS = (
@@ -857,7 +861,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY l_orderkey, l_linenumber
-                ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) = 1
+                ORDER BY l_partkey NULLS FIRST, l_suppkey NULLS FIRST,
+                         l_quantity NULLS FIRST, l_extendedprice NULLS FIRST) = 1
         """,
         "etl_cleaned_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice AS totalprice,
@@ -873,25 +878,15 @@ def oracle_sql() -> dict[str, str]:
                    dayofweek(o_orderdate) + 1 AS order_dow,
                    hour(o_orderdate) AS order_hour,
                    ROUND(LN(1 + COALESCE(o_totalprice, 0)), 6) AS log_totalprice
-            FROM orders
+            FROM (SELECT * FROM orders
+                  QUALIFY ROW_NUMBER() OVER (
+                      PARTITION BY o_orderkey
+                      ORDER BY o_custkey NULLS FIRST, o_totalprice NULLS FIRST) = 1)
             WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
               AND (o_totalprice IS NULL OR (o_totalprice > 0 AND o_totalprice <= 5000000))
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderkey
-                                       ORDER BY o_custkey, o_totalprice) = 1
         """,
-        "sql_entry_q1": """
-            SELECT l_returnflag, l_linestatus,
-                   COUNT(*) AS line_count,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(ROUND(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))*1.0/COUNT(l_extendedprice))/100.0, 2) AS avg_price,
-                   ROUND(MIN(l_extendedprice), 2) AS min_price,
-                   ROUND(MAX(l_extendedprice), 2) AS max_price
-            FROM lineitem
-            WHERE l_shipdate IS NOT NULL
-            GROUP BY l_returnflag, l_linestatus
-            HAVING COUNT(*) > 50
-            ORDER BY line_count DESC, l_returnflag, l_linestatus
-        """,
+        # same text runs on both engines — single source of truth
+        "sql_entry_q1": _SQL_Q1,
         "events_props_struct": """
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
@@ -920,8 +915,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "derive_customer_key": """
             SELECT c_custkey,
-                   CAST(split_part(c_name, '#', 2) AS BIGINT) AS parsed_id,
-                   CAST(split_part(c_name, '#', 2) AS BIGINT) = c_custkey AS is_match,
+                   TRY_CAST(split_part(c_name, '#', -1) AS BIGINT) AS parsed_id,
+                   TRY_CAST(split_part(c_name, '#', -1) AS BIGINT) = c_custkey AS is_match,
                    starts_with(c_name, 'Customer') AS is_customer
             FROM customer
         """,
@@ -933,7 +928,8 @@ def oracle_sql() -> dict[str, str]:
         "window_lag_events": """
             SELECT event_id, user_id,
                    date_diff('second',
-                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             LAG(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts NULLS FIRST, event_id),
                              ts) AS gap_s
             FROM events
         """,
@@ -942,13 +938,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) OVER w AS running_count,
                    SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w / 100.0 AS running_value
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "ntile_customer_tiers": """
             SELECT c_custkey, c_mktsegment,
                    NTILE(4) OVER (PARTITION BY c_mktsegment
-                                  ORDER BY c_acctbal, c_custkey) AS tier
+                                  ORDER BY c_acctbal NULLS FIRST, c_custkey) AS tier
             FROM customer
         """,
         "rollup_lineitem_counts": """
@@ -1033,7 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_session_gap5m": """
             WITH f AS (
-                SELECT user_id, ts, value,
+                SELECT user_id, ts, event_id, value,
                        CASE WHEN LAG(ts) OVER w IS NULL
                                  OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
                             THEN 1 ELSE 0 END AS ns
@@ -1042,7 +1038,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             s AS (
                 SELECT user_id, ts, value,
-                       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS sid
                 FROM f
             )

@@ -109,7 +109,9 @@ def q3_priority_vs_overall(orders: DataFrame) -> DataFrame:
     # integer window-sum is order-independent, so the overall avg hashes
     # identically on any engine/partitioning (functions/exact.py rationale).
     overall = F.round(
-        F.sum(cents("avg_price")).over(w) / F.lit(100.0) / F.count(F.lit(1)).over(w), 2
+        F.round(F.sum(cents("avg_price")).over(w) / F.count(F.lit(1)).over(w))
+        / F.lit(100.0),
+        2,
     )
     return agg.select(
         "o_orderpriority",

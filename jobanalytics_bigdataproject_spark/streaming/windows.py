@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+
 
 def tumbling_window_agg(
     events: DataFrame,
@@ -35,7 +37,7 @@ def tumbling_window_agg(
         events.groupBy(w.alias("w"), *keys)
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -59,7 +61,7 @@ def sliding_window_agg(
         events.groupBy(w.alias("w"), *keys)
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -85,7 +87,7 @@ def session_window_agg(
         events.groupBy(w.alias("w"), key)
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.col(key),
