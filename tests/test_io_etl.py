@@ -110,3 +110,15 @@ def test_incremental_rollup_equals_full_rebuild(spark, tables, tmp_path):
 
     dates = [d for d in os.listdir(inc_path) if d.startswith("event_date=")]
     assert len(dates) >= 25  # events span ~30 days
+
+
+def test_max_records_per_file(spark, tables, tmp_path):
+    out = str(tmp_path / "chunked")
+    write_parquet(tables["nation"], out, max_records_per_file=7)
+    import glob
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    # 25 nations / ≤7 per file → at least 4 data files
+    assert len(files) >= 4
+    assert spark.read.parquet(out).count() == 25

@@ -92,3 +92,44 @@ def test_foreachbatch_sink_roundtrip(spark, tables, events_stream, tmp_path):
         q.stop()
     back = spark.read.option("basePath", out).parquet(out)
     assert back.count() == tables["events"].count()
+
+
+def test_sliding_window_stream_matches_batch(spark, tables, events_stream):
+    batch = {
+        (r.window_start, r.event_type): (r.event_count, r.total_value)
+        for r in stream.sliding_window_agg(tables["events"]).collect()
+    }
+    agg = stream.sliding_window_agg(stream.with_watermark(events_stream, "1 day"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    streamed = {
+        (r.window_start, r.event_type): (r.event_count, r.total_value)
+        for r in spark.sql("SELECT * FROM sliding_test").collect()
+    }
+    assert streamed == batch
+
+
+def test_stateless_json_extract_append_stream(spark, tables, events_stream):
+    out = stream.json_props_extract(events_stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("json_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    n = spark.sql("SELECT COUNT(*) c FROM json_test").first().c
+    assert n == tables["events"].count()
