@@ -40,8 +40,11 @@ def get_spark(
     )
     driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g")
 
+    # SPARK_GRAFT_MASTER overrides for real clusters (spark-submit sets
+    # spark.master itself; a hardcoded local master would clobber it)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle_partitions)
         .config("spark.sql.adaptive.enabled", "true")
