@@ -113,6 +113,20 @@ def _derive_log_quantity(t) -> DataFrame:
     )
 
 
+def _t3_word_total(t) -> DataFrame:
+    """A12: total via reduce (reference 02:278). Σ per-word counts == the
+    count of qualifying word instances, so no groupBy/sort is needed —
+    one explode + filter + COUNT (the oracle keeps the grouped-sum form
+    to prove the equivalence)."""
+    from jobanalytics_bigdataproject_spark.functions.textfns import tokenize
+    from jobanalytics_bigdataproject_spark.operators.analytics import STOPWORDS
+
+    words = t["documents"].select(F.explode(tokenize("text", 3)).alias("word"))
+    return words.filter(
+        ~F.col("word").isin(*STOPWORDS) & (F.length("word") >= 3)
+    ).agg(F.count("*").alias("total_words"))
+
+
 def _window_lag_events(t) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -452,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_filter_lines": _q(("lineitem",), lambda t: analytics.t1_filter_lines(t["lineitem"])),
         "t2_price_tiers": _q(("lineitem",), lambda t: analytics.t2_price_tiers(t["lineitem"])),
         "t3_word_count": _q(("documents",), lambda t: analytics.t3_word_count(t["documents"])),
+        "t3_word_total": _q(("documents",), _t3_word_total),
         "t4_segment_stats": _q(
             ("orders", "customer"), lambda t: analytics.t4_segment_stats(t["orders"], t["customer"])
         ),
@@ -734,6 +749,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY word_count DESC, word
             LIMIT 20
+        """,
+        "t3_word_total": """
+            WITH words AS (
+                SELECT regexp_replace(
+                           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                           '[^a-z]', '', 'g') AS word
+                FROM documents
+            )
+            SELECT SUM(c) AS total_words FROM (
+                SELECT COUNT(*) AS c
+                FROM words
+                WHERE length(word) >= 3
+                  AND word NOT IN ('the','and','for','with','from','this','that',
+                                   'are','was','not','all','any','can','has',
+                                   'have','will','you')
+                GROUP BY word
+            )
         """,
         "t4_segment_stats": """
             SELECT c_mktsegment,
