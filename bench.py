@@ -6,18 +6,25 @@ and prints ONE JSON line (driver contract).
 - Execution sink is Spark's ``noop`` writer: full plan executes on the
   cluster, zero driver-collect cost, so the number measures the engine,
   not py4j row transfer.
-- One JVM/session warm-up query first; each query then timed once (the
-  per-round driver run wants wall-clock discipline; see BASELINE.md for
-  median-of-3 numbers).
+- One JVM/session warm-up query first; each query is then timed
+  ``SPARK_GRAFT_BENCH_N`` times (default 3) and the MEDIAN reported —
+  single-shot numbers proved noisy enough to mislead a whole round
+  (BASELINE.md's 106s-vs-79.8s JVM-contention artifact; VERDICT r1 #5).
+- The full JSON is also written to ``bench_result.json`` next to this
+  file: the r1 driver artifact captured only a truncated stdout tail
+  ("parsed": null), so the artifact must not depend on stdout surviving.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_N (default 3; the driver can set 1 for wall-clock
+     discipline, BASELINE.md numbers are median-of-3).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +36,7 @@ def main() -> None:
     from jobanalytics_bigdataproject_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
@@ -43,14 +51,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name, fn in mod.queries().items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as e:  # noqa: BLE001
-            failures[name] = str(e)[:200]
-            continue
-        timings[name] = round(time.time() - t0, 3)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                failures[name] = str(e)[:200]
+                runs = []
+                break
+            runs.append(time.time() - t0)
+        if runs:
+            timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -59,10 +72,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": n_runs,
     }
     if failures:
         out["failures"] = failures
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Durable artifact first (stdout tails get truncated by the driver).
+    artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json")
+    with open(artifact, "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ in DuckDB SQL for the oracle.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -57,9 +58,9 @@ def quality_score(
     a blended 0..1 quality score. Pure per-row arithmetic (linear scan)."""
     txt = F.col(text_col)
     n_chars = F.length(txt)
-    tokens = F.split(F.lower(F.trim(txt)), r"\s+")
-    n_tokens = F.size(tokens)
-    n_stop = F.size(F.filter(tokens, lambda t: t.isin(*stopwords)))
+    norm = F.lower(F.trim(txt))
+    n_tokens = F.size(F.split(norm, r"\s+"))
+    n_stop = _word_hits(norm, stopwords)
     n_punct = F.regexp_count(txt, F.lit(r"[^a-zA-Z0-9\s]"))
     # All scores in integer basis points (0..10000) so every intermediate is
     # an exact integer and the single final division is bit-identical across
@@ -84,8 +85,20 @@ def quality_score(
     )
 
 
-def _marker_hits(tokens: Column, markers: Sequence[str]) -> Column:
-    return F.size(F.filter(tokens, lambda t: t.isin(*markers)))
+def _word_hits(norm_text: Column, words: Sequence[str]) -> Column:
+    """Count tokens — maximal non-whitespace runs of *norm_text* — that
+    exactly equal any of *words*, with multiplicity.
+
+    Semantics identical to ``size(filter(split(text,'\\s+'), t ->
+    t.isin(words)))``, but as a single codegen'd ``regexp_count``: HOF
+    lambdas run interpreted per element (~10× slower, measured — see
+    dedup.py's minhash rewrite and VERDICT r1 #3). The leading separator
+    is consumed, the trailing one is a lookahead, so adjacent tokens
+    ("the the") each match without overlap. Word-boundary ``\\b`` would be
+    wrong here: tokens are whitespace-delimited, so "the," must NOT count.
+    """
+    alt = "|".join(re.escape(w) for w in words)
+    return F.regexp_count(norm_text, F.lit(rf"(?:^|\s)(?:{alt})(?=\s|$)"))
 
 
 def language_id(
@@ -97,9 +110,9 @@ def language_id(
     argmax wins (ties broken by language code order). An n-gram/lexicon
     heuristic in the fastText spirit, kept SQL-expressible on purpose so the
     oracle can replay it. Linear scan, no shuffle."""
-    tokens = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    norm = F.lower(F.trim(F.col(text_col)))
     scores = [
-        _marker_hits(tokens, tuple(ms)).alias(f"score_{lang}")
+        _word_hits(norm, tuple(ms)).alias(f"score_{lang}")
         for lang, ms in markers.items()
     ]
     scored = documents.select("doc_id", "lang", *scores)

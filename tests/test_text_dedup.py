@@ -86,6 +86,32 @@ def test_ngram_jaccard_bounds(spark):
     assert out[(1, 2)] == 1.0 and out[(1, 3)] == 0.0
 
 
+def test_word_hits_matches_hof_token_semantics(spark):
+    """_word_hits (codegen regexp_count) must agree with the interpreted
+    size(filter(split,..isin)) form it replaced, incl. the edge cases:
+    adjacent matches, punctuation-attached tokens (no match), multiplicity,
+    tabs/newlines as separators, empty string."""
+    cases = [
+        (1, "the the and"),          # adjacent + multiplicity -> 3
+        (2, "the, and. with"),       # punctuation-attached -> 1 (with)
+        (3, "THE\tAnd\nfrom  x"),    # case/tab/newline -> 3 after lower
+        (4, ""),                     # empty -> 0
+        (5, "there theand bandit"),  # substrings must not count -> 0
+    ]
+    words = ("the", "and", "with", "from")
+    df = _doc_df(spark, cases)
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.split(norm, r"\s+")
+    out = df.select(
+        "doc_id",
+        text._word_hits(norm, words).alias("fast"),
+        F.size(F.filter(toks, lambda t: t.isin(*words))).alias("hof"),
+    ).collect()
+    expected = {1: 3, 2: 1, 3: 3, 4: 0, 5: 0}
+    for r in out:
+        assert r.fast == r.hof == expected[r.doc_id], r
+
+
 def test_language_id_prediction_space(tables):
     out = text.language_id(tables["documents"])
     langs = {r.predicted_lang for r in out.select("predicted_lang").distinct().collect()}
