@@ -136,23 +136,37 @@ def fingerprint_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     a rolling-shingle min-fingerprint (md5 over 3-token shingles, min) —
     both engine- and oracle-computable.
 
-    The shingle mins go through the shared lead-window shingle explode →
-    codegen'd md5 → map-side-partial MIN per doc (one shuffle row per doc;
-    MIN over distinct shingles == MIN over all); docs too short for a
-    shingle come back as '' via the left join."""
-    from jobanalytics_bigdataproject_spark.operators.dedup import _doc_shingles
+    Single-pass plan (VERDICT r1 #4): one scan, one exchange, zero joins.
+    ``posexplode_outer`` keeps shingle-less/empty docs (their min comes back
+    as ''), the whole-doc fingerprint rides only on the ``pos == 0`` row (so
+    the window shuffle doesn't carry 32 md5 chars per *token*), shingles are
+    the proven lead-window form, and the final ``groupBy(doc_id)`` reuses the
+    window's hash partitioning — Catalyst inserts no second exchange. MIN
+    over all shingles == MIN over distinct, so no dropDuplicates needed."""
+    from pyspark.sql import Window
 
-    mins = (
-        _doc_shingles(documents, text_col, 3)
-        .groupBy("doc_id")
-        .agg(F.min(F.md5("shingle")).alias("__min_fp"))
+    shingle_n = 3
+    toks = tokenize(text_col, min_len=1)
+    ex = documents.select(
+        "doc_id",
+        fingerprint(text_col).alias("__fp"),
+        F.posexplode_outer(toks).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        F.when(F.coalesce(F.col("pos"), F.lit(0)) == 0, F.col("__fp")).alias("__fp"),
+        "pos",
+        "tok",
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
+    shingle_fp = F.when(
+        leads[-1].isNotNull(), F.md5(F.concat_ws(" ", F.col("tok"), *leads))
     )
     return (
-        documents.select("doc_id", fingerprint(text_col).alias("doc_fp"))
-        .join(mins, "doc_id", "left")
-        .select(
-            "doc_id",
-            "doc_fp",
-            F.coalesce(F.col("__min_fp"), F.lit("")).alias("min_shingle_fp"),
+        ex.select("doc_id", "__fp", shingle_fp.alias("__sfp"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("__fp").alias("doc_fp"),
+            F.coalesce(F.min("__sfp"), F.lit("")).alias("min_shingle_fp"),
         )
     )
