@@ -519,6 +519,7 @@ _ROWS_ONLY = {
     "ml_price_model",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_audio",
 }
 
 
@@ -671,6 +672,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: multimodal.frame_sample_stub(
                 multimodal.attach_binary_payload(t["documents"])
             ).select("doc_id", "frame_idx"),
+        ),
+        "multimodal_audio": _q(
+            # REAL decode (no stub): deterministic stdlib-`wave` WAV payload
+            # per doc, parsed back via Arrow mapInPandas (operators/
+            # multimodal.py:decode_audio). Binary container parsing is not
+            # SQL-expressible → rows-only (SURVEY.md §5.3).
+            ("documents",),
+            lambda t: multimodal.decode_audio(
+                multimodal.attach_wav_payload(t["documents"])
+            ).select("doc_id", "n_channels", "sample_rate", "n_samples", "rms"),
         ),
         "multimodal_features": _q(
             ("documents",),

@@ -2,13 +2,15 @@
 analog): images/audio/video as opaque ``binary`` columns + typed metadata,
 with decode / feature-extract implemented as Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the actual decoders are
-STUBS behind an import-try (``NotImplementedError`` if a real decode is
-requested without the library); the Spark-side plumbing — schema, batch
-iteration, partitioning, output shape — is real and tested. At 100 TB the
-binary payloads dominate I/O: the scan projects only (id, payload) and the
-extraction is a linear ``mapInPandas`` pass with no shuffle; downstream
-aggregations see only the small typed metadata.
+The container has no image libraries, so the *image* decoders are STUBS
+behind an import-try (``NotImplementedError`` if a real decode is
+requested without the library). The *audio* modality is REAL: WAV payloads
+are synthesized and decoded with the stdlib ``wave`` module + numpy
+(``attach_wav_payload`` / ``decode_audio``), end-to-end through the same
+Arrow ``mapInPandas`` plumbing. At 100 TB the binary payloads dominate
+I/O: the scan projects only (id, payload) and the extraction is a linear
+``mapInPandas`` pass with no shuffle; downstream aggregations see only the
+small typed metadata.
 """
 
 from __future__ import annotations
@@ -104,6 +106,129 @@ def media_metadata(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.checksum").alias("checksum"),
     )
+
+
+def synth_wav(seed: int, n_samples: int = 800, sample_rate: int = 8000) -> bytes:
+    """Deterministic mono 16-bit PCM WAV payload (stdlib ``wave`` writer):
+    a sine whose frequency derives from ``seed``. Pure function of its
+    arguments, so fixtures and oracles can re-derive expectations."""
+    import io
+    import math
+    import wave
+
+    freq = 100.0 + (seed % 32) * 25.0
+    amp = 12000 + (seed % 7) * 2000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        frames = bytearray()
+        for i in range(n_samples):
+            v = int(amp * math.sin(2.0 * math.pi * freq * i / sample_rate))
+            frames += v.to_bytes(2, "little", signed=True)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def attach_wav_payload(
+    documents: DataFrame, n_samples: int = 800, sample_rate: int = 8000
+) -> DataFrame:
+    """Fixture adapter for the audio modality: one deterministic WAV per
+    doc (seeded by doc_id) as an opaque binary column. Arrow-batched
+    ``mapInPandas`` so payload synthesis distributes like a real ingest."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_wav(int(d), n_samples, sample_rate)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("feat", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_audio(media: DataFrame, n_chunks: int = 8) -> DataFrame:
+    """REAL audio decode — no stub: parses each WAV payload with the
+    stdlib ``wave`` reader inside Arrow-batched ``mapInPandas`` and emits
+    typed metadata (channels/rate/duration) plus a per-chunk RMS feature
+    vector (numpy over the PCM samples). Linear pass, no shuffle; only
+    (doc_id, payload) is projected into Python, so at 100 TB the cost is
+    the payload transfer itself — exactly what a real media pipeline pays.
+
+    Not SQL-expressible (binary container parsing) → rows-only driver
+    check, per SURVEY.md §5.3.
+    """
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        rows: dict[str, list] = {f.name: [] for f in AUDIO_SCHEMA.fields}
+        for pdf in it:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    nch, width, rate = (
+                        w.getnchannels(),
+                        w.getsampwidth(),
+                        w.getframerate(),
+                    )
+                    nframes = w.getnframes()
+                    raw = w.readframes(nframes)
+                dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+                samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                chunks = np.array_split(samples, n_chunks) if len(samples) else []
+                rows["doc_id"].append(doc_id)
+                rows["n_channels"].append(nch)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(samples))
+                rows["duration_sec"].append(nframes / rate if rate else 0.0)
+                rows["rms"].append(
+                    float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+                )
+                rows["peak"].append(
+                    int(np.max(np.abs(samples))) if len(samples) else 0
+                )
+                rows["feat"].append(
+                    [
+                        float(np.sqrt(np.mean(c**2))) if len(c) else 0.0
+                        for c in chunks
+                    ]
+                )
+            yield pd.DataFrame(rows)
+            rows = {f.name: [] for f in AUDIO_SCHEMA.fields}
+
+    return media.select("doc_id", "payload").mapInPandas(batches, AUDIO_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(

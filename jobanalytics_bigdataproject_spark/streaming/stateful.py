@@ -44,7 +44,12 @@ def _update_user_totals(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(float(pdf["value"].fillna(0.0).sum()) * 100))
+        # Round each row to cents BEFORE summing: a float batch-sum rounded
+        # once per micro-batch would drift with batch boundaries, breaking
+        # the batch/stream bit-for-bit guarantee in the module docstring.
+        cents += int(
+            pdf["value"].fillna(0.0).mul(100).round().astype("int64").sum()
+        )
     state.update((n, cents))
     yield pd.DataFrame(
         {

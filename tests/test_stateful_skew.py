@@ -58,6 +58,43 @@ def test_stateful_running_totals_across_batches(spark, tables, tmp_path):
     assert n_emits > len(batch)
 
 
+def test_stateful_totals_batch_boundary_invariant():
+    # Same rows, different micro-batch slicings → identical running totals.
+    # Values like 0.155 are chosen so a batch-level float-sum-then-round
+    # would drift across slicings; per-row rounding must not.
+    import pandas as pd
+
+    from jobanalytics_bigdataproject_spark.streaming import stateful
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    values = [0.155, 0.245, 0.335, 0.125, 0.015, 0.995, 1.005, 2.675]
+
+    def run(slicings):
+        state = FakeState()
+        for lo, hi in slicings:
+            pdf = pd.DataFrame({"value": values[lo:hi]})
+            list(stateful._update_user_totals((7,), [pdf], state))
+        return state.get
+
+    one_batch = run([(0, len(values))])
+    per_row = run([(i, i + 1) for i in range(len(values))])
+    uneven = run([(0, 3), (3, 4), (4, len(values))])
+    assert one_batch == per_row == uneven
+    assert one_batch[0] == len(values)
+
+
 def test_salted_count_sum_equals_plain(tables):
     plain = {
         r.c_mktsegment: (r["count"], round(r.s, 2))

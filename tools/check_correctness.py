@@ -24,11 +24,7 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
         if v is None:
             return "NULL"
         if isinstance(v, float):
-            if math.isnan(v):
-                return "NaN"
-            if v == int(v) and abs(v) < 1e15:
-                return f"{v:.6f}"
-            return f"{v:.6f}"
+            return "NaN" if math.isnan(v) else f"{v:.6f}"
         return str(v)
 
     return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
@@ -84,11 +80,26 @@ def main() -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # stringifying in normalize() hides engine type differences the
+            # driver's hash is sensitive to (round 1: HUGEINT SUM vs BIGINT
+            # COUNT hashed differently on an identical value) — so flag any
+            # oracle column whose DuckDB type won't map 1:1 onto a Spark type
+            otypes = con.execute("DESCRIBE " + oracles[name]).fetchall()
+            hazards = [
+                f"{cname}:{ctype}"
+                for cname, ctype, *_ in otypes
+                if ctype.upper().startswith(("HUGEINT", "UHUGEINT", "DECIMAL"))
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         status = []
+        if hazards:
+            status.append(
+                "oracle type hazard (cast to BIGINT/DOUBLE in the SQL): "
+                + ", ".join(hazards)
+            )
         if len(srows) != len(orows):
             status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):
