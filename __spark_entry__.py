@@ -453,8 +453,11 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = mlp.make_training_frame(t["lineitem"], t["part"])
     train, test = df.randomSplit([0.7, 0.3], mlp.SEED)
     # cap the gate's training volume: fitting quality plateaus well below
-    # this and the per-round bench should measure the engine, not LR epochs
-    train = train.limit(100_000).cache()
+    # this and the per-round bench should measure the engine, not LR epochs.
+    # limit() on an unordered frame is partition-order dependent; ordering by
+    # a row hash makes the subset deterministic (TakeOrderedAndProject — no
+    # full sort materialized) so gate metrics are reproducible across runs.
+    train = train.orderBy(F.xxhash64(*train.columns)).limit(100_000).cache()
     # cache before the pipeline fit: each of the 8 stage fits (indexers,
     # IDF, ...) otherwise re-executes the lineitem⋈part join from scratch
     # small budget for the per-round gate: 64 TF features + 10 LR iters

@@ -26,6 +26,53 @@ def test_connected_components_long_chain(spark):
     assert set(comps.values()) == {0} and len(comps) == 10
 
 
+def test_star_cc_equals_label_propagation(spark):
+    import random
+
+    random.seed(7)
+    nodes = list(range(200))
+    edges = [
+        tuple(sorted(random.sample(nodes, 2))) for _ in range(150)
+    ]
+    df = spark.createDataFrame(edges, ["doc_id_a", "doc_id_b"])
+    old = {(r.doc_id, r.component) for r in dedup.connected_components(df).collect()}
+    new = {(r.doc_id, r.component) for r in dedup.connected_components_star(df).collect()}
+    assert new == old and len(new) > 0
+
+
+def test_star_cc_logarithmic_rounds_on_chain(spark):
+    # 0-1-...-63 chain: min-label propagation moves the label one hop per
+    # round (needs 63); the star transforms contract it in ~log2(64) rounds.
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["doc_id_a", "doc_id_b"]
+    )
+    star = {
+        r.doc_id: r.component
+        for r in dedup.connected_components_star(chain, max_iterations=6).collect()
+    }
+    assert set(star.values()) == {0} and len(star) == 64
+    prop = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(chain, max_iterations=6).collect()
+    }
+    assert set(prop.values()) != {0}  # label prop is NOT done in 6 rounds
+
+
+def test_star_cc_empty_edges(spark):
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("doc_id_a", T.LongType()),
+                T.StructField("doc_id_b", T.LongType()),
+            ]
+        ),
+    )
+    assert dedup.connected_components_star(empty).count() == 0
+
+
 def test_neardup_dedup_removes_planted_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [
