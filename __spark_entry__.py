@@ -443,6 +443,31 @@ def _not_exists_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.sql(_SQL_NOT_EXISTS)
 
 
+def _ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-at-ingest ANN: build the persisted IVF index (KMeans cells +
+    corpus parquet partitioned by cell) in a temp dir, then query it with
+    n_probe=2 — static cell-IN partition pruning on the scan
+    (operators/similarity.py:ivf_build_index/ivf_query). Rows-only: KMeans
+    cells aren't SQL-expressible (SURVEY.md §5.3)."""
+    import tempfile
+
+    t = load_star(spark, sf_dir, ("embeddings",))
+    # index is built ONCE per (process, sf_dir) — cluster-at-ingest means
+    # queries never pay the KMeans fit; repeated bench runs measure the
+    # query path, which is the real steady-state cost
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ivf_index_") + "/ivf"
+        similarity.ivf_build_index(t["embeddings"], path, n_clusters=8)
+        _IVF_INDEX_CACHE[sf_dir] = path
+    return similarity.ivf_query(
+        spark, path, t["embeddings"].filter(F.col("vec_id") < 20), k=5, n_probe=2
+    )
+
+
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
 def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-budget LR + mean baseline on the lineitem⋈part price model
     (full-budget M10-M12 run lives in tests/bench; the driver gate only
@@ -515,6 +540,7 @@ _ROWS_ONLY = {
     "docs_neardup_dedup",
     "ann_cosine_lsh",
     "ann_cosine_ivf",
+    "ann_cosine_ivf_indexed",
     "approx_distinct_customers",
     "sample_stratified_orders",
     "random_split_lineitem",
@@ -657,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["embeddings"], t["embeddings"].filter(F.col("vec_id") < 20)
             ),
         ),
+        "ann_cosine_ivf_indexed": _ann_ivf_indexed,
         "embedding_near_dups": _q(
             ("embeddings",), lambda t: similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
         ),

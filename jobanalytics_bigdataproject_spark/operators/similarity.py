@@ -200,6 +200,95 @@ def embedding_near_dups(
     )
 
 
+def ivf_build_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Cluster-at-ingest IVF index: fit the KMeans coarse quantizer ONCE and
+    persist (a) the corpus parquet physically partitioned by cell id and
+    (b) the tiny centroid table. This is the 100 TB posture ``cosine_topk_ivf``'s
+    docstring promises: queries never re-fit, and the partition layout lets
+    Spark prune unprobed cells at scan time (see ``ivf_query``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = embeddings.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__features")
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="__features").fit(feat)
+    (
+        model.transform(feat)
+        .select(id_col, vec_col, F.col("prediction").alias("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/corpus")
+    )
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: rank cells by query→centroid cosine,
+    probe the top ``n_probe`` cells, exact re-rank inside them.
+
+    Scan shape: the probed (query_id, cell) frame is tiny and broadcast.
+    The union of probed cell ids (≤ n_clusters values — metadata scale,
+    like rollup_table's partition dates) is collected and pushed as a
+    static IN filter on the *partition column*, so only probed cell
+    directories are read — asserted in tests via the scan's
+    PartitionFilters. (Join-driven dynamic partition pruning planned here
+    but degraded to `dynamicpruningexpression(true)` under AQE, so the
+    static filter is the reliable form.) The per-query cell join on top
+    restricts each query to its own cells. ``n_probe`` is the recall dial
+    IVF is supposed to have: n_probe = n_clusters degrades gracefully to
+    the exact brute-force scan."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cell_sim = cosine(F.col("q_vec"), F.col("centroid"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("query_id", "q_vec", "cell", cell_sim.alias("cell_sim"))
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cells = sorted(r.cell for r in probed.select("cell").distinct().collect())
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
+        )
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        corpus.join(F.broadcast(probed), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,

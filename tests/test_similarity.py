@@ -62,3 +62,37 @@ def test_ivf_results_subset_of_bruteforce(tables):
     brute_pairs = {(r.query_id, r.neighbor_id) for r in brute.collect()}
     ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     assert ivf_pairs and ivf_pairs <= brute_pairs
+
+
+def test_ivf_index_build_query_prunes_partitions(spark, tables, tmp_path):
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(tables["embeddings"], path, n_clusters=8)
+    q = tables["embeddings"].filter(F.col("vec_id") == 0)
+    res = similarity.ivf_query(spark, path, q, k=5, n_probe=2)
+    rows = res.collect()
+    assert len(rows) == 5 and [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    # static partition pruning: the corpus scan must carry a cell IN-filter
+    # probing 2 of 8 cells, and touch only those cell directories
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters: [" in l]
+    assert any(
+        "cell#" in l and ("IN" in l.upper() or "INSET" in l.upper())
+        for l in scan_lines
+    ), scan_lines
+    # (DataFrame.inputFiles() lists the relation's files BEFORE pruning, so
+    # the IN partition-filter in the scan node above is the pruning proof)
+
+
+def test_ivf_index_full_probe_equals_bruteforce(spark, tables, tmp_path):
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(tables["embeddings"], path, n_clusters=4)
+    q = tables["embeddings"].filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(tables["embeddings"], q, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_query(spark, path, q, k=5, n_probe=4).collect()
+    }
+    assert full == brute  # probing every cell degrades to the exact scan
