@@ -58,6 +58,28 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    multi_line: bool = False,
+) -> DataFrame:
+    """[EXT] JSON-lines scan (one object per line — the streaming-friendly
+    layout; ``multi_line=True`` for whole-file documents). Explicit schema
+    preferred for the same reason as CSV: inference is an extra full scan,
+    and at 100 TB schema drift should fail loudly, not widen silently."""
+    reader = spark.read.option("multiLine", multi_line).option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """[EXT] ORC scan — same columnar pushdown/pruning properties as
+    parquet (vectorized reader, predicate pushdown, column projection)."""
+    return spark.read.orc(path)
+
+
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Defensive session conf for externally-created sessions (the driver
     passes its own SparkSession to the contract functions): nanos-parquet

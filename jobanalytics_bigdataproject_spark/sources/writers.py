@@ -35,6 +35,26 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """[EXT] JSON-lines sink — interchange format for downstream tools that
+    don't speak parquet; not a scale format (no column pruning), so keep it
+    at pipeline edges."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """[EXT] ORC sink with the same partitioning knob as the parquet one."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -118,6 +118,25 @@ def with_watermark(
     return events.withWatermark(ts_col, delay)
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    delay: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[EXT] Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keeps
+    one row per key among events whose event times fall within the
+    watermark delay of each other, and — unlike plain ``dropDuplicates``
+    on a stream — DROPS key state once the watermark passes, so state is
+    bounded by (keys seen per delay window), not keys-ever-seen. This is
+    the streaming-ingest half of exact dedup for a training-data pipeline
+    (the batch half is operators/dedup.dedup_exact: at 100 TB, dedup the
+    firehose with this, the corpus with that)."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_from_directory(
     spark,
     path: str,

@@ -74,15 +74,30 @@ def test_priority_std_total_mapping(tables):
 
 
 def test_orc_and_json_roundtrip(spark, tables, tmp_path):
-    # [EXT] additional source formats beyond the reference's CSV/parquet
+    # [EXT] additional source formats beyond the reference's CSV/parquet,
+    # through the library reader/writer helpers
+    from jobanalytics_bigdataproject_spark.sources import readers, writers
+
     nation = tables["nation"]
     orc_p, json_p = str(tmp_path / "n_orc"), str(tmp_path / "n_json")
-    nation.write.mode("overwrite").orc(orc_p)
-    nation.write.mode("overwrite").json(json_p)
-    assert spark.read.orc(orc_p).count() == nation.count()
-    back = spark.read.schema(nation.schema).json(json_p)
-    assert back.count() == nation.count()
-    assert set(back.columns) == set(nation.columns)
+    writers.write_orc(nation, orc_p)
+    writers.write_json(nation, json_p)
+    want = sorted(map(tuple, nation.collect()))
+    assert sorted(map(tuple, readers.read_orc(spark, orc_p).collect())) == want
+    back = readers.read_json(spark, json_p, schema=nation.schema)
+    assert sorted(map(tuple, back.select(*nation.columns).collect())) == want
+
+
+def test_orc_partitioned_write_prunes(spark, tables, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources import readers, writers
+
+    path = str(tmp_path / "orders_orc")
+    writers.write_orc(tables["orders"], path, partition_by=["o_orderstatus"])
+    got = readers.read_orc(spark, path).filter(F.col("o_orderstatus") == "F")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = [l for l in plan.splitlines() if "PartitionFilters: [" in l]
+    assert any("o_orderstatus" in l for l in scan), scan
+    assert got.count() == tables["orders"].filter(F.col("o_orderstatus") == "F").count()
 
 
 def test_incremental_rollup_equals_full_rebuild(spark, tables, tmp_path):

@@ -133,3 +133,32 @@ def test_stateless_json_extract_append_stream(spark, tables, events_stream):
         q.stop()
     n = spark.sql("SELECT COUNT(*) c FROM json_test").first().c
     assert n == tables["events"].count()
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tables, tmp_path):
+    # plant exact duplicate event_ids across TWO files → two micro-batches;
+    # dropDuplicatesWithinWatermark must keep exactly one row per event_id
+    from pyspark.sql import functions as F
+
+    ev = tables["events"].limit(200).cache()
+    # stage in the raw fixture layout (ts as nanos long) the stream reader expects
+    raw = ev.withColumn("ts", F.unix_micros("ts") * 1000)
+    d = str(tmp_path / "dup_stream")
+    raw.coalesce(1).write.parquet(d)                      # batch 1
+    raw.limit(50).coalesce(1).write.mode("append").parquet(d)  # batch 2: dups
+    streamed = stream.read_events_stream(spark, d, max_files_per_trigger=1)
+    q = (
+        stream.dedup_stream(streamed, keys=("event_id",), delay="1 day")
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    out = spark.sql("SELECT event_id FROM dedup_stream_test")
+    assert out.count() == ev.select("event_id").distinct().count()
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
