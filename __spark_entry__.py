@@ -169,6 +169,23 @@ def _rollup_lineitem(t) -> DataFrame:
     )
 
 
+def _grouping_sets_orders(t) -> DataFrame:
+    """[EXT] Explicit GROUPING SETS (the general form rollup/cube sugar):
+    per-status totals, per-priority totals, and the grand total in ONE
+    pass — one shuffle with partial aggregation, vs three separate
+    groupBys = three scans + three shuffles."""
+    return (
+        t["orders"]
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.grouping_id().alias("gid"), F.count("*").alias("order_count"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "order_count")
+    )
+
+
 def _set_union_entities(t) -> DataFrame:
     c = t["customer"].select(
         F.col("c_custkey").alias("ent_id"),
@@ -516,7 +533,8 @@ _PRIORITY = [
     "multimodal_features",
     "unpivot_customer_metrics",
     "percentiles_price",
-    # changed this round (need fresh rows):
+    # new or changed this round (need fresh rows):
+    "grouping_sets_orders",
     "t3_word_total",
     "docs_language_id",
     "docs_quality_score",
@@ -630,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_customer_tiers": _q(("customer",), _ntile_customer_tiers),
         "rollup_lineitem_counts": _q(("lineitem",), _rollup_lineitem),
         "cube_orders_counts": _q(("orders",), _cube_orders),
+        "grouping_sets_orders": _q(("orders",), _grouping_sets_orders),
         "pivot_events_daily": _q(("events",), _pivot_events_daily),
         # --- as-of / range joins [EXT] (operators Spark lacks as primitives) ---
         "asof_events_orders": _q(("events", "orders"), _asof_events_orders),
@@ -1129,6 +1148,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS order_count
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+                   COUNT(*) AS order_count
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "pivot_events_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS event_date,
