@@ -535,6 +535,7 @@ _PRIORITY = [
     "percentiles_price",
     # new or changed this round (need fresh rows):
     "grouping_sets_orders",
+    "docs_tfidf_top_terms",
     "t3_word_total",
     "docs_language_id",
     "docs_quality_score",
@@ -667,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_score": _q(("documents",), lambda t: text.quality_score(t["documents"])),
         "docs_language_id": _q(("documents",), lambda t: text.language_id(t["documents"])),
         "docs_fingerprint": _q(("documents",), lambda t: text.fingerprint_docs(t["documents"])),
+        "docs_tfidf_top_terms": _q(("documents",), lambda t: text.tfidf_top_terms(t["documents"])),
         # --- dedup [EXT] ---
         "docs_exact_dup_groups": _q(("documents",), lambda t: dedup.exact_dup_groups(t["documents"])),
         "docs_dedup_exact": _q(
@@ -1248,6 +1250,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
             FROM events
+        """,
+        "docs_tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')),
+                           '[^a-z]', '', 'g') AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks WHERE length(term) >= 3
+                GROUP BY doc_id, term
+            ),
+            dfreq AS (
+                SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       (t.tf * (n.n_docs + 1) * 10000) // (d.df + 1) AS score
+                FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, df, score, rank
+            FROM ranked WHERE rank <= 5
+            ORDER BY doc_id, rank
         """,
         "docs_token_stats": """
             SELECT doc_id,

@@ -131,6 +131,46 @@ def language_id(
     )
 
 
+def tfidf_top_terms(
+    documents: DataFrame, text_col: str = "text", k: int = 5, scale: int = 10_000
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — keyword extraction for a
+    training-data pipeline (e.g. topic tagging / quality signals).
+
+    Scoring is the ratio-form idf kept FULLY INTEGER:
+    ``score = (tf * (N+1) * scale) div (df+1)`` — monotone in tf and 1/df
+    like log-idf, but exact integer arithmetic end-to-end, so ranking and
+    values are bit-identical across engines (functions/exact.py
+    rationale; a float ``ln`` could flip ranks of near-equal scores at
+    the ulp level between libm implementations).
+
+    Shape at scale: explode → (doc, term) count (one shuffle, map-side
+    partial) → term df agg over the distinct doc-term pairs (vocabulary
+    ≪ corpus) → broadcast scalar N → per-doc window top-k (partitioned
+    by doc, never global). Docs whose tokens are all shorter than the
+    tokenizer minimum produce no rows (documented)."""
+    from pyspark.sql import Window
+
+    ex = documents.select("doc_id", F.explode(tokenize(text_col)).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = documents.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "score", F.expr(f"(tf * (n_docs + 1) * {scale}) div (df + 1)")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
 def fingerprint_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: md5 of normalized text (exact-dup key) plus
     a rolling-shingle min-fingerprint (md5 over 3-token shingles, min) —

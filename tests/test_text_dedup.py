@@ -125,3 +125,27 @@ def test_quality_score_ranges(tables):
         assert 0.0 <= r.stopword_ratio <= 1.0
         assert 0.0 <= r.punct_ratio <= 1.0
         assert -0.5 <= r.quality_score <= 1.0
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from jobanalytics_bigdataproject_spark.operators import text as X
+
+    # 3 docs; "common" appears in all, "rare" only in doc 1 (twice)
+    rows = [
+        (1, "common rare rare filler"),
+        (2, "common filler other"),
+        (3, "common other other"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+           for r in X.tfidf_top_terms(df, k=2).collect()}
+    # doc 1: rare (tf=2, df=1) scores (2*4*10000) div 2 = 40000 — top
+    assert out[(1, 1)] == ("rare", 2, 1, 40000)
+    # common: df=3 → (1*4*10000) div 4 = 10000 everywhere, always ranked
+    # below any rarer term with equal tf (filler/other have df=2 → 13333)
+    for doc in (2, 3):
+        assert out[(doc, 2)][0] == "common" or out[(doc, 1)][0] != "common"
+    # deterministic: two runs identical
+    again = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+             for r in X.tfidf_top_terms(df, k=2).collect()}
+    assert again == out
