@@ -137,3 +137,44 @@ def test_max_records_per_file(spark, tables, tmp_path):
     # 25 nations / ≤7 per file → at least 4 data files
     assert len(files) >= 4
     assert spark.read.parquet(out).count() == 25
+
+
+def test_sorted_parquet_narrows_rowgroup_stats(spark, tables, tmp_path):
+    # sortWithinPartitions layout → narrow parquet row-group min/max ranges
+    # (the stats that let range filters skip row groups at scan time)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from jobanalytics_bigdataproject_spark.sources import writers
+
+    li = tables["lineitem"].repartition(2)
+    sorted_p, plain_p = str(tmp_path / "srt"), str(tmp_path / "pln")
+    writers.write_sorted_parquet(
+        li, sorted_p, ["l_extendedprice"], num_partitions=4
+    )
+    writers.write_parquet(li, plain_p)
+
+    def rg_spans(path):
+        spans, lo, hi = [], None, None
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}[
+                "l_extendedprice"
+            ]
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx).statistics
+                spans.append(st.max - st.min)
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return spans, hi - lo
+
+    s_spans, s_range = rg_spans(sorted_p)
+    p_spans, p_range = rg_spans(plain_p)
+    # need >1 row group per file for the layout to matter; if the fixture
+    # fits one group per file, per-file spans still show the effect (2 files)
+    assert len(s_spans) >= 2 and len(p_spans) >= 2
+    avg = lambda xs: sum(xs) / len(xs)
+    # unsorted row groups each span ~the full range; sorted ones are narrow
+    assert avg(s_spans) < avg(p_spans)
+    assert avg(s_spans) < 0.6 * s_range
