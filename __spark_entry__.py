@@ -536,6 +536,7 @@ _PRIORITY = [
     # new or changed this round (need fresh rows):
     "grouping_sets_orders",
     "docs_tfidf_top_terms",
+    "docs_training_corpus",
     "t3_word_total",
     "docs_language_id",
     "docs_quality_score",
@@ -556,6 +557,7 @@ _ROWS_ONLY = {
     "docs_minhash_signatures",
     "docs_lsh_candidates",
     "docs_simhash",
+    "docs_simhash_pairs",
     "docs_neardup_dedup",
     "ann_cosine_lsh",
     "ann_cosine_ivf",
@@ -669,8 +671,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_language_id": _q(("documents",), lambda t: text.language_id(t["documents"])),
         "docs_fingerprint": _q(("documents",), lambda t: text.fingerprint_docs(t["documents"])),
         "docs_tfidf_top_terms": _q(("documents",), lambda t: text.tfidf_top_terms(t["documents"])),
+        "docs_training_corpus": _q(
+            # the composed pipeline: quality filter → language filter →
+            # exact dedup, one scan + one window exchange
+            ("documents",),
+            lambda t: text.prepare_training_corpus(t["documents"]),
+        ),
         # --- dedup [EXT] ---
         "docs_exact_dup_groups": _q(("documents",), lambda t: dedup.exact_dup_groups(t["documents"])),
+        "docs_simhash_pairs": _q(
+            # rows-only: xxhash64-based (SURVEY.md §5.3)
+            ("documents",),
+            lambda t: dedup.simhash_candidates(t["documents"]),
+        ),
         "docs_dedup_exact": _q(
             ("documents",),
             lambda t: dedup.dedup_exact(t["documents"]).select("doc_id", "lang", "source", "n_chars"),
@@ -1307,6 +1320,49 @@ def oracle_sql() -> dict[str, str]:
                    punct_bp/10000.0 AS punct_ratio,
                    ((len_bp + LEAST(5*stop_bp, 10000))/2.0 - LEAST(punct_bp, 5000))/10000.0 AS quality_score
             FROM b
+        """,
+        "docs_training_corpus": """
+            WITH s AS (
+                SELECT doc_id, lang,
+                       LEAST(20 * length(text), 10000) AS len_bp,
+                       CAST(COALESCE(ROUND(10000.0 * len(list_filter(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> list_contains(['the','and','for','with','from','this','that','are','was'], t)))
+                            / NULLIF(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0)), 0) AS BIGINT) AS stop_bp,
+                       CAST(COALESCE(ROUND(10000.0 * len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                            / NULLIF(length(text), 0)), 0) AS BIGINT) AS punct_bp,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['the','and','with','from'], t))) AS score_en,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['el','la','de','que'], t))) AS score_es,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['der','die','und','nicht'], t))) AS score_de,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['le','la','et','que'], t))) AS score_fr,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['de','le','shi','bu'], t))) AS score_zh,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, lang, fp,
+                       ((len_bp + LEAST(5*stop_bp, 10000))/2.0 - LEAST(punct_bp, 5000))/10000.0 AS quality_score,
+                       CASE WHEN GREATEST(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+                            WHEN score_en = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+                            WHEN score_es = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+                            WHEN score_de = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+                            WHEN score_fr = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+                            ELSE 'zh' END AS predicted_lang
+                FROM s
+            ),
+            kept AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM scored
+                WHERE quality_score >= 0.35 AND predicted_lang IN ('en')
+            )
+            SELECT doc_id, lang, predicted_lang, quality_score
+            FROM kept WHERE rn = 1
+            ORDER BY doc_id
         """,
         "docs_language_id": """
             WITH s AS (

@@ -204,6 +204,51 @@ def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def simhash_candidates(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs, end to end: candidates share at least one of
+    the four 16-bit chunks (pigeonhole: hamming ≤ 3 over 64 bits forces ≥1
+    of 4 chunks identical — the guarantee is exact, not probabilistic),
+    then each candidate pair is verified with
+    ``bit_count(simhash_a XOR simhash_b) <= max_hamming`` — one codegen'd
+    expression, no token re-scan.
+
+    Scale shape mirrors LSH banding: explode ×4 chunks, shuffle on
+    (chunk_idx, chunk_value) — candidate expansion bounded by bucket size.
+    Returns (doc_id_a < doc_id_b, hamming). Rows-only (xxhash64)."""
+    sh = simhash_docs(documents, text_col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*[F.col(f"chunk{c}") for c in range(4)])).alias(
+            "chunk_idx", "chunk_val"
+        ),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cands.filter(F.col("hamming") <= max_hamming).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     candidate_pairs: DataFrame,

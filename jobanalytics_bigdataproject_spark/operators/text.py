@@ -49,22 +49,21 @@ def token_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(
-    documents: DataFrame,
-    text_col: str = "text",
-    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
-) -> DataFrame:
-    """Quality scoring: length score, punctuation ratio, stopword ratio and
-    a blended 0..1 quality score. Pure per-row arithmetic (linear scan)."""
-    txt = F.col(text_col)
+def _quality_bp(
+    txt: Column, stopwords: Sequence[str]
+) -> tuple[Column, Column, Column, Column]:
+    """(len_bp, stop_bp, punct_bp, quality_bp) integer-basis-point columns —
+    shared by ``quality_score`` and ``prepare_training_corpus`` so the
+    composed pipeline can never drift from the standalone op.
+
+    All scores in integer basis points (0..10000) so every intermediate is
+    an exact integer and the single final division is bit-identical across
+    engines (functions/exact.py rationale) — no float ROUND anywhere."""
     n_chars = F.length(txt)
     norm = F.lower(F.trim(txt))
     n_tokens = F.size(F.split(norm, r"\s+"))
     n_stop = _word_hits(norm, stopwords)
     n_punct = F.regexp_count(txt, F.lit(r"[^a-zA-Z0-9\s]"))
-    # All scores in integer basis points (0..10000) so every intermediate is
-    # an exact integer and the single final division is bit-identical across
-    # engines (functions/exact.py rationale) — no float ROUND anywhere.
     len_bp = F.least(F.lit(20) * n_chars, F.lit(10000))
     stop_bp = F.coalesce(
         F.round(F.lit(10000.0) * n_stop / F.nullif(n_tokens, F.lit(0))), F.lit(0.0)
@@ -76,6 +75,17 @@ def quality_score(
         (len_bp + F.least(F.lit(5) * stop_bp, F.lit(10000))) / F.lit(2.0)
         - F.least(punct_bp, F.lit(5000))
     )
+    return len_bp, stop_bp, punct_bp, quality_bp
+
+
+def quality_score(
+    documents: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Quality scoring: length score, punctuation ratio, stopword ratio and
+    a blended 0..1 quality score. Pure per-row arithmetic (linear scan)."""
+    len_bp, stop_bp, punct_bp, quality_bp = _quality_bp(F.col(text_col), stopwords)
     return documents.select(
         "doc_id",
         (len_bp / F.lit(10000.0)).alias("len_score"),
@@ -128,6 +138,58 @@ def language_id(
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
         best.alias("best_score"),
+    )
+
+
+def _lang_pred(norm: Column, markers: Mapping[str, Sequence[str]]) -> Column:
+    """Argmax language prediction column (same first-wins tie break as
+    ``language_id``) over an already-normalized text column — shared with
+    ``prepare_training_corpus``."""
+    scores = {lg: _word_hits(norm, tuple(ms)) for lg, ms in markers.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lg in reversed(list(markers)):
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def prepare_training_corpus(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.35,
+    langs: Sequence[str] = ("en",),
+    stopwords: Sequence[str] = DEFAULT_STOPWORDS,
+    markers: Mapping[str, Sequence[str]] = LANG_MARKERS,
+) -> DataFrame:
+    """The composed training-data prep pipeline — quality filter →
+    language filter → exact dedup — as ONE declarative plan: a single
+    document scan computes quality and predicted language per row (pure
+    codegen expressions), the filters prune before any shuffle, and exact
+    dedup is one window exchange on the 16-byte fingerprint of the
+    SURVIVING rows only (keep min doc_id per fingerprint). At 100 TB the
+    filter typically removes a large corpus fraction before the only
+    shuffle — order matters, and this is the right order."""
+    from pyspark.sql import Window
+
+    txt = F.col(text_col)
+    *_, quality_bp = _quality_bp(txt, stopwords)
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        (quality_bp / F.lit(10000.0)).alias("quality_score"),
+        _lang_pred(F.lower(F.trim(txt)), markers).alias("predicted_lang"),
+        fingerprint(text_col).alias("__fp"),
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= F.lit(float(min_quality)))
+        & F.col("predicted_lang").isin(*[str(x) for x in langs])
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "predicted_lang", "quality_score")
+        .orderBy("doc_id")
     )
 
 

@@ -149,3 +149,58 @@ def test_tfidf_top_terms_hand_computed(spark):
     again = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
              for r in X.tfidf_top_terms(df, k=2).collect()}
     assert again == out
+
+
+def test_simhash_candidates_match_bruteforce_hamming(tables):
+    from jobanalytics_bigdataproject_spark.operators import dedup
+
+    docs = tables["documents"].limit(150)
+    # ground truth: all pairs with hamming <= 3 over collected simhashes
+    sims = {r.doc_id: r.simhash for r in dedup.simhash_docs(docs).collect()}
+    ids = sorted(sims)
+    want = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in dedup.simhash_candidates(docs).collect()
+    }
+    # pigeonhole over 4x16-bit chunks makes the candidate set EXACT for
+    # hamming <= 3 — not probabilistic recall
+    assert got == want
+
+
+def test_training_corpus_composition_consistent(tables):
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.operators import text as X
+
+    docs = tables["documents"]
+    out = X.prepare_training_corpus(docs, min_quality=0.35, langs=("en",))
+    rows = out.collect()
+    assert len(rows) > 0
+    # every surviving row satisfies both filters per the standalone ops
+    q = {r.doc_id: r.quality_score for r in X.quality_score(docs).collect()}
+    l = {r.doc_id: r.predicted_lang for r in X.language_id(docs).collect()}
+    for r in rows:
+        assert q[r.doc_id] >= 0.35 and abs(q[r.doc_id] - r.quality_score) < 1e-12
+        assert l[r.doc_id] == "en" == r.predicted_lang
+    # survivors are exact-dedup canonical: no two share a fingerprint, and
+    # each is the min doc_id among the KEPT rows sharing its fingerprint
+    from jobanalytics_bigdataproject_spark.functions.textfns import fingerprint
+
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", fingerprint("text").alias("fp")).collect()
+    }
+    kept_ids = {
+        d for d in q if q[d] >= 0.35 and l[d] == "en"
+    }
+    surv = {r.doc_id for r in rows}
+    by_fp = {}
+    for d in sorted(kept_ids):
+        by_fp.setdefault(fps[d], d)
+    assert surv == set(by_fp.values())
