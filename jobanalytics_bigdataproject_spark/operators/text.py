@@ -185,11 +185,13 @@ def prepare_training_corpus(
         & F.col("predicted_lang").isin(*[str(x) for x in langs])
     )
     w = Window.partitionBy("__fp").orderBy("doc_id")
+    # no final orderBy: this is pipeline output feeding further stages, and
+    # a presentation sort would add a second (range) exchange — the plan is
+    # asserted to have exactly ONE in tests/test_plans.py
     return (
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("doc_id", "lang", "predicted_lang", "quality_score")
-        .orderBy("doc_id")
     )
 
 

@@ -63,3 +63,13 @@ def test_projection_prunes_documents_scan(tables):
     df = analytics.t3_word_count(tables["documents"])
     cols = inspect.read_schema_columns(df)
     assert cols == ["text"]  # only the text column is read
+
+
+def test_training_corpus_single_exchange(tables):
+    from jobanalytics_bigdataproject_spark.operators import text as X
+
+    df = X.prepare_training_corpus(tables["documents"])
+    # one scan + quality/language filters + fingerprint-window dedup must
+    # cost exactly ONE shuffle (the window's hash exchange on the
+    # fingerprint); a presentation sort would add a range exchange
+    assert inspect.count_exchanges(df) == 1
