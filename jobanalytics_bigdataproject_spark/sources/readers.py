@@ -40,10 +40,16 @@ def read_csv(
     schema: T.StructType | None = None,
     header: bool = True,
     multi_line: bool = True,
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """CSV scan mirroring reference S1 options (01_DataPreprocessing.scala:14-21):
     header, multiLine, quote/escape = '"', PERMISSIVE. Explicit schema
-    preferred; ``inferSchema`` only when none is given."""
+    preferred; ``inferSchema`` only when none is given.
+
+    ``corrupt_record_col`` makes PERMISSIVE mode auditable: rows that fail
+    the schema land with their raw text in that column (added to the
+    schema automatically) instead of silently becoming nulls — at scale,
+    `filter(col.isNotNull())` is the dead-letter queue."""
     reader = (
         spark.read.option("header", header)
         .option("multiLine", multi_line)
@@ -51,6 +57,13 @@ def read_csv(
         .option("escape", '"')
         .option("mode", "PERMISSIVE")
     )
+    if corrupt_record_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+        if schema is not None and corrupt_record_col not in schema.fieldNames():
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(corrupt_record_col, T.StringType())]
+            )
     if schema is not None:
         reader = reader.schema(schema)
     else:

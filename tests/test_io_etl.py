@@ -178,3 +178,24 @@ def test_sorted_parquet_narrows_rowgroup_stats(spark, tables, tmp_path):
     # unsorted row groups each span ~the full range; sorted ones are narrow
     assert avg(s_spans) < avg(p_spans)
     assert avg(s_spans) < 0.6 * s_range
+
+
+def test_csv_permissive_corrupt_record_capture(spark, tmp_path):
+    # PERMISSIVE mode with an auditable dead-letter column: malformed rows
+    # keep their raw text instead of silently nulling out
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("id,val\n1,2.5\nnot_a_number,oops,extra\n3,4.5\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, p, schema=schema, multi_line=False,
+                  corrupt_record_col="_bad").cache()
+    good = df.filter(F.col("_bad").isNull())
+    bad = df.filter(F.col("_bad").isNotNull())
+    assert {r.id for r in good.collect()} == {1, 3}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]._bad
