@@ -1,0 +1,346 @@
+"""[EXT] Corpus-level training-data operators over ``documents``: repetition
+quality signals, segment-level corpus dedup, sequence packing, deterministic
+mixture sampling, BM25 retrieval, and benchmark-contamination checks.
+
+North-star LLM-pipeline surface (absent from the reference, which stops at
+the T3 word count — code/02_RDDOperations.scala:221-264). Design rules this
+module inherits from the rest of the engine:
+
+- Everything is codegen'd built-ins; n-grams come from the proven
+  ``posexplode`` + window-``lead`` pattern (operators/text.py
+  ``fingerprint_docs``), never interpreted HOF lambdas.
+- Shuffles carry hashes and counts, never document text: by the time a
+  cross-document exchange happens the payload is a 16-byte md5 / a few
+  int64s, so the shapes below survive a 100 TB corpus.
+- Scores are exact integers (basis points / scaled ratios, see
+  functions/exact.py rationale), so every query here is hash-checkable
+  against the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.functions.textfns import tokenize
+
+# ---------------------------------------------------------------------------
+# Repetition / duplication quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals used as LLM-corpus quality filters
+    (the Gopher "repetitious text" family): duplicate-token fraction,
+    most-frequent-bigram mass, duplicate-trigram fraction — all integer
+    basis points (0..10000), exact across engines.
+
+    Single-pass shape: one scan → window leads build bi/tri-grams in place
+    → each position fans out to (kind, gram) rows via one explode → ONE
+    count per (doc, kind, gram) → ONE conditional-aggregation groupBy(doc).
+    Three exchanges total (window on doc_id, gram count, per-doc rollup);
+    after the first partial agg only (hash, count) pairs move. Linear in
+    corpus size, no joins.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # window exprs must be materialized before they can feed the explode
+    led = ex.select(
+        "doc_id",
+        "tok",
+        F.lead("tok", 1).over(w).alias("l1"),
+        F.lead("tok", 2).over(w).alias("l2"),
+    )
+    l1, l2 = F.col("l1"), F.col("l2")
+    grams = (
+        led.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("u").alias("kind"), F.col("tok").alias("gram")),
+                    F.struct(
+                        F.lit("b").alias("kind"),
+                        F.when(l1.isNotNull(), F.concat_ws(" ", F.col("tok"), l1)).alias("gram"),
+                    ),
+                    F.struct(
+                        F.lit("t").alias("kind"),
+                        F.when(l2.isNotNull(), F.concat_ws(" ", F.col("tok"), l1, l2)).alias("gram"),
+                    ),
+                )
+            ).alias("kg"),
+        )
+        .select("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    counts = grams.groupBy("doc_id", "kind", "gram").agg(F.count("*").alias("c"))
+    u, b, t = (F.col("kind") == k for k in ("u", "b", "t"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum(F.when(u, F.col("c"))).alias("n_tok"),
+        F.count(F.when(u, F.lit(1))).alias("d_tok"),
+        F.max(F.when(b, F.col("c"))).alias("top_big"),
+        F.sum(F.when(b, F.col("c"))).alias("n_big"),
+        F.count(F.when(t, F.lit(1))).alias("d_tri"),
+        F.sum(F.when(t, F.col("c"))).alias("n_tri"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tokens"),
+        F.expr("(n_tok - d_tok) * 10000 div n_tok").alias("dup_token_bp"),
+        F.coalesce(F.expr("top_big * 10000 div n_big"), F.lit(0).cast("long")).alias(
+            "top_bigram_bp"
+        ),
+        F.coalesce(F.expr("(n_tri - d_tri) * 10000 div n_tri"), F.lit(0).cast("long")).alias(
+            "dup_trigram_bp"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level corpus dedup (C4 / RefinedWeb-style span removal)
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(
+    documents: DataFrame, text_col: str = "text", seg_len: int = 10
+) -> DataFrame:
+    """Corpus-level duplicate-SPAN removal accounting: chunk every document
+    into fixed ``seg_len``-token segments, fingerprint each, keep exactly
+    one occurrence of each fingerprint corpus-wide (first by ``(doc_id,
+    seg_no)``), and report per document how many segments survive — the
+    C4/RefinedWeb "remove repeated spans" primitive at the accounting
+    level (the reassembled text itself is a trivial ``concat_ws`` away).
+
+    Scale shape: window leads materialize each segment once on the
+    already-doc-partitioned stream; the segment TEXT is hashed to 16-byte
+    md5 before the only cross-document exchange (window over seg_hash), so
+    the global dedup shuffle never carries text. Final per-doc rollup
+    re-partitions on doc_id. Three exchanges, all linear."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, seg_len)]
+    # concat_ws skips NULL leads, so the (possibly short) tail segment comes
+    # out right without special-casing — DuckDB's clamped list_slice agrees.
+    segs = (
+        ex.select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.col("pos") % seg_len == 0,
+                F.md5(F.concat_ws(" ", F.col("tok"), *leads)),
+            ).alias("seg_hash"),
+        )
+        .filter(F.col("seg_hash").isNotNull())
+        .select("doc_id", (F.col("pos") / seg_len).cast("long").alias("seg_no"), "seg_hash")
+    )
+    w2 = Window.partitionBy("seg_hash").orderBy("doc_id", "seg_no")
+    flagged = segs.withColumn("rn", F.row_number().over(w2))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept_segments"),
+        )
+        .withColumn("n_removed_segments", F.col("n_segments") - F.col("n_kept_segments"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (token-budget binning for training batches)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    documents: DataFrame, text_col: str = "text", budget: int = 512
+) -> DataFrame:
+    """Assign documents to fixed token-budget training bins: within each
+    ``source`` shard, documents are laid end-to-end in ``doc_id`` order and
+    a document belongs to the bin where it STARTS (documents may straddle a
+    boundary — the packer's reader handles the spill, as in standard
+    concat-then-chunk LM data prep).
+
+    One running-sum window per shard — partitioned by ``source``, never a
+    global window, so a 100 TB corpus packs shard-parallel. (``doc_id``
+    order stands in for the curriculum/shuffle order a real pipeline would
+    have materialized as a column; any deterministic order works.)"""
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return documents.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        (cum - n_tok).alias("start_tok"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.expr(f"start_tok div {int(budget)}").alias("bin_id"),
+        (F.col("start_tok") % budget).alias("bin_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture sampling (domain weighting without RNG)
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    documents: DataFrame,
+    rates_bp: Mapping[str, int] | None = None,
+    default_bp: int = 2500,
+) -> DataFrame:
+    """Domain-mixture downsampling with per-``source`` keep rates (basis
+    points), implemented as a DETERMINISTIC hash filter instead of RNG:
+    keep a row iff the first 4 hex chars of ``md5(doc_id || ':' || source)``
+    fall below the rate's threshold. Same rows on every run, on any
+    cluster, after any retry — the property Bernoulli ``sample()`` loses —
+    and md5 exists in both engines, so unlike the seeded-RNG samplers
+    (SURVEY.md §5.3) this one is fully oracle-checkable.
+
+    Pure per-row predicate on the scan (no shuffle, no state); the
+    comparison is on a fixed-width hex prefix, which is exact for rate
+    granularity 1/65536."""
+    rates = dict(rates_bp) if rates_bp is not None else {"src0": 10000, "src1": 5000}
+
+    def thr_lit(bp: int):
+        if bp >= 10000:
+            return None  # keep everything
+        return f"{(bp * 65536) // 10000:04x}"
+
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))), 1, 4
+    )
+    # build as a when-chain on source (literal map, codegen'd)
+    pred = None
+    for src, bp in rates.items():
+        t = thr_lit(bp)
+        cond = F.lit(True) if t is None else bucket < F.lit(t)
+        pred = F.when(F.col("source") == src, cond) if pred is None else pred.when(
+            F.col("source") == src, cond
+        )
+    dt = thr_lit(default_bp)
+    default_cond = F.lit(True) if dt is None else bucket < F.lit(dt)
+    pred = default_cond if pred is None else pred.otherwise(default_cond)
+    return documents.filter(pred).select("doc_id", "lang", "source", bucket.alias("bucket_hex"))
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (integer-exact scoring)
+# ---------------------------------------------------------------------------
+
+
+def bm25_search(
+    documents: DataFrame,
+    query_terms: Sequence[str] = ("spark", "filter", "window"),
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k document retrieval by BM25 (k1=1.2, b=0.75) kept FULLY
+    INTEGER so ranking and scores are bit-identical across engines: with
+    T = total corpus tokens and N = docs, the per-term score factors as
+
+        idf_s  = ((2*(N-df)+1) * 1000)  div (2*df+1)          # (N-df+.5)/(df+.5)
+        tf_s   = (22*tf*T * 10000) div (10*tf*T + 3*T + 9*dl*N)
+                 # tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl), avgdl=T/N
+        score  = sum over query terms of idf_s * tf_s
+
+    (both denominators cleared of fractions by 10*T; see functions/
+    exact.py for why integer div beats float ln/÷ for cross-engine
+    determinism). int64 headroom: safe to ~1e9 docs / 1e11 tokens; past
+    that, rescale the two constants or switch the product to decimal(38).
+
+    Scale shape: the explode filters to QUERY TERMS before the (doc,term)
+    count, so the shuffle is |matches|, not |corpus|; df aggregates the
+    already-tiny tf frame; the corpus totals are a 1-row broadcast; top-k
+    is TakeOrderedAndProject (never a global sort materialization)."""
+    toks = tokenize(text_col)  # min_len=3, the tfidf/T3 tokenizer
+    terms = [str(t) for t in query_terms]
+    ex = (
+        documents.select("doc_id", F.size(toks).cast("long").alias("dl"), F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = ex.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = documents.select(F.size(toks).cast("long").alias("dl")).agg(
+        F.sum("dl").alias("t_tok"), F.count("*").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "((2*(n_docs - df) + 1) * 1000 div (2*df + 1))"
+                " * (22*tf*t_tok*10000 div (10*tf*t_tok + 3*t_tok + 9*dl*n_docs))"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(int(k))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_contamination(
+    documents: DataFrame,
+    bench_max_id: int = 20,
+    ngram: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination check: flag corpus documents sharing any
+    ``ngram``-token span with the benchmark set (here: ``doc_id <
+    bench_max_id`` stands in for the eval suite; in production it's a
+    separate table with the same schema). The standard n-gram-overlap
+    decontamination pass (GPT-3 appendix / Dolma style).
+
+    Scale shape: both sides shingle via window leads and hash spans to md5
+    BEFORE any join; the benchmark side is distinct-reduced and BROADCAST
+    (eval suites are tiny vs a 100 TB corpus), so the corpus is never
+    shuffled — probe-side only, then one per-doc count. Corpus docs with
+    no match keep a 0 row via the final left join (pruned columns only)."""
+    toks = tokenize(text_col, min_len=1)
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, ngram)]
+    grams = ex.select(
+        "doc_id",
+        F.when(
+            leads[-1].isNotNull(), F.md5(F.concat_ws(" ", F.col("tok"), *leads))
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    bench = (
+        grams.filter(F.col("doc_id") < bench_max_id).select("h").distinct()
+    )
+    corpus = (
+        grams.filter(F.col("doc_id") >= bench_max_id)
+        .select("doc_id", "h")
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+    base = documents.filter(F.col("doc_id") >= bench_max_id).select("doc_id")
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_ngrams", F.lit(0).cast("long")).alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0).cast("long")) > 0).alias("is_contaminated"),
+    )

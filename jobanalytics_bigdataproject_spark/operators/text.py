@@ -235,6 +235,43 @@ def tfidf_top_terms(
     )
 
 
+# PII patterns deliberately restricted to the regex subset with identical
+# semantics in Java (Spark) and RE2 (DuckDB oracle): no backrefs, no
+# lookbehind, ASCII \d and \b only. Application order matters (an email's
+# local part can contain digits): email → IP → phone.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d(?:[ -]?\d){6,}"
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for a training corpus: replace emails, IPv4 addresses
+    and phone-like digit runs with typed placeholder tokens, reporting
+    per-category hit counts. Pure codegen'd ``regexp_replace`` /
+    ``regexp_count`` — a linear scan with no shuffle, the cheapest possible
+    shape for a 100 TB pass. Counts are taken on the text as each rule
+    sees it (post-prior-redactions), matching what was actually replaced.
+
+    Output carries ``md5`` + length of the redacted text rather than the
+    text itself so downstream hash-checks stay compact; callers wanting the
+    redacted text use the same three replaces inline."""
+    t0 = F.col(text_col)
+    n_email = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return documents.select(
+        "doc_id",
+        n_email.cast("long").alias("n_emails"),
+        n_ip.cast("long").alias("n_ips"),
+        n_phone.cast("long").alias("n_phones"),
+        F.length(t3).alias("redacted_len"),
+        F.md5(t3).alias("redacted_fp"),
+    )
+
+
 def fingerprint_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprinting: md5 of normalized text (exact-dup key) plus
     a rolling-shingle min-fingerprint (md5 over 3-token shingles, min) —

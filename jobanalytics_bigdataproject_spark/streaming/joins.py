@@ -1,0 +1,67 @@
+"""[EXT] Stream-stream interval joins (SURVEY.md §2.11 depth — the
+reference is batch-only; nearest analog is its event decomposition,
+code/01_DataPreprocessing.scala:52-63).
+
+Written against plain DataFrames like streaming/windows.py: the SAME
+function runs in batch (oracle-checkable plain SQL join) and on two
+``readStream`` frames, where Spark's stream-stream join machinery kicks in.
+For the streaming case both inputs MUST carry watermarks and the join
+condition MUST bound event time on both sides — that is what lets Spark
+expire buffered state; this module's interval condition provides exactly
+that bound.
+
+Scale: a stream-stream interval join shuffles both sides on the equality
+key and buffers only rows inside the watermark-bounded interval —
+state is O(rate × interval), independent of stream length. The batch
+equivalent is a plain shuffled equi-join with a range residual; AQE
+handles skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    upper: str = "10 minutes",
+) -> DataFrame:
+    """Join rows of *right* to rows of *left* with the same *key* whose
+    timestamp falls in ``[left.ts, left.ts + upper]`` — the standard
+    event-attribution interval join. Equality on *key* keeps the join a
+    hash join (the range is a residual filter, never a cartesian)."""
+    lf = left.alias("l")
+    rf = right.alias("r")
+    lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    return lf.join(rf, cond)
+
+
+def click_purchase_attribution(
+    events: DataFrame, upper: str = "10 minutes"
+) -> DataFrame:
+    """Attribute each purchase to the clicks of the same user in the
+    preceding ``upper`` interval. Emits formatted timestamps + the raw
+    value so the batch form hash-checks against the oracle; the identical
+    function over two watermarked ``readStream`` frames is the streaming
+    form (tests/test_streaming_join.py)."""
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(clicks, purchases, key="user_id", ts_col="ts", upper=upper)
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("r.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        # raw double passthrough (no arithmetic) — bit-identical across engines
+        F.col("r.value").alias("purchase_value"),
+    )

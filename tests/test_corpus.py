@@ -1,0 +1,211 @@
+"""Corpus-level training-data operators (operators/corpus.py +
+text.redact_pii): repetition signals, segment dedup, packing, deterministic
+mixture sampling, integer-exact BM25, contamination — hand-computed
+fixtures, plus determinism/monotonicity properties."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators import corpus, text
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, text, lang, source)"""
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a a b", "en", "s"),        # 3 tok, 2 distinct; bigrams: "a a","a b"
+            (2, "a a a a", "en", "s"),      # 4 tok; bigrams 3x "a a"; trigrams 2x "a a a"
+            (3, "x", "en", "s"),            # single token: no bigrams/trigrams
+        ],
+    )
+    out = {r.doc_id: r for r in corpus.repetition_stats(df).collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].dup_token_bp == (3 - 2) * 10000 // 3
+    assert out[1].top_bigram_bp == 1 * 10000 // 2
+    assert out[1].dup_trigram_bp == 0
+    assert out[2].dup_token_bp == (4 - 1) * 10000 // 4
+    assert out[2].top_bigram_bp == 10000          # all bigrams identical
+    assert out[2].dup_trigram_bp == (2 - 1) * 10000 // 2
+    assert out[3].n_tokens == 1
+    assert out[3].top_bigram_bp == 0 and out[3].dup_trigram_bp == 0
+
+
+# ---------------------------------------------------------------------------
+# segment_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_segment_dedup_cross_doc_spans(spark):
+    shared = " ".join(f"w{i}" for i in range(10))       # one full shared segment
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(5))        # short tail segment
+    df = _docs(
+        spark,
+        [
+            (1, f"{shared} {uniq_a}", "en", "s"),       # segs: shared, uniq_a
+            (2, f"{shared} {uniq_b}", "en", "s"),       # segs: shared(dup), uniq_b
+        ],
+    )
+    out = {r.doc_id: r for r in corpus.segment_dedup(df, seg_len=10).collect()}
+    assert out[1].n_segments == 2 and out[1].n_kept_segments == 2
+    assert out[2].n_segments == 2
+    assert out[2].n_kept_segments == 1              # shared span kept only in doc 1
+    assert out[2].n_removed_segments == 1
+
+
+def test_segment_dedup_within_doc_repeat(spark):
+    seg = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [(7, f"{seg} {seg}", "en", "s")])
+    r = corpus.segment_dedup(df, seg_len=10).first()
+    assert r.n_segments == 2 and r.n_kept_segments == 1 and r.n_removed_segments == 1
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_replaces_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jo.doe+x@site-a.example.com or call 555-123-4567", "en", "s"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up", "en", "s"),
+            (3, "no pii here", "en", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1 and out[1].n_ips == 0
+    assert out[2].n_ips == 2 and out[2].n_emails == 0
+    assert out[3].n_emails == out[3].n_ips == out[3].n_phones == 0
+    expected1 = "mail me at <EMAIL> or call <PHONE>"
+    assert out[1].redacted_fp == hashlib.md5(expected1.encode()).hexdigest()
+    assert out[1].redacted_len == len(expected1)
+    expected2 = "server <IP> and <IP> up"
+    assert out[2].redacted_fp == hashlib.md5(expected2.encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    def words(n):
+        return " ".join("w" for _ in range(n))
+
+    df = _docs(
+        spark,
+        [
+            (1, words(300), "en", "sA"),
+            (2, words(300), "en", "sA"),
+            (3, words(300), "en", "sA"),
+            (4, words(10), "en", "sB"),     # other shard packs independently
+        ],
+    )
+    out = {r.doc_id: r for r in corpus.pack_sequences(df, budget=512).collect()}
+    assert (out[1].bin_id, out[1].bin_offset) == (0, 0)
+    assert (out[2].bin_id, out[2].bin_offset) == (0, 300)   # starts at 300, straddles
+    assert (out[3].bin_id, out[3].bin_offset) == (1, 88)    # starts at 600
+    assert (out[4].bin_id, out[4].bin_offset) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sample_deterministic_and_monotone(spark):
+    rows = [(i, f"text {i}", "en", f"src{i % 3}") for i in range(300)]
+    df = _docs(spark, rows)
+    a = {r.doc_id for r in corpus.mixture_sample(df).collect()}
+    b = {r.doc_id for r in corpus.mixture_sample(df).collect()}
+    assert a == b                                           # no RNG anywhere
+    # src0 at 10000bp keeps every src0 row
+    assert {i for i in range(300) if i % 3 == 0} <= a
+    # a higher rate keeps a superset of a lower rate (same hash, same threshold order)
+    lo = {r.doc_id for r in corpus.mixture_sample(df, rates_bp={}, default_bp=2500).collect()}
+    hi = {r.doc_id for r in corpus.mixture_sample(df, rates_bp={}, default_bp=7500).collect()}
+    assert lo <= hi
+    # and the realized rate lands near the target (65536-granular hash buckets)
+    assert 0.15 < len(lo) / 300 < 0.35
+
+
+# ---------------------------------------------------------------------------
+# bm25_search
+# ---------------------------------------------------------------------------
+
+
+def _bm25_expected(docs, terms, k):
+    """Reference implementation of the exact integer BM25 used by the op."""
+    toks = {
+        d: [w for w in t.lower().split() if len("".join(c for c in w if c.isalpha())) >= 3]
+        for d, t in docs.items()
+    }
+    toks = {d: ["".join(c for c in w if c.isalpha()) for w in tw] for d, tw in toks.items()}
+    toks = {d: [w for w in tw if len(w) >= 3] for d, tw in toks.items()}
+    dl = {d: len(tw) for d, tw in toks.items()}
+    big_t, n = sum(dl.values()), len(docs)
+    scores = {}
+    for term in terms:
+        tf = {d: tw.count(term) for d, tw in toks.items() if term in tw}
+        df_ = len(tf)
+        if not df_:
+            continue
+        idf = ((2 * (n - df_) + 1) * 1000) // (2 * df_ + 1)
+        for d, f in tf.items():
+            tfp = (22 * f * big_t * 10000) // (10 * f * big_t + 3 * big_t + 9 * dl[d] * n)
+            scores[d] = scores.get(d, 0) + idf * tfp
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_bm25_matches_reference_arithmetic(spark):
+    docs = {
+        1: "spark filter spark join window table",
+        2: "filter filter filter other words here",
+        3: "window window spark",
+        4: "nothing relevant at all",
+        5: "spark spark spark spark spark spark spark spark",  # long, high tf
+    }
+    df = _docs(spark, [(d, t, "en", "s") for d, t in docs.items()])
+    got = [(r.doc_id, r.score) for r in corpus.bm25_search(df, ("spark", "filter", "window"), k=5).collect()]
+    assert got == _bm25_expected(docs, ("spark", "filter", "window"), 5)
+
+
+# ---------------------------------------------------------------------------
+# benchmark_contamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_planted_overlap(spark):
+    # letter-only words: the tokenizer strips non-letters, so "b0"-style
+    # names would all collapse to the same token
+    bench_text = " ".join(f"b{chr(97 + i)}" for i in range(12))   # doc_id < 20 → bench
+    clean_text = " ".join(f"c{chr(97 + i)}" for i in range(12))
+    # copies tokens 0..9 of the bench doc → shares 8-grams
+    contaminated = " ".join(f"b{chr(97 + i)}" for i in range(10)) + " tail words here"
+    df = _docs(
+        spark,
+        [
+            (1, bench_text, "en", "s"),
+            (21, contaminated, "en", "s"),
+            (22, clean_text, "en", "s"),
+        ],
+    )
+    out = {r.doc_id: r for r in corpus.benchmark_contamination(df, bench_max_id=20, ngram=8).collect()}
+    assert set(out) == {21, 22}                           # bench docs excluded from output
+    assert out[21].is_contaminated and out[21].n_shared_ngrams == 3  # starts at tok 0,1,2
+    assert not out[22].is_contaminated and out[22].n_shared_ngrams == 0
