@@ -32,7 +32,9 @@ from jobanalytics_bigdataproject_spark.operators import (
     etl,
     joins,
     multimodal,
+    profile,
     sampling,
+    scd,
     similarity,
     text,
 )
@@ -128,6 +130,22 @@ def _t3_word_total(t) -> DataFrame:
     return words.filter(
         ~F.col("word").isin(*STOPWORDS) & (F.length("word") >= 3)
     ).agg(F.count("*").alias("total_words"))
+
+
+def _events_zorder_key(t) -> DataFrame:
+    """Morton Z-order interleave of (user_id, event_id) mod 2^16 — the
+    clustering key behind sources/writers.write_zorder_parquet, exposed as
+    a checked query because the 32-term shift/and/or tree must agree
+    bit-for-bit with any other engine's evaluation of the same math."""
+    from jobanalytics_bigdataproject_spark.sources.writers import zorder_key
+
+    return t["events"].select(
+        "event_id",
+        zorder_key(
+            F.pmod(F.col("user_id"), F.lit(65536)),
+            F.pmod(F.col("event_id"), F.lit(65536)),
+        ).alias("zkey"),
+    )
 
 
 def _window_lag_events(t) -> DataFrame:
@@ -535,6 +553,9 @@ _PRIORITY = [
     "docs_bm25_search",
     "docs_contamination",
     "events_interval_join",
+    "profile_customer",
+    "scd2_user_state",
+    "events_zorder_key",
     # never driver-checked in round 1 (sat at positions 51-71):
     "docs_dedup_exact",
     "docs_ngram_jaccard",
@@ -653,6 +674,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_struct": _q(("events",), _events_props_struct),
         "clean_valid_orders": _q(("orders",), _clean_valid_orders),
         "impute_customer_balance": _q(("customer",), _impute_customer_balance),
+        "profile_customer": _q(
+            ("customer",),
+            lambda t: profile.profile_table(
+                t["customer"], ("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+            ),
+        ),
         "derive_event_time": _q(("events",), _derive_event_time),
         "derive_customer_key": _q(("customer",), _derive_customer_key),
         "derive_log_quantity": _q(("lineitem",), _derive_log_quantity),
@@ -680,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("events",),
             lambda t: stream_joins.click_purchase_attribution(t["events"]),
         ),
+        "scd2_user_state": _q(("events",), lambda t: scd.scd2_dim(t["events"])),
+        "events_zorder_key": _q(("events",), _events_zorder_key),
         # --- text analysis [EXT] ---
         "docs_token_stats": _q(("documents",), lambda t: text.token_stats(t["documents"])),
         "docs_quality_score": _q(("documents",), lambda t: text.quality_score(t["documents"])),
@@ -1327,6 +1356,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, df, score, rank
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank
+        """,
+        "events_zorder_key": """
+            SELECT event_id,
+                   CAST((""" + " | ".join(
+            f"((((user_id % 65536) >> {i}) & 1) << {2 * i})"
+            f" | ((((event_id % 65536) >> {i}) & 1) << {2 * i + 1})"
+            for i in range(16)
+        ) + """) AS BIGINT) AS zkey
+            FROM events
+        """,
+        "scd2_user_state": """
+            WITH o AS (
+                SELECT user_id, event_type AS state, ts, event_id,
+                       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            c AS (
+                SELECT user_id, state, ts, event_id FROM o
+                WHERE prev IS NULL OR prev <> state
+            )
+            SELECT user_id, state,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                   strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            '%Y-%m-%d %H:%M:%S') AS valid_to,
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+            FROM c
+        """,
+        "profile_customer": """
+            SELECT 'c_custkey' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_nulls,
+                   CAST((COUNT(*) - COUNT(c_custkey)) * 10000 // COUNT(*) AS BIGINT) AS null_bp,
+                   CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+                   CAST(CAST(MIN(c_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS min_value,
+                   CAST(CAST(MAX(c_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS max_value
+            FROM customer
+            UNION ALL
+            SELECT 'c_nationkey',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+                   CAST((COUNT(*) - COUNT(c_nationkey)) * 10000 // COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+                   CAST(CAST(MIN(c_nationkey) AS DECIMAL(18,2)) AS VARCHAR),
+                   CAST(CAST(MAX(c_nationkey) AS DECIMAL(18,2)) AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'c_acctbal',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+                   CAST((COUNT(*) - COUNT(c_acctbal)) * 10000 // COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+                   CAST(CAST(MIN(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR),
+                   CAST(CAST(MAX(c_acctbal) AS DECIMAL(18,2)) AS VARCHAR)
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+                   CAST((COUNT(*) - COUNT(c_mktsegment)) * 10000 // COUNT(*) AS BIGINT),
+                   CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+                   CAST(MIN(c_mktsegment) AS VARCHAR),
+                   CAST(MAX(c_mktsegment) AS VARCHAR)
+            FROM customer
         """,
         "docs_repetition_stats": """
             WITH t AS (

@@ -67,6 +67,73 @@ def write_sorted_parquet(
     writer.parquet(path)
 
 
+def zorder_key(x, y, bits: int = 16):
+    """[EXT] Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative integer columns (x → even positions, y → odd). Built from
+    shift/and/or expressions only — whole-stage codegen, no UDF — and the
+    same bit math is expressible in any SQL engine (the oracle replays it).
+    Callers normalize inputs to [0, 2^bits) first (``pmod`` for hash-like
+    keys, min-max scaling for value clustering — see
+    ``write_zorder_parquet``)."""
+    from pyspark.sql import functions as F
+
+    z = None
+    for i in range(int(bits)):
+        xe = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ye = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        z = xe.bitwiseOR(ye) if z is None else z.bitwiseOR(xe).bitwiseOR(ye)
+    return z
+
+
+def write_zorder_parquet(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+) -> None:
+    """[EXT] Z-order-clustered parquet sink for TWO-dimensional locality:
+    each column is min-max-scaled to ``bits`` bits (one tiny extra
+    aggregation pass for the bounds, broadcast back), rows are
+    range-partitioned and sorted by the interleaved Morton key, then the
+    key is dropped before writing. Result: every file covers a compact
+    RECTANGLE in (colA, colB) space, so parquet min/max footer stats prune
+    files for predicates on EITHER column — the property a single-column
+    sort can only give to its leading column. This is the standard
+    lakehouse OPTIMIZE ZORDER BY layout, paid once at ingest.
+    (Linear-scan clustering; at 100 TB the bounds pass is metadata-cheap
+    and the single range exchange is the same cost as any sorted write.)"""
+    from pyspark.sql import functions as F
+
+    a, b = (F.col(str(c)).cast("double") for c in cols[:2])
+    bounds = df.agg(
+        F.min(a).alias("__amin"),
+        F.max(a).alias("__amax"),
+        F.min(b).alias("__bmin"),
+        F.max(b).alias("__bmax"),
+    )
+    top = (1 << int(bits)) - 1
+    scaled = df.crossJoin(F.broadcast(bounds))
+    ax = F.when(
+        F.col("__amax") > F.col("__amin"),
+        ((a - F.col("__amin")) / (F.col("__amax") - F.col("__amin")) * top),
+    ).otherwise(F.lit(0)).cast("long")
+    by = F.when(
+        F.col("__bmax") > F.col("__bmin"),
+        ((b - F.col("__bmin")) / (F.col("__bmax") - F.col("__bmin")) * top),
+    ).otherwise(F.lit(0)).cast("long")
+    keyed = scaled.withColumn("__zkey", zorder_key(ax, by, bits)).drop(
+        "__amin", "__amax", "__bmin", "__bmax"
+    )
+    keyed = (
+        keyed.repartitionByRange(num_partitions, "__zkey")
+        if num_partitions
+        else keyed.repartitionByRange("__zkey")
+    )
+    keyed.sortWithinPartitions("__zkey").drop("__zkey").write.mode(mode).parquet(path)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """[EXT] JSON-lines sink — interchange format for downstream tools that
     don't speak parquet; not a scale format (no column pruning), so keep it

@@ -1,0 +1,116 @@
+"""Data profiling (operators/profile.py) and SCD2 dimension building /
+incremental merge (operators/scd.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators import profile, scd
+
+
+# ---------------------------------------------------------------------------
+# profile_table
+# ---------------------------------------------------------------------------
+
+
+def test_profile_counts_nulls_distinct_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, 5.0, "b"), (3, 5.0, None), (4, -2.5, "a")],
+        ["k", "v", "s"],
+    )
+    out = {r.column_name: r for r in profile.profile_table(df, ("k", "v", "s")).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0 and out["k"].n_distinct == 4
+    assert out["k"].min_value == "1.00" and out["k"].max_value == "4.00"
+    assert out["v"].n_nulls == 1 and out["v"].null_bp == 2500
+    assert out["v"].n_distinct == 2                       # nulls excluded
+    assert out["v"].min_value == "-2.50" and out["v"].max_value == "5.00"
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["s"].min_value == "a" and out["s"].max_value == "b"
+
+
+def test_profile_approx_mode_same_shape(spark, tables):
+    exact = profile.profile_table(tables["customer"], ("c_custkey", "c_mktsegment"))
+    approx = profile.profile_table(
+        tables["customer"], ("c_custkey", "c_mktsegment"), approx=True
+    )
+    assert exact.columns == approx.columns
+    e = {r.column_name: r for r in exact.collect()}
+    a = {r.column_name: r for r in approx.collect()}
+    for c in ("c_custkey", "c_mktsegment"):
+        assert a[c].n_rows == e[c].n_rows and a[c].n_nulls == e[c].n_nulls
+        # HLL++ default rsd 5%
+        assert abs(a[c].n_distinct - e[c].n_distinct) <= max(3, 0.15 * e[c].n_distinct)
+
+
+# ---------------------------------------------------------------------------
+# SCD2
+# ---------------------------------------------------------------------------
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts", "event_id"])
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_scd2_collapses_and_closes_intervals(spark):
+    log = _log(
+        spark,
+        [
+            (1, "trial", _ts("2024-01-01 00:00:00"), 1),
+            (1, "trial", _ts("2024-01-02 00:00:00"), 2),   # no-op change → collapsed
+            (1, "paid", _ts("2024-01-05 00:00:00"), 3),
+            (2, "trial", _ts("2024-01-03 00:00:00"), 4),
+        ],
+    )
+    out = scd.scd2_dim(log).orderBy("user_id", "valid_from").collect()
+    assert [(r.user_id, r.state, r.valid_from, r.valid_to, r.is_current) for r in out] == [
+        (1, "trial", "2024-01-01 00:00:00", "2024-01-05 00:00:00", False),
+        (1, "paid", "2024-01-05 00:00:00", None, True),
+        (2, "trial", "2024-01-03 00:00:00", None, True),
+    ]
+
+
+def _canon(df):
+    return sorted(
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in df.select("user_id", "state", "valid_from", "valid_to", "is_current").collect()
+    )
+
+
+def test_scd2_incremental_apply_equals_full_rebuild(spark):
+    full = [
+        (1, "trial", _ts("2024-01-01 00:00:00"), 1),
+        (1, "paid", _ts("2024-01-05 00:00:00"), 2),
+        (1, "churned", _ts("2024-02-01 00:00:00"), 5),
+        (2, "trial", _ts("2024-01-03 00:00:00"), 3),
+        (3, "paid", _ts("2024-01-04 00:00:00"), 4),
+    ]
+    first, second = full[:2] + full[3:4], full[2:3] + full[4:]
+    current = scd.scd2_from_log(_log(spark, first))
+    merged = scd.scd2_apply(current, _log(spark, second))
+    rebuilt = scd.scd2_from_log(_log(spark, full))
+    assert _canon(merged) == _canon(rebuilt)
+    # untouched key 2 present exactly once, key 1 rewritten with 3 intervals
+    by_user = {}
+    for r in _canon(merged):
+        by_user.setdefault(r[0], []).append(r)
+    assert len(by_user[1]) == 3 and len(by_user[2]) == 1 and len(by_user[3]) == 1
+
+
+def test_scd2_apply_handles_late_out_of_order_update(spark):
+    base = [
+        (1, "trial", _ts("2024-01-01 00:00:00"), 1),
+        (1, "paid", _ts("2024-02-01 00:00:00"), 2),
+    ]
+    late = [(1, "suspended", _ts("2024-01-15 00:00:00"), 3)]  # lands mid-history
+    current = scd.scd2_from_log(_log(spark, base))
+    merged = scd.scd2_apply(current, _log(spark, late))
+    rebuilt = scd.scd2_from_log(_log(spark, base + late))
+    assert _canon(merged) == _canon(rebuilt)
+    states = [r[1] for r in sorted(_canon(merged), key=lambda r: (r[0], r[2]))]
+    assert states == ["trial", "suspended", "paid"]
