@@ -556,6 +556,7 @@ _PRIORITY = [
     "profile_customer",
     "scd2_user_state",
     "events_zorder_key",
+    "docs_corpus_pipeline",
     # never driver-checked in round 1 (sat at positions 51-71):
     "docs_dedup_exact",
     "docs_ngram_jaccard",
@@ -722,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_sample": _q(("documents",), lambda t: corpus.mixture_sample(t["documents"])),
         "docs_bm25_search": _q(("documents",), lambda t: corpus.bm25_search(t["documents"])),
         "docs_contamination": _q(("documents",), lambda t: corpus.benchmark_contamination(t["documents"])),
+        "docs_corpus_pipeline": _q(("documents",), lambda t: corpus.full_prep_pipeline(t["documents"])),
         "docs_training_corpus": _q(
             # the composed pipeline: quality filter → language filter →
             # exact dedup, one scan + one window exchange
@@ -1588,6 +1590,70 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n, 0) > 0 AS is_contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
             LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "docs_corpus_pipeline": f"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       LEAST(20 * length(text), 10000) AS len_bp,
+                       CAST(COALESCE(ROUND(10000.0 * len(list_filter(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> list_contains(['the','and','for','with','from','this','that','are','was'], t)))
+                            / NULLIF(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0)), 0) AS BIGINT) AS stop_bp,
+                       CAST(COALESCE(ROUND(10000.0 * len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                            / NULLIF(length(text), 0)), 0) AS BIGINT) AS punct_bp,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['the','and','with','from'], t))) AS score_en,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['el','la','de','que'], t))) AS score_es,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['der','die','und','nicht'], t))) AS score_de,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['le','la','et','que'], t))) AS score_fr,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['de','le','shi','bu'], t))) AS score_zh,
+                       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS wtoks
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id, lang, fp,
+                       ((len_bp + LEAST(5*stop_bp, 10000))/2.0 - LEAST(punct_bp, 5000))/10000.0 AS quality_score,
+                       CASE WHEN GREATEST(score_en, score_es, score_de, score_fr, score_zh) = 0 THEN 'und'
+                            WHEN score_en = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'en'
+                            WHEN score_es = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'es'
+                            WHEN score_de = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'de'
+                            WHEN score_fr = GREATEST(score_en, score_es, score_de, score_fr, score_zh) THEN 'fr'
+                            ELSE 'zh' END AS predicted_lang,
+                       CAST((len(wtoks) - len(list_distinct(wtoks))) * 10000 // len(wtoks) AS BIGINT) AS dup_token_bp
+                FROM s
+            ),
+            t AS (SELECT doc_id, {_DOC_TOKENS} AS toks FROM documents),
+            g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks) - 6),
+                           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                                    toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+                                    toks[i+6] || ' ' || toks[i+7]))) AS hs
+                FROM t
+            ),
+            bench AS (
+                SELECT DISTINCT h FROM (SELECT unnest(hs) AS h FROM g WHERE doc_id < 20)
+            ),
+            dirty AS (
+                SELECT DISTINCT doc_id
+                FROM (SELECT doc_id, unnest(hs) AS h FROM g WHERE doc_id >= 20) c
+                JOIN bench USING (h)
+            ),
+            kept AS (
+                SELECT * FROM scored
+                WHERE doc_id >= 20
+                  AND quality_score >= 0.35 AND predicted_lang IN ('en')
+                  AND dup_token_bp <= 6000
+                  AND doc_id NOT IN (SELECT doc_id FROM dirty)
+            )
+            SELECT doc_id, lang, predicted_lang, quality_score, dup_token_bp
+            FROM kept
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         """,
         "docs_token_stats": """
             SELECT doc_id,

@@ -294,6 +294,101 @@ def bm25_search(
 
 
 # ---------------------------------------------------------------------------
+# Full corpus-prep pipeline (the composed flagship)
+# ---------------------------------------------------------------------------
+
+
+def full_prep_pipeline(
+    documents: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.35,
+    langs=("en",),
+    max_dup_token_bp: int = 6000,
+    bench_max_id: int = 20,
+    ngram: int = 8,
+) -> DataFrame:
+    """The complete Dolma/RefinedWeb-style training-corpus prep as ONE
+    declarative plan: quality score + language ID (per-row codegen) →
+    repetition filter (Gopher dup-token signal) → benchmark
+    DECONTAMINATION (drop docs sharing any ``ngram``-token span with the
+    eval set) → exact dedup keep-first. Output is the surviving corpus
+    with its quality metadata.
+
+    Shape at scale (one DAG, shared scan branches): quality, language AND
+    the dup-token repetition signal are all per-row codegen riding the
+    scan (repetition's unigram form is array-native — no explode, no
+    shuffle, no join; the standalone repetition_stats earns its explode
+    only for bi/tri-gram ranking); contamination hashes spans to md5 and
+    BROADCASTS the eval side, flagging via a probe-side join (the corpus
+    never shuffles for it); the dedup window runs LAST, on fingerprints
+    of the rows that survived every filter — the same
+    filter-before-shuffle ordering argument as
+    text.prepare_training_corpus, now with three filters in front."""
+    from jobanalytics_bigdataproject_spark.functions.textfns import fingerprint
+    from jobanalytics_bigdataproject_spark.operators.text import (
+        LANG_MARKERS,
+        DEFAULT_STOPWORDS,
+        _lang_pred,
+        _quality_bp,
+    )
+
+    txt = F.col(text_col)
+    *_, quality_bp = _quality_bp(txt, DEFAULT_STOPWORDS)
+    wtoks = F.split(F.lower(F.trim(txt)), r"\s+")
+    # the Gopher dup-token signal needs only unigram multiplicity, which is
+    # ARRAY-NATIVE (size/array_distinct, no lambda) — so unlike the
+    # standalone repetition_stats (which also ranks bi/tri-grams and earns
+    # its explode), the pipeline computes it per-row on the scan: the
+    # repetition filter costs zero shuffles and zero joins here.
+    dup_bp = F.expr(
+        f"(size(split(lower(trim({text_col})), '\\\\s+'))"
+        f" - size(array_distinct(split(lower(trim({text_col})), '\\\\s+'))))"
+        f" * 10000 div size(split(lower(trim({text_col})), '\\\\s+'))"
+    )
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        (quality_bp / F.lit(10000.0)).alias("quality_score"),
+        _lang_pred(F.lower(F.trim(txt)), LANG_MARKERS).alias("predicted_lang"),
+        dup_bp.alias("dup_token_bp"),
+        fingerprint(text_col).alias("__fp"),
+    )
+
+    # contamination 8-grams on the same whitespace tokenization (the
+    # composed pipeline's one documented tokenizer)
+    ex = documents.select("doc_id", F.posexplode(wtoks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, ngram)]
+    grams = ex.select(
+        "doc_id",
+        F.when(leads[-1].isNotNull(), F.md5(F.concat_ws(" ", F.col("tok"), *leads))).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    bench = grams.filter(F.col("doc_id") < bench_max_id).select("h").distinct()
+    dirty = (
+        grams.filter(F.col("doc_id") >= bench_max_id)
+        .join(F.broadcast(bench), "h")
+        .select("doc_id")
+        .distinct()
+    )
+
+    kept = (
+        scored.filter(F.col("doc_id") >= bench_max_id)
+        .filter(
+            (F.col("quality_score") >= F.lit(float(min_quality)))
+            & F.col("predicted_lang").isin(*[str(x) for x in langs])
+            & (F.col("dup_token_bp") <= max_dup_token_bp)
+        )
+        .join(dirty, "doc_id", "left_anti")
+    )
+    w2 = Window.partitionBy("__fp").orderBy("doc_id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "predicted_lang", "quality_score", "dup_token_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark contamination (n-gram overlap against an eval set)
 # ---------------------------------------------------------------------------
 

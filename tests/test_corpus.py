@@ -186,6 +186,37 @@ def test_bm25_matches_reference_arithmetic(spark):
 
 
 # ---------------------------------------------------------------------------
+# full_prep_pipeline (composed flagship)
+# ---------------------------------------------------------------------------
+
+
+def test_full_prep_pipeline_each_filter_fires(spark):
+    good = "the quick brown fox jumps right over the lazy sleeping dog with style and grace from here"
+    bench = " ".join(f"e{chr(97 + i)}" for i in range(12))           # eval doc
+    contaminated = (
+        "the fine words here also come with more detail from this "
+        + " ".join(f"e{chr(97 + i)}" for i in range(9))               # copies 9 bench tokens
+    )
+    repetitive = "the the the the the the the the the the and and and and"
+    low_quality = "x"                                                 # fails length score
+    df = _docs(
+        spark,
+        [
+            (1, bench, "en", "s"),
+            (21, good, "en", "s"),
+            (22, good, "en", "s"),                                    # exact dup of 21
+            (23, contaminated, "en", "s"),
+            (24, repetitive, "en", "s"),
+            (25, low_quality, "en", "s"),
+            (26, "el la de que el la de que si no por", "es", "s"),   # not target lang
+        ],
+    )
+    out = corpus.full_prep_pipeline(df, min_quality=0.35, max_dup_token_bp=6000).collect()
+    assert [r.doc_id for r in out] == [21]                            # only the canonical good doc
+    assert out[0].predicted_lang == "en" and out[0].dup_token_bp <= 6000
+
+
+# ---------------------------------------------------------------------------
 # benchmark_contamination
 # ---------------------------------------------------------------------------
 
