@@ -26,20 +26,25 @@ def scd2_from_log(
     state_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak: str = "event_id",
+    collapse: bool = True,
 ) -> DataFrame:
-    """Collapse a (key, state, ts) change log into SCD2 validity intervals:
-    consecutive duplicate states merge into one interval; ``valid_to`` is
-    the next state's start (NULL ⇒ current row). Timestamps are emitted
-    formatted (SURVEY.md §5.3 cross-engine caution)."""
+    """Turn a (key, state, ts) change log into SCD2 validity intervals;
+    ``valid_to`` is the next row's start (NULL ⇒ current). With
+    ``collapse=True`` (presentation form) consecutive duplicate states
+    merge into one interval. With ``collapse=False`` every log event
+    keeps its own row — the MERGEABLE internal form ``scd2_apply``
+    requires: collapsing is lossy under out-of-order merges (a late
+    B@t2 landing between a collapsed A@t1..A@t3 run could never recover
+    the A@t3 transition), so collapse belongs to read time, not storage.
+    Timestamps are emitted formatted (SURVEY.md §5.3 caution)."""
     w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
-    collapsed = (
-        log.select(key, state_col, ts_col, tiebreak)
-        .withColumn("__prev", F.lag(state_col).over(w))
-        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col)))
-    )
-    w2 = Window.partitionBy(key).orderBy(ts_col, tiebreak)
-    nxt = F.lead(ts_col).over(w2)
-    return collapsed.select(
+    rows = log.select(key, state_col, ts_col, tiebreak)
+    if collapse:
+        rows = rows.withColumn("__prev", F.lag(state_col).over(w)).filter(
+            F.col("__prev").isNull() | (F.col("__prev") != F.col(state_col))
+        )
+    nxt = F.lead(ts_col).over(Window.partitionBy(key).orderBy(ts_col, tiebreak))
+    return rows.select(
         F.col(key),
         F.col(state_col).alias("state"),
         F.date_format(ts_col, _TS_FMT).alias("valid_from"),
@@ -68,13 +73,15 @@ def scd2_apply(
     ts_col: str = "ts",
     tiebreak: str = "event_id",
 ) -> DataFrame:
-    """Merge a batch of new change rows into an existing SCD2 dimension
-    (the output of ``scd2_from_log``). Only keys appearing in *updates*
-    are re-derived — their stored intervals are folded back into log form
-    (each interval's start IS its log event) and unioned with the new
-    rows; every other key passes through untouched via anti-join.
+    """Merge a batch of new change rows into an existing SCD2 dimension in
+    the UNCOLLAPSED internal form (``scd2_from_log(collapse=False)``).
+    Only keys appearing in *updates* are re-derived — their stored rows
+    fold back into log form (every original event is still there, which
+    is exactly why the internal form doesn't collapse) and union with the
+    new rows; every other key passes through untouched via anti-join.
     Late/out-of-order updates are handled for free: re-derivation sorts
-    the merged history, rewriting downstream intervals of that key."""
+    the merged history, rewriting downstream intervals of that key.
+    Render with ``scd2_present`` for the collapsed business view."""
     affected = updates.select(key).distinct()
     untouched = current.join(F.broadcast(affected), key, "left_anti")
     replay = (
@@ -82,5 +89,63 @@ def scd2_apply(
         .select(key, F.col("state").alias(state_col), F.col("__ts").alias(ts_col), F.col("__tb").alias(tiebreak))
         .unionByName(updates.select(key, state_col, ts_col, tiebreak))
     )
-    rebuilt = scd2_from_log(replay, key=key, state_col=state_col, ts_col=ts_col, tiebreak=tiebreak)
+    rebuilt = scd2_from_log(
+        replay, key=key, state_col=state_col, ts_col=ts_col, tiebreak=tiebreak, collapse=False
+    )
     return untouched.unionByName(rebuilt)
+
+
+def scd2_present(
+    dim: DataFrame,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Collapse an uncollapsed internal dimension (``scd2_apply`` output /
+    streaming sink storage) into the presentation view: consecutive
+    same-state intervals merged, one row per true state change."""
+    log = dim.select(
+        key,
+        F.col("state").alias(state_col),
+        F.col("__ts").alias(ts_col),
+        F.col("__tb").alias(tiebreak),
+    )
+    return scd2_from_log(log, key=key, state_col=state_col, ts_col=ts_col, tiebreak=tiebreak)
+
+
+def scd2_streaming_sink(
+    changes_stream,
+    path: str,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+):
+    """Streaming SCD2 maintenance: each micro-batch of change rows is
+    merged into the parquet dimension at *path* with ``scd2_apply`` —
+    only the batch's keys are re-derived, so per-batch cost tracks batch
+    size, not dimension size. Late/out-of-order arrivals across batches
+    are absorbed by the per-key replay (tested by reversing batch order).
+
+    The parquet read-modify-overwrite here needs an eager materialization
+    (``localCheckpoint``) because the new dimension is derived FROM the
+    files it is about to replace; a table format with MERGE (Delta/
+    Iceberg) is the production sink — the merge LOGIC is this same
+    scd2_apply split. Returns a DataStreamWriter; caller starts it."""
+
+    def _apply(batch_df, _batch_id):
+        sp = batch_df.sparkSession
+        kw = dict(key=key, state_col=state_col, ts_col=ts_col, tiebreak=tiebreak)
+        try:
+            current = sp.read.parquet(path)
+            has_current = True
+        except Exception:
+            has_current = False
+        if has_current:
+            dim = scd2_apply(current, batch_df, **kw).localCheckpoint(eager=True)
+        else:
+            dim = scd2_from_log(batch_df, collapse=False, **kw)
+        dim.write.mode("overwrite").parquet(path)
+
+    return changes_stream.writeStream.foreachBatch(_apply)

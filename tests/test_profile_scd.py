@@ -91,8 +91,8 @@ def test_scd2_incremental_apply_equals_full_rebuild(spark):
         (3, "paid", _ts("2024-01-04 00:00:00"), 4),
     ]
     first, second = full[:2] + full[3:4], full[2:3] + full[4:]
-    current = scd.scd2_from_log(_log(spark, first))
-    merged = scd.scd2_apply(current, _log(spark, second))
+    current = scd.scd2_from_log(_log(spark, first), collapse=False)
+    merged = scd.scd2_present(scd.scd2_apply(current, _log(spark, second)))
     rebuilt = scd.scd2_from_log(_log(spark, full))
     assert _canon(merged) == _canon(rebuilt)
     # untouched key 2 present exactly once, key 1 rewritten with 3 intervals
@@ -102,14 +102,51 @@ def test_scd2_incremental_apply_equals_full_rebuild(spark):
     assert len(by_user[1]) == 3 and len(by_user[2]) == 1 and len(by_user[3]) == 1
 
 
+def test_scd2_streaming_sink_incremental_merge(spark, tables, tmp_path):
+    """File-source stream processed one file per trigger → two scd2_apply
+    merges; the final dimension must equal the one-shot batch build."""
+    import glob
+    import shutil
+
+    events = tables["events"]
+    watch = tmp_path / "changes"
+    watch.mkdir()
+    for i, half in enumerate(
+        (events.filter("event_id % 2 = 0"), events.filter("event_id % 2 = 1"))
+    ):
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(staged)
+        shutil.copy(glob.glob(f"{staged}/part-*.parquet")[0], watch / f"batch{i}.parquet")
+
+    dim_path = str(tmp_path / "dim")
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    q = scd.scd2_streaming_sink(src, dim_path).trigger(availableNow=True).start()
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    assert q.lastProgress is not None
+
+    streamed = _canon(scd.scd2_present(spark.read.parquet(dim_path)))
+    batch = _canon(scd.scd2_from_log(events))
+    assert streamed == batch
+    # a collapsed-at-storage merge would have lost split same-state runs;
+    # prove the failure mode is real data, not hypothetical
+    assert spark.read.parquet(dim_path).count() >= len(batch)
+
+
 def test_scd2_apply_handles_late_out_of_order_update(spark):
     base = [
         (1, "trial", _ts("2024-01-01 00:00:00"), 1),
         (1, "paid", _ts("2024-02-01 00:00:00"), 2),
     ]
     late = [(1, "suspended", _ts("2024-01-15 00:00:00"), 3)]  # lands mid-history
-    current = scd.scd2_from_log(_log(spark, base))
-    merged = scd.scd2_apply(current, _log(spark, late))
+    current = scd.scd2_from_log(_log(spark, base), collapse=False)
+    merged = scd.scd2_present(scd.scd2_apply(current, _log(spark, late)))
     rebuilt = scd.scd2_from_log(_log(spark, base + late))
     assert _canon(merged) == _canon(rebuilt)
     states = [r[1] for r in sorted(_canon(merged), key=lambda r: (r[0], r[2]))]

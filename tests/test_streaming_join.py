@@ -21,6 +21,33 @@ def events_stream_dir(tmp_path_factory):
     return str(d)
 
 
+def test_stream_static_enrichment_join(spark, tables, events_stream_dir):
+    """Stream-static join: a streaming fact enriched against a static
+    (broadcastable) dimension — no watermark needed on the static side."""
+    from pyspark.sql import functions as F
+
+    src = stream.read_events_stream(spark, events_stream_dir)
+    dim = tables["customer"].select("c_custkey", "c_mktsegment")
+    joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_static_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    n_stream = spark.sql("SELECT COUNT(*) c FROM ss_static_test").first().c
+    n_batch = tables["events"].join(dim, tables["events"].user_id == dim.c_custkey).count()
+    assert n_stream == n_batch > 0
+
+
 def test_stream_stream_join_equals_batch(spark, tables, events_stream_dir):
     batch = {
         (r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
