@@ -557,6 +557,10 @@ _PRIORITY = [
     "scd2_user_state",
     "events_zorder_key",
     "docs_corpus_pipeline",
+    "docs_hash_split",
+    "docs_source_cap",
+    "docs_bigram_novelty",
+    "tpch_q14_promo_share",
     # never driver-checked in round 1 (sat at positions 51-71):
     "docs_dedup_exact",
     "docs_ngram_jaccard",
@@ -658,6 +662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["supplier"], t["nation"], t["region"],
             ),
         ),
+        "tpch_q14_promo_share": _q(
+            ("lineitem", "part"),
+            lambda t: analytics.promo_revenue_ratio(t["lineitem"], t["part"]),
+        ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
         "in_subquery_region0_customers": _in_subquery_region0_customers,
@@ -724,6 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_search": _q(("documents",), lambda t: corpus.bm25_search(t["documents"])),
         "docs_contamination": _q(("documents",), lambda t: corpus.benchmark_contamination(t["documents"])),
         "docs_corpus_pipeline": _q(("documents",), lambda t: corpus.full_prep_pipeline(t["documents"])),
+        "docs_hash_split": _q(("documents",), lambda t: corpus.hash_split(t["documents"])),
+        "docs_source_cap": _q(("documents",), lambda t: corpus.cap_per_source(t["documents"])),
+        "docs_bigram_novelty": _q(("documents",), lambda t: corpus.bigram_novelty(t["documents"])),
         "docs_training_corpus": _q(
             # the composed pipeline: quality filter → language filter →
             # exact dedup, one scan + one window exchange
@@ -1072,6 +1083,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q14_promo_share": """
+            SELECT month(l_shipdate) AS ship_month,
+                   CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                                 THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS total_cents,
+                   ROUND(10000.0 * SUM(CASE WHEN p_type = 'ECONOMY'
+                                            THEN CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                                            ELSE 0 END)
+                         / NULLIF(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)), 0))
+                       / 10000.0 AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY month(l_shipdate)
+            ORDER BY ship_month
         """,
         "exists_high_value_orders": """
             SELECT o_orderkey, o_custkey
@@ -1654,6 +1680,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, predicted_lang, quality_score, dup_token_bp
             FROM kept
             QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        """,
+        "docs_hash_split": """
+            WITH b AS (
+                SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'split:v1'), 1, 4) < 'cccc' THEN 'train'
+                            WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || 'split:v1'), 1, 4) < 'e666' THEN 'val'
+                            ELSE 'test' END AS split,
+                       source, n_chars
+                FROM documents
+            )
+            SELECT split, source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+            FROM b
+            GROUP BY split, source
+            ORDER BY split, source
+        """,
+        "docs_source_cap": """
+            WITH c AS (SELECT source, COUNT(*) AS src_count FROM documents GROUP BY source)
+            SELECT d.doc_id, d.source, d.lang, d.n_chars
+            FROM documents d JOIN c ON d.source = c.source
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || 'cap:v1'), 1, 4))::BIGINT
+                  * c.src_count < 120 * 65536
+        """,
+        "docs_bigram_novelty": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                           i -> md5(toks[i] || ' ' || toks[i+1]))) AS h
+                FROM t
+            ),
+            cg AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS global_c FROM g)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(CASE WHEN global_c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+                   CAST(10000 * SUM(CASE WHEN global_c = 1 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS novelty_bp
+            FROM cg
+            GROUP BY doc_id
         """,
         "docs_token_stats": """
             SELECT doc_id,

@@ -446,3 +446,31 @@ def priority_mapping_report(
         )
         .orderBy("priority_std")
     )
+
+
+def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame, promo_type: str = "ECONOMY") -> DataFrame:
+    """TPC-H Q14 shape [EXT]: per-ship-month share of revenue coming from a
+    part type — the conditional-aggregation-over-a-join pattern (one join,
+    then two sums distinguished by a predicate on the dimension column).
+
+    Scale shape: ``part`` is dimension-sized, so the fact table never
+    shuffles — broadcast join, then a per-month partial agg; the ratio is
+    ``exact_div`` over two exact cent sums so the basis-point result is
+    hash-identical across engines and summation orders."""
+    rev = revenue_cents()
+    is_promo = (F.col("p_type") == promo_type).cast("long")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(rev * is_promo).alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+        .select(
+            "ship_month",
+            "promo_cents",
+            "total_cents",
+            exact_div(F.col("promo_cents"), F.col("total_cents")).alias("promo_share"),
+        )
+        .orderBy("ship_month")
+    )

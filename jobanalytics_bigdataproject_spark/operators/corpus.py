@@ -439,3 +439,126 @@ def benchmark_contamination(
         F.coalesce("n_shared_ngrams", F.lit(0).cast("long")).alias("n_shared_ngrams"),
         (F.coalesce("n_shared_ngrams", F.lit(0).cast("long")) > 0).alias("is_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits / per-source capping / bigram novelty
+# ---------------------------------------------------------------------------
+
+
+def hash_split(
+    documents: DataFrame,
+    train_bp: int = 8000,
+    val_bp: int = 1000,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash, the standard way a
+    training pipeline splits a corpus so that (a) membership never changes
+    across runs/clusters/retries and (b) adding documents never moves an
+    existing one between splits — both properties ``randomSplit`` lacks.
+
+    Bucket = first 4 hex chars of ``md5(doc_id || ':' || salt)`` compared
+    against hex thresholds (granularity 1/65536, same device as
+    ``mixture_sample``). Pure per-row projection on the scan — no shuffle,
+    no state, trivially linear at 100 TB — then one per-(split, source)
+    rollup for the audit report this query returns.
+    """
+    t_train = f"{(train_bp * 65536) // 10000:04x}"
+    t_val = f"{((train_bp + val_bp) * 65536) // 10000:04x}"
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 4
+    )
+    split = (
+        F.when(bucket < t_train, "train").when(bucket < t_val, "val").otherwise("test")
+    )
+    return (
+        documents.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def cap_per_source(
+    documents: DataFrame, max_per_source: int = 120, salt: str = "cap:v1"
+) -> DataFrame:
+    """Per-domain frequency cap (the RefinedWeb/CCNet "no domain dominates"
+    rule): downsample each ``source`` to ≈``max_per_source`` documents,
+    deterministically.
+
+    NOT implemented as ``row_number() OVER (PARTITION BY source)`` ≤ N —
+    that sorts every document of the hottest domain through one partition,
+    which is exactly the skew that kills a 100 TB run. Instead: count per
+    source (tiny agg, broadcast back), then keep a row iff
+
+        bucket_int * src_count < max_per_source * 65536
+
+    where bucket_int is the first-4-hex md5 bucket. Each row's verdict
+    depends only on its own hash and its source's total, so the filter is
+    a per-row predicate after a broadcast join — no per-source sort, no
+    skewed window, and the kept set is stable under reruns (keeps ~N, the
+    deterministic-expectation cap; exact-N needs the sort and is rarely
+    what a corpus pipeline wants). Sources at/below the cap keep all rows.
+    """
+    counts = documents.groupBy("source").agg(F.count("*").alias("src_count"))
+    bucket_int = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        documents.join(F.broadcast(counts), "source")
+        .filter(bucket_int * F.col("src_count") < F.lit(int(max_per_source) * 65536))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+
+
+def bigram_novelty(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document novelty score from corpus-global bigram statistics: the
+    integer-basis-point fraction of a document's bigrams that are singletons
+    (appear nowhere else in the corpus). A cheap, fully-distributed stand-in
+    for LM-perplexity quality filtering — boilerplate/templated docs score
+    near 0, unique prose scores high — without shipping a model.
+
+    Shape: one scan → window ``lead`` builds bigrams in place (the proven
+    fingerprint_docs pattern, no HOF lambdas) → md5 the bigram so the
+    corpus-global exchange carries 16-byte hashes, never text → global
+    per-bigram count via a second window (``COUNT(*) OVER (PARTITION BY
+    h)`` — same exchange a groupBy would take, but keeps the row context so
+    no join-back is needed) → per-doc conditional rollup. Three exchanges,
+    all linear in token count; integer bp via ``div`` so the score is
+    hash-exact against the oracle.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        ex.select(
+            "doc_id",
+            F.when(
+                F.lead("tok", 1).over(w).isNotNull(),
+                F.md5(F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w))),
+            ).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+    )
+    wg = Window.partitionBy("h")
+    counted = grams.select("doc_id", F.count("*").over(wg).alias("global_c"))
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum((F.col("global_c") == 1).cast("long")).alias("n_singletons"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_singletons",
+            F.expr("10000 * n_singletons div n_bigrams").alias("novelty_bp"),
+        )
+    )
