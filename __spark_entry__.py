@@ -26,6 +26,7 @@ from jobanalytics_bigdataproject_spark.functions import exact
 from jobanalytics_bigdataproject_spark.functions.exact import cents
 from jobanalytics_bigdataproject_spark.operators import (
     analytics,
+    behavior,
     cleaning,
     corpus,
     dedup,
@@ -561,6 +562,10 @@ _PRIORITY = [
     "docs_source_cap",
     "docs_bigram_novelty",
     "tpch_q14_promo_share",
+    "events_funnel",
+    "events_retention",
+    "events_sessionize",
+    "reconcile_daily_totals",
     # never driver-checked in round 1 (sat at positions 51-71):
     "docs_dedup_exact",
     "docs_ngram_jaccard",
@@ -735,6 +740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hash_split": _q(("documents",), lambda t: corpus.hash_split(t["documents"])),
         "docs_source_cap": _q(("documents",), lambda t: corpus.cap_per_source(t["documents"])),
         "docs_bigram_novelty": _q(("documents",), lambda t: corpus.bigram_novelty(t["documents"])),
+        "events_funnel": _q(("events",), lambda t: behavior.funnel(t["events"])),
+        "events_retention": _q(("events",), lambda t: behavior.retention_cohorts(t["events"])),
+        "events_sessionize": _q(("events",), lambda t: behavior.sessionize(t["events"])),
+        "reconcile_daily_totals": _q(
+            ("orders", "events"),
+            lambda t: analytics.reconcile_daily_totals(t["orders"], t["events"]),
+        ),
         "docs_training_corpus": _q(
             # the composed pipeline: quality filter → language filter →
             # exact dedup, one scan + one window exchange
@@ -1721,6 +1733,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * SUM(CASE WHEN global_c = 1 THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS novelty_bp
             FROM cg
             GROUP BY doc_id
+        """,
+        "events_funnel": """
+            WITH s0 AS (
+                SELECT user_id, event_type, ts,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                           OVER (PARTITION BY user_id) AS t0
+                FROM events
+            ),
+            s1 AS (
+                SELECT *,
+                       t0 + INTERVAL 86400 SECOND AS tlim,
+                       MIN(CASE WHEN event_type = 'click' AND ts > t0
+                                     AND ts <= t0 + INTERVAL 86400 SECOND THEN ts END)
+                           OVER (PARTITION BY user_id) AS t1
+                FROM s0
+            ),
+            s2 AS (
+                SELECT *,
+                       MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+                                     AND ts <= tlim THEN ts END)
+                           OVER (PARTITION BY user_id) AS t2
+                FROM s1
+            ),
+            u AS (
+                SELECT user_id,
+                       MAX(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS r0,
+                       MAX(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+                       MAX(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS r2
+                FROM s2 GROUP BY user_id
+            ),
+            tot AS (SELECT SUM(r0) AS n0, SUM(r1) AS n1, SUM(r2) AS n2 FROM u)
+            SELECT step_idx, step,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   CAST(10000 * n_users // NULLIF(n0, 0) AS BIGINT) AS conv_bp
+            FROM (
+                SELECT 0 AS step_idx, 'view' AS step, n0 AS n_users, n0 FROM tot
+                UNION ALL SELECT 1, 'click', n1, n0 FROM tot
+                UNION ALL SELECT 2, 'purchase', n2, n0 FROM tot
+            )
+            ORDER BY step_idx
+        """,
+        "events_retention": """
+            WITH d AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+                FROM events
+            )
+            SELECT cohort_day,
+                   CAST(day - cohort_day AS BIGINT) AS day_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM d
+            GROUP BY cohort_day, day - cohort_day
+            ORDER BY cohort_day, day_offset
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                                    >= 1800 * 1000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts NULLS FIRST, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW) AS session_seq
+                FROM o
+            )
+            SELECT user_id,
+                   CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   CAST(date_diff('microsecond', MIN(ts), MAX(ts)) // 1000000
+                        AS BIGINT) AS duration_s
+            FROM s
+            GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "reconcile_daily_totals": """
+            WITH o AS (
+                SELECT o_orderdate AS day,
+                       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS order_cents
+                FROM orders GROUP BY 1
+            ),
+            e AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       SUM(CAST(ROUND(value*100) AS BIGINT)) AS event_cents
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT COALESCE(o.day, e.day) AS day,
+                   CAST(COALESCE(order_cents, 0) AS BIGINT) AS order_cents,
+                   CAST(COALESCE(event_cents, 0) AS BIGINT) AS event_cents,
+                   CAST(COALESCE(order_cents, 0) - COALESCE(event_cents, 0)
+                        AS BIGINT) AS diff_cents,
+                   CASE WHEN order_cents IS NULL THEN 'events_only'
+                        WHEN event_cents IS NULL THEN 'orders_only'
+                        ELSE 'both' END AS status
+            FROM o FULL OUTER JOIN e ON o.day = e.day
+            ORDER BY day
         """,
         "docs_token_stats": """
             SELECT doc_id,

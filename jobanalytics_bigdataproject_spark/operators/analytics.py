@@ -474,3 +474,45 @@ def promo_revenue_ratio(lineitem: DataFrame, part: DataFrame, promo_type: str = 
         )
         .orderBy("ship_month")
     )
+
+
+def reconcile_daily_totals(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """[EXT] Full-outer reconciliation of two independently-aggregated
+    daily ledgers — booked order revenue by order date vs observed purchase
+    event value by event date — the closing-the-books query shape (which
+    side has days the other lacks, and by how much do overlapping days
+    differ). Exercises the full-outer join with null handling on BOTH
+    sides; nearest reference analog is its left join of two aggregates
+    (code/02_DataFrameOperations.scala:224-443 report join).
+
+    Scale shape: each fact aggregates down to one row per day BEFORE the
+    join (map-side partials), so the full-outer join runs on two
+    calendar-sized frames — thousands of rows at 100 TB, never fact-sized.
+    Exact integer cents on both sides keep the diff hash-stable.
+    """
+    o_daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(cents("o_totalprice")).alias("order_cents")
+    )
+    e_daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents("value")).alias("event_cents"))
+    )
+    status = (
+        F.when(F.col("order_cents").isNull(), "events_only")
+        .when(F.col("event_cents").isNull(), "orders_only")
+        .otherwise("both")
+    )
+    return (
+        o_daily.join(e_daily, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("order_cents", F.lit(0)).cast("long").alias("order_cents"),
+            F.coalesce("event_cents", F.lit(0)).cast("long").alias("event_cents"),
+            (
+                F.coalesce("order_cents", F.lit(0)) - F.coalesce("event_cents", F.lit(0))
+            ).cast("long").alias("diff_cents"),
+            status.alias("status"),
+        )
+        .orderBy("day")
+    )

@@ -1,0 +1,183 @@
+"""[EXT] Behavioral event analytics: conversion funnel, cohort retention,
+gap-based sessionization. Nearest reference analogs are its event-log
+timestamp decomposition and per-key aggregation passes
+(code/01_DataPreprocessing.scala:52-63, code/02_DataFrameOperations.scala
+keyed aggregates); the funnel/retention/session shapes themselves are the
+standard product-analytics suite a job-postings/clickstream warehouse runs
+on top of exactly those primitives.
+
+Scale shape (100 TB): every operator here shuffles the events fact exactly
+once, on ``user_id`` — funnel and retention use per-user window minima
+(map-side partial for the groupBy forms is impossible for ordered logic,
+but the window partitioning is a single hash exchange and per-user state is
+O(1) or O(session count)); the downstream rollups operate on user-sized or
+(cohort × offset)-sized frames, which are orders of magnitude smaller than
+the fact. Nothing sorts globally; nothing collects.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str] = ("view", "click", "purchase"),
+    horizon_s: int = 86400,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: a user converts step k iff they performed
+    ``steps[k]`` strictly after their step-(k-1) conversion time, all within
+    ``horizon_s`` seconds of their first step-0 event. Returns one row per
+    step: users reaching it + basis-point conversion vs step 0.
+
+    One shuffle: all step times are per-user window minima over the SAME
+    ``partitionBy(user)`` spec, so Catalyst plans a single hash exchange and
+    evaluates the chained Window operators on the co-located partition —
+    sequential, because step k's predicate references step k-1's time. The
+    final rollup is a global agg over per-user flag rows (map-side partial,
+    tiny), then an explode of the step vector — never a per-step re-scan of
+    the fact.
+    """
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, type_col, ts_col)
+    prev_t, limit_t = None, None
+    t_cols: list[str] = []
+    for k, step in enumerate(steps):
+        name = f"_t{k}"
+        if k == 0:
+            cond = F.col(type_col) == step
+        else:
+            cond = (
+                (F.col(type_col) == step)
+                & F.col(prev_t).isNotNull()
+                & (F.col(ts_col) > F.col(prev_t))
+                & (F.col(ts_col) <= F.col(limit_t))
+            )
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        if k == 0:
+            df = df.withColumn(
+                "_limit", F.timestamp_add("SECOND", F.lit(horizon_s), F.col(name))
+            )
+            limit_t = "_limit"
+        prev_t = name
+        t_cols.append(name)
+
+    per_user = df.groupBy(user_col).agg(
+        *[
+            F.max(F.col(t_cols[k]).isNotNull().cast("long")).alias(f"_r{k}")
+            for k in range(len(steps))
+        ]
+    )
+    totals = per_user.agg(
+        *[F.sum(f"_r{k}").alias(f"_n{k}") for k in range(len(steps))]
+    )
+    # explode the step vector so the result is one tidy row per step; the
+    # step-0 denominator is on the same (single) totals row, so conversion
+    # is computed before the explode — no window needed
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("step_idx"),
+                F.lit(steps[k]).alias("step"),
+                F.col(f"_n{k}").cast("long").alias("n_users"),
+                F.expr(f"CAST(10000 * _n{k} div nullif(_n0, 0) AS BIGINT)").alias(
+                    "conv_bp"
+                ),
+            )
+            for k in range(len(steps))
+        ]
+    )
+    return (
+        totals.select(F.explode(pairs).alias("p"))
+        .select("p.step_idx", "p.step", "p.n_users", "p.conv_bp")
+        .orderBy("step_idx")
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Daily cohort retention triangle: cohort = a user's first-ever event
+    date; for each (cohort_day, day_offset) count distinct users active that
+    day. The classic growth-accounting matrix.
+
+    One fact shuffle on ``user_id`` (window min for the cohort date — the
+    same exchange a groupBy-join-back would take, without the join), then a
+    distinct + rollup on (cohort, offset), whose cardinality is
+    O(active_days²) — trivially small at any corpus size.
+    """
+    w = Window.partitionBy(user_col)
+    day = F.to_date(F.col(ts_col))
+    return (
+        events.select(user_col, day.alias("_day"))
+        .withColumn("cohort_day", F.min("_day").over(w))
+        .select(
+            user_col,
+            "cohort_day",
+            F.datediff(F.col("_day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization (gaps-and-islands): a new session starts at
+    a user's first event or after ≥``gap_s`` seconds of silence; returns one
+    row per session with bounds, event count, and duration. The batch twin
+    of ``streaming.windows.session_window_agg`` — this form assigns stable
+    per-user session sequence numbers instead of merged window bounds.
+
+    One shuffle on ``user_id``; both windows (the lag and the running sum)
+    share the identical (partition, order) spec so the per-user sort happens
+    once. Per-user state during the scan is O(1). Session rows out are
+    strictly fewer than events in; the final per-session agg reuses the same
+    user-hash partitioning, so AQE-coalesced local aggregation follows with
+    no extra exchange.
+    """
+    wo = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    # integer microsecond arithmetic end-to-end: gap tests and durations
+    # stay exact (no float-epoch half-boundary hazards vs the oracle)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(F.col(ts_col)).over(wo))
+    is_new = (gap.isNull() | (gap >= gap_s * 1_000_000)).cast("long")
+    with_sess = events.select(user_col, ts_col, id_col).withColumn(
+        "session_seq",
+        F.sum(is_new).over(
+            Window.partitionBy(user_col)
+            .orderBy(F.col(ts_col), F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dur = F.expr("(unix_micros(_end) - unix_micros(_start)) div 1000000")
+    return (
+        with_sess.groupBy(user_col, "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("_start"),
+            F.max(ts_col).alias("_end"),
+        )
+        .select(
+            user_col,
+            F.col("session_seq").cast("long").alias("session_seq"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.date_format("_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            dur.cast("long").alias("duration_s"),
+        )
+        .orderBy(user_col, "session_seq")
+    )

@@ -81,3 +81,26 @@ def test_entry_contract(spark):
     qs = mod.queries()
     oracles = mod.oracle_sql()
     assert set(oracles) <= set(qs)
+
+
+def test_promo_revenue_ratio_hand_computed(spark):
+    import datetime
+
+    from jobanalytics_bigdataproject_spark.operators.analytics import promo_revenue_ratio
+
+    li = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 5), 100.0, 0.10),   # promo part, 9000 cents
+            (2, datetime.date(2024, 1, 9), 50.0, 0.00),    # non-promo, 5000 cents
+            (1, datetime.date(2024, 2, 1), 10.0, 0.50),    # promo, 500 cents
+        ],
+        ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    part = spark.createDataFrame(
+        [(1, "ECONOMY"), (2, "STANDARD")], ["p_partkey", "p_type"]
+    )
+    out = {r.ship_month: r for r in promo_revenue_ratio(li, part).collect()}
+    assert out[1].promo_cents == 9000 and out[1].total_cents == 14000
+    assert out[1].promo_share == 0.6429                     # round(9000/14000, 4dp)
+    assert out[2].promo_cents == 500 and out[2].total_cents == 500
+    assert out[2].promo_share == 1.0

@@ -1,0 +1,108 @@
+"""Behavioral event analytics (operators/behavior.py + the full-outer
+reconciliation in analytics.py): hand-computed funnel/retention/session
+fixtures covering ordering, horizon, and gap edge cases."""
+
+from __future__ import annotations
+
+import datetime
+
+from jobanalytics_bigdataproject_spark.operators import behavior
+from jobanalytics_bigdataproject_spark.operators.analytics import reconcile_daily_totals
+
+T0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, seconds_after_T0)"""
+    return spark.createDataFrame(
+        [(eid, T0 + datetime.timedelta(seconds=s), uid, et, 1.0, "{}")
+         for eid, uid, et, s in rows],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+
+
+def test_funnel_ordering_and_horizon(spark):
+    df = _events(
+        spark,
+        [
+            # user 1: full ordered conversion
+            (1, 1, "view", 0), (2, 1, "click", 10), (3, 1, "purchase", 20),
+            # user 2: purchase BEFORE any click → stops at view
+            (4, 2, "view", 0), (5, 2, "purchase", 5),
+            # user 3: click only → never enters the funnel
+            (6, 3, "click", 0),
+            # user 4: click outside the 1-day horizon → stops at view
+            (7, 4, "view", 0), (8, 4, "click", 2 * 86400),
+        ],
+    )
+    out = {r.step: r for r in behavior.funnel(df).collect()}
+    assert (out["view"].n_users, out["click"].n_users, out["purchase"].n_users) == (3, 1, 1)
+    assert out["view"].conv_bp == 10000
+    assert out["click"].conv_bp == out["purchase"].conv_bp == 3333  # 10000*1 div 3
+
+
+def test_funnel_click_after_first_view_only(spark):
+    # click precedes the FIRST view but follows none → not a conversion
+    df = _events(spark, [(1, 1, "click", 0), (2, 1, "view", 10)])
+    out = {r.step: r for r in behavior.funnel(df).collect()}
+    assert out["view"].n_users == 1 and out["click"].n_users == 0
+
+
+def test_retention_cohort_triangle(spark):
+    day = 86400
+    df = _events(
+        spark,
+        [
+            (1, 1, "view", 0), (2, 1, "view", day + 5), (3, 1, "view", 3 * day),
+            (4, 2, "view", day), (5, 2, "view", day + 60),
+        ],
+    )
+    out = {(str(r.cohort_day), r.day_offset): r.n_users
+           for r in behavior.retention_cohorts(df).collect()}
+    assert out == {
+        ("2024-01-01", 0): 1, ("2024-01-01", 1): 1, ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_sessionize_gap_boundary(spark):
+    df = _events(
+        spark,
+        [
+            (1, 1, "view", 0), (2, 1, "view", 100),
+            (3, 1, "view", 100 + 1800),          # gap == 1800s → NEW session
+            (4, 1, "view", 100 + 1800 + 1799),   # gap 1799s → same session
+            (5, 2, "view", 50),
+        ],
+    )
+    rows = {(r.user_id, r.session_seq): r for r in behavior.sessionize(df).collect()}
+    assert set(rows) == {(1, 1), (1, 2), (2, 1)}
+    assert rows[(1, 1)].n_events == 2 and rows[(1, 1)].duration_s == 100
+    assert rows[(1, 2)].n_events == 2 and rows[(1, 2)].duration_s == 1799
+    assert rows[(2, 1)].n_events == 1 and rows[(2, 1)].duration_s == 0
+    assert rows[(1, 2)].session_start == "2024-01-01 12:31:40"
+
+
+def test_reconcile_daily_totals_both_null_sides(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 1), 10.00),
+            (2, datetime.date(2024, 1, 2), 20.00),
+        ],
+        ["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    events = _events(
+        spark,
+        [
+            (1, 1, "purchase", 86400),        # 2024-01-02
+            (2, 1, "purchase", 2 * 86400),    # 2024-01-03
+            (3, 1, "view", 0),                # non-purchase: ignored
+        ],
+    )
+    out = {str(r.day): r for r in reconcile_daily_totals(orders, events).collect()}
+    assert out["2024-01-01"].status == "orders_only"
+    assert (out["2024-01-01"].order_cents, out["2024-01-01"].event_cents) == (1000, 0)
+    assert out["2024-01-02"].status == "both"
+    assert out["2024-01-02"].diff_cents == 2000 - 100
+    assert out["2024-01-03"].status == "events_only"
+    assert out["2024-01-03"].diff_cents == -100

@@ -240,3 +240,74 @@ def test_contamination_flags_planted_overlap(spark):
     assert set(out) == {21, 22}                           # bench docs excluded from output
     assert out[21].is_contaminated and out[21].n_shared_ngrams == 3  # starts at tok 0,1,2
     assert not out[22].is_contaminated and out[22].n_shared_ngrams == 0
+
+
+# ---------------------------------------------------------------------------
+# hash_split / cap_per_source / bigram_novelty
+# ---------------------------------------------------------------------------
+
+
+def _bucket_hex(doc_id, salt):
+    return hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:4]
+
+
+def test_hash_split_matches_reference_arithmetic(spark):
+    rows = [(i, f"text {i}", "en", f"src{i % 2}") for i in range(400)]
+    df = _docs(spark, rows).withColumn("n_chars", F.length("text").cast("long"))
+    out = {(r.split, r.source): (r.n_docs, r.sum_chars)
+           for r in corpus.hash_split(df).collect()}
+    # independent python replica of the md5-bucket assignment
+    t_train, t_val = f"{8000 * 65536 // 10000:04x}", f"{9000 * 65536 // 10000:04x}"
+    expected = {}
+    for i, t, _, s in rows:
+        b = _bucket_hex(i, "split:v1")
+        split = "train" if b < t_train else ("val" if b < t_val else "test")
+        n, c = expected.get((split, s), (0, 0))
+        expected[(split, s)] = (n + 1, c + len(t))
+    assert out == expected
+    # growth stability: adding docs never moves an existing one
+    bigger = _docs(spark, rows + [(1000 + i, "new doc", "en", "src0") for i in range(50)])
+    bigger = bigger.withColumn("n_chars", F.length("text").cast("long"))
+    out2 = {(r.split, r.source): r.n_docs for r in corpus.hash_split(bigger).collect()}
+    for (split, s), (n, _) in expected.items():
+        extra = sum(1 for i in range(50)
+                    if s == "src0"
+                    and ("train" if _bucket_hex(1000 + i, "split:v1") < t_train
+                         else ("val" if _bucket_hex(1000 + i, "split:v1") < t_val else "test")) == split)
+        assert out2[(split, s)] == n + extra
+
+
+def test_cap_per_source_exact_keep_set_and_skew_shape(spark):
+    # hot source (300 docs, over the cap) + cold source (40 docs, under it)
+    rows = [(i, f"text {i}", "en", "hot") for i in range(300)] + [
+        (1000 + i, f"text {i}", "en", "cold") for i in range(40)
+    ]
+    df = _docs(spark, rows).withColumn("n_chars", F.length("text").cast("long"))
+    kept = {r.doc_id for r in corpus.cap_per_source(df, max_per_source=120).collect()}
+    # cold source entirely kept: bucket * 40 < 120 * 65536 always
+    assert {1000 + i for i in range(40)} <= kept
+    # hot source: exact expected set from the same arithmetic
+    expected_hot = {
+        i for i in range(300)
+        if int(_bucket_hex(i, "cap:v1"), 16) * 300 < 120 * 65536
+    }
+    assert kept - {1000 + i for i in range(40)} == expected_hot
+    # the deterministic-expectation cap lands near the target
+    assert 60 <= len(expected_hot) <= 180
+
+
+def test_bigram_novelty_hand_computed(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "a b c", "en", "s"),    # bigrams: "a b" (shared), "b c" (singleton)
+            (2, "a b d", "en", "s"),    # bigrams: "a b" (shared), "b d" (singleton)
+            (3, "solo", "en", "s"),     # no bigrams → no output row
+        ],
+    )
+    out = {r.doc_id: r for r in corpus.bigram_novelty(df).collect()}
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d].n_bigrams == 2
+        assert out[d].n_singletons == 1
+        assert out[d].novelty_bp == 5000
