@@ -1561,13 +1561,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_mixture_sample": """
             WITH b AS (
                 SELECT doc_id, lang, source,
-                       substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4) AS bucket_hex
+                       substr(md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(source, '')), 1, 4) AS bucket_hex
                 FROM documents
             )
             SELECT doc_id, lang, source, bucket_hex
             FROM b
-            WHERE CASE WHEN source = 'src0' THEN TRUE
-                       WHEN source = 'src1' THEN bucket_hex < '8000'
+            WHERE CASE WHEN source IS NOT NULL AND source = 'src0' THEN TRUE
+                       WHEN source IS NOT NULL AND source = 'src1' THEN bucket_hex < '8000'
                        ELSE bucket_hex < '4000' END
         """,
         "docs_bm25_search": """
@@ -1592,8 +1592,8 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
                 SELECT t.doc_id,
                        CAST((((2*(n.n_docs - d.df) + 1) * 1000) // (2*d.df + 1))
-                          * ((22*t.tf*n.t_tok*10000)
-                             // (10*t.tf*n.t_tok + 3*n.t_tok + 9*l.dl*n.n_docs)) AS BIGINT) AS term_score
+                          * ((CAST(22 AS HUGEINT)*t.tf*n.t_tok*10000)
+                             // (CAST(10 AS HUGEINT)*t.tf*n.t_tok + 3*n.t_tok + 9*l.dl*n.n_docs)) AS BIGINT) AS term_score
                 FROM tf t JOIN dfreq d USING (term) JOIN dl l USING (doc_id) CROSS JOIN totals n
             )
             SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score

@@ -207,7 +207,10 @@ def mixture_sample(
 
     Pure per-row predicate on the scan (no shuffle, no state); the
     comparison is on a fixed-width hex prefix, which is exact for rate
-    granularity 1/65536."""
+    granularity 1/65536. NULL ``source`` hashes as the empty string (both
+    engines coalesce before concatenating — string-concat NULL semantics
+    differ between Spark's concat_ws and ANSI ``||``) and draws the
+    default rate."""
     rates = dict(rates_bp) if rates_bp is not None else {"src0": 10000, "src1": 5000}
 
     def thr_lit(bp: int):
@@ -216,7 +219,13 @@ def mixture_sample(
         return f"{(bp * 65536) // 10000:04x}"
 
     bucket = F.substring(
-        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("source"))), 1, 4
+        F.md5(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.coalesce(F.col("source"), F.lit(""))
+            )
+        ),
+        1,
+        4,
     )
     # build as a when-chain on source (literal map, codegen'd)
     pred = None
@@ -254,8 +263,12 @@ def bm25_search(
 
     (both denominators cleared of fractions by 10*T; see functions/
     exact.py for why integer div beats float ln/÷ for cross-engine
-    determinism). int64 headroom: safe to ~1e9 docs / 1e11 tokens; past
-    that, rescale the two constants or switch the product to decimal(38).
+    determinism). The tf factor's product ``22*tf*T*10000`` exceeds int64
+    once ``tf*T > ~4.2e13`` (e.g. tf≥420 against a 1e11-token corpus), so
+    it is computed in decimal(38,0) on Spark / HUGEINT in the DuckDB
+    oracle — exact to 38 digits, which covers tf·T up to ~1e33. The final
+    ``idf_s * tf_s`` stays int64 (idf_s ≤ ~2e12 at 1e9 docs, tf_s ≤
+    22000 ⇒ product ≤ ~4.4e16).
 
     Scale shape: the explode filters to QUERY TERMS before the (doc,term)
     count, so the shuffle is |matches|, not |corpus|; df aggregates the
@@ -280,8 +293,12 @@ def bm25_search(
         .withColumn(
             "term_score",
             F.expr(
+                # tf factor in decimal(38,0): 22*tf*T*10000 wraps int64 once
+                # tf*T > ~4.2e13 (Spark non-ANSI wraps SILENTLY) — IntegralDivide
+                # on decimals returns bigint, so the outer product stays int64.
                 "((2*(n_docs - df) + 1) * 1000 div (2*df + 1))"
-                " * (22*tf*t_tok*10000 div (10*tf*t_tok + 3*t_tok + 9*dl*n_docs))"
+                " * ((CAST(22 AS DECIMAL(38,0))*tf*t_tok*10000)"
+                "    div (CAST(10 AS DECIMAL(38,0))*tf*t_tok + 3*t_tok + 9*dl*n_docs))"
             ),
         )
     )
@@ -334,7 +351,6 @@ def full_prep_pipeline(
 
     txt = F.col(text_col)
     *_, quality_bp = _quality_bp(txt, DEFAULT_STOPWORDS)
-    wtoks = F.split(F.lower(F.trim(txt)), r"\s+")
     # the Gopher dup-token signal needs only unigram multiplicity, which is
     # ARRAY-NATIVE (size/array_distinct, no lambda) — so unlike the
     # standalone repetition_stats (which also ranks bi/tri-grams and earns
@@ -354,9 +370,16 @@ def full_prep_pipeline(
         fingerprint(text_col).alias("__fp"),
     )
 
-    # contamination 8-grams on the same whitespace tokenization (the
-    # composed pipeline's one documented tokenizer)
-    ex = documents.select("doc_id", F.posexplode(wtoks).alias("pos", "tok"))
+    # contamination 8-grams on the NORMALIZED tokenization (strip [^a-z],
+    # drop empty tokens) — the same tokenize(min_len=1) used by the
+    # standalone benchmark_contamination, so the flagged set is identical
+    # whether decontamination runs standalone or inside the pipeline.
+    # (Raw whitespace tokens would shift gram positions the moment a span
+    # carries punctuation/digits; see tests/test_corpus.py punctuation
+    # fixture.)
+    ex = documents.select(
+        "doc_id", F.posexplode(tokenize(text_col, min_len=1)).alias("pos", "tok")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, ngram)]
     grams = ex.select(

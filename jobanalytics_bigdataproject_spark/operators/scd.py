@@ -128,24 +128,39 @@ def scd2_streaming_sink(
     size, not dimension size. Late/out-of-order arrivals across batches
     are absorbed by the per-key replay (tested by reversing batch order).
 
-    The parquet read-modify-overwrite here needs an eager materialization
-    (``localCheckpoint``) because the new dimension is derived FROM the
-    files it is about to replace; a table format with MERGE (Delta/
-    Iceberg) is the production sink — the merge LOGIC is this same
-    scd2_apply split. Returns a DataStreamWriter; caller starts it."""
+    Durability: "does a dimension already exist" is decided by an EXPLICIT
+    FileSystem.exists() probe, never by catching read errors — a corrupt
+    footer / transient FS error / permission failure must abort the batch
+    (foreachBatch retries it), not be mistaken for first-batch and
+    overwrite the whole history with one micro-batch. The rewrite itself
+    is write-to-temp-then-swap: the new dimension is fully materialized in
+    a sibling ``<path>__tmp`` directory (reading the still-intact current
+    files — no read-overwrite conflict, no checkpoint needed) before the
+    old directory is replaced, so a crash mid-write leaves the current
+    dimension untouched. A table format with MERGE (Delta/Iceberg) is the
+    production sink — the merge LOGIC is this same scd2_apply split.
+    Returns a DataStreamWriter; caller starts it."""
 
     def _apply(batch_df, _batch_id):
         sp = batch_df.sparkSession
         kw = dict(key=key, state_col=state_col, ts_col=ts_col, tiebreak=tiebreak)
-        try:
-            current = sp.read.parquet(path)
-            has_current = True
-        except Exception:
-            has_current = False
-        if has_current:
-            dim = scd2_apply(current, batch_df, **kw).localCheckpoint(eager=True)
+        jvm = sp._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            # any read failure past this point is a REAL error and propagates
+            dim = scd2_apply(sp.read.parquet(path), batch_df, **kw)
         else:
             dim = scd2_from_log(batch_df, collapse=False, **kw)
-        dim.write.mode("overwrite").parquet(path)
+        tmp = path.rstrip("/") + "__tmp"
+        htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(htmp):  # leftover from a crashed batch — stale, discard
+            fs.delete(htmp, True)
+        dim.write.mode("overwrite").parquet(tmp)
+        # swap: current dim stays valid until the instant of the rename
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        if not fs.rename(htmp, hpath):
+            raise IOError(f"scd2_streaming_sink: rename {tmp} -> {path} failed")
 
     return changes_stream.writeStream.foreachBatch(_apply)

@@ -144,6 +144,21 @@ def test_mixture_sample_deterministic_and_monotone(spark):
     assert 0.15 < len(lo) / 300 < 0.35
 
 
+def test_mixture_sample_null_source_draws_default_rate(spark):
+    # NULL source hashes as md5(doc_id || ':' || '') and gets default_bp —
+    # never silently dropped, never given a named source's rate. Pins the
+    # coalesce-to-sentinel device the oracle mirrors.
+    rows = [(i, f"text {i}", "en", None) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    kept = corpus.mixture_sample(df, rates_bp={"src0": 10000}, default_bp=5000).collect()
+    assert 0.4 < len(kept) / 400 < 0.6           # default rate applies, rows not dropped
+    expected = {
+        i for i in range(400)
+        if hashlib.md5(f"{i}:".encode()).hexdigest()[:4] < f"{(5000 * 65536) // 10000:04x}"
+    }
+    assert {r.doc_id for r in kept} == expected  # exact hash arithmetic, both engines
+
+
 # ---------------------------------------------------------------------------
 # bm25_search
 # ---------------------------------------------------------------------------
@@ -214,6 +229,31 @@ def test_full_prep_pipeline_each_filter_fires(spark):
     out = corpus.full_prep_pipeline(df, min_quality=0.35, max_dup_token_bp=6000).collect()
     assert [r.doc_id for r in out] == [21]                            # only the canonical good doc
     assert out[0].predicted_lang == "en" and out[0].dup_token_bp <= 6000
+
+
+def test_full_prep_pipeline_contamination_survives_punctuation(spark):
+    # Pins the pipeline's decontamination tokenizer to tokenize(min_len=1)
+    # (strip [^a-z], drop empties) — the same grams benchmark_contamination
+    # and the DuckDB oracle build. A shared span whose copy carries
+    # punctuation/digits must still be flagged: raw whitespace tokens would
+    # see "eb," != "eb" and miss it.
+    span = " ".join(f"e{chr(97 + i)}" for i in range(10))
+    bench = span + " closing words"
+    # same 10-token span but with punctuation and digits glued onto tokens
+    dirty_span = " ".join(f"e{chr(97 + i)}," if i % 2 else f"e{chr(97 + i)}7" for i in range(10))
+    contaminated = "the fine words here also come with more detail from this " + dirty_span
+    clean = "the quick brown fox jumps right over the lazy sleeping dog with style and grace here"
+    df = _docs(spark, [(1, bench, "en", "s"), (21, contaminated, "en", "s"), (22, clean, "en", "s")])
+
+    out = {r.doc_id for r in corpus.full_prep_pipeline(df, min_quality=0.0, max_dup_token_bp=10000, langs=("en",)).collect()}
+    assert out == {22}, "punctuated copy of a bench span must be decontaminated away"
+
+    flagged = {
+        r.doc_id
+        for r in corpus.benchmark_contamination(df, bench_max_id=20, ngram=8).collect()
+        if r.is_contaminated
+    }
+    assert flagged == {21}, "standalone decontamination must flag the same doc"
 
 
 # ---------------------------------------------------------------------------
