@@ -116,8 +116,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     both engines see identical timestamps."""
     _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ;
+        # with the session pinned to UTC the cast is value-preserving, and it
+        # restores the TIMESTAMP(LTZ) type that unix_micros/window() require.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
