@@ -73,3 +73,21 @@ def test_training_corpus_single_exchange(tables):
     # cost exactly ONE shuffle (the window's hash exchange on the
     # fingerprint); a presentation sort would add a range exchange
     assert inspect.count_exchanges(df) == 1
+
+
+def test_declared_ann_flagship_prunes_partitions(spark):
+    """The DECLARED ANN entry (ann_cosine_ivf_indexed) must read the
+    persisted cluster-at-ingest layout with static cell pruning — the scan
+    carries a cell IN partition-filter, so only probed cell directories are
+    touched. Drives the __spark_entry__ surface, not the raw operator, so a
+    wrapper regression (e.g. silently falling back to the brute scan) fails
+    here."""
+    import __spark_entry__ as mod
+
+    res = mod.queries()["ann_cosine_ivf_indexed"](spark, "/root/testdata/sf0.001")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters: [" in l]
+    assert any(
+        "cell#" in l and ("IN" in l.upper() or "INSET" in l.upper())
+        for l in scan_lines
+    ), scan_lines

@@ -96,3 +96,61 @@ def test_ivf_index_full_probe_equals_bruteforce(spark, tables, tmp_path):
         for r in similarity.ivf_query(spark, path, q, k=5, n_probe=4).collect()
     }
     assert full == brute  # probing every cell degrades to the exact scan
+
+
+def test_ann_recall_report_measures_every_dial(spark, tables, tmp_path):
+    """recall@5 is measured (not asserted by vibes) on the parquet fixture:
+    IVF recall must be monotone in n_probe and equal 1.0 when every cell is
+    probed (n_probe=8 == exact scan). The fixture's embeddings are
+    near-isotropic on the unit sphere (mean same-label cosine ≈ 0.02) — the
+    adversarial case for ANY coarse quantizer, since true neighbors carry no
+    cluster structure — so the n_probe=2 bar here is a floor above the
+    2/8-of-corpus random baseline, and the ≥0.9 operating-point assertion
+    lives on the structured fixture below, where IVF's premise holds."""
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(tables["embeddings"], path, n_clusters=8)
+    q = tables["embeddings"].filter(F.col("vec_id") < 20)
+    rep = {
+        (r.method, r.param): r.recall
+        for r in similarity.ann_recall_report(
+            spark, tables["embeddings"], q, path, k=5, probes=(1, 2, 4, 8)
+        ).collect()
+    }
+    ivf = [rep[("ivf", f"n_probe={p}")] for p in (1, 2, 4, 8)]
+    assert ivf == sorted(ivf), ivf  # more probes never lose neighbors
+    assert ivf[1] >= 0.5, rep  # well above the 0.25 random-probe baseline
+    assert ivf[3] == 1.0, rep  # full probe degrades to exact
+    assert 0.0 <= rep[("srp_lsh", "bits=4")] <= 1.0
+
+
+def test_ann_recall_at_operating_point_on_structured_data(spark, tmp_path):
+    """On data with real cluster structure (what IVF exists for), the
+    declared operating point n_probe=2 of 8 cells reaches recall@5 ≥ 0.9.
+    Fixture: 10 tight clusters on the unit sphere (center + small noise,
+    renormalized), deterministic seed."""
+    import math
+    import random
+
+    rnd = random.Random(42)
+    dim, per_cluster = 16, 40
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    centers = [unit([rnd.gauss(0, 1) for _ in range(dim)]) for _ in range(10)]
+    rows = []
+    for i in range(10 * per_cluster):
+        c = centers[i % 10]
+        rows.append((i, unit([x + rnd.gauss(0, 0.15) for x in c])))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "ivf_structured")
+    similarity.ivf_build_index(emb, path, n_clusters=8)
+    q = emb.filter(F.col("vec_id") < 20)
+    rep = {
+        r.param: r.recall
+        for r in similarity.ann_recall_report(
+            spark, emb, q, path, k=5, probes=(1, 2)
+        ).filter(F.col("method") == "ivf").collect()
+    }
+    assert rep["n_probe=2"] >= 0.9, rep
