@@ -172,33 +172,27 @@ def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     ex = documents.select("doc_id", F.explode(toks).alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
+    # The 64 vote aggregates and the 64-term sign-pack are built as SQL
+    # strings, ONE py4j parse per expression: constructing them from nested
+    # Column objects cost ~1.8 s of driver time per fresh plan (hundreds of
+    # py4j round-trips) — more than the query's executor time at sf0.1.
     votes = ex.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
+            F.expr(f"sum(if((shiftright(h, {b}) & 1) = 1, 1, -1)) as v{b}")
             for b in range(64)
         ]
     )
-    sh = F.lit(0).cast("long")
-    for b in range(64):
-        sh = sh.bitwiseOR(
-            F.when(
-                F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        )
+    pack = " | ".join(f"if(v{b} > 0, shiftleft(1L, {b}), 0L)" for b in range(64))
     out = (
         documents.select("doc_id")
         .join(votes, "doc_id", "left")
-        .select("doc_id", F.coalesce(sh, F.lit(0)).alias("simhash"))
+        .selectExpr("doc_id", f"coalesce({pack}, 0L) as simhash")
     )
-    return out.select(
+    return out.selectExpr(
         "doc_id",
         "simhash",
         *[
-            F.shiftrightunsigned("simhash", 16 * c)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias(f"chunk{c}")
+            f"(shiftrightunsigned(simhash, {16 * c}) & 65535) as chunk{c}"
             for c in range(4)
         ],
     )

@@ -43,6 +43,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
 
 
+def cosine_expr(a: str, b: str) -> Column:
+    """Same cosine as ``cosine()`` but built from ONE SQL-string parse.
+    The lambda-based Column form costs dozens of py4j round-trips per
+    construction — measurable driver latency on every fresh plan — so the
+    operators' hot paths use this; the Column form stays for composability."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), 0D, (acc, v) -> acc + v)"
+    na = f"sqrt(aggregate({a}, 0D, (acc, v) -> acc + double(v) * double(v)))"
+    nb = f"sqrt(aggregate({b}, 0D, (acc, v) -> acc + double(v) * double(v)))"
+    return F.expr(f"{dot} / nullif({na} * {nb}, 0D)")
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -60,7 +71,7 @@ def cosine_topk_bruteforce(
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    sim = F.round(cosine_expr("q_vec", "c_vec"), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         c.crossJoin(F.broadcast(q))
@@ -72,11 +83,30 @@ def cosine_topk_bruteforce(
     )
 
 
-def srp_bucket(vec: Column, bits: int = 8, dim: int = 64) -> Column:
+def srp_bucket_expr(vec: str, bits: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection LSH bucket id (0..2^bits-1). Hyperplane h_b's
     coordinate j is a deterministic pseudo-random ±1 derived from
     xxhash64(b*dim+j) — fixed across runs and nodes without shipping a
-    model. Bucket bit b = sign(Σ_j h_bj · vec_j)."""
+    model. Bucket bit b = sign(Σ_j h_bj · vec_j).
+
+    Built as ONE SQL-string parse (see ``cosine_expr``): the Column-object
+    form cost ~bits×10 py4j round-trips per fresh plan."""
+    terms = []
+    for b in range(bits):
+        proj = (
+            f"aggregate(zip_with({vec}, sequence({b * dim}, {b * dim + dim - 1}), "
+            f"(x, j) -> double(x) * if((xxhash64(j) & 1) = 1, 1.0D, -1.0D)), "
+            f"0D, (acc, s) -> acc + s)"
+        )
+        terms.append(f"if({proj} > 0D, shiftleft(1L, {b}), 0L)")
+    return F.expr(" | ".join(terms))
+
+
+def srp_bucket(vec: Column, bits: int = 8, dim: int = 64) -> Column:
+    """Column-API form of ``srp_bucket_expr`` for composability; delegates
+    to the string form when given a plain column name."""
+    if isinstance(vec, str):
+        return srp_bucket_expr(vec, bits, dim)
     out = F.lit(0).cast("long")
     for b in range(bits):
         proj = F.aggregate(
@@ -111,14 +141,14 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        srp_bucket(F.col(vec_col), bits, dim).alias("bucket"),
+        srp_bucket_expr(vec_col, bits, dim).alias("bucket"),
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        srp_bucket(F.col(vec_col), bits, dim).alias("bucket"),
+        srp_bucket_expr(vec_col, bits, dim).alias("bucket"),
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    sim = F.round(cosine_expr("q_vec", "c_vec"), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         c.join(F.broadcast(q), on="bucket")
@@ -328,7 +358,7 @@ def ivf_query(
     the exact brute-force scan."""
     centroids = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cell_sim = cosine(F.col("q_vec"), F.col("centroid"))
+    cell_sim = cosine_expr("q_vec", "centroid")
     wc = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
     probed = (
         q.crossJoin(F.broadcast(centroids))
@@ -345,7 +375,7 @@ def ivf_query(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
         )
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    sim = F.round(cosine_expr("q_vec", "c_vec"), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         corpus.join(F.broadcast(probed), on="cell")
@@ -401,7 +431,7 @@ def cosine_topk_ivf(
             "cell",
         )
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    sim = F.round(cosine_expr("q_vec", "c_vec"), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
         c.join(F.broadcast(q), on="cell")
