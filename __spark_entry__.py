@@ -598,6 +598,7 @@ _ROWS_ONLY = {
     "random_split_lineitem",
     "summary_lineitem",
     "ml_price_model",
+    "multimodal_image",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio",
@@ -817,20 +818,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q(
             ("embeddings",), lambda t: similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
         ),
-        # --- multimodal columns [EXT]: binary payload + metadata; decode is
-        # a mapInPandas stub (no media libs in container) but the Arrow
-        # plumbing is real ---
+        # --- multimodal columns [EXT]: binary payload + typed metadata;
+        # every decode is REAL (stdlib wave / pure-stdlib BMP codec) through
+        # Arrow mapInPandas; binary container parsing is not SQL-expressible
+        # → rows-only (SURVEY.md §5.3) ---
         "multimodal_meta": _q(("documents",), lambda t: multimodal.media_metadata(t["documents"])),
-        "multimodal_resize": _q(
+        "multimodal_image": _q(
+            # REAL BMP decode: per-doc deterministic 24-bit BMP, parsed back
+            # to dimensions/channel-means/tile-luminance features
+            # (operators/multimodal.py:decode_image).
             ("documents",),
-            lambda t: multimodal.resize_stub(
-                multimodal.attach_binary_payload(t["documents"])
-            ).select("doc_id", "thumb_bytes"),
+            lambda t: multimodal.decode_image(
+                multimodal.attach_bmp_payload(t["documents"])
+            ).select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b"),
+        ),
+        "multimodal_resize": _q(
+            # REAL resize: BMP decode → nearest-neighbor resample → BMP
+            # re-encode (operators/multimodal.py:resize_image).
+            ("documents",),
+            lambda t: multimodal.resize_image(
+                multimodal.attach_bmp_payload(t["documents"])
+            ).select("doc_id", "thumb_bytes", "thumb_width", "thumb_height"),
         ),
         "multimodal_frame_sample": _q(
+            # REAL demux: concatenated-BMP container walked by per-frame
+            # header byte lengths (operators/multimodal.py:frame_sample).
             ("documents",),
-            lambda t: multimodal.frame_sample_stub(
-                multimodal.attach_binary_payload(t["documents"])
+            lambda t: multimodal.frame_sample(
+                multimodal.attach_video_payload(t["documents"])
             ).select("doc_id", "frame_idx"),
         ),
         "multimodal_audio": _q(

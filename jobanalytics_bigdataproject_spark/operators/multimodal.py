@@ -2,15 +2,20 @@
 analog): images/audio/video as opaque ``binary`` columns + typed metadata,
 with decode / feature-extract implemented as Arrow-batched ``mapInPandas``.
 
-The container has no image libraries, so the *image* decoders are STUBS
-behind an import-try (``NotImplementedError`` if a real decode is
-requested without the library). The *audio* modality is REAL: WAV payloads
-are synthesized and decoded with the stdlib ``wave`` module + numpy
-(``attach_wav_payload`` / ``decode_audio``), end-to-end through the same
-Arrow ``mapInPandas`` plumbing. At 100 TB the binary payloads dominate
-I/O: the scan projects only (id, payload) and the extraction is a linear
-``mapInPandas`` pass with no shuffle; downstream aggregations see only the
-small typed metadata.
+Every modality decode here is REAL — no library stubs:
+
+- *audio*: WAV payloads synthesized and decoded with the stdlib ``wave``
+  module + numpy (``attach_wav_payload`` / ``decode_audio``).
+- *image*: uncompressed 24-bit BMP payloads encoded/decoded with a
+  pure-stdlib parser (``synth_bmp`` / ``decode_image``), including a real
+  nearest-neighbor ``resize_image`` that re-encodes the thumbnail as BMP.
+- *video*: a concatenated-BMP container (each frame a complete BMP whose
+  header carries its byte length — enough structure for a real demuxer
+  walk); ``frame_sample`` strides through it emitting every Nth frame.
+
+At 100 TB the binary payloads dominate I/O: the scan projects only
+(id, payload) and the extraction is a linear ``mapInPandas`` pass with no
+shuffle; downstream aggregations see only the small typed metadata.
 """
 
 from __future__ import annotations
@@ -20,13 +25,6 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-
-try:  # real decoders would come from these; absent in this container
-    import PIL.Image  # noqa: F401
-
-    _HAS_PIL = True
-except Exception:  # noqa: BLE001
-    _HAS_PIL = False
 
 
 def attach_binary_payload(documents: DataFrame, text_col: str = "text") -> DataFrame:
@@ -55,21 +53,12 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(
-    media: DataFrame, dim: int = 8, real_decode: bool = False
-) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
-
-    ``real_decode=True`` requires an image library (absent here →
-    NotImplementedError, clearly marked stub). The default path computes a
-    deterministic fake embedding (first ``dim`` byte values / 255) so the
-    whole distributed pipeline — Arrow transfer, pandas batch shapes,
-    schema enforcement, downstream joins — is exercised for real."""
-    if real_decode and not _HAS_PIL:
-        raise NotImplementedError(
-            "real media decode requires an image library (PIL) not present "
-            "in this environment; stubbed per project constraints"
-        )
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched BYTE-level feature extraction over binary payloads
+    (modality-agnostic: length, checksum, and a deterministic byte
+    embedding — first ``dim`` byte values / 255). For content-aware
+    features use the modality decoders: ``decode_audio`` (WAV) and
+    ``decode_image`` (BMP)."""
 
     def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import hashlib
@@ -231,39 +220,233 @@ def decode_audio(media: DataFrame, n_chunks: int = 8) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(batches, AUDIO_SCHEMA)
 
 
-RESIZE_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("thumb", T.BinaryType()),
-        T.StructField("thumb_bytes", T.LongType()),
-    ]
-)
+# --- image modality: pure-stdlib uncompressed 24-bit BMP codec -------------
+#
+# BMP (BITMAPINFOHEADER, bpp=24, no compression) is fully specified by
+# public documentation and parseable with ``struct`` alone — the same
+# no-external-deps precedent the WAV path set. Pixel rows are stored
+# bottom-up, BGR, padded to 4-byte boundaries.
 
 
-def resize_stub(media: DataFrame, target_bytes: int = 64, real_decode: bool = False) -> DataFrame:
-    """Image-resize plumbing: mapInPandas over payloads producing a
-    'thumbnail' binary column. STUB transform (deterministic byte
-    truncation) — a real implementation swaps the inner function for a
-    PIL resize; schema/batching/partitioning are the real thing."""
-    if real_decode and not _HAS_PIL:
-        raise NotImplementedError(
-            "real image resize requires PIL; stubbed per project constraints"
-        )
+def synth_bmp(seed: int, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic 24-bit BMP payload: a gradient-plus-stripe pattern
+    derived from ``seed``. Pure function of its arguments, so fixtures and
+    oracles can re-derive expectations."""
+    import struct
+
+    row_pad = (-(width * 3)) % 4
+    img_size = (width * 3 + row_pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        for x in range(width):
+            r = (x * 255 // max(width - 1, 1) + seed * 17) % 256
+            g = (y * 255 // max(height - 1, 1) + seed * 31) % 256
+            b = 255 if (x + seed) % 5 == 0 else (seed * 7) % 256
+            rows += bytes((b, g, r))
+        rows += b"\0" * row_pad
+    return header + bytes(rows)
+
+
+def decode_bmp(raw: bytes) -> "numpy.ndarray":  # noqa: F821
+    """Parse an uncompressed 24-bit BMP into an (h, w, 3) RGB uint8 array.
+    Raises ValueError on anything that isn't the supported subset."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", raw, 10)
+    hdr_size, width, height, _planes, bpp, compression = struct.unpack_from(
+        "<IiiHHI", raw, 14
+    )
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    stride = (width * 3 + 3) & ~3
+    flip = height > 0
+    height = abs(height)
+    px = np.frombuffer(raw, dtype=np.uint8, count=stride * height, offset=data_offset)
+    px = px.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if flip:
+        px = px[::-1]
+    return px[:, :, ::-1]  # BGR -> RGB
+
+
+def encode_bmp(px: "numpy.ndarray") -> bytes:  # noqa: F821
+    """Inverse of ``decode_bmp`` for (h, w, 3) RGB uint8 arrays."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    row_pad = (-(w * 3)) % 4
+    img_size = (w * 3 + row_pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    bgr = px[::-1, :, ::-1]  # top-down RGB -> bottom-up BGR
+    if row_pad:
+        padded = np.zeros((h, w * 3 + row_pad), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        return header + padded.tobytes()
+    return header + np.ascontiguousarray(bgr).tobytes()
+
+
+def attach_bmp_payload(documents: DataFrame, width: int = 16, height: int = 12) -> DataFrame:
+    """Fixture adapter for the image modality: one deterministic BMP per
+    doc (seeded by doc_id) as an opaque binary column, synthesized
+    distributed via Arrow ``mapInPandas`` like a real ingest."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
 
     def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
 
         for pdf in it:
-            thumbs = pdf["payload"].map(lambda p: bytes(p[:target_bytes]))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "payload": [synth_bmp(int(d), width, height) for d in pdf["doc_id"]],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema)
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("feat", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image(media: DataFrame, grid: int = 2) -> DataFrame:
+    """REAL image decode — no stub: parses each BMP payload with the
+    pure-stdlib reader inside Arrow-batched ``mapInPandas`` and emits typed
+    metadata (dimensions, per-channel means) plus a ``grid``×``grid``
+    tile-luminance feature vector (numpy over the pixel array). Linear
+    pass, no shuffle. Not SQL-expressible (binary container parsing) →
+    rows-only driver check, per SURVEY.md §5.3."""
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in IMAGE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload)).astype(np.float64)
+                h, w = px.shape[:2]
+                lum = 0.2126 * px[:, :, 0] + 0.7152 * px[:, :, 1] + 0.0722 * px[:, :, 2]
+                feat = [
+                    float(t.mean())
+                    for row_band in np.array_split(lum, grid, axis=0)
+                    for t in np.array_split(row_band, grid, axis=1)
+                ]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(float(px[:, :, 0].mean()))
+                rows["mean_g"].append(float(px[:, :, 1].mean()))
+                rows["mean_b"].append(float(px[:, :, 2].mean()))
+                rows["feat"].append(feat)
+            yield pd.DataFrame(rows)
+
+    return media.select("doc_id", "payload").mapInPandas(batches, IMAGE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_bytes", T.LongType()),
+        T.StructField("thumb_width", T.IntegerType()),
+        T.StructField("thumb_height", T.IntegerType()),
+    ]
+)
+
+
+def resize_image(media: DataFrame, target_w: int = 8, target_h: int = 6) -> DataFrame:
+    """REAL image resize — no stub: decode BMP → nearest-neighbor resample
+    (vectorized numpy index arithmetic) → re-encode BMP thumbnail. Same
+    Arrow ``mapInPandas`` shape a PIL/libvips implementation would use;
+    only the inner kernel differs."""
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, thumbs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(payload))
+                h, w = px.shape[:2]
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                ids.append(doc_id)
+                thumbs.append(encode_bmp(px[ys][:, xs]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
                     "thumb": thumbs,
-                    "thumb_bytes": thumbs.map(len),
+                    "thumb_bytes": [len(t) for t in thumbs],
+                    "thumb_width": target_w,
+                    "thumb_height": target_h,
                 }
             )
 
     return media.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+# --- video modality: concatenated-BMP container ----------------------------
+
+
+def synth_video(seed: int, n_frames: int = 12, width: int = 16, height: int = 12) -> bytes:
+    """Deterministic 'video' payload: ``n_frames`` complete BMP frames
+    back-to-back. Each frame's byte length is in its own header (bfSize),
+    so demuxing is a real header-walk, not fixed-stride slicing."""
+    return b"".join(synth_bmp(seed * 1000 + i, width, height) for i in range(n_frames))
+
+
+def attach_video_payload(
+    documents: DataFrame, n_frames: int = 12, width: int = 16, height: int = 12
+) -> DataFrame:
+    """Fixture adapter for the video modality (seeded by doc_id)."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        synth_video(int(d), n_frames, width, height)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, schema)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -275,28 +458,37 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def frame_sample_stub(
-    media: DataFrame, frame_size: int = 32, every_nth: int = 4, max_frames: int = 8
-) -> DataFrame:
-    """Video frame-sampling plumbing: one payload row fans out to N frame
-    rows (mapInPandas may emit more rows than it receives — the exact
-    shape a real decoder needs). STUB: fixed-size byte windows at a
-    stride; a real implementation swaps in an actual demuxer."""
+def frame_sample(media: DataFrame, every_nth: int = 4, max_frames: int = 8) -> DataFrame:
+    """REAL video frame sampling — no stub: demux the concatenated-BMP
+    container by walking each frame header's declared byte length, keep
+    every ``every_nth`` frame up to ``max_frames``. One payload row fans
+    out to N frame rows (mapInPandas may emit more rows than it receives —
+    the exact shape a real decoder needs); each emitted frame is itself a
+    decodable BMP."""
 
     def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import struct
+
         import pandas as pd
 
         for pdf in it:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                for k in range(max_frames):
-                    start = k * frame_size * every_nth
-                    if start >= len(raw):
+                pos = frame_no = kept = 0
+                while pos + 6 <= len(raw) and kept < max_frames:
+                    if raw[pos : pos + 2] != b"BM":
+                        break  # trailing garbage: stop at first non-frame
+                    (size,) = struct.unpack_from("<I", raw, pos + 2)
+                    if size < 54 or pos + size > len(raw):
                         break
-                    ids.append(doc_id)
-                    idxs.append(k)
-                    frames.append(raw[start : start + frame_size])
+                    if frame_no % every_nth == 0:
+                        ids.append(doc_id)
+                        idxs.append(frame_no)
+                        frames.append(raw[pos : pos + size])
+                        kept += 1
+                    pos += size
+                    frame_no += 1
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

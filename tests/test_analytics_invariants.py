@@ -65,12 +65,14 @@ def test_multimodal_feature_plumbing(tables):
         assert r.n_bytes > 0 and len(r.checksum) == 32
 
 
-def test_multimodal_real_decode_is_stubbed(tables):
+def test_multimodal_rejects_non_bmp_payload(tables):
+    # the image decoder is real, so a non-image payload must fail loudly
+    # (ValueError from the BMP parser), not silently produce features
     import pytest
 
     media = multimodal.attach_binary_payload(tables["documents"].limit(1))
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, real_decode=True)
+    with pytest.raises(Exception, match="not a BMP payload"):
+        multimodal.decode_image(media).collect()
 
 
 def test_entry_contract(spark):
