@@ -517,6 +517,32 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_MINHASH_STORE_CACHE: dict[str, str] = {}
+
+
+def _docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup removal: the corpus' first ~80%% of doc_ids is
+    the persisted signature store (built once per process — cluster-at-
+    ingest, like the IVF index); the remaining batch is deduped against
+    store + itself WITHOUT re-shingling history
+    (operators/dedup.py:dedup_batch_incremental). Rows-only: xxhash64
+    signatures have no DuckDB analog (SURVEY.md §5.3); the
+    incremental==full-rebuild equivalence is pinned in test_text_dedup.py."""
+    import tempfile
+
+    t = load_star(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    cutoff = int(docs.agg(F.expr("percentile(doc_id, 0.8)")).first()[0])
+    path = _MINHASH_STORE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="minhash_store_") + "/store"
+        dedup.minhash_store_write(docs.filter(F.col("doc_id") < cutoff), path)
+        _MINHASH_STORE_CACHE[sf_dir] = path
+    return dedup.dedup_batch_incremental(
+        spark, docs.filter(F.col("doc_id") >= cutoff), path
+    ).select("doc_id", "lang", "source")
+
+
 def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of SRP-LSH (bits=4) and persisted-IVF (n_probe ∈ {1,2,4})
     against the exact brute-force baseline — the operability report an ANN
@@ -590,6 +616,7 @@ _ROWS_ONLY = {
     "docs_simhash",
     "docs_simhash_pairs",
     "docs_neardup_dedup",
+    "docs_incremental_dedup",
     "ann_cosine_lsh",
     "ann_cosine_ivf",
     "ann_cosine_ivf_indexed",
@@ -784,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lsh_candidates": _q(("documents",), lambda t: dedup.minhash_lsh_candidates(t["documents"])),
         "docs_simhash": _q(("documents",), lambda t: dedup.simhash_docs(t["documents"])),
         "docs_ngram_jaccard": _q(("documents",), _docs_ngram_jaccard),
+        "docs_incremental_dedup": _docs_incremental_dedup,
         "docs_neardup_dedup": _q(
             ("documents",),
             lambda t: dedup.neardup_dedup(t["documents"], jaccard_threshold=0.5).select(

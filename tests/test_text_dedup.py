@@ -204,3 +204,52 @@ def test_training_corpus_composition_consistent(tables):
     for d in sorted(kept_ids):
         by_fp.setdefault(fps[d], d)
     assert surv == set(by_fp.values())
+
+
+def test_incremental_dedup_equals_full_rebuild(spark, tables, tmp_path):
+    """The store-backed incremental path (batch shingled, history probed by
+    signature) must produce EXACTLY the full-rebuild survivor set under the
+    smaller-id-wins rule, when batches partition the corpus by id."""
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    cutoff = int(docs.agg(F.expr("percentile(doc_id, 0.6)")).first()[0])
+    hist = docs.filter(F.col("doc_id") < cutoff)
+    batch = docs.filter(F.col("doc_id") >= cutoff)
+    path = str(tmp_path / "store")
+    dedup.minhash_store_write(hist, path)
+    inc = {
+        r.doc_id
+        for r in dedup.dedup_batch_incremental(spark, batch, path).select("doc_id").collect()
+    }
+    full = {
+        r.doc_id for r in dedup.neardup_dedup_sig(docs).select("doc_id").collect()
+    }
+    hist_alone = {
+        r.doc_id for r in dedup.neardup_dedup_sig(hist).select("doc_id").collect()
+    }
+    # ids >= cutoff can never kill ids < cutoff, so full == hist ∪ inc
+    assert full == hist_alone | inc
+    assert inc == {d for d in full if d >= cutoff}
+
+
+def test_incremental_store_append_blocks_reentry(spark, tables, tmp_path):
+    """Copies of an already-DROPPED doc must still be dropped later — the
+    store keeps every seen signature, not just survivors'."""
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].limit(50).cache()
+    path = str(tmp_path / "store")
+    dedup.minhash_store_write(docs, path)
+    # batch2: exact copies of the first 10 docs under fresh (larger) ids
+    copies = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    s2 = dedup.dedup_batch_incremental(spark, copies, path, update_store=True)
+    assert s2.count() == 0  # every copy matches its original
+    # batch3: copies of batch2's (dropped) docs — must STILL be dropped,
+    # because the dropped docs' signatures were appended to the store
+    copies3 = docs.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(2_000_000)
+    )
+    assert dedup.dedup_batch_incremental(spark, copies3, path).count() == 0
