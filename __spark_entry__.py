@@ -602,6 +602,9 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
+    # new this round: SCD2 horizon compaction (VERDICT r2 #7) — its oracle
+    # match doubles as the compaction-equivalence proof.
+    "scd2_compacted_state",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -765,6 +768,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: stream_joins.click_purchase_attribution(t["events"]),
         ),
         "scd2_user_state": _q(("events",), lambda t: scd.scd2_dim(t["events"])),
+        # horizon compaction preserves the presentation view exactly, so this
+        # shares scd2_user_state's oracle — the hash match IS the equivalence
+        # proof (operators/scd.py:scd2_compact; VERDICT r2 #7)
+        "scd2_compacted_state": _q(
+            ("events",),
+            lambda t: scd.scd2_present(
+                scd.scd2_compact(
+                    scd.scd2_from_log(t["events"], collapse=False), "2024-01-16"
+                )
+            ).select("user_id", "state", "valid_from", "valid_to", "is_current"),
+        ),
         "events_zorder_key": _q(("events",), _events_zorder_key),
         # --- text analysis [EXT] ---
         "docs_token_stats": _q(("documents",), lambda t: text.token_stats(t["documents"])),
@@ -935,7 +949,7 @@ _DOC_TOKENS = (
 )
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_literals() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2102,3 +2116,11 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_literals()
+    # scd2_compact preserves the presentation view for any horizon, so its
+    # oracle IS scd2_user_state's SQL — the hash match proves equivalence.
+    d["scd2_compacted_state"] = d["scd2_user_state"]
+    return d

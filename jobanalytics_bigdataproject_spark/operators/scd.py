@@ -95,6 +95,59 @@ def scd2_apply(
     return untouched.unionByName(rebuilt)
 
 
+def scd2_compact(
+    dim: DataFrame,
+    horizon,
+    key: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Bound the uncollapsed internal dimension's growth: collapse
+    consecutive same-state runs whose events are OLDER than *horizon*
+    (a late-data watermark — the caller's promise that no event with
+    ``ts < horizon`` will ever arrive again), keeping one row per run
+    (the run leader). Events at/inside the horizon keep the event-level
+    form so ``scd2_apply`` can still splice late arrivals between them.
+
+    This is exactly the trade the uncollapsed form defers: collapsing is
+    lossy only if a late event can land inside a collapsed run, and the
+    horizon contract rules that out. ``scd2_present`` of the compacted
+    dimension equals ``scd2_present`` of the full one (equivalence-tested),
+    and row count per key is bounded by (#true state changes before the
+    horizon) + (#events inside the horizon) instead of the whole event log.
+
+    Scale: one window pair on the same (key → ts, tiebreak) partition
+    spec as derivation — run-ids via change-flag running sum, run leader
+    via row_number — so compaction adds no extra exchange beyond the
+    per-key shuffle it shares with re-derivation.
+
+    *horizon* is a timestamp string (``yyyy-MM-dd[ HH:mm:ss]``) or Column.
+    """
+    hz = F.to_timestamp(F.lit(horizon)) if isinstance(horizon, str) else horizon
+    log = dim.select(
+        key,
+        F.col("state").alias(state_col),
+        F.col("__ts").alias(ts_col),
+        F.col("__tb").alias(tiebreak),
+    )
+    w = Window.partitionBy(key).orderBy(ts_col, tiebreak)
+    prev = F.lag(state_col).over(w)
+    flag = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    runs = log.withColumn(
+        "__run", F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wrun = Window.partitionBy(key, "__run").orderBy(ts_col, tiebreak)
+    kept = (
+        runs.withColumn("__rn", F.row_number().over(wrun))
+        .filter((F.col(ts_col) >= hz) | (F.col("__rn") == 1))
+        .drop("__run", "__rn")
+    )
+    return scd2_from_log(
+        kept, key=key, state_col=state_col, ts_col=ts_col, tiebreak=tiebreak, collapse=False
+    )
+
+
 def scd2_present(
     dim: DataFrame,
     key: str = "user_id",
@@ -121,12 +174,19 @@ def scd2_streaming_sink(
     state_col: str = "event_type",
     ts_col: str = "ts",
     tiebreak: str = "event_id",
+    compact_lag_days: float | None = None,
 ):
     """Streaming SCD2 maintenance: each micro-batch of change rows is
     merged into the parquet dimension at *path* with ``scd2_apply`` —
     only the batch's keys are re-derived, so per-batch cost tracks batch
     size, not dimension size. Late/out-of-order arrivals across batches
     are absorbed by the per-key replay (tested by reversing batch order).
+
+    With ``compact_lag_days`` set, each batch also runs ``scd2_compact``
+    at horizon = (max event ts seen) - lag, so stored rows stop tracking
+    the event log and track (state changes + a sliding late-data tail)
+    instead — the bounded-storage operational form. The horizon scalar is
+    one single-row aggregate (metadata-scale collect, not a data move).
 
     Durability: "does a dimension already exist" is decided by an EXPLICIT
     FileSystem.exists() probe, never by catching read errors — a corrupt
@@ -152,6 +212,13 @@ def scd2_streaming_sink(
             dim = scd2_apply(sp.read.parquet(path), batch_df, **kw)
         else:
             dim = scd2_from_log(batch_df, collapse=False, **kw)
+        if compact_lag_days is not None:
+            hi = dim.agg(F.max("__ts")).first()[0]
+            if hi is not None:
+                lag_s = int(compact_lag_days * 86400)
+                dim = scd2_compact(
+                    dim, F.lit(hi) - F.expr(f"INTERVAL {lag_s} SECONDS"), **kw
+                )
         tmp = path.rstrip("/") + "__tmp"
         htmp = jvm.org.apache.hadoop.fs.Path(tmp)
         if fs.exists(htmp):  # leftover from a crashed batch — stale, discard

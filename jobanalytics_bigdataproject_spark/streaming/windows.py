@@ -155,16 +155,22 @@ def stream_from_directory(
 
 
 def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """Streaming reader for the ``events`` fixture layout: the parquet
-    stores ts as TIMESTAMP(NANOS) (long under nanosAsLong), so the stream
-    schema declares it long and converts with exact integer ``div`` —
-    identical to sources/readers.read_table's batch path."""
+    """Streaming reader for the ``events`` fixture layout. A stream source
+    needs a declared schema, but the fixture's physical ts encoding has two
+    generations — TIMESTAMP(NANOS) (a long under nanosAsLong) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (TIMESTAMP_NTZ) — so probe the
+    directory's footer with a one-off batch read (metadata-only, no data
+    scan) and declare the matching schema + conversion, mirroring
+    sources/readers.read_table's batch path exactly: mixing them up shifts
+    every event time by 10^3 (the 1970-01-20 failure mode)."""
     from pyspark.sql import types as T
 
+    ts_type = dict(spark.read.parquet(path).dtypes).get("ts")
+    ts_field = T.LongType() if ts_type == "bigint" else T.TimestampNTZType()
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", ts_field),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -172,4 +178,7 @@ def read_events_stream(spark, path: str, max_files_per_trigger: int = 1) -> Data
         ]
     )
     raw = stream_from_directory(spark, path, schema, "parquet", max_files_per_trigger)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # session pinned to UTC (readers._ensure_session_conf) ⇒ value-preserving
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -151,3 +151,84 @@ def test_scd2_apply_handles_late_out_of_order_update(spark):
     assert _canon(merged) == _canon(rebuilt)
     states = [r[1] for r in sorted(_canon(merged), key=lambda r: (r[0], r[2]))]
     assert states == ["trial", "suspended", "paid"]
+
+# ---------------------------------------------------------------------------
+# SCD2 horizon compaction
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_compact_present_equivalence(spark, tables):
+    """Collapsing runs older than any horizon must not change the
+    presentation view (the horizon only bounds storage, never semantics)."""
+    dim = scd.scd2_from_log(tables["events"], collapse=False)
+    full = _canon(scd.scd2_present(dim))
+    for hz in ("2024-01-01", "2024-01-16", "2024-02-15"):
+        assert _canon(scd.scd2_present(scd.scd2_compact(dim, hz))) == full
+
+
+def test_scd2_compact_bounds_rows(spark):
+    """1 key, 100 same-state events then one change, all pre-horizon →
+    compacted internal form is 2 rows (one per run), not 101."""
+    rows = [(1, "active", _ts(f"2024-01-01 00:{m:02d}:00"), m) for m in range(50)]
+    rows += [(1, "active", _ts(f"2024-01-01 01:{m:02d}:00"), 100 + m) for m in range(50)]
+    rows += [(1, "churned", _ts("2024-01-02 00:00:00"), 999)]
+    dim = scd.scd2_from_log(_log(spark, rows), collapse=False)
+    assert dim.count() == 101
+    compacted = scd.scd2_compact(dim, "2024-02-01")
+    assert compacted.count() == 2
+    assert _canon(scd.scd2_present(compacted)) == _canon(scd.scd2_present(dim))
+
+
+def test_scd2_compact_keeps_event_form_inside_horizon(spark):
+    """Events at/after the horizon stay row-per-event so a late arrival can
+    still splice between them; merge-after-compact == full rebuild."""
+    base = [
+        (1, "trial", _ts("2024-01-01 00:00:00"), 1),
+        (1, "trial", _ts("2024-01-02 00:00:00"), 2),   # pre-horizon no-op: drops
+        (1, "paid", _ts("2024-01-20 00:00:00"), 3),
+        (1, "paid", _ts("2024-01-21 00:00:00"), 4),    # post-horizon no-op: kept
+    ]
+    dim = scd.scd2_from_log(_log(spark, base), collapse=False)
+    compacted = scd.scd2_compact(dim, "2024-01-10")
+    assert compacted.count() == 3  # trial leader + both paid events
+    late = [(1, "suspended", _ts("2024-01-20 12:00:00"), 5)]  # between kept events
+    merged = scd.scd2_present(scd.scd2_apply(compacted, _log(spark, late)))
+    rebuilt = scd.scd2_from_log(_log(spark, base + late))
+    assert _canon(merged) == _canon(rebuilt)
+    states = [r[1] for r in sorted(_canon(merged), key=lambda r: (r[0], r[2]))]
+    assert states == ["trial", "paid", "suspended", "paid"]
+
+
+def test_scd2_streaming_sink_compacts_storage(spark, tables, tmp_path):
+    """With compact_lag_days, the stored dimension is smaller than the
+    event-level form but presents identically."""
+    import glob
+    import shutil
+
+    events = tables["events"]
+    watch = tmp_path / "changes"
+    watch.mkdir()
+    staged = str(tmp_path / "stage")
+    events.coalesce(1).write.mode("overwrite").parquet(staged)
+    shutil.copy(glob.glob(f"{staged}/part-*.parquet")[0], watch / "batch0.parquet")
+
+    dim_path = str(tmp_path / "dim")
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    q = (
+        scd.scd2_streaming_sink(src, dim_path, compact_lag_days=5.0)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    stored = spark.read.parquet(dim_path)
+    assert _canon(scd.scd2_present(stored)) == _canon(scd.scd2_from_log(events))
+    # events span ~30 days; a 5-day horizon must have collapsed most no-op runs
+    assert stored.count() < events.count()
