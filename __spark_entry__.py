@@ -605,6 +605,14 @@ _PRIORITY = [
     # new this round: SCD2 horizon compaction (VERDICT r2 #7) — its oracle
     # match doubles as the compaction-equivalence proof.
     "scd2_compacted_state",
+    # new this round: TPC-H Q7/Q10 join shapes, RANGE-interval window,
+    # integer-exact anomaly flagging, dense-grid gapfill, unigram LM scoring
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "customer_rolling_spend",
+    "events_daily_anomaly",
+    "events_hourly_gapfill",
+    "docs_unigram_logprob",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -717,6 +725,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("lineitem", "part"),
             lambda t: analytics.promo_revenue_ratio(t["lineitem"], t["part"]),
         ),
+        "tpch_q7_volume_shipping": _q(
+            ("customer", "orders", "lineitem", "supplier", "nation"),
+            lambda t: analytics.tpch_q7_volume_shipping(
+                t["customer"], t["orders"], t["lineitem"], t["supplier"], t["nation"]
+            ),
+        ),
+        "tpch_q10_returned_items": _q(
+            ("customer", "orders", "lineitem", "nation"),
+            lambda t: analytics.tpch_q10_returned_items(
+                t["customer"], t["orders"], t["lineitem"], t["nation"]
+            ),
+        ),
+        "customer_rolling_spend": _q(
+            ("orders",), lambda t: analytics.customer_rolling_spend(t["orders"])
+        ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
         "in_subquery_region0_customers": _in_subquery_region0_customers,
@@ -800,6 +823,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": _q(("events",), lambda t: behavior.funnel(t["events"])),
         "events_retention": _q(("events",), lambda t: behavior.retention_cohorts(t["events"])),
         "events_sessionize": _q(("events",), lambda t: behavior.sessionize(t["events"])),
+        "events_daily_anomaly": _q(("events",), lambda t: behavior.daily_anomaly(t["events"])),
+        "events_hourly_gapfill": _q(("events",), lambda t: behavior.hourly_gapfill(t["events"])),
+        "docs_unigram_logprob": _q(
+            ("documents",), lambda t: corpus.unigram_logprob(t["documents"])
+        ),
         "reconcile_daily_totals": _q(
             ("orders", "events"),
             lambda t: analytics.reconcile_daily_totals(t["orders"], t["events"]),
@@ -1188,6 +1216,105 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY month(l_shipdate)
             ORDER BY ship_month
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue
+            FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "customer_rolling_spend": """
+            SELECT o_orderkey, o_custkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate
+                       RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+                   )/100.0, 2) AS spend_90d
+            FROM orders
+        """,
+        "events_daily_anomaly": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+                FROM events GROUP BY event_type, CAST(ts AS DATE)
+            ),
+            stats AS (
+                SELECT event_type, COUNT(*) AS n_days, SUM(cnt) AS total,
+                       SUM(cnt*cnt) AS sumsq
+                FROM daily GROUP BY event_type
+            )
+            SELECT daily.event_type, strftime(daily.day, '%Y-%m-%d') AS day,
+                   CAST(cnt AS BIGINT) AS cnt,
+                   (cnt*n_days - total)*(cnt*n_days - total)
+                     > 4*(n_days*sumsq - total*total) AS is_anomaly
+            FROM daily JOIN stats ON daily.event_type = stats.event_type
+            ORDER BY daily.event_type, day
+        """,
+        "events_hourly_gapfill": """
+            WITH grid AS (
+                SELECT t.event_type, g.h
+                FROM (SELECT DISTINCT event_type FROM events) t
+                CROSS JOIN (
+                    SELECT unnest(generate_series(date_trunc('hour', MIN(ts)),
+                                                  date_trunc('hour', MAX(ts)),
+                                                  INTERVAL 1 HOUR)) AS h
+                    FROM events
+                ) g
+            ),
+            hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       COUNT(*) AS cnt, MAX(event_id) AS max_id
+                FROM events GROUP BY event_type, date_trunc('hour', ts)
+            )
+            SELECT grid.event_type,
+                   strftime(grid.h, '%Y-%m-%d %H:00:00') AS hour,
+                   CAST(COALESCE(hourly.cnt, 0) AS BIGINT) AS cnt,
+                   LAST_VALUE(hourly.max_id IGNORE NULLS) OVER (
+                       PARTITION BY grid.event_type ORDER BY grid.h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_event_id
+            FROM grid LEFT JOIN hourly
+              ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+            ORDER BY grid.event_type, hour
+        """,
+        "docs_unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, unnest(""" + _DOC_TOKENS + """) AS tok
+                FROM documents
+            ),
+            vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT SUM(cnt) AS total FROM vocab)
+            SELECT doc_id,
+                   COUNT(*) AS n_tokens,
+                   ROUND(100.0 * SUM(CAST(ROUND(ln(cnt*1.0/total)*1000000) AS BIGINT))
+                         / NULLIF(COUNT(*), 0)) / 100.0 AS avg_lp_micro
+            FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "exists_high_value_orders": """
             SELECT o_orderkey, o_custkey

@@ -422,6 +422,121 @@ def tpch_q5_local_supplier_volume(
     )
 
 
+def tpch_q7_volume_shipping(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape [EXT]: bilateral trade volume — revenue shipped
+    between two specific nations (both directions), per supplier nation ×
+    customer nation × ship year.
+
+    Scale shape: the nation-pair predicate is applied to the DIMENSION
+    sides first — customer and supplier each broadcast-join the 2-row
+    nation slice BEFORE touching a fact table, so the orders⋈customer and
+    lineitem⋈supplier probes only keep rows from the two nations and the
+    big lineitem⋈orders shuffle moves the pruned minority, not the full
+    fact. The cross-pair condition (exclude same-nation trade) is a cheap
+    residual filter on two broadcast-joined label columns, never a theta
+    join. Revenue accumulates in exact integer cents."""
+    ns = nation.filter(F.col("n_name").isin(nation_a, nation_b))
+    supp_n = ns.select(
+        F.col("n_nationkey").alias("__s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = ns.select(
+        F.col("n_nationkey").alias("__c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(
+            supplier.join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("__s_nk")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("__c_nk")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg((F.sum(revenue_cents()) / F.lit(100.0)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q10_returned_items(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+    top_k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape [EXT]: which customers returned the most revenue in
+    a quarter — lost-revenue attribution over a 4-way join, top-k.
+
+    Scale shape: the quarter filter pushes to the orders scan and the
+    returnflag filter to the lineitem scan, so both fact inputs shrink
+    before the o_orderkey shuffle; nation broadcasts onto the surviving
+    customers; the wide groupBy key (custkey + display attrs) adds no
+    second exchange because custkey is already the join key's functional
+    parent; top-k is TakeOrderedAndProject, never a global sort."""
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+        )
+        .join(lineitem.filter(F.col("l_returnflag") == "R"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg((F.sum(revenue_cents()) / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(top_k)
+    )
+
+
+def customer_rolling_spend(
+    orders: DataFrame, days: int = 90, dp: int = 2
+) -> DataFrame:
+    """[EXT] Trailing-``days`` spend per customer at each order: a
+    time-RANGE window frame (``RANGE BETWEEN INTERVAL .. PRECEDING``),
+    the one window frame shape the surface didn't yet cover (lag / ntile /
+    rowsBetween / rank all exist). Spark's rangeBetween needs a numeric
+    ordering key, so the frame runs over epoch seconds — value-identical
+    to DuckDB's interval RANGE frame.
+
+    Scale shape: partitioned by ``o_custkey`` — millions of independent
+    small frames, one hash exchange, per-task state bounded by one
+    customer's orders inside the window, never N. Peer rows (same customer,
+    same date) are summed into the frame identically on both engines
+    because RANGE frames include all order-key peers. Spend accumulates in
+    integer cents; the final division is the only float op."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum(cents("o_totalprice")).over(w) / F.lit(100.0), dp).alias(
+            f"spend_{days}d"
+        ),
+    )
+
+
 def priority_mapping_report(
     orders: DataFrame, mapping: Mapping[str, str] | None = None
 ) -> DataFrame:

@@ -181,3 +181,106 @@ def sessionize(
         )
         .orderBy(user_col, "session_seq")
     )
+
+
+def daily_anomaly(
+    events: DataFrame,
+    z: int = 2,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """[EXT] Integer-exact volume-anomaly detection: flag (event_type, day)
+    cells whose daily count deviates from that type's mean by more than
+    ``z`` population standard deviations — the data-quality tripwire every
+    ingestion pipeline runs on its daily partition counts.
+
+    The z-test is evaluated WITHOUT floats: |c − μ| > z·σ with μ = T/n and
+    σ² = (n·S − T²)/n² (T = Σc, S = Σc², n = #days observed for the type)
+    multiplies out to ``(c·n − T)² > z²·(n·S − T²)`` — pure int64, so the
+    flag is bit-identical on any engine and any summation order (a float
+    stddev differs in the last ulp between Spark's partial aggregation tree
+    and a single-node oracle, which can flip a borderline flag). int64 is
+    safe while c·n < 3·10⁹; beyond that (trillions of events/day) the
+    quadratic terms need decimal(38,0) — same shape, wider lanes.
+
+    Scale shape: one shuffle on (type, day) for the daily counts (map-side
+    partial combine does the heavy lifting); the per-type moments roll up
+    from the tiny daily frame and broadcast back onto it.
+    """
+    daily = events.groupBy(
+        F.col(type_col), F.to_date(ts_col).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    stats = daily.groupBy(type_col).agg(
+        F.count("*").alias("n_days"),
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+    )
+    lhs = F.col("cnt") * F.col("n_days") - F.col("total")
+    rhs = F.lit(z * z) * (
+        F.col("n_days") * F.col("sumsq") - F.col("total") * F.col("total")
+    )
+    return (
+        daily.join(F.broadcast(stats), type_col)
+        .select(
+            type_col,
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cnt",
+            (lhs * lhs > rhs).alias("is_anomaly"),
+        )
+        .orderBy(type_col, "day")
+    )
+
+
+def hourly_gapfill(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """[EXT] Time-series regularization: one row per (event_type, hour) on
+    a dense hourly grid spanning the data, with the count zero-filled and
+    the last-seen event id forward-filled across empty hours — the
+    resample-and-ffill primitive behind rate dashboards and downstream
+    as-of features.
+
+    Scale shape: the dense grid is generated DISTRIBUTED (``sequence`` +
+    ``explode`` per type — never a driver loop) and is |types|×|hours|,
+    vanishingly small next to the fact; the fact is touched once by the
+    (type, hour) count agg with map-side combine. The forward-fill window
+    partitions by type over the grid frame, so per-task state is one
+    type's hour span. Every output column is integer or formatted string —
+    exact on any engine.
+    """
+    hours = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("h0"),
+        F.date_trunc("hour", F.max(ts_col)).alias("h1"),
+    )
+    grid = (
+        events.select(type_col)
+        .distinct()
+        .crossJoin(F.broadcast(hours))
+        .select(
+            type_col,
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    hourly = events.groupBy(
+        F.col(type_col), F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    ).agg(F.count("*").alias("cnt"), F.max(id_col).alias("max_id"))
+    wff = (
+        Window.partitionBy(type_col)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, [type_col, "hour"], "left")
+        .select(
+            type_col,
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.last("max_id", ignorenulls=True).over(wff).alias("last_event_id"),
+        )
+        .orderBy(type_col, "hour")
+    )

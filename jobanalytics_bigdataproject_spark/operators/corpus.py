@@ -585,3 +585,50 @@ def bigram_novelty(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("10000 * n_singletons div n_bigrams").alias("novelty_bp"),
         )
     )
+
+
+def unigram_logprob(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[EXT] Corpus-unigram language-model scoring: each document's average
+    per-token natural-log probability under the corpus's own unigram
+    distribution — the CCNet-style fluency/quality signal (out-of-
+    distribution and boilerplate-heavy docs score low, typical prose high).
+
+    Determinism: a float sum of per-token ln(p) is summation-order-
+    dependent, so each token's ln(cnt/total) is quantized ONCE to integer
+    micro-nats (``ROUND(ln·10⁶)`` — the input double is identical on both
+    engines, so the quantization is too), then summed in int64 and divided
+    by the token count via ``exact_div``. Overflow headroom: |ln p| < 40
+    ⇒ 4·10⁷ micro-nats/token ⇒ safe past 10¹¹ tokens per document.
+
+    Scale shape: two shuffles — the vocab count (map-side combined; the
+    token join is a shuffle join because a 100 TB corpus's vocabulary is
+    NOT broadcastable) and the per-doc rollup; the corpus total is one
+    broadcast scalar. No all-pairs, no driver-side vocabulary.
+    """
+    from jobanalytics_bigdataproject_spark.functions.exact import exact_div
+
+    toks = documents.select(
+        F.col(id_col), F.explode(tokenize(text_col, min_len=1)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp_micro = F.round(F.log(F.col("cnt") / F.col("total")) * 1e6).cast("long")
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(lp_micro).alias("sum_lp_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            exact_div(F.col("sum_lp_micro"), F.col("n_tokens"), 2).alias(
+                "avg_lp_micro"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -105,6 +105,8 @@ def synth_wav(seed: int, n_samples: int = 800, sample_rate: int = 8000) -> bytes
     import math
     import wave
 
+    import numpy as np
+
     freq = 100.0 + (seed % 32) * 25.0
     amp = 12000 + (seed % 7) * 2000
     buf = io.BytesIO()
@@ -112,11 +114,10 @@ def synth_wav(seed: int, n_samples: int = 800, sample_rate: int = 8000) -> bytes
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        frames = bytearray()
-        for i in range(n_samples):
-            v = int(amp * math.sin(2.0 * math.pi * freq * i / sample_rate))
-            frames += v.to_bytes(2, "little", signed=True)
-        w.writeframes(bytes(frames))
+        # vectorized synthesis; truncation (not rounding) matches int()
+        i = np.arange(n_samples, dtype=np.float64)
+        v = np.trunc(amp * np.sin(2.0 * math.pi * freq * i / sample_rate))
+        w.writeframes(v.astype("<i2").tobytes())
     return buf.getvalue()
 
 
@@ -147,7 +148,9 @@ def attach_wav_payload(
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    ids = documents.select("doc_id")
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(par).mapInPandas(batches, schema)
 
 
 AUDIO_SCHEMA = T.StructType(
@@ -239,15 +242,24 @@ def synth_bmp(seed: int, width: int = 16, height: int = 12) -> bytes:
     header = struct.pack(
         "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
     ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0)
-    rows = bytearray()
-    for y in range(height - 1, -1, -1):  # bottom-up storage order
-        for x in range(width):
-            r = (x * 255 // max(width - 1, 1) + seed * 17) % 256
-            g = (y * 255 // max(height - 1, 1) + seed * 31) % 256
-            b = 255 if (x + seed) % 5 == 0 else (seed * 7) % 256
-            rows += bytes((b, g, r))
-        rows += b"\0" * row_pad
-    return header + bytes(rows)
+    import numpy as np
+
+    # vectorized pixel synthesis (the per-pixel Python loop was ~50× slower
+    # and serialized 60k-frame fixture synthesis into seconds of pure Python)
+    xs = np.arange(width, dtype=np.int64)
+    ys = np.arange(height - 1, -1, -1, dtype=np.int64)  # bottom-up order
+    r = ((xs * 255 // max(width - 1, 1) + seed * 17) % 256).astype(np.uint8)
+    g = ((ys * 255 // max(height - 1, 1) + seed * 31) % 256).astype(np.uint8)
+    b = np.where((xs + seed) % 5 == 0, 255, (seed * 7) % 256).astype(np.uint8)
+    row = np.empty((height, width, 3), dtype=np.uint8)
+    row[:, :, 0] = b[None, :]
+    row[:, :, 1] = g[:, None]
+    row[:, :, 2] = r[None, :]
+    if row_pad:
+        padded = np.zeros((height, width * 3 + row_pad), dtype=np.uint8)
+        padded[:, : width * 3] = row.reshape(height, width * 3)
+        return header + padded.tobytes()
+    return header + row.tobytes()
 
 
 def decode_bmp(raw: bytes) -> "numpy.ndarray":  # noqa: F821
@@ -298,7 +310,13 @@ def encode_bmp(px: "numpy.ndarray") -> bytes:  # noqa: F821
 def attach_bmp_payload(documents: DataFrame, width: int = 16, height: int = 12) -> DataFrame:
     """Fixture adapter for the image modality: one deterministic BMP per
     doc (seeded by doc_id) as an opaque binary column, synthesized
-    distributed via Arrow ``mapInPandas`` like a real ingest."""
+    distributed via Arrow ``mapInPandas`` like a real ingest.
+
+    The id frame is repartitioned to the session's parallelism first: the
+    fixture table is one small parquet file (= one input split), and
+    without the fan-out every downstream Python decode stage would run
+    serially in a single worker — at real scale the splits provide the
+    parallelism, here the repartition of a 1-column frame is noise."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -317,7 +335,9 @@ def attach_bmp_payload(documents: DataFrame, width: int = 16, height: int = 12) 
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    ids = documents.select("doc_id")
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(par).mapInPandas(batches, schema)
 
 
 IMAGE_SCHEMA = T.StructType(
@@ -424,7 +444,8 @@ def synth_video(seed: int, n_frames: int = 12, width: int = 16, height: int = 12
 def attach_video_payload(
     documents: DataFrame, n_frames: int = 12, width: int = 16, height: int = 12
 ) -> DataFrame:
-    """Fixture adapter for the video modality (seeded by doc_id)."""
+    """Fixture adapter for the video modality (seeded by doc_id); same
+    single-split fan-out rationale as ``attach_bmp_payload``."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -446,7 +467,9 @@ def attach_video_payload(
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(batches, schema)
+    ids = documents.select("doc_id")
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    return ids.repartition(par).mapInPandas(batches, schema)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -1,0 +1,168 @@
+"""Round-3 analytic extensions: TPC-H Q7/Q10 join shapes, the
+RANGE-interval rolling window, integer-exact daily anomaly flagging,
+dense-grid hourly gap-fill, and corpus-unigram log-prob scoring.
+Value-exactness vs DuckDB is the correctness gate's job
+(tools/check_correctness.py); these tests pin semantics on constructed
+inputs and the plan shapes on the fixture tables."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators import analytics, behavior, corpus
+from jobanalytics_bigdataproject_spark.plans.inspect import (
+    count_exchanges,
+    formatted_plan,
+    has_broadcast_hash_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 / Q10
+# ---------------------------------------------------------------------------
+
+
+def test_q7_only_cross_pairs_and_broadcast_nation(spark, tables):
+    df = analytics.tpch_q7_volume_shipping(
+        tables["customer"], tables["orders"], tables["lineitem"],
+        tables["supplier"], tables["nation"],
+    )
+    rows = df.collect()
+    pairs = {(r.supp_nation, r.cust_nation) for r in rows}
+    assert pairs <= {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    assert all(r.l_year in (1996, 1997) for r in rows)
+    assert all(r.revenue > 0 for r in rows)
+    assert has_broadcast_hash_join(df)
+
+
+def test_q10_topk_descending_revenue(spark, tables):
+    df = analytics.tpch_q10_returned_items(
+        tables["customer"], tables["orders"], tables["lineitem"], tables["nation"]
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # top-k must be TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+# ---------------------------------------------------------------------------
+# customer_rolling_spend (RANGE-interval frame)
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_spend_window_semantics(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, 100.0, _ts("2024-01-01")),
+            (2, 10, 50.0, _ts("2024-02-15")),   # 45 days later: inside 90d
+            (3, 10, 25.0, _ts("2024-06-01")),   # >90d after both: alone
+            (4, 20, 10.0, _ts("2024-01-01")),
+            (5, 20, 10.0, _ts("2024-01-01")),   # same-day peer: summed both rows
+        ],
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    out = {
+        r.o_orderkey: r.spend_90d
+        for r in analytics.customer_rolling_spend(orders).collect()
+    }
+    assert out[1] == 100.0
+    assert out[2] == 150.0
+    assert out[3] == 25.0
+    # RANGE frame includes all peers of the current row's order value
+    assert out[4] == 20.0 and out[5] == 20.0
+
+
+def test_rolling_spend_single_exchange(spark, tables):
+    df = analytics.customer_rolling_spend(tables["orders"])
+    assert count_exchanges(df) == 1  # one hash partition by customer
+
+
+# ---------------------------------------------------------------------------
+# events_daily_anomaly
+# ---------------------------------------------------------------------------
+
+
+def test_daily_anomaly_flags_spike_exactly(spark):
+    # 9 quiet days of 10 + one day of 100: mean=19, pop-std ~27 ⇒ spike z≈3
+    rows = []
+    eid = 0
+    for d in range(1, 10):
+        for _ in range(10):
+            rows.append((eid, _ts(f"2024-01-{d:02d} 12:00:00"), 1, "click", 1.0, "{}"))
+            eid += 1
+    for _ in range(100):
+        rows.append((eid, _ts("2024-01-10 12:00:00"), 1, "click", 1.0, "{}"))
+        eid += 1
+    events = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.day: r.is_anomaly for r in behavior.daily_anomaly(events).collect()}
+    assert out["2024-01-10"] is True
+    assert all(not v for d, v in out.items() if d != "2024-01-10")
+    # integer z-test agrees with the float formula on this fixture
+    cnts = [10] * 9 + [100]
+    mu = sum(cnts) / 10
+    sd = math.sqrt(sum((c - mu) ** 2 for c in cnts) / 10)
+    assert abs(100 - mu) > 2 * sd and abs(10 - mu) <= 2 * sd
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_gapfill
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_dense_grid_and_ffill(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:10:00"), 1, "click", 1.0, "{}"),
+            (2, _ts("2024-01-01 03:20:00"), 1, "click", 1.0, "{}"),
+            (3, _ts("2024-01-01 01:00:00"), 1, "view", 1.0, "{}"),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    out = behavior.hourly_gapfill(events).collect()
+    # grid spans 00:00..03:00 for BOTH types: 4 hours x 2 types
+    assert len(out) == 8
+    clicks = {r.hour: r for r in out if r.event_type == "click"}
+    assert [clicks[h].cnt for h in sorted(clicks)] == [1, 0, 0, 1]
+    # empty hours carry the last seen event id forward
+    assert [clicks[h].last_event_id for h in sorted(clicks)] == [1, 1, 1, 2]
+    views = {r.hour: r for r in out if r.event_type == "view"}
+    # hour before the first view event: zero count, no id yet
+    assert views["2024-01-01 00:00:00"].cnt == 0
+    assert views["2024-01-01 00:00:00"].last_event_id is None
+    assert views["2024-01-01 01:00:00"].last_event_id == 3
+
+
+# ---------------------------------------------------------------------------
+# docs_unigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, "aa cc")],
+        ["doc_id", "text"],
+    )
+    # corpus: aa x3, bb x1, cc x1, total 5
+    out = {r.doc_id: r for r in corpus.unigram_logprob(docs).collect()}
+    lp = {
+        "aa": round(math.log(3 / 5) * 1e6),
+        "bb": round(math.log(1 / 5) * 1e6),
+        "cc": round(math.log(1 / 5) * 1e6),
+    }
+    exp1 = round(100.0 * (2 * lp["aa"] + lp["bb"]) / 3) / 100.0
+    exp2 = round(100.0 * (lp["aa"] + lp["cc"]) / 2) / 100.0
+    assert out[1].n_tokens == 3 and out[1].avg_lp_micro == exp1
+    assert out[2].n_tokens == 2 and out[2].avg_lp_micro == exp2
+    # more typical docs (heavier on frequent tokens) must score higher
+    assert out[1].avg_lp_micro > out[2].avg_lp_micro
