@@ -37,6 +37,7 @@ from jobanalytics_bigdataproject_spark.operators import (
     sampling,
     scd,
     similarity,
+    sketches,
     text,
 )
 from jobanalytics_bigdataproject_spark.sources.readers import load_star, register_views
@@ -613,6 +614,7 @@ _PRIORITY = [
     "events_daily_anomaly",
     "events_hourly_gapfill",
     "docs_unigram_logprob",
+    "embeddings_centered",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -622,6 +624,8 @@ _PRIORITY = [
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
+    "events_hll_distinct_users",
+    "events_hll_daily_report",
     "docs_minhash_signatures",
     "docs_lsh_candidates",
     "docs_simhash",
@@ -887,6 +891,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _ann_recall_report,
         "embedding_near_dups": _q(
             ("embeddings",), lambda t: similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
+        ),
+        "embeddings_centered": _q(
+            ("embeddings",), lambda t: similarity.center_embeddings(t["embeddings"])
+        ),
+        "events_hll_distinct_users": sketches.hll_distinct_users_query,
+        "events_hll_daily_report": _q(
+            ("events",), lambda t: sketches.daily_distinct_report(t["events"])
         ),
         # --- multimodal columns [EXT]: binary payload + typed metadata;
         # every decode is REAL (stdlib wave / pure-stdlib BMP codec) through
@@ -2205,6 +2216,23 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM sims
             QUALIFY rank <= 5
             ORDER BY query_id, rank
+        """,
+        "embeddings_centered": """
+            WITH e AS (
+                SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+                       CAST(ROUND(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS q
+                FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+            ),
+            m AS (
+                SELECT dim, CAST(ROUND(SUM(q)*1.0/COUNT(*)) AS BIGINT) AS mean_q
+                FROM e GROUP BY dim
+            )
+            SELECT vec_id, dim,
+                   (q - mean_q)/1000000.0 AS centered,
+                   (q - mean_q) / NULLIF(SQRT(SUM((q - mean_q)*(q - mean_q))
+                       OVER (PARTITION BY vec_id)), 0) AS unit
+            FROM e JOIN m USING (dim)
+            ORDER BY vec_id, dim
         """,
         "embedding_near_dups": """
             SELECT * FROM (

@@ -441,3 +441,57 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def center_embeddings(
+    embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """[EXT] Per-dimension mean-centering + L2 normalization of an
+    embedding column — the preprocessing step real ANN pipelines run
+    before indexing (centering makes SRP hyperplanes and IVF centroids
+    meaningful; unit norm turns dot product into cosine).
+
+    Exactness discipline: per-dimension means are float sums, which are
+    summation-order-dependent — poison for a cross-engine check and for
+    run-to-run reproducibility of the index itself. So each element is
+    quantized ONCE to integer micro-units (``ROUND(x·10⁶)`` of the same
+    input double on every engine), the per-dimension sums/means run in
+    int64, and the outputs derive from integers through operations that
+    are correctly-rounded on any IEEE engine (int−int, /10⁶, SQRT of an
+    exact integer, one final division) — bit-identical results with no
+    tolerance needed. int64 headroom: |x|≤10³ ⇒ 10⁹/element ⇒ safe past
+    10⁹ rows per dimension; beyond that, decimal(38,0) lanes.
+
+    Scale shape: posexplode fans N×dim rows but they flow straight into a
+    map-side-combined per-dim agg (|dims| final rows, broadcast back);
+    the output stays exploded (vec_id, dim, value) — reassembly into
+    arrays is presentation, and downstream consumers (dot products,
+    bucketing) consume the exploded form or re-collect per key without an
+    extra exchange beyond their own vec_id shuffle.
+    """
+    ex = embeddings.select(
+        F.col(id_col), F.posexplode(vec_col).alias("dim", "x")
+    ).withColumn("q", F.round(F.col("x") * 1e6).cast("long"))
+    means = (
+        ex.groupBy("dim")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .select(
+            "dim",
+            F.round(F.col("s") * 1.0 / F.col("n")).cast("long").alias("mean_q"),
+        )
+    )
+    cq = F.col("q") - F.col("mean_q")
+    centered = ex.join(F.broadcast(means), "dim").select(
+        id_col, "dim", cq.alias("cq"), (cq / F.lit(1e6)).alias("centered")
+    )
+    wnorm = Window.partitionBy(id_col)
+    norm = F.sqrt(F.sum(F.col("cq") * F.col("cq")).over(wnorm))
+    return (
+        centered.select(
+            id_col,
+            "dim",
+            "centered",
+            (F.col("cq") / F.nullif(norm, F.lit(0.0))).alias("unit"),
+        )
+        .orderBy(id_col, "dim")
+    )

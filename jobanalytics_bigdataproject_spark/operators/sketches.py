@@ -1,0 +1,117 @@
+"""[EXT] Mergeable-sketch operators: persisted per-partition HyperLogLog
+sketches and the rollups that merge them — the third member of this
+engine's persisted-index family (IVF cells for ANN in
+``similarity.ivf_build_index``, MinHash band buckets for dedup in
+``dedup.build_signature_store``), here covering COUNT(DISTINCT).
+
+The 100 TB story: an exact 30-day distinct-users query re-shuffles a
+month of raw events on user_id every time it runs. A sketch store pays
+one linear scan per day at ingest, persists a few KB per (day) cell, and
+answers any date-range distinct by unioning that many kilobyte sketches
+— no re-scan, no shuffle of history, and sketches of disjoint days merge
+associatively so the rollup is a tiny all-to-one agg. Spark ships the
+Apache DataSketches HLL family as built-ins (``hll_sketch_agg`` /
+``hll_union_agg`` / ``hll_sketch_estimate``), all JVM-side.
+
+Estimates are approximate (rows-only driver check per SURVEY.md §5.3 —
+DuckDB's HLL is a different implementation), but MERGING is lossless:
+the union of per-day sketches is byte-equivalent to a single-pass sketch
+of the union, which the tests assert as exact estimate equality.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_LGK = 12  # DataSketches lgConfigK: 2^12 buckets, ~1.6% RSE
+
+
+def daily_user_sketches(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    lg_k: int = DEFAULT_LGK,
+) -> DataFrame:
+    """One HLL sketch per day over *key_col*: the ingest-side linear pass.
+    One shuffle on the day key; partial sketch aggregation happens
+    map-side (sketches merge associatively), so the exchange moves
+    |days| × ~KB, never rows."""
+    return events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("sketch"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def write_sketch_store(
+    events: DataFrame, path: str, ts_col: str = "ts", key_col: str = "user_id",
+    lg_k: int = DEFAULT_LGK,
+) -> None:
+    """Persist the per-day sketch cells as parquet. Idempotent overwrite;
+    a production ingest would dynamic-partition-overwrite only the days
+    present in the batch (the rollup_table.py pattern)."""
+    daily_user_sketches(events, ts_col, key_col, lg_k).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    ).write.mode("overwrite").parquet(path)
+
+
+def merge_distinct_over_range(
+    spark: SparkSession, path: str, start: str | None = None, end: str | None = None
+) -> DataFrame:
+    """Answer ``COUNT(DISTINCT key) BETWEEN start AND end`` from the store
+    alone: prune day cells by the range predicate (partition-pruning-
+    shaped: the filter lands on the tiny store scan, the raw events are
+    never touched), union the survivors' sketches, estimate."""
+    store = spark.read.parquet(path)
+    if start is not None:
+        store = store.filter(F.col("day") >= start)
+    if end is not None:
+        store = store.filter(F.col("day") <= end)
+    return store.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_distinct"),
+        F.sum("n_events").alias("n_events"),
+        F.count("*").alias("n_days"),
+    )
+
+
+def daily_distinct_report(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
+    lg_k: int = DEFAULT_LGK,
+) -> DataFrame:
+    """Per-day sketch estimate vs exact distinct, with the signed error in
+    basis points — the operability report that makes the sketch's accuracy
+    dial measurable (same rationale as the ANN recall report: an estimator
+    without a measured error is not operable). Rows-only by design: the
+    estimate is DataSketches-implementation-specific."""
+    daily = events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(key_col, F.lit(lg_k))).alias(
+            "approx_users"
+        ),
+        F.countDistinct(key_col).alias("exact_users"),
+    )
+    err_bp = F.round(
+        10000.0 * (F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    ).cast("long")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "approx_users",
+        "exact_users",
+        err_bp.alias("err_bp"),
+    ).orderBy("day")
+
+
+def hll_distinct_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: build the sketch store for the events fixture
+    (cached per sf_dir under /tmp, like the persisted IVF index), then
+    answer a mid-month range rollup from the store without touching the
+    events table. Cites the operational shape end-to-end."""
+    from jobanalytics_bigdataproject_spark.sources.readers import read_table
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    path = f"/tmp/spark_graft_hll_store{tag}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_sketch_store(read_table(spark, sf_dir, "events"), path)
+    return merge_distinct_over_range(spark, path, start="2024-01-08", end="2024-01-21")

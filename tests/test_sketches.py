@@ -1,0 +1,116 @@
+"""Persisted HLL sketch store (operators/sketches.py) and integer-exact
+embedding centering (operators/similarity.center_embeddings)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators import similarity, sketches
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch store
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_merge_is_lossless(spark, tables):
+    """Union of per-day sketches must give the IDENTICAL estimate as one
+    sketch over the whole table — merging is associative/lossless, which
+    is the entire basis of the store-and-rollup design."""
+    events = tables["events"]
+    merged = (
+        sketches.daily_user_sketches(events)
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+        .first()
+        .est
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(sketches.DEFAULT_LGK))
+        ).alias("est")
+    ).first().est
+    assert merged == direct
+
+
+def test_sketch_estimate_within_rse(spark, tables):
+    """lg_k=12 ⇒ ~1.6% relative standard error; assert 3 sigma."""
+    events = tables["events"]
+    exact = events.select("user_id").distinct().count()
+    approx = events.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(sketches.DEFAULT_LGK))
+        ).alias("est")
+    ).first().est
+    assert abs(approx - exact) <= max(3, 0.05 * exact)
+
+
+def test_store_range_rollup_equals_filtered_direct(spark, tables, tmp_path):
+    """Answering a date-range distinct from the persisted store must equal
+    sketching the range-filtered raw events directly — no information is
+    lost by going through the store."""
+    events = tables["events"]
+    path = str(tmp_path / "hll_store")
+    sketches.write_sketch_store(events, path)
+    got = sketches.merge_distinct_over_range(
+        spark, path, start="2024-01-08", end="2024-01-21"
+    ).first()
+    direct = (
+        events.filter(
+            (F.to_date("ts") >= "2024-01-08") & (F.to_date("ts") <= "2024-01-21")
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(sketches.DEFAULT_LGK))
+            ).alias("est"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    assert got.approx_distinct == direct.est
+    assert got.n_events == direct.n
+    assert got.n_days == 14
+
+
+def test_daily_report_error_measured(spark, tables):
+    rows = sketches.daily_distinct_report(tables["events"]).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.exact_users > 0
+        # measured error column is consistent with its inputs
+        assert r.err_bp == round(10000.0 * (r.approx_users - r.exact_users) / r.exact_users)
+        assert abs(r.err_bp) < 1000  # <10% on any day at lg_k=12
+
+
+# ---------------------------------------------------------------------------
+# center_embeddings
+# ---------------------------------------------------------------------------
+
+
+def test_center_embeddings_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    out = {(r.vec_id, r.dim): r for r in similarity.center_embeddings(df).collect()}
+    # dim0 mean 2.0, dim1 mean 2.0 → centered: (-1,-2) and (1,2)
+    assert out[(1, 0)].centered == -1.0 and out[(1, 1)].centered == -2.0
+    assert out[(2, 0)].centered == 1.0 and out[(2, 1)].centered == 2.0
+    n = math.sqrt(5.0)
+    assert abs(out[(1, 0)].unit - (-1.0 / n)) < 1e-9
+    assert abs(out[(2, 1)].unit - (2.0 / n)) < 1e-9
+
+
+def test_center_embeddings_invariants(spark, tables):
+    out = similarity.center_embeddings(tables["embeddings"]).cache()
+    try:
+        # per-dimension mean of centered values ~ 0 (within quantization)
+        dim_means = out.groupBy("dim").agg(F.avg("centered").alias("m")).collect()
+        assert all(abs(r.m) < 1e-5 for r in dim_means)
+        # per-vector unit norm == 1
+        norms = (
+            out.groupBy("vec_id").agg(F.sum(F.col("unit") * F.col("unit")).alias("s")).collect()
+        )
+        assert all(abs(r.s - 1.0) < 1e-9 for r in norms)
+    finally:
+        out.unpersist()
