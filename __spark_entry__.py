@@ -615,6 +615,8 @@ _PRIORITY = [
     "events_hourly_gapfill",
     "docs_unigram_logprob",
     "embeddings_centered",
+    "docs_temperature_mix",
+    "nation_price_quartiles",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -744,6 +746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rolling_spend": _q(
             ("orders",), lambda t: analytics.customer_rolling_spend(t["orders"])
         ),
+        "nation_price_quartiles": _q(
+            ("orders", "customer", "nation"),
+            lambda t: analytics.nation_price_quartiles(
+                t["orders"], t["customer"], t["nation"]
+            ),
+        ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
         "in_subquery_region0_customers": _in_subquery_region0_customers,
@@ -831,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_gapfill": _q(("events",), lambda t: behavior.hourly_gapfill(t["events"])),
         "docs_unigram_logprob": _q(
             ("documents",), lambda t: corpus.unigram_logprob(t["documents"])
+        ),
+        "docs_temperature_mix": _q(
+            ("documents",), lambda t: corpus.temperature_mix(t["documents"])
         ),
         "reconcile_daily_totals": _q(
             ("orders", "events"),
@@ -1311,6 +1322,43 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM grid LEFT JOIN hourly
               ON grid.event_type = hourly.event_type AND grid.h = hourly.h
             ORDER BY grid.event_type, hour
+        """,
+        "docs_temperature_mix": """
+            WITH c AS (
+                SELECT COALESCE(source, '') AS src, COUNT(*) AS n_s
+                FROM documents GROUP BY COALESCE(source, '')
+            ),
+            t AS (SELECT SUM(n_s) AS n_tot FROM c),
+            wts AS (
+                SELECT src, n_s, n_tot,
+                       POWER(n_s*1.0/n_tot, 1.0/0.7) AS w
+                FROM c CROSS JOIN t
+            ),
+            ws AS (SELECT SUM(w) AS w_tot FROM wts),
+            r AS (
+                SELECT src,
+                       LEAST(10000, CAST(ROUND(10000.0 * 0.5 * (w/w_tot) * n_tot / n_s)
+                                         AS BIGINT)) AS rate_bp
+                FROM wts CROSS JOIN ws
+            )
+            SELECT d.doc_id, d.lang, d.source, r.rate_bp
+            FROM documents d JOIN r ON COALESCE(d.source, '') = r.src
+            WHERE r.rate_bp >= 10000
+               OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || COALESCE(d.source, '')), 1, 4)
+                  < lower(lpad(to_hex(r.rate_bp * 65536 // 10000), 4, '0'))
+            ORDER BY d.doc_id
+        """,
+        "nation_price_quartiles": """
+            SELECT n_name,
+                   ROUND(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.25))/100.0 AS p25,
+                   ROUND(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.50))/100.0 AS p50,
+                   ROUND(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.75))/100.0 AS p75,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         "docs_unigram_logprob": """
             WITH toks AS (

@@ -631,3 +631,38 @@ def reconcile_daily_totals(orders: DataFrame, events: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def nation_price_quartiles(
+    orders: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """[EXT] Per-nation exact order-price quartiles — GROUPED interpolated
+    percentiles (the global forms live in t2/percentiles_price; the
+    grouped form is the per-entity distribution report a warehouse runs
+    per market/tenant/day).
+
+    Scale shape: nation broadcasts onto customer, the orders⋈customer
+    shuffle carries only (custkey, cents), and ONE ``percentile(col,
+    array(...))`` pass per group computes all three quartiles — not three
+    sorts. Exact percentile holds the group's values per task: fine while
+    a single nation's orders fit an executor (the sf-independent caveat
+    documented at sampling.percentiles_exact; the sketch path is
+    approxQuantile). Cents-first rounding keeps the interpolated midpoint
+    on a representable half, so both engines round identically."""
+    c = cents("o_totalprice")
+    joined = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("n_name").agg(
+        F.percentile(c, F.lit([0.25, 0.5, 0.75])).alias("__ps"),
+        F.count("*").alias("n_orders"),
+    )
+    return agg.select(
+        "n_name",
+        *[
+            (F.round(F.element_at("__ps", i + 1)) / F.lit(100.0)).alias(f"p{p}")
+            for i, p in enumerate((25, 50, 75))
+        ],
+        "n_orders",
+    ).orderBy("n_name")

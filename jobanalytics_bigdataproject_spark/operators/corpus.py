@@ -632,3 +632,64 @@ def unigram_logprob(
         )
         .orderBy(id_col)
     )
+
+
+def temperature_mix(
+    documents: DataFrame,
+    temperature: float = 0.7,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """[EXT] Temperature-scaled source mixing — the standard multi-source
+    training-mix knob: resample so the kept corpus's source composition
+    follows ``share^(1/T)`` (T<1 upweights rare sources, T=1 preserves
+    shares, T→∞ tends uniform), at overall keep fraction ``target_frac``.
+
+    Rates are DERIVED FROM THE DATA (per-source counts → normalized
+    temperature weights → per-source keep rate ``f·q_s/share_s``, clamped
+    at 1 without re-normalization — an undersized rare source simply keeps
+    everything; documented, matches common practice), then applied with
+    the same deterministic md5-bucket filter as ``mixture_sample`` — same
+    rows on every run, any cluster, any retry, and oracle-checkable.
+    The bucket-vs-rate comparison is hex-string-exact: the threshold is
+    rendered to the same 4-hex-char space as the bucket (``rate_bp·65536
+    div 10000``, integer math), so no float sits in the keep predicate.
+
+    Scale shape: the rate table is |sources| rows (two tiny aggs +
+    broadcast back); the fact scan is touched once with a per-row
+    predicate. One small shuffle, no state.
+    """
+    src = F.coalesce(F.col(source_col), F.lit(""))
+    counts = documents.groupBy(src.alias("__src")).agg(F.count("*").alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n_tot"))
+    weights = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__w", F.pow(F.col("n_s") * 1.0 / F.col("n_tot"), F.lit(1.0 / temperature))
+    )
+    wsum = weights.agg(F.sum("__w").alias("w_tot"))
+    rates = (
+        weights.crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "rate_bp",
+            F.least(
+                F.lit(10000).cast("long"),
+                F.round(
+                    F.lit(10000.0 * target_frac)
+                    * (F.col("__w") / F.col("w_tot"))
+                    * F.col("n_tot")
+                    / F.col("n_s")
+                ).cast("long"),
+            ),
+        )
+        .select("__src", "rate_bp")
+    )
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col(id_col).cast("string"), src)), 1, 4
+    )
+    thr = F.lower(F.lpad(F.hex(F.expr("rate_bp * 65536 div 10000")), 4, "0"))
+    return (
+        documents.join(F.broadcast(rates), src == F.col("__src"))
+        .filter((F.col("rate_bp") >= 10000) | (bucket < thr))
+        .select(id_col, "lang", source_col, "rate_bp")
+        .orderBy(id_col)
+    )

@@ -166,3 +166,36 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[2].n_tokens == 2 and out[2].avg_lp_micro == exp2
     # more typical docs (heavier on frequent tokens) must score higher
     assert out[1].avg_lp_micro > out[2].avg_lp_micro
+
+
+# ---------------------------------------------------------------------------
+# docs_temperature_mix / nation_price_quartiles
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_upweights_rare_sources(spark, tables):
+    docs = tables["documents"]
+    kept = corpus.temperature_mix(docs, temperature=0.7, target_frac=0.5)
+    rates = {
+        r.source: r.rate_bp for r in kept.select("source", "rate_bp").distinct().collect()
+    }
+    counts = {r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # T<1: rarer source must get a keep-rate >= a more common source's
+    srcs = sorted(counts, key=counts.get)
+    for rare, common in zip(srcs, srcs[1:]):
+        if rare in rates and common in rates:
+            assert rates[rare] >= rates[common]
+    # deterministic: same rows on a second evaluation
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in corpus.temperature_mix(docs).collect())
+    assert a == b and len(a) > 0
+
+
+def test_nation_quartiles_ordered(spark, tables):
+    rows = analytics.nation_price_quartiles(
+        tables["orders"], tables["customer"], tables["nation"]
+    ).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p75
+        assert r.n_orders > 0
