@@ -617,6 +617,8 @@ _PRIORITY = [
     "embeddings_centered",
     "docs_temperature_mix",
     "nation_price_quartiles",
+    "part_cheapest_supplier",
+    "orders_price_histogram",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -751,6 +753,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: analytics.nation_price_quartiles(
                 t["orders"], t["customer"], t["nation"]
             ),
+        ),
+        "part_cheapest_supplier": _q(
+            ("lineitem",), lambda t: analytics.part_cheapest_supplier(t["lineitem"])
+        ),
+        "orders_price_histogram": _q(
+            ("orders",), lambda t: analytics.orders_price_histogram(t["orders"])
         ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
@@ -1347,6 +1355,34 @@ def _oracle_sql_literals() -> dict[str, str]:
                OR substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || COALESCE(d.source, '')), 1, 4)
                   < lower(lpad(to_hex(r.rate_bp * 65536 // 10000), 4, '0'))
             ORDER BY d.doc_id
+        """,
+        "part_cheapest_supplier": """
+            WITH r AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc,
+                       ROW_NUMBER() OVER (PARTITION BY l_partkey
+                           ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT), l_suppkey) AS rn,
+                       COUNT(*) OVER (PARTITION BY l_partkey) AS n_lines
+                FROM lineitem
+            )
+            SELECT l_partkey, pc/100.0 AS min_price, l_suppkey AS cheapest_suppkey,
+                   CAST(n_lines AS BIGINT) AS n_lines
+            FROM r WHERE rn = 1
+            ORDER BY l_partkey
+        """,
+        "orders_price_histogram": """
+            WITH b AS (
+                SELECT CASE WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) < 0 THEN 0
+                            WHEN CAST(ROUND(o_totalprice*100) AS BIGINT) >= 60000000 THEN 13
+                            ELSE 1 + CAST(FLOOR(CAST(ROUND(o_totalprice*100) AS BIGINT)
+                                                * 12.0 / 60000000) AS BIGINT)
+                       END AS bucket,
+                       o_totalprice
+                FROM orders
+            )
+            SELECT bucket, COUNT(*) AS n_orders,
+                   ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 2) AS total_value
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "nation_price_quartiles": """
             SELECT n_name,

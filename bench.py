@@ -91,7 +91,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
-    n_retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2")))
+    n_retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "3")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
@@ -138,10 +138,15 @@ def main() -> None:
         contended = med > 3.0 * min(runs) + 0.05
         regressed = base is not None and med > 2.0 * base and med > 0.2
         retries_left = n_retries
+        backoff = 0.5
         while (contended or regressed) and retries_left > 0:
             if name not in reran:
                 reran.append(name)
-            time.sleep(0.5)  # backoff: let a transient GC/contention window pass
+            # escalating backoff: a 0.5 s pause rides out a GC pulse, but the
+            # r2/r3 driver sessions showed multi-second contention windows —
+            # later retries wait longer so at least one lands outside it
+            time.sleep(backoff)
+            backoff = min(backoff * 3.0, 5.0)
             try:
                 runs.append(_time_once(fn, spark, sf_dir))
             except Exception as e:  # noqa: BLE001

@@ -666,3 +666,53 @@ def nation_price_quartiles(
         ],
         "n_orders",
     ).orderBy("n_name")
+
+
+def part_cheapest_supplier(lineitem: DataFrame) -> DataFrame:
+    """[EXT] Deterministic per-group argmin (the TPC-H Q2 min-cost-supplier
+    shape on the tables this schema has): for each part, the supplier
+    offering its lowest line price. Realized as ``MIN(struct(price_cents,
+    suppkey))`` — ONE ordinary min aggregate with map-side partials and a
+    |parts|-row shuffle, where a window row_number would shuffle every
+    line. The struct's lexicographic order makes the suppkey tiebreak
+    part of the aggregate itself, so ties resolve identically on any
+    engine and any merge order (a bare min_by/arg_min picks an arbitrary
+    peer — not reproducible)."""
+    pair = F.struct(
+        cents("l_extendedprice").alias("pc"), F.col("l_suppkey").alias("sk")
+    )
+    m = F.min(pair)
+    return (
+        lineitem.groupBy("l_partkey")
+        .agg(
+            (m.getField("pc") / F.lit(100.0)).alias("min_price"),
+            m.getField("sk").alias("cheapest_suppkey"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+def orders_price_histogram(
+    orders: DataFrame, lo: float = 0.0, hi: float = 600000.0, n_buckets: int = 12
+) -> DataFrame:
+    """[EXT] Equi-width histogram of order value — the profiling/data-viz
+    binning primitive. ``width_bucket`` on exact cents (bucket edges are
+    integer cents, so bucket assignment has no float boundary) → one
+    map-side-combined count agg over ≤ n_buckets+2 groups. Empty buckets
+    are absent by construction (the dense-grid variant is
+    ``hourly_gapfill``'s sequence/explode pattern)."""
+    b = F.width_bucket(
+        cents("o_totalprice"),
+        F.lit(int(lo * 100)),
+        F.lit(int(hi * 100)),
+        F.lit(n_buckets),
+    )
+    return (
+        orders.groupBy(b.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money_sum("o_totalprice").alias("total_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -199,3 +199,41 @@ def test_nation_quartiles_ordered(spark, tables):
     for r in rows:
         assert r.p25 <= r.p50 <= r.p75
         assert r.n_orders > 0
+
+
+# ---------------------------------------------------------------------------
+# part_cheapest_supplier / orders_price_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_argmin_deterministic_on_price_ties(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 100, 7, 50.0),
+            (1, 100, 3, 50.0),   # tie on price: lower suppkey must win
+            (1, 100, 9, 40.0),
+            (2, 200, 5, 10.0),
+        ],
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    out = {r.l_partkey: r for r in analytics.part_cheapest_supplier(li).collect()}
+    assert out[100].cheapest_suppkey == 9 and out[100].min_price == 40.0
+    assert out[100].n_lines == 3
+    assert out[200].cheapest_suppkey == 5
+    # ties resolve to the smallest suppkey, not an arbitrary peer
+    li2 = li.filter("l_extendedprice >= 50.0")
+    out2 = {r.l_partkey: r for r in analytics.part_cheapest_supplier(li2).collect()}
+    assert out2[100].cheapest_suppkey == 3
+
+
+def test_histogram_bucket_edges(spark):
+    orders = spark.createDataFrame(
+        [(i, 1, s, v, _ts("2024-01-01"), "P") for i, (s, v) in enumerate(
+            [("O", -5.0), ("O", 0.0), ("O", 49999.99), ("O", 50000.0), ("O", 600000.0)]
+        )],
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    out = {r.bucket: r.n_orders for r in analytics.orders_price_histogram(orders).collect()}
+    # -5 underflows to 0; 0 and 49999.99 in bucket 1; 50000 starts bucket 2;
+    # hi itself overflows to n+1
+    assert out == {0: 1, 1: 2, 2: 1, 13: 1}
