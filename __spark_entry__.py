@@ -630,6 +630,7 @@ _ROWS_ONLY = {
     "ann_recall_report",
     "events_hll_distinct_users",
     "events_hll_daily_report",
+    "events_audience_overlap",
     "docs_minhash_signatures",
     "docs_lsh_candidates",
     "docs_simhash",
@@ -917,6 +918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_distinct_users": sketches.hll_distinct_users_query,
         "events_hll_daily_report": _q(
             ("events",), lambda t: sketches.daily_distinct_report(t["events"])
+        ),
+        "events_audience_overlap": _q(
+            ("events",), lambda t: sketches.audience_overlap(t["events"])
         ),
         # --- multimodal columns [EXT]: binary payload + typed metadata;
         # every decode is REAL (stdlib wave / pure-stdlib BMP codec) through

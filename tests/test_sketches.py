@@ -114,3 +114,21 @@ def test_center_embeddings_invariants(spark, tables):
         assert all(abs(r.s - 1.0) < 1e-9 for r in norms)
     finally:
         out.unpersist()
+
+
+def test_audience_overlap_inclusion_exclusion(spark, tables):
+    events = tables["events"]
+    rows = sketches.audience_overlap(events).collect()
+    types = [r.event_type for r in events.select("event_type").distinct().collect()]
+    n = len(types)
+    assert len(rows) == n * (n - 1) // 2
+    # overlap estimate must track the exact pairwise intersection within
+    # compounded sketch error (3 estimates at ~1.6% RSE each)
+    from pyspark.sql import functions as FF
+
+    for r in rows[:3]:
+        ua = events.filter(FF.col("event_type") == r.type_a).select("user_id")
+        ub = events.filter(FF.col("event_type") == r.type_b).select("user_id")
+        exact = ua.intersect(ub).count()
+        assert r.users_overlap >= 0
+        assert abs(r.users_overlap - exact) <= max(10, 0.15 * max(exact, 1))
