@@ -682,14 +682,13 @@ def part_cheapest_supplier(lineitem: DataFrame) -> DataFrame:
         cents("l_extendedprice").alias("pc"), F.col("l_suppkey").alias("sk")
     )
     m = F.min(pair)
-    return (
-        lineitem.groupBy("l_partkey")
-        .agg(
-            (m.getField("pc") / F.lit(100.0)).alias("min_price"),
-            m.getField("sk").alias("cheapest_suppkey"),
-            F.count("*").alias("n_lines"),
-        )
-        .orderBy("l_partkey")
+    # no presentation orderBy: the output is |parts|-sized (fact-adjacent at
+    # 100 TB) and the driver compare is order-insensitive — a global sort
+    # here would be a pure-waste range exchange on a billion-row result
+    return lineitem.groupBy("l_partkey").agg(
+        (m.getField("pc") / F.lit(100.0)).alias("min_price"),
+        m.getField("sk").alias("cheapest_suppkey"),
+        F.count("*").alias("n_lines"),
     )
 
 

@@ -630,7 +630,7 @@ def unigram_logprob(
                 "avg_lp_micro"
             ),
         )
-        .orderBy(id_col)
+        # no presentation sort: D-sized output, order-insensitive compare
     )
 
 
@@ -691,5 +691,5 @@ def temperature_mix(
         documents.join(F.broadcast(rates), src == F.col("__src"))
         .filter((F.col("rate_bp") >= 10000) | (bucket < thr))
         .select(id_col, "lang", source_col, "rate_bp")
-        .orderBy(id_col)
+        # no presentation sort: D-sized output, order-insensitive compare
     )

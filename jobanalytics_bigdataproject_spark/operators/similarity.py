@@ -486,12 +486,10 @@ def center_embeddings(
     )
     wnorm = Window.partitionBy(id_col)
     norm = F.sqrt(F.sum(F.col("cq") * F.col("cq")).over(wnorm))
-    return (
-        centered.select(
-            id_col,
-            "dim",
-            "centered",
-            (F.col("cq") / F.nullif(norm, F.lit(0.0))).alias("unit"),
-        )
-        .orderBy(id_col, "dim")
+    return centered.select(
+        id_col,
+        "dim",
+        "centered",
+        (F.col("cq") / F.nullif(norm, F.lit(0.0))).alias("unit"),
+        # no presentation sort: V×dim output, order-insensitive compare
     )

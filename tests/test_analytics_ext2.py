@@ -237,3 +237,50 @@ def test_histogram_bucket_edges(spark):
     # -5 underflows to 0; 0 and 49999.99 in bucket 1; 50000 starts bucket 2;
     # hi itself overflows to n+1
     assert out == {0: 1, 1: 2, 2: 1, 13: 1}
+
+
+# ---------------------------------------------------------------------------
+# plan-shape regression gates for the round-3 operators
+# ---------------------------------------------------------------------------
+
+
+def test_round3_exchange_budgets(spark, tables):
+    """Lock the shuffle budget of each new operator: a regression that adds
+    an exchange (e.g. a presentation sort on a fact-sized output) fails
+    here before it costs anything at scale."""
+    from jobanalytics_bigdataproject_spark.operators import scd, similarity
+
+    budgets = {
+        # argmin: ONE groupBy exchange, no output sort
+        "cheapest": (analytics.part_cheapest_supplier(tables["lineitem"]), 1),
+        # histogram: count agg + 14-row presentation sort
+        "histogram": (analytics.orders_price_histogram(tables["orders"]), 2),
+        # derivation + compaction share one per-key partitioning
+        "scd2_compact": (
+            scd.scd2_compact(
+                scd.scd2_from_log(tables["events"], collapse=False), "2024-01-16"
+            ),
+            1,
+        ),
+        # vocab agg + scalar + doc rollup (join reuses vocab partitioning)
+        "unigram": (corpus.unigram_logprob(tables["documents"]), 4),
+        # per-dim means (+2 tiny scalar aggs) + per-vector window
+        "centered": (similarity.center_embeddings(tables["embeddings"]), 3),
+    }
+    for name, (df, budget) in budgets.items():
+        n = count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_round3_broadcasts(spark, tables):
+    """Dimension/rate/grid sides must broadcast — the fact side never
+    shuffles for these joins."""
+    from jobanalytics_bigdataproject_spark.operators import behavior as bh
+
+    assert has_broadcast_hash_join(corpus.temperature_mix(tables["documents"]))
+    assert has_broadcast_hash_join(bh.hourly_gapfill(tables["events"]))
+    assert has_broadcast_hash_join(
+        analytics.tpch_q10_returned_items(
+            tables["customer"], tables["orders"], tables["lineitem"], tables["nation"]
+        )
+    )
