@@ -179,7 +179,8 @@ def sessionize(
             F.date_format("_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             dur.cast("long").alias("duration_s"),
         )
-        .orderBy(user_col, "session_seq")
+        # no presentation sort: session-count output is fact-adjacent at
+        # scale; the driver compare is order-insensitive
     )
 
 

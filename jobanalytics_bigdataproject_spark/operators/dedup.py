@@ -49,7 +49,8 @@ def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("dup_count"),
             F.min("doc_id").alias("canonical_doc_id"),
         )
-        .orderBy("doc_fp")
+        # no presentation sort: D-sized output, order-insensitive compare —
+        # this keeps the operator at exactly one (16-byte-key) exchange
     )
 
 
@@ -238,9 +239,8 @@ def simhash_candidates(
         )
         .distinct()
     )
-    return cands.filter(F.col("hamming") <= max_hamming).orderBy(
-        "doc_id_a", "doc_id_b"
-    )
+    # no presentation sort: candidate pairs are corpus-sized at scale
+    return cands.filter(F.col("hamming") <= max_hamming)
 
 
 def ngram_jaccard_pairs(

@@ -231,7 +231,7 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
-        .orderBy("doc_id", "rank")
+        # no presentation sort: D×k-sized output, order-insensitive compare
     )
 
 
