@@ -248,7 +248,7 @@ def test_round3_exchange_budgets(spark, tables):
     """Lock the shuffle budget of each new operator: a regression that adds
     an exchange (e.g. a presentation sort on a fact-sized output) fails
     here before it costs anything at scale."""
-    from jobanalytics_bigdataproject_spark.operators import scd, similarity
+    from jobanalytics_bigdataproject_spark.operators import dedup, scd, similarity
 
     budgets = {
         # argmin: ONE groupBy exchange, no output sort
@@ -266,6 +266,10 @@ def test_round3_exchange_budgets(spark, tables):
         "unigram": (corpus.unigram_logprob(tables["documents"]), 4),
         # per-dim means (+2 tiny scalar aggs) + per-vector window
         "centered": (similarity.center_embeddings(tables["embeddings"]), 3),
+        # swept in round 3: one 16-byte-key exchange, no output sort
+        "exact_dup_groups": (dedup.exact_dup_groups(tables["documents"]), 1),
+        # per-user windows + per-session rollup share one partitioning
+        "sessionize": (behavior.sessionize(tables["events"]), 1),
     }
     for name, (df, budget) in budgets.items():
         n = count_exchanges(df)
