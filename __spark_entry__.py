@@ -619,6 +619,7 @@ _PRIORITY = [
     "nation_price_quartiles",
     "part_cheapest_supplier",
     "orders_price_histogram",
+    "events_quantile_store_rollup",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -922,6 +923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_audience_overlap": _q(
             ("events",), lambda t: sketches.audience_overlap(t["events"])
         ),
+        # deterministic persisted-histogram quantile store: integer pipeline
+        # end-to-end, so the rollup IS oracle-checked (unlike HLL estimates)
+        "events_quantile_store_rollup": sketches.quantile_rollup_query,
         # --- multimodal columns [EXT]: binary payload + typed metadata;
         # every decode is REAL (stdlib wave / pure-stdlib BMP codec) through
         # Arrow mapInPandas; binary container parsing is not SQL-expressible
@@ -1307,6 +1311,33 @@ def _oracle_sql_literals() -> dict[str, str]:
                      > 4*(n_days*sumsq - total*total) AS is_anomaly
             FROM daily JOIN stats ON daily.event_type = stats.event_type
             ORDER BY daily.event_type, day
+        """,
+        "events_quantile_store_rollup": """
+            WITH h AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       CASE WHEN c < 0 THEN 0
+                            WHEN c >= 100000 THEN 257
+                            ELSE 1 + CAST(FLOOR(c * 256.0 / 100000) AS BIGINT)
+                       END AS bucket,
+                       COUNT(*) AS cnt
+                FROM (SELECT ts, CAST(ROUND(value*100) AS BIGINT) AS c FROM events)
+                GROUP BY 1, 2
+            ),
+            f AS (
+                SELECT bucket, SUM(cnt) AS cnt FROM h
+                WHERE day >= DATE '2024-01-08' AND day <= DATE '2024-01-21'
+                GROUP BY bucket
+            ),
+            cum AS (
+                SELECT bucket,
+                       SUM(cnt) OVER (ORDER BY bucket) AS cum,
+                       SUM(cnt) OVER () AS total
+                FROM f
+            )
+            SELECT (0 + (MIN(CASE WHEN cum >= (5000 * total + 9999) // 10000 THEN bucket END) - 1) * 390.625)/100.0 AS p50,
+                   (0 + (MIN(CASE WHEN cum >= (9500 * total + 9999) // 10000 THEN bucket END) - 1) * 390.625)/100.0 AS p95,
+                   (0 + (MIN(CASE WHEN cum >= (9900 * total + 9999) // 10000 THEN bucket END) - 1) * 390.625)/100.0 AS p99
+            FROM cum
         """,
         "events_hourly_gapfill": """
             WITH grid AS (

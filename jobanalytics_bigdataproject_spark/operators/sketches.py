@@ -21,9 +21,7 @@ of the union, which the tests assert as exact estimate equality.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_LGK = 12  # DataSketches lgConfigK: 2^12 buckets, ~1.6% RSE
@@ -102,18 +100,24 @@ def daily_distinct_report(
     ).orderBy("day")
 
 
+_HLL_STORE_CACHE: dict[str, str] = {}
+
+
 def hll_distinct_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing query: build the sketch store for the events fixture
-    (cached per sf_dir under /tmp, like the persisted IVF index), then
-    answer a mid-month range rollup from the store without touching the
-    events table. Cites the operational shape end-to-end."""
+    (once per process+sf_dir in a fresh tempdir — same staleness-proof
+    pattern as the persisted IVF index: a fixed path would silently serve
+    sketches of an older fixture generation), then answer a mid-month
+    range rollup from the store without touching the events table."""
+    import tempfile
+
     from jobanalytics_bigdataproject_spark.sources.readers import read_table
 
-    tag = sf_dir.rstrip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_hll_store{tag}"
-    marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    path = _HLL_STORE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="hll_store_") + "/store"
         write_sketch_store(read_table(spark, sf_dir, "events"), path)
+        _HLL_STORE_CACHE[sf_dir] = path
     return merge_distinct_over_range(spark, path, start="2024-01-08", end="2024-01-21")
 
 
@@ -163,3 +167,105 @@ def audience_overlap(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --- deterministic mergeable quantile store --------------------------------
+
+
+def daily_value_histograms(
+    events: DataFrame,
+    lo_cents: int = 0,
+    hi_cents: int = 100000,
+    n_buckets: int = 256,
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-(day, bucket) counts of *val_col* on a FIXED equi-width
+    cent-bucket grid — the quantile member of the persisted-store family.
+    Unlike t-digest/KLL this histogram is fully deterministic and merges
+    by integer addition, so daily ingest and any later rollup are exactly
+    reproducible (and oracle-checkable); the price is a fixed resolution:
+    the reported edge is within one bucket width ((hi−lo)/n cents) of the
+    TYPE-1 (order-statistic) quantile — the ceil(p·n)-th smallest value
+    (an interpolated percentile can sit further away when the tail is
+    sparse). One shuffle of |days|×|buckets| count rows, map-side
+    combined."""
+    c = F.round(F.col(val_col) * 100).cast("long")
+    b = F.width_bucket(c, F.lit(lo_cents), F.lit(hi_cents), F.lit(n_buckets))
+    return events.groupBy(
+        F.to_date(ts_col).alias("day"), b.cast("long").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def write_quantile_store(events: DataFrame, path: str, **kw) -> None:
+    """Persist the histogram cells (same idempotent-overwrite contract as
+    ``write_sketch_store``; production = dynamic partition overwrite)."""
+    daily_value_histograms(events, **kw).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    ).write.mode("overwrite").parquet(path)
+
+
+def quantiles_from_store(
+    spark: SparkSession,
+    path: str,
+    probabilities: tuple = (0.5, 0.95, 0.99),
+    start: str | None = None,
+    end: str | None = None,
+    lo_cents: int = 0,
+    hi_cents: int = 100000,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Answer approximate quantiles over a date range from the store
+    alone: prune day cells, SUM counts per bucket (integer merge), then
+    pick each probability's bucket by running-count threshold and report
+    its LOWER EDGE in currency units — every step integer-deterministic.
+    The raw events are never re-read; the rollup frame is ≤ n_buckets
+    rows. Error ≤ one bucket width by construction (tested)."""
+    store = spark.read.parquet(path)
+    if start is not None:
+        store = store.filter(F.col("day") >= start)
+    if end is not None:
+        store = store.filter(F.col("day") <= end)
+    merged = store.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = merged.select(
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    width = (hi_cents - lo_cents) / n_buckets
+    cols = []
+    for p in probabilities:
+        # threshold = ceil(p·total) in exact integer arithmetic. All-positive
+        # (a+b-1) div b form: Spark's `div` truncates toward zero but
+        # DuckDB's `//` floors — identical only when operands are positive
+        thr = F.expr(
+            f"(CAST({int(p * 10000)} AS BIGINT) * total + 9999) div 10000"
+        )
+        edge = (
+            F.lit(lo_cents)
+            + (F.min(F.when(F.col("cum") >= thr, F.col("bucket"))) - 1) * F.lit(width)
+        ) / F.lit(100.0)
+        cols.append(edge.alias(f"p{int(p * 100)}"))
+    return cum.agg(*cols)
+
+
+_QUANTILE_STORE_CACHE: dict[str, str] = {}
+
+
+def quantile_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: persisted-histogram quantile rollup over the
+    mid-month range. Fully deterministic integer pipeline, so unlike the
+    HLL queries this one IS oracle-checked — the DuckDB oracle rebuilds
+    the same fixed-bucket histogram and picks the same bucket edges."""
+    import tempfile
+
+    from jobanalytics_bigdataproject_spark.sources.readers import read_table
+
+    path = _QUANTILE_STORE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="qstore_") + "/store"
+        write_quantile_store(read_table(spark, sf_dir, "events"), path)
+        _QUANTILE_STORE_CACHE[sf_dir] = path
+    return quantiles_from_store(spark, path, start="2024-01-08", end="2024-01-21")

@@ -132,3 +132,48 @@ def test_audience_overlap_inclusion_exclusion(spark, tables):
         exact = ua.intersect(ub).count()
         assert r.users_overlap >= 0
         assert abs(r.users_overlap - exact) <= max(10, 0.15 * max(exact, 1))
+
+
+# ---------------------------------------------------------------------------
+# deterministic quantile store
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_store_error_bounded_by_bucket_width(spark, tables, tmp_path):
+    """Every reported quantile must sit within one bucket width of the
+    exact percentile over the same rows — the store's whole contract."""
+    events = tables["events"]
+    path = str(tmp_path / "qstore")
+    sketches.write_quantile_store(events, path)
+    got = sketches.quantiles_from_store(
+        spark, path, start="2024-01-08", end="2024-01-21"
+    ).first()
+    sub = events.filter(
+        (F.to_date("ts") >= "2024-01-08") & (F.to_date("ts") <= "2024-01-21")
+    )
+    width = (100000 - 0) / 256 / 100.0  # currency units
+    vals = sorted(r.value for r in sub.select("value").collect())
+    for p, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        # the store targets the type-1 quantile: the ceil(p*n)-th smallest
+        exact = vals[max(0, -(-int(p * 10000) * len(vals) // 10000) - 1)]
+        approx = getattr(got, name)
+        assert abs(approx - exact) <= width + 1e-9, (name, approx, exact)
+
+
+def test_quantile_store_merge_is_exact(spark, tables, tmp_path):
+    """Merging per-day histograms must equal histogramming the merged rows
+    directly — integer counts, no estimate drift at all."""
+    events = tables["events"]
+    path = str(tmp_path / "qstore2")
+    sketches.write_quantile_store(events, path)
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = (
+        sketches.daily_value_histograms(events)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
