@@ -620,6 +620,7 @@ _PRIORITY = [
     "part_cheapest_supplier",
     "orders_price_histogram",
     "events_quantile_store_rollup",
+    "orders_value_rank",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -761,6 +762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "orders_price_histogram": _q(
             ("orders",), lambda t: analytics.orders_price_histogram(t["orders"])
+        ),
+        "orders_value_rank": _q(
+            ("orders",), lambda t: analytics.orders_value_distribution_rank(t["orders"])
         ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
@@ -1418,6 +1422,15 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT bucket, COUNT(*) AS n_orders,
                    ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 2) AS total_value
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "orders_value_rank": """
+            SELECT o_orderkey, o_orderpriority,
+                   ROUND(o_totalprice, 2) AS totalprice,
+                   PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                       ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey) AS pct_rank,
+                   CUME_DIST() OVER (PARTITION BY o_orderpriority
+                       ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey) AS cume
+            FROM orders
         """,
         "nation_price_quartiles": """
             SELECT n_name,

@@ -715,3 +715,27 @@ def orders_price_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def orders_value_distribution_rank(orders: DataFrame) -> DataFrame:
+    """[EXT] percent_rank + cume_dist per order within its priority class —
+    the relative-standing window pair the surface didn't yet cover (rank /
+    row_number / ntile / lag / frames all exist). The ORDER BY carries an
+    orderkey tiebreak so no two rows are peers: both statistics become
+    exact rationals of integer positions — (rank−1)/(n−1) and pos/n —
+    whose correctly-rounded doubles are engine-identical with no rounding
+    step needed.
+
+    Scale shape: one hash exchange on the priority key; per-task state is
+    one priority class (5 classes here — at scale partition by a finer
+    entity key the same way). No presentation sort on the N-row output."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        cents("o_totalprice"), "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -269,3 +269,54 @@ def quantile_rollup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_quantile_store(read_table(spark, sf_dir, "events"), path)
         _QUANTILE_STORE_CACHE[sf_dir] = path
     return quantiles_from_store(spark, path, start="2024-01-08", end="2024-01-21")
+
+
+def quantile_store_streaming_sink(
+    events_stream,
+    path: str,
+    lo_cents: int = 0,
+    hi_cents: int = 100000,
+    n_buckets: int = 256,
+    ts_col: str = "ts",
+    val_col: str = "value",
+):
+    """Streaming maintenance of the quantile store: each micro-batch's
+    histogram cells MERGE into the persisted store by integer addition —
+    the store stays exactly equal to a batch build over everything seen
+    (stream==batch equivalence is exact, not approximate, and tested).
+
+    Same durability discipline as ``scd2_streaming_sink``: existence is an
+    explicit FileSystem probe (a read error must abort the batch, not be
+    mistaken for first-batch), and the rewrite is write-to-temp-then-swap
+    so a crash mid-write leaves the current store intact. Per-batch cost
+    is the batch scan + a |days×buckets|-row merge — independent of how
+    much history the store summarizes. Returns a DataStreamWriter."""
+
+    def _apply(batch_df, _batch_id):
+        sp = batch_df.sparkSession
+        fresh = daily_value_histograms(
+            batch_df, lo_cents, hi_cents, n_buckets, ts_col, val_col
+        ).withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+        jvm = sp._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            merged = (
+                sp.read.parquet(path)
+                .unionByName(fresh)
+                .groupBy("day", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = fresh
+        tmp = path.rstrip("/") + "__tmp"
+        htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(htmp):
+            fs.delete(htmp, True)
+        merged.write.mode("overwrite").parquet(tmp)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        if not fs.rename(htmp, hpath):
+            raise IOError(f"quantile_store_streaming_sink: rename {tmp} -> {path} failed")
+
+    return events_stream.writeStream.foreachBatch(_apply)

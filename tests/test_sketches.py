@@ -177,3 +177,46 @@ def test_quantile_store_merge_is_exact(spark, tables, tmp_path):
         .agg(F.sum("cnt").alias("cnt"))
     )
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_quantile_store_streaming_sink_equals_batch(spark, tables, tmp_path):
+    """Stream-maintained store must equal the batch-built store EXACTLY —
+    integer-count merge has no estimate drift across micro-batches."""
+    import glob
+    import shutil
+
+    events = tables["events"]
+    watch = tmp_path / "changes"
+    watch.mkdir()
+    for i, half in enumerate(
+        (events.filter("event_id % 2 = 0"), events.filter("event_id % 2 = 1"))
+    ):
+        staged = str(tmp_path / f"stage{i}")
+        half.coalesce(1).write.mode("overwrite").parquet(staged)
+        shutil.copy(glob.glob(f"{staged}/part-*.parquet")[0], watch / f"b{i}.parquet")
+
+    store_path = str(tmp_path / "qstore_stream")
+    src = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(watch))
+    )
+    q = (
+        sketches.quantile_store_streaming_sink(src, store_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    batch_path = str(tmp_path / "qstore_batch")
+    sketches.write_quantile_store(events, batch_path)
+    streamed = sorted(map(tuple, spark.read.parquet(store_path).collect()))
+    batch = sorted(map(tuple, spark.read.parquet(batch_path).collect()))
+    assert streamed == batch
+    # and the rollup over the streamed store answers identically
+    a = sketches.quantiles_from_store(spark, store_path).first()
+    b = sketches.quantiles_from_store(spark, batch_path).first()
+    assert a == b
