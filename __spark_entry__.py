@@ -621,6 +621,7 @@ _PRIORITY = [
     "orders_price_histogram",
     "events_quantile_store_rollup",
     "orders_value_rank",
+    "scd2_change_feed",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -820,6 +821,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # horizon compaction preserves the presentation view exactly, so this
         # shares scd2_user_state's oracle — the hash match IS the equivalence
         # proof (operators/scd.py:scd2_compact; VERDICT r2 #7)
+        # CDC change feed between the mid-month snapshot and now: full-outer
+        # diff of two current-state views (operators/scd.py:scd2_change_feed)
+        "scd2_change_feed": _q(
+            ("events",),
+            lambda t: scd.scd2_change_feed(
+                scd.scd2_dim(
+                    t["events"].filter(
+                        F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+                    )
+                ).filter("is_current"),
+                scd.scd2_dim(t["events"]).filter("is_current"),
+            ),
+        ),
         "scd2_compacted_state": _q(
             ("events",),
             lambda t: scd.scd2_present(
@@ -1753,6 +1767,29 @@ def _oracle_sql_literals() -> dict[str, str]:
             for i in range(16)
         ) + """) AS BIGINT) AS zkey
             FROM events
+        """,
+        "scd2_change_feed": """
+            WITH o AS (
+                SELECT user_id, event_type AS state,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE ts < TIMESTAMP '2024-01-16'
+            ),
+            oc AS (SELECT user_id, state AS old_state FROM o WHERE rn = 1),
+            n AS (
+                SELECT user_id, event_type AS state,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ),
+            nc AS (SELECT user_id, state AS new_state FROM n WHERE rn = 1)
+            SELECT COALESCE(oc.user_id, nc.user_id) AS user_id,
+                   CASE WHEN oc.user_id IS NULL THEN 'INSERT'
+                        WHEN nc.user_id IS NULL THEN 'DELETE'
+                        WHEN old_state <> new_state THEN 'UPDATE' END AS change,
+                   old_state, new_state
+            FROM oc FULL OUTER JOIN nc ON oc.user_id = nc.user_id
+            WHERE (oc.user_id IS NULL OR nc.user_id IS NULL OR old_state <> new_state)
         """,
         "scd2_user_state": """
             WITH o AS (

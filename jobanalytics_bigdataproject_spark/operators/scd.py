@@ -231,3 +231,40 @@ def scd2_streaming_sink(
             raise IOError(f"scd2_streaming_sink: rename {tmp} -> {path} failed")
 
     return changes_stream.writeStream.foreachBatch(_apply)
+
+
+def scd2_change_feed(
+    old_current: DataFrame,
+    new_current: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """[EXT] CDC change feed between two dimension snapshots (the Delta
+    CHANGE DATA FEED / Debezium-diff shape): full-outer join of the two
+    current-state views on the key, classifying each key as INSERT (new
+    only), DELETE (old only), UPDATE (state differs) — unchanged keys drop
+    out. Inputs are ``scd2_present``-style frames filtered to
+    ``is_current``; one row per key each.
+
+    Scale shape: ONE full-outer shuffle join on the dimension key (both
+    sides are current-state sized — one row per key, far smaller than the
+    event log); the classifier is a codegen'd CASE. At 100 TB the
+    dimension is bucketable on the key, making the diff co-located."""
+    o = old_current.select(F.col(key), F.col("state").alias("old_state"))
+    n = new_current.select(F.col(key).alias("__nk"), F.col("state").alias("new_state"))
+    joined = o.join(n, o[key] == n["__nk"], "full_outer")
+    change = (
+        F.when(F.col(key).isNull(), F.lit("INSERT"))
+        .when(F.col("__nk").isNull(), F.lit("DELETE"))
+        .when(F.col("old_state") != F.col("new_state"), F.lit("UPDATE"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col(key), F.col("__nk")).alias(key),
+            "change",
+            "old_state",
+            "new_state",
+        )
+        # no presentation sort: the feed is dimension-sized
+    )

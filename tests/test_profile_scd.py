@@ -232,3 +232,39 @@ def test_scd2_streaming_sink_compacts_storage(spark, tables, tmp_path):
     assert _canon(scd.scd2_present(stored)) == _canon(scd.scd2_from_log(events))
     # events span ~30 days; a 5-day horizon must have collapsed most no-op runs
     assert stored.count() < events.count()
+
+
+def test_scd2_change_feed_classifies_all_types(spark):
+    old = spark.createDataFrame(
+        [(1, "trial"), (2, "paid"), (3, "churned")], ["user_id", "state"]
+    )
+    new = spark.createDataFrame(
+        [(1, "paid"), (2, "paid"), (4, "trial")], ["user_id", "state"]
+    )
+    out = {r.user_id: r for r in scd.scd2_change_feed(old, new).collect()}
+    assert out[1].change == "UPDATE" and out[1].old_state == "trial" and out[1].new_state == "paid"
+    assert out[3].change == "DELETE" and out[3].new_state is None
+    assert out[4].change == "INSERT" and out[4].old_state is None
+    assert 2 not in out  # unchanged keys drop out of the feed
+
+
+def test_scd2_change_feed_against_snapshots(spark, tables):
+    """On the fixture: diff of mid-month vs full current states — every
+    UPDATE row's states must match the true last-event states."""
+    from pyspark.sql import functions as F
+
+    events = tables["events"]
+    old = scd.scd2_dim(
+        events.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    ).filter("is_current")
+    new = scd.scd2_dim(events).filter("is_current")
+    feed = scd.scd2_change_feed(old, new).collect()
+    assert len(feed) > 0
+    assert all(r.change in ("INSERT", "UPDATE") for r in feed)  # new ⊇ old users
+    o = {r.user_id: r.state for r in old.collect()}
+    n = {r.user_id: r.state for r in new.collect()}
+    for r in feed:
+        if r.change == "UPDATE":
+            assert o[r.user_id] == r.old_state != r.new_state == n[r.user_id]
+        else:
+            assert r.user_id not in o and r.new_state == n[r.user_id]
