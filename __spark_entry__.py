@@ -622,6 +622,7 @@ _PRIORITY = [
     "events_quantile_store_rollup",
     "orders_value_rank",
     "scd2_change_feed",
+    "lineitem_mad_outliers",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -766,6 +767,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "orders_value_rank": _q(
             ("orders",), lambda t: analytics.orders_value_distribution_rank(t["orders"])
+        ),
+        "lineitem_mad_outliers": _q(
+            ("lineitem",), lambda t: cleaning.mad_outlier_report(t["lineitem"])
         ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
@@ -1436,6 +1440,24 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT bucket, COUNT(*) AS n_orders,
                    ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 2) AS total_value
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "lineitem_mad_outliers": """
+            WITH c AS (
+                SELECT l_returnflag AS g,
+                       CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+                FROM lineitem
+            ),
+            m AS (SELECT g, CAST(MEDIAN(c) AS DOUBLE) AS med FROM c GROUP BY g),
+            d AS (SELECT c.g, c.c, ABS(c.c - m.med) AS dev FROM c JOIN m USING (g)),
+            md AS (SELECT g, CAST(MEDIAN(dev) AS DOUBLE) AS mad FROM d GROUP BY g)
+            SELECT d.g AS l_returnflag,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN d.dev > 3*md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   ANY_VALUE(m.med)/100.0 AS median_value,
+                   ANY_VALUE(md.mad)/100.0 AS mad_value
+            FROM d JOIN md USING (g) JOIN m USING (g)
+            GROUP BY d.g
+            ORDER BY l_returnflag
         """,
         "orders_value_rank": """
             SELECT o_orderkey, o_orderpriority,

@@ -76,3 +76,57 @@ def filter_cross_column(df: DataFrame, lo_col: str, hi_col: str) -> DataFrame:
     (01:46)."""
     lo, hi = F.col(lo_col), F.col(hi_col)
     return df.filter(lo.isNull() | hi.isNull() | (lo <= hi))
+
+
+def mad_outlier_report(
+    df: DataFrame,
+    group_col: str = "l_returnflag",
+    val_col: str = "l_extendedprice",
+    k: int = 3,
+) -> DataFrame:
+    """[EXT] Robust per-group outlier report: flag values more than ``k``
+    median-absolute-deviations from their group median — the
+    mean/stddev-free outlier rule that a single corrupt magnitude can't
+    drag (a z-score's mean and sigma both move with the outlier; the
+    median and MAD don't).
+
+    Exactness: values quantize to integer cents, so the group median sits
+    on the half-cent grid, |c − median| on the half grid, and the MAD on
+    the quarter grid — every quantity is an exactly-representable binary
+    fraction and the ``dev > k·MAD`` comparison is bit-identical on any
+    engine with NO rounding step or tolerance.
+
+    Scale shape: two grouped exact-median aggregations (same per-group
+    buffering bound as every exact percentile here — the sketch path is
+    approxQuantile) with the tiny (group, median) frames broadcast back;
+    the fact is scanned twice but never shuffled — both joins are
+    broadcasts and the final rollup has map-side partials.
+    """
+    from jobanalytics_bigdataproject_spark.functions.exact import cents
+
+    c = df.select(F.col(group_col).alias("g"), cents(val_col).alias("c"))
+    med = c.groupBy("g").agg(F.median("c").alias("med"))
+    dev = c.join(F.broadcast(med), "g").withColumn(
+        "dev", F.abs(F.col("c") - F.col("med"))
+    )
+    mad = dev.groupBy("g").agg(F.median("dev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "g")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("dev") > F.lit(k) * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+            (F.first("med") / F.lit(100.0)).alias("median_value"),
+            (F.first("mad") / F.lit(100.0)).alias("mad_value"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            "n_outliers",
+            "median_value",
+            "mad_value",
+        )
+        .orderBy(group_col)
+    )

@@ -58,3 +58,18 @@ def test_cross_column_guard(spark):
     )
     kept = cleaning.filter_cross_column(df, "lo", "hi")
     assert kept.count() == 2  # (1,2) and (None,5); (3,1) rejected
+
+
+def test_mad_outlier_report_hand_case(spark):
+    """9 tight values + one wild one: z-score with the outlier included
+    would need sigma ~ the outlier itself; MAD flags it cleanly."""
+    from jobanalytics_bigdataproject_spark.operators.cleaning import mad_outlier_report
+
+    rows = [("A", float(v)) for v in (10, 10, 11, 11, 12, 12, 13, 13, 14, 1000)]
+    rows += [("B", 5.0), ("B", 5.0), ("B", 5.0)]
+    df = spark.createDataFrame(rows, ["l_returnflag", "l_extendedprice"])
+    out = {r.l_returnflag: r for r in mad_outlier_report(df).collect()}
+    assert out["A"].n_rows == 10 and out["A"].n_outliers == 1
+    assert out["A"].median_value == 12.0
+    # group of identical values: MAD 0, nothing flagged (dev > 3*0 only if dev>0)
+    assert out["B"].n_outliers == 0 and out["B"].mad_value == 0.0
