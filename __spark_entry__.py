@@ -623,6 +623,7 @@ _PRIORITY = [
     "orders_value_rank",
     "scd2_change_feed",
     "lineitem_mad_outliers",
+    "tpch_q19_disjunctive",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -770,6 +771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lineitem_mad_outliers": _q(
             ("lineitem",), lambda t: cleaning.mad_outlier_report(t["lineitem"])
+        ),
+        "tpch_q19_disjunctive": _q(
+            ("lineitem", "part"),
+            lambda t: analytics.tpch_q19_disjunctive_revenue(t["lineitem"], t["part"]),
         ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
@@ -1440,6 +1445,24 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT bucket, COUNT(*) AS n_orders,
                    ROUND(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0, 2) AS total_value
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        "tpch_q19_disjunctive": """
+            WITH j AS (
+                SELECT CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS rc,
+                       (p_type = 'PROMO' AND p_size BETWEEN 1 AND 5
+                            AND l_quantity BETWEEN 1 AND 11) AS a1,
+                       (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 10
+                            AND l_quantity BETWEEN 10 AND 20) AS a2,
+                       (p_type = 'STANDARD' AND p_size BETWEEN 1 AND 25
+                            AND l_quantity BETWEEN 20 AND 36) AS a3
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            )
+            SELECT SUM(rc)/100.0 AS revenue,
+                   COUNT(*) AS n_lines,
+                   SUM(CASE WHEN a1 THEN rc ELSE 0 END)/100.0 AS rev_arm1,
+                   SUM(CASE WHEN a2 THEN rc ELSE 0 END)/100.0 AS rev_arm2,
+                   SUM(CASE WHEN a3 THEN rc ELSE 0 END)/100.0 AS rev_arm3
+            FROM j WHERE a1 OR a2 OR a3
         """,
         "lineitem_mad_outliers": """
             WITH c AS (

@@ -739,3 +739,44 @@ def orders_value_distribution_rank(orders: DataFrame) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+def tpch_q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape [EXT]: revenue under an OR-of-ANDs predicate — three
+    (brand-class × size band × quantity band) arms OR'd together, the
+    classic disjunctive join filter.
+
+    Scale shape: the predicate references BOTH sides, so no single arm can
+    fully push to either scan — but each side's UNION OF ARMS does:
+    Catalyst derives `p_type IN (...)` / `p_size <= 25` for the part scan
+    and `l_quantity <= 36` for the lineitem scan from the disjunction
+    (constraint propagation), pruning before the broadcast join evaluates
+    the exact residual. Per-arm revenue is also reported via conditional
+    aggregation so one pass answers all three arms."""
+    arm1 = (
+        (F.col("p_type") == "PROMO")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    arm2 = (
+        (F.col("p_type") == "ECONOMY")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    arm3 = (
+        (F.col("p_type") == "STANDARD")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(20, 36))
+    )
+    rev = revenue_cents()
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            (F.sum(rev) / F.lit(100.0)).alias("revenue"),
+            F.count("*").alias("n_lines"),
+            (F.sum(F.when(arm1, rev).otherwise(0)) / F.lit(100.0)).alias("rev_arm1"),
+            (F.sum(F.when(arm2, rev).otherwise(0)) / F.lit(100.0)).alias("rev_arm2"),
+            (F.sum(F.when(arm3, rev).otherwise(0)) / F.lit(100.0)).alias("rev_arm3"),
+        )
+    )

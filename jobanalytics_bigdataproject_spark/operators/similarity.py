@@ -493,3 +493,38 @@ def center_embeddings(
         (F.col("cq") / F.nullif(norm, F.lit(0.0))).alias("unit"),
         # no presentation sort: V×dim output, order-insensitive compare
     )
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF index maintenance: assign a batch of NEW vectors to
+    their nearest EXISTING centroid (cosine argmax against the broadcast
+    centroid table — no KMeans re-fit, which is the entire point of
+    cluster-at-ingest) and append them into the cell-partitioned corpus
+    layout. Completes the incremental-store family: dedup has
+    ``dedup_batch_incremental``, distincts have the HLL store, quantiles
+    have the histogram store — ANN now ingests daily batches without
+    touching history.
+
+    Cost: |batch|×|cells| cosine evaluations (centroids broadcast, one
+    row_number per vector), then a partitioned append that only writes the
+    batch's cells. The historical corpus is neither read nor rewritten.
+    Centroid drift under sustained appends degrades recall, not
+    correctness (``ann_recall_report`` is the watchdog); the re-fit is an
+    offline rebuild when the report says so."""
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    sim = cosine_expr(vec_col, "centroid")
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), "cell")
+    assigned = (
+        new_vectors.crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, "cell", sim.alias("__sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")

@@ -154,3 +154,42 @@ def test_ann_recall_at_operating_point_on_structured_data(spark, tmp_path):
         ).filter(F.col("method") == "ivf").collect()
     }
     assert rep["n_probe=2"] >= 0.9, rep
+
+
+def test_ivf_append_full_probe_equals_bruteforce(spark, tables, tmp_path):
+    """Incremental append: index the first 80% of vectors, append the rest
+    (nearest-existing-centroid assignment, no re-fit), then a full-probe
+    query over the appended index must equal brute force over the WHOLE
+    corpus — append lost nothing and assigned consistently."""
+    from jobanalytics_bigdataproject_spark.operators import similarity
+
+    emb = tables["embeddings"]
+    n = emb.count()
+    cut = int(n * 0.8)
+    base, batch = emb.filter(F.col("vec_id") < cut), emb.filter(F.col("vec_id") >= cut)
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(base, path, n_clusters=4)
+    similarity.ivf_append(batch, path)
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert corpus.count() == n
+    # every appended vector landed in its argmax-cosine cell
+    cents = spark.read.parquet(f"{path}/centroids")
+    got = corpus.filter(F.col("vec_id") >= cut).select("vec_id", "cell")
+    sim = similarity.cosine_expr("embedding", "centroid")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("vec_id").orderBy(F.desc("__sim"), "cell")
+    want = (
+        batch.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", sim.alias("__sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "cell")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    full_probe = similarity.ivf_query(spark, path, queries, k=5, n_probe=4)
+    brute = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    assert sorted(map(tuple, full_probe.collect())) == sorted(map(tuple, brute.collect()))
