@@ -636,6 +636,7 @@ _ROWS_ONLY = {
     "events_hll_distinct_users",
     "events_hll_daily_report",
     "events_audience_overlap",
+    "percentile_accuracy_report",
     "docs_minhash_signatures",
     "docs_lsh_candidates",
     "docs_simhash",
@@ -1016,6 +1017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_customers": _q(("orders",), _approx_distinct_customers),
         "unpivot_customer_metrics": _q(("customer",), _unpivot_customer_metrics),
         "percentiles_price": _q(("lineitem",), _percentiles_price),
+        "percentile_accuracy_report": _q(
+            ("lineitem",),
+            lambda t: sampling.percentile_accuracy_report(t["lineitem"]),
+        ),
         "summary_lineitem": _q(
             ("lineitem",),
             lambda t: sampling.summary_stats(t["lineitem"], ["l_extendedprice", "l_quantity"]),

@@ -62,3 +62,44 @@ def summary_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df.select(*cols).summary(
         "count", "min", "25%", "50%", "75%", "max", "mean"
     )
+
+
+def percentile_accuracy_report(
+    df: DataFrame,
+    col: str = "l_extendedprice",
+    group_col: str = "l_returnflag",
+    probabilities: Sequence[float] = (0.5, 0.9, 0.99),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """[EXT] Per-group approx_percentile (Greenwald-Khanna, the 100 TB
+    path) against the exact interpolated percentile, with the error in
+    basis points of the exact value — the measured-accuracy report that
+    makes the sketch operable (the ANN-recall / HLL-error rationale: an
+    estimator without a measured error is not a dial). Rows-only: the GK
+    sketch result is implementation-specific. One pass computes both
+    forms; at 100 TB you run only the sketch and trust THIS report's
+    measured bound for the accuracy setting."""
+    from pyspark.sql import functions as F
+
+    probs = list(probabilities)
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.percentile_approx(col, probs, accuracy).alias("approx"),
+        F.percentile(col, F.lit(probs)).alias("exact"),
+    )
+    rows = []
+    for i, p in enumerate(probs):
+        ap = F.element_at("approx", i + 1)
+        ex = F.element_at("exact", i + 1)
+        rows.append(
+            agg.select(
+                "grp",
+                F.lit(p).alias("p"),
+                F.round(ap, 2).alias("approx_value"),
+                F.round(ex, 2).alias("exact_value"),
+                F.round(10000.0 * F.abs(ap - ex) / F.abs(ex)).cast("long").alias("err_bp"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("grp", "p")

@@ -93,3 +93,17 @@ def test_tokenize_idempotent(spark, text):
         F.array_join("tok", " ").alias("t")
     ).select(tokenize("t").alias("tok"))
     assert once.first().tok == twice.first().tok
+
+
+def test_percentile_accuracy_report_bounds(spark, tables):
+    """GK sketch at accuracy=1000 must sit within ~1% rank error of exact;
+    on this distribution that is well under 500bp of value error, and the
+    err_bp column must be consistent with its inputs."""
+    from jobanalytics_bigdataproject_spark.operators.sampling import (
+        percentile_accuracy_report,
+    )
+
+    rows = percentile_accuracy_report(tables["lineitem"]).collect()
+    assert len(rows) == 9  # 3 groups x 3 probabilities
+    for r in rows:
+        assert r.err_bp < 500, (r.grp, r.p, r.err_bp)
