@@ -39,6 +39,7 @@ from jobanalytics_bigdataproject_spark.operators import (
     similarity,
     sketches,
     text,
+    tpch,
 )
 from jobanalytics_bigdataproject_spark.sources.readers import load_star, register_views
 from jobanalytics_bigdataproject_spark.streaming import joins as stream_joins
@@ -624,6 +625,21 @@ _PRIORITY = [
     "scd2_change_feed",
     "lineitem_mad_outliers",
     "tpch_q19_disjunctive",
+    # new this round, batch 2: the remaining TPC-H shapes the fixture schema
+    # can express (operators/tpch.py) — semi/anti EXISTS pairs, conditional
+    # aggregation, distribution-of-counts, max-subquery, decorrelated
+    # per-group threshold, HAVING-sum semi-join, substring+anti-join.
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_idle_customers",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -776,6 +792,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive": _q(
             ("lineitem", "part"),
             lambda t: analytics.tpch_q19_disjunctive_revenue(t["lineitem"], t["part"]),
+        ),
+        "tpch_q4_order_priority": _q(
+            ("orders", "lineitem"),
+            lambda t: tpch.q4_order_priority(t["orders"], t["lineitem"]),
+        ),
+        "tpch_q6_forecast_revenue": _q(
+            ("lineitem",), lambda t: tpch.q6_forecast_revenue(t["lineitem"])
+        ),
+        "tpch_q8_market_share": _q(
+            ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+            lambda t: tpch.q8_market_share(
+                t["customer"], t["orders"], t["lineitem"],
+                t["supplier"], t["nation"], t["region"],
+            ),
+        ),
+        "tpch_q12_priority_shipping": _q(
+            ("orders", "lineitem"),
+            lambda t: tpch.q12_priority_shipping(t["orders"], t["lineitem"]),
+        ),
+        "tpch_q13_customer_distribution": _q(
+            ("customer", "orders"),
+            lambda t: tpch.q13_customer_distribution(t["customer"], t["orders"]),
+        ),
+        "tpch_q15_top_supplier": _q(
+            ("lineitem", "supplier"),
+            lambda t: tpch.q15_top_supplier(t["lineitem"], t["supplier"]),
+        ),
+        "tpch_q16_supplier_variety": _q(
+            ("lineitem", "part", "supplier"),
+            lambda t: tpch.q16_supplier_variety(t["lineitem"], t["part"], t["supplier"]),
+        ),
+        "tpch_q17_small_quantity": _q(
+            ("lineitem", "part"),
+            lambda t: tpch.q17_small_quantity_revenue(t["lineitem"], t["part"]),
+        ),
+        "tpch_q18_large_volume": _q(
+            ("customer", "orders", "lineitem"),
+            lambda t: tpch.q18_large_volume_customers(
+                t["customer"], t["orders"], t["lineitem"]
+            ),
+        ),
+        "tpch_q21_waiting_supplier": _q(
+            ("supplier", "lineitem", "orders", "nation"),
+            lambda t: tpch.q21_waiting_supplier(
+                t["supplier"], t["lineitem"], t["orders"], t["nation"]
+            ),
+        ),
+        "tpch_q22_idle_customers": _q(
+            ("customer", "orders"),
+            lambda t: tpch.q22_idle_customers(t["customer"], t["orders"]),
         ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
@@ -1468,6 +1534,181 @@ def _oracle_sql_literals() -> dict[str, str]:
                    SUM(CASE WHEN a2 THEN rc ELSE 0 END)/100.0 AS rev_arm2,
                    SUM(CASE WHEN a3 THEN rc ELSE 0 END)/100.0 AS rev_arm3
             FROM j WHERE a1 OR a2 OR a3
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT))/100.0 AS revenue,
+                   COUNT(*) AS line_count
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q8_market_share": """
+            WITH mkt AS (
+                SELECT n_nationkey FROM nation
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            j AS (
+                SELECT year(o_orderdate) AS o_year,
+                       CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS rev,
+                       n2.n_name AS supp_nation
+                FROM customer
+                JOIN mkt ON c_nationkey = mkt.n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            )
+            SELECT o_year,
+                   ROUND(10000.0 * SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0 END)
+                         / NULLIF(SUM(rev), 0)) / 10000.0 AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q12_priority_shipping": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+            ORDER BY l_linestatus
+        """,
+        "tpch_q13_customer_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON o_custkey = c_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS total_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_cents/100.0 AS total_revenue
+            FROM rev JOIN supplier ON s_suppkey = l_suppkey
+            WHERE total_cents = (SELECT MAX(total_cents) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q16_supplier_variety": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q17_small_quantity": """
+            WITH target AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#2' AND p_type = 'SMALL'
+            ),
+            li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN target ON l_partkey = p_partkey
+            ),
+            th AS (
+                SELECT l_partkey AS t_partkey,
+                       0.2*(SUM(l_quantity)/COUNT(l_quantity)) AS qty_threshold
+                FROM li GROUP BY l_partkey
+            )
+            SELECT ROUND(100.0 * SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                         / NULLIF(700.0, 0)) / 100.0 AS avg_yearly
+            FROM li JOIN th ON l_partkey = t_partkey
+            WHERE l_quantity < qty_threshold
+        """,
+        "tpch_q18_large_volume": """
+            WITH big AS (
+                SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                   o_totalprice AS total_price, total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_price DESC, o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q21_waiting_supplier": """
+            WITH nat_supp AS (
+                SELECT s_suppkey, s_name
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_1'
+            ),
+            li AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ),
+            l1 AS (
+                SELECT li.l_orderkey, li.l_suppkey, s_name
+                FROM li JOIN nat_supp ON li.l_suppkey = nat_supp.s_suppkey
+                WHERE is_late
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM l1
+            WHERE EXISTS (SELECT 1 FROM li o2
+                          WHERE o2.l_orderkey = l1.l_orderkey
+                            AND o2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM li o2
+                              WHERE o2.l_orderkey = l1.l_orderkey
+                                AND o2.l_suppkey <> l1.l_suppkey
+                                AND o2.is_late)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "tpch_q22_idle_customers": """
+            WITH base AS (
+                SELECT c_custkey, c_acctbal,
+                       right(c_name, 2) AS cntrycode
+                FROM customer
+                WHERE right(c_name, 2) IN ('00','02','04','06','08')
+            ),
+            a AS (
+                SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))*1.0
+                       / COUNT(c_acctbal) / 100.0 AS a
+                FROM base WHERE c_acctbal > 0
+            )
+            SELECT cntrycode, COUNT(*) AS numcust,
+                   ROUND(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))/100.0, 2) AS totacctbal
+            FROM base, a
+            WHERE c_acctbal > a.a
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-06-01')
+            GROUP BY cntrycode
+            ORDER BY cntrycode
         """,
         "lineitem_mad_outliers": """
             WITH c AS (
