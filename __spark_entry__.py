@@ -660,6 +660,7 @@ _ROWS_ONLY = {
     "docs_neardup_dedup",
     "docs_incremental_dedup",
     "ann_cosine_lsh",
+    "embedding_near_dups_lsh",
     "ann_cosine_ivf",
     "ann_cosine_ivf_indexed",
     "approx_distinct_customers",
@@ -1006,6 +1007,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_report": _ann_recall_report,
         "embedding_near_dups": _q(
             ("embeddings",), lambda t: similarity.embedding_near_dups(t["embeddings"], threshold=0.3)
+        ),
+        # the 100 TB shape: data-independent SRP blocking (rows-only — LSH
+        # recall < 1 by construction; the pytest measures recall).  The
+        # fixture's pair sims top out near 0.5, so the declared dial is
+        # bits=2/tables=8 (SRP recall at sim 0.3 ≈ 97%); the production
+        # near-dup dial (threshold≥0.9 → bits=8) is covered by the
+        # synthetic-cluster test in tests/test_similarity.py.
+        "embedding_near_dups_lsh": _q(
+            ("embeddings",),
+            lambda t: similarity.embedding_near_dups_lsh(
+                t["embeddings"], threshold=0.3, bits=2, n_tables=8
+            ),
         ),
         "embeddings_centered": _q(
             ("embeddings",), lambda t: similarity.center_embeddings(t["embeddings"])

@@ -83,18 +83,21 @@ def cosine_topk_bruteforce(
     )
 
 
-def srp_bucket_expr(vec: str, bits: int = 8, dim: int = 64) -> Column:
+def srp_bucket_expr(vec: str, bits: int = 8, dim: int = 64, offset: int = 0) -> Column:
     """Sign-random-projection LSH bucket id (0..2^bits-1). Hyperplane h_b's
     coordinate j is a deterministic pseudo-random ±1 derived from
-    xxhash64(b*dim+j) — fixed across runs and nodes without shipping a
-    model. Bucket bit b = sign(Σ_j h_bj · vec_j).
+    xxhash64(offset + b*dim + j) — fixed across runs and nodes without
+    shipping a model. Bucket bit b = sign(Σ_j h_bj · vec_j).  ``offset``
+    selects an independent hyperplane family (used by the multi-table
+    near-dup blocking in ``embedding_near_dups_lsh``).
 
     Built as ONE SQL-string parse (see ``cosine_expr``): the Column-object
     form cost ~bits×10 py4j round-trips per fresh plan."""
     terms = []
     for b in range(bits):
+        lo, hi = offset + b * dim, offset + b * dim + dim - 1
         proj = (
-            f"aggregate(zip_with({vec}, sequence({b * dim}, {b * dim + dim - 1}), "
+            f"aggregate(zip_with({vec}, sequence({lo}, {hi}), "
             f"(x, j) -> double(x) * if((xxhash64(j) & 1) = 1, 1.0D, -1.0D)), "
             f"0D, (acc, s) -> acc + s)"
         )
@@ -227,9 +230,11 @@ def embedding_near_dups(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``, blocked by
-    ``block_col`` to bound the pair expansion (at scale the block is an LSH
-    bucket — see srp_bucket; here the fixture's label column doubles as the
-    block).
+    ``block_col`` to bound the pair expansion.  This is the *oracle twin*
+    (deterministic, exactly checkable); the scale path with
+    data-independent blocking is ``embedding_near_dups_lsh`` below —
+    blocking on a data column is only bounded if that column happens to be
+    low-cardinality and balanced.
 
     Pairwise similarity inside a block is dense linear algebra — the one
     place the Python path wins: ``applyInPandas`` per block with a numpy
@@ -286,6 +291,84 @@ def embedding_near_dups(
         .groupBy(block_col)
         .applyInPandas(per_block, schema)
         .orderBy("block", "id_a", "id_b")
+    )
+
+
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with *data-independent* SRP
+    blocking — the 100 TB shape of ``embedding_near_dups``, whose
+    ``block_col`` blocks on a data column and is only bounded if that
+    column happens to be low-cardinality (VERDICT r2 #5).
+
+    Banded amplification: ``n_tables`` independent SRP hash tables
+    (disjoint hyperplane families via the ``offset`` parameter), a pair is
+    a candidate if it collides in ANY table, pairs are deduped across
+    tables afterwards.  Per-bit collision probability for similarity s is
+    ``1 - acos(s)/π``, so the dial must match the threshold: at sim 0.95,
+    bits=8 catches ~43% per table and 8 tables reach ~99% recall; at a
+    loose sim 0.3 the same bits=8 collapses to ~2% per table — drop to
+    bits=2 (recall ~97% with 8 tables) and accept the coarser 4-way
+    bucketing.  (Rows-only check + measured-recall pytest — recall<1 by
+    construction, so no oracle.)
+
+    Scale: one scan computes all table buckets (posexplode of an
+    n_tables-long array — ×L row expansion of (id, vec) only), one shuffle
+    on (table, bucket), numpy gram matrix per bucket exactly as
+    embedding_near_dups, then a pair-keyed dedup shuffle whose input is
+    candidate pairs, not vectors.  Max bucket size is |data|/2^bits in
+    expectation — at skew, raise ``bits`` (halves bucket size per bit) and
+    ``n_tables`` (restores recall)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].iloc[order]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = np.nan
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        s = np.round(sims[iu, ju], 4)
+        keep = s >= thr
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "sim": s[keep]})
+
+    buckets = F.array(
+        *[srp_bucket_expr(vec_col, bits, dim, offset=t * bits * dim) for t in range(n_tables)]
+    )
+    tabled = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(buckets).alias("table", "bucket")
+    )
+    return (
+        tabled.groupBy("table", "bucket")
+        .applyInPandas(per_bucket, schema)
+        # same vectors give the same rounded sim in every colliding table —
+        # max() is just the dedup that keeps one row per pair
+        .groupBy("id_a", "id_b")
+        .agg(F.max("sim").alias("sim"))
+        .orderBy("id_a", "id_b")
     )
 
 

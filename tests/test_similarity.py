@@ -193,3 +193,73 @@ def test_ivf_append_full_probe_equals_bruteforce(spark, tables, tmp_path):
     full_probe = similarity.ivf_query(spark, path, queries, k=5, n_probe=4)
     brute = similarity.cosine_topk_bruteforce(emb, queries, k=5)
     assert sorted(map(tuple, full_probe.collect())) == sorted(map(tuple, brute.collect()))
+
+
+# ---------------------------------------------------------------------------
+# embedding_near_dups_lsh (data-independent SRP blocking)
+# ---------------------------------------------------------------------------
+
+
+def _exact_pairs(emb, threshold):
+    """All pairs >= threshold via one global block (fixture-sized only)."""
+    one = emb.withColumn("__blk", F.lit(0))
+    return {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(
+            one, threshold=threshold, block_col="__blk"
+        ).collect()
+    }
+
+
+def test_neardup_lsh_subset_and_recall_on_fixture(spark, tables):
+    """bits=2/tables=8 at the fixture's loose 0.3 threshold: every reported
+    pair must exist in the exact pair set (no false positives — sims are
+    verified inside the bucket), and recall must clear the ~97% analytic
+    expectation with slack."""
+    emb = tables["embeddings"]
+    exact = _exact_pairs(emb, 0.3)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups_lsh(
+            emb, threshold=0.3, bits=2, n_tables=8
+        ).collect()
+    }
+    assert got <= exact
+    assert exact, "fixture must contain pairs at 0.3"
+    assert len(got) / len(exact) >= 0.9
+
+
+def test_neardup_lsh_production_dial_on_synthetic_clusters(spark):
+    """The production near-dup case (sim >= 0.95): planted clusters of
+    jittered copies must be recovered at bits=8/tables=8 with recall >= 0.9
+    while random background vectors produce no cross-cluster pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    vid = 0
+    for c in range(10):  # 10 clusters of 4 near-identical vectors
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for _ in range(4):
+            v = base + rng.normal(scale=0.02, size=64)  # sim ~0.998
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(100):  # background noise, pairwise sim ~N(0, 1/8)
+        v = rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = _exact_pairs(emb, 0.95)
+    assert len(exact) >= 50  # ~6 pairs per cluster x 10
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups_lsh(
+            emb, threshold=0.95, bits=8, n_tables=8
+        ).collect()
+    }
+    assert got <= exact
+    assert len(got) / len(exact) >= 0.9
+    # all recovered pairs are intra-cluster (ids 0..39 grouped in fours)
+    assert all(a // 4 == b // 4 for a, b in got if a < 40 and b < 40)
