@@ -1,0 +1,244 @@
+"""[EXT] Product-quantization ANN: compressed codes + asymmetric distance.
+
+The missing piece between the exact scan (``similarity.cosine_topk_bruteforce``)
+and the pruned scan (``similarity.ivf_query``) for a 100 TB embedding store
+is *compression*: at 64-dim float64 a trillion vectors is ~0.5 PB, but PQ
+codes at m=8 subspaces × 1 byte are 8 bytes/vector — RAM-resident per
+executor.  This module implements the classic PQ pipeline (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+literature):
+
+1. ``pq_train``    — per-subspace k-means codebooks on a bounded,
+                     deterministic sample (driver numpy; the codebook is
+                     m·k·(dim/m) floats — kilobytes).
+2. ``pq_build_index`` — encode the corpus (Arrow-batched mapInPandas,
+                     argmin over k codes per subspace) and persist codes +
+                     codebooks as parquet.
+3. ``pq_query``    — ADC scan: per query build the m×k lookup table of
+                     subspace dot products ONCE, score every code row with
+                     m table lookups (numpy fancy-indexing, no per-vector
+                     float math), emit per-batch top-k, global top-k via
+                     window.  Optional exact re-rank of the top
+                     ``refine`` candidates against the uncompressed
+                     vectors.
+
+Determinism: sample = first ``sample_n`` ids (orderBy id), k-means init =
+evenly-spaced sample points, fixed iteration count — no RNG anywhere, so
+the index is byte-identical across builds/cluster sizes.  Like every ANN
+path, recall < 1 by construction → rows-only check + measured recall in
+tests (and ``similarity.recall_vs_exact`` composes with it).
+
+Scale notes: training collects sample_n·dim doubles (bounded,
+metadata-scale, like ivf_query's probed-cell collect); encoding and the
+ADC scan are single-pass mapInPandas with only broadcast state; the only
+shuffle is the final per-query top-k aggregation over ≤ batches·k
+candidate rows per query, not corpus rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # noqa: F401 (type hints in pandas iterators)
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jobanalytics_bigdataproject_spark.operators.similarity import cosine_expr
+
+
+def _normalize_rows(mat):
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def pq_train(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 4096,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train per-subspace codebooks: deterministic Lloyd's on the first
+    ``sample_n`` vectors (L2-normalized — the query metric is cosine, same
+    spherical rationale as ``ivf_build_index``).  Returns a numpy array of
+    shape (m, k, dim/m)."""
+    import numpy as np
+
+    sample = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(sample_n).collect()
+    )
+    mat = _normalize_rows(np.asarray([r[1] for r in sample], dtype=np.float64))
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, k, dsub))
+    for s in range(m):
+        x = mat[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: evenly spaced sample points (sample is id-sorted)
+        centers = x[np.linspace(0, len(x) - 1, k).astype(int)].copy()
+        for _ in range(n_iter):
+            d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    centers[c] = x[mask].mean(axis=0)
+        books[s] = centers
+    return books
+
+
+def pq_build_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 8,
+    k: int = 16,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Encode the corpus and persist ``{path}/codes`` (id + m uint8-range
+    codes) and ``{path}/codebooks`` (m·k centers).  Encoding is one
+    mapInPandas pass with the kilobyte codebook in the closure — no
+    shuffle, no fit at query time (cluster-at-ingest, like
+    ``ivf_build_index``)."""
+    import numpy as np
+
+    books = pq_train(embeddings, m=m, k=k, sample_n=sample_n, id_col=id_col, vec_col=vec_col)
+    mm, kk, dsub = books.shape
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            mat = _normalize_rows(
+                np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            codes = np.empty((len(pdf), mm), dtype=np.int32)
+            for s in range(mm):
+                x = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)})
+
+    embeddings.select(id_col, vec_col).mapInPandas(encode, schema).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+    spark = embeddings.sparkSession
+    rows = [
+        (s, c, [float(x) for x in books[s, c]])
+        for s in range(mm)
+        for c in range(kk)
+    ]
+    spark.createDataFrame(
+        rows, "sub INT, code INT, center ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def pq_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    refine: int = 0,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC scan of a persisted PQ index.
+
+    Per query the m×k lookup table (subspace dot products against every
+    code center) is built once; scoring a code row is then m integer
+    lookups + adds — numpy fancy-indexing over the whole Arrow batch at
+    once.  Each batch emits only its local top-k per query; the global
+    top-k is a window over ≤ batches·k rows per query.
+
+    ``refine > 0``: re-rank the top ``refine`` ADC candidates with exact
+    cosine against ``embeddings`` (the uncompressed store) — the standard
+    two-stage PQ serving shape; candidates join by id, so the exact pass
+    touches refine·|queries| vectors, not the corpus."""
+    import numpy as np
+
+    books_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = 1 + max(r.sub for r in books_rows)
+    kk = 1 + max(r.code for r in books_rows)
+    dsub = len(books_rows[0].center)
+    books = np.empty((mm, kk, dsub))
+    for r in books_rows:
+        books[r.sub, r.code] = r.center
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.asarray([r[0] for r in q_rows])
+    q_mat = _normalize_rows(np.asarray([r[1] for r in q_rows], dtype=np.float64))
+    # LUT[q, s, c] = <q_sub, center_sc>; ADC score = Σ_s LUT[q, s, codes[s]]
+    lut = np.einsum("qsd,scd->qsc", q_mat.reshape(len(q_ids), mm, dsub), books)
+
+    n_cand = max(k, refine)
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            codes = np.asarray(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            # scores (Q, n): sum over subspaces of LUT gathers
+            scores = np.zeros((len(q_ids), len(ids)))
+            for s in range(mm):
+                scores += lut[:, s, codes[:, s]]
+            # +1 so dropping a self-match below cannot shrink a batch's
+            # candidate set under n_cand
+            top = min(n_cand + 1, len(ids))
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            out_q = np.repeat(q_ids, top)
+            out_n = ids[idx].ravel()
+            out_s = np.take_along_axis(scores, idx, axis=1).ravel()
+            keep = out_q != out_n
+            yield pd.DataFrame(
+                {"query_id": out_q[keep], "neighbor_id": out_n[keep],
+                 "score": np.round(out_s[keep], 6)}
+            )
+
+    cand = spark.read.parquet(f"{path}/codes").mapInPandas(scan, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    topn = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_cand)
+    )
+    if not refine:
+        return topn.filter(F.col("rank") <= k).orderBy("query_id", "rank")
+
+    if embeddings is None:
+        raise ValueError("refine > 0 requires the uncompressed embeddings frame")
+    q = queries.select(F.col(id_col).alias("__qid"), F.col(vec_col).alias("q_vec"))
+    corpus = embeddings.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine_expr("q_vec", "c_vec"), 4)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    pairs = topn.select("query_id", "neighbor_id")
+    return (
+        # candidate pairs are refine·|queries| rows — broadcast them onto
+        # the corpus scan, never the other way around
+        corpus.join(F.broadcast(pairs), corpus["__nid"] == pairs["neighbor_id"])
+        .join(F.broadcast(q), pairs["query_id"] == q["__qid"])
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,91 @@
+"""Product-quantization ANN (operators/pq.py): deterministic build, ADC
+scan shape, measured recall with and without exact refine."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators import pq, similarity
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, tables):
+    emb = tables["embeddings"]
+    path = tempfile.mkdtemp(prefix="pqtest_") + "/pq"
+    pq.pq_build_index(emb, path, m=8, k=16, sample_n=500)
+    return path, emb
+
+
+def test_build_is_deterministic(spark, tables):
+    emb = tables["embeddings"]
+    p1 = tempfile.mkdtemp(prefix="pqd1_") + "/pq"
+    p2 = tempfile.mkdtemp(prefix="pqd2_") + "/pq"
+    pq.pq_build_index(emb, p1, m=4, k=8, sample_n=200)
+    pq.pq_build_index(emb, p2, m=4, k=8, sample_n=200)
+    c1 = sorted((r.vec_id, tuple(r.codes)) for r in spark.read.parquet(f"{p1}/codes").collect())
+    c2 = sorted((r.vec_id, tuple(r.codes)) for r in spark.read.parquet(f"{p2}/codes").collect())
+    assert c1 == c2
+    b1 = sorted(map(tuple, spark.read.parquet(f"{p1}/codebooks").collect()))
+    b2 = sorted(map(tuple, spark.read.parquet(f"{p2}/codebooks").collect()))
+    assert b1 == b2
+
+
+def test_adc_output_shape(spark, pq_index):
+    path, emb = pq_index
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = pq.pq_query(spark, path, q, k=4).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4]
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != qid for r in rs)
+
+
+def test_refined_recall_on_fixture(spark, pq_index):
+    """Unstructured fixture = PQ worst case; the two-stage shape must still
+    deliver: ADC top-64 -> exact re-rank recall@5 >= 0.6 (measured 0.79+ at
+    m=8/k=16; slack for fixture drift)."""
+    path, emb = pq_index
+    q = emb.filter(F.col("vec_id") < 20)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in pq.pq_query(spark, path, q, k=5, refine=64, embeddings=emb).collect()
+    }
+    assert len(refined & brute) / len(brute) >= 0.6
+
+
+def test_pq_on_clustered_data_finds_cluster_members(spark):
+    """Planted near-duplicate clusters: the quantizer collapses members to
+    the same codes, so ADC+refine must return intra-cluster neighbors."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(8):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for _ in range(5):
+            v = base + rng.normal(scale=0.02, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = tempfile.mkdtemp(prefix="pqc_") + "/pq"
+    pq.pq_build_index(emb, path, m=8, k=16, sample_n=40)
+    q = emb.filter(F.col("vec_id").isin(0, 5, 10))
+    out = pq.pq_query(spark, path, q, k=4, refine=16, embeddings=emb).collect()
+    for r in out:
+        assert r.neighbor_id // 5 == r.query_id // 5, (
+            f"query {r.query_id} got cross-cluster neighbor {r.neighbor_id}"
+        )
