@@ -676,6 +676,8 @@ _PRIORITY = [
     "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
     "tpch_q22_idle_customers",
+    "events_transition_matrix",
+    "customer_rfm",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -881,6 +883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("customer", "orders"),
             lambda t: tpch.q22_idle_customers(t["customer"], t["orders"]),
         ),
+        "events_transition_matrix": _q(
+            ("events",), lambda t: behavior.transition_matrix(t["events"])
+        ),
+        "customer_rfm": _q(("orders",), lambda t: behavior.rfm_segments(t["orders"])),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
         "in_subquery_region0_customers": _in_subquery_region0_customers,
@@ -1760,6 +1766,64 @@ def _oracle_sql_literals() -> dict[str, str]:
                                 AND o_orderdate >= TIMESTAMP '2000-06-01')
             GROUP BY cntrycode
             ORDER BY cntrycode
+        """,
+        "events_transition_matrix": """
+            WITH pairs AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type,
+                       event_type AS next_type
+                FROM events
+            ),
+            g AS (
+                SELECT prev_type, next_type, COUNT(*) AS n
+                FROM pairs WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, next_type
+            )
+            SELECT prev_type, next_type, n,
+                   ROUND(10000.0*n/NULLIF(SUM(n) OVER (PARTITION BY prev_type), 0))
+                       / 10000.0 AS p
+            FROM g ORDER BY prev_type, next_type
+        """,
+        "customer_rfm": """
+            WITH ref AS (SELECT MAX(o_orderdate) AS r FROM orders),
+            per_user AS (
+                SELECT o_custkey,
+                       date_diff('day', MAX(o_orderdate), (SELECT r FROM ref)) AS recency_days,
+                       COUNT(*) AS frequency,
+                       SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS monetary_cents
+                FROM orders GROUP BY o_custkey
+            ),
+            cuts AS (
+                SELECT quantile_cont(recency_days, 0.25) AS r25,
+                       quantile_cont(recency_days, 0.50) AS r50,
+                       quantile_cont(recency_days, 0.75) AS r75,
+                       quantile_cont(frequency, 0.25) AS f25,
+                       quantile_cont(frequency, 0.50) AS f50,
+                       quantile_cont(frequency, 0.75) AS f75,
+                       quantile_cont(monetary_cents, 0.25) AS m25,
+                       quantile_cont(monetary_cents, 0.50) AS m50,
+                       quantile_cont(monetary_cents, 0.75) AS m75
+                FROM per_user
+            ),
+            s AS (
+                SELECT o_custkey, recency_days, frequency,
+                       monetary_cents/100.0 AS monetary,
+                       CASE WHEN recency_days <= r25 THEN 4
+                            WHEN recency_days <= r50 THEN 3
+                            WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score,
+                       CASE WHEN frequency >= f75 THEN 4
+                            WHEN frequency >= f50 THEN 3
+                            WHEN frequency >= f25 THEN 2 ELSE 1 END AS f_score,
+                       CASE WHEN monetary_cents >= m75 THEN 4
+                            WHEN monetary_cents >= m50 THEN 3
+                            WHEN monetary_cents >= m25 THEN 2 ELSE 1 END AS m_score
+                FROM per_user, cuts
+            )
+            SELECT *, CASE WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+                           WHEN r_score <= 2 THEN 'lapsing'
+                           ELSE 'developing' END AS segment
+            FROM s
         """,
         "lineitem_mad_outliers": """
             WITH c AS (

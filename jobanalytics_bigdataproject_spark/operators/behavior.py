@@ -285,3 +285,116 @@ def hourly_gapfill(
         )
         .orderBy(type_col, "hour")
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """[EXT] First-order Markov transition counts/probabilities between
+    consecutive event types per user — the "what do users do next" report.
+
+    One shuffle on ``user_col`` for the lag window (total-ordered by
+    (ts, event_id) so ties are deterministic); the aggregate runs on
+    (prev, next) pairs — ≤ |types|² groups — and the per-prev probability
+    denominator comes from a window over that already-tiny frame.
+    Probabilities use the scaled-integer division rule (functions/exact.py)
+    so both engines round identically."""
+    from jobanalytics_bigdataproject_spark.functions.exact import exact_div
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col(type_col).alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("prev_total", F.sum("n").over(wp))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            exact_div(F.col("n"), F.col("prev_total"), 4).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    user_col: str = "o_custkey",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """[EXT] RFM (recency / frequency / monetary) scoring, 1–4 per axis.
+
+    Scale discipline: scores come from exact global quartile CUTOFFS
+    (three scalar rows, broadcast) applied with a when-chain — NOT from a
+    global ``ntile`` window, which would single-partition the entire
+    customer frame (the same rule as t2_price_tiers; the cliff of exact
+    percentile at ~1e9 rows is documented there, with the sketch variant
+    as the relief valve).
+
+    Determinism: recency is an integer day count, frequency an integer,
+    monetary integer cents — the quartile cutoffs interpolate between
+    integers (k.25/k.5/k.75 values are exactly representable doubles), so
+    both engines compute identical cutoffs and every >=/<= comparison
+    agrees.  Score convention: higher = better (recent, frequent, big
+    spender); values AT a cutoff take the higher score on both engines."""
+    from jobanalytics_bigdataproject_spark.functions.exact import cents
+
+    # global reference date: one-row aggregate, broadcast — never a window
+    # over the fact or the customer frame
+    ref = orders.agg(F.max(date_col).alias("__ref_date"))
+    per_user = (
+        orders.crossJoin(F.broadcast(ref))
+        .groupBy(user_col)
+        .agg(
+            F.datediff(F.first("__ref_date"), F.max(date_col)).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.sum(cents(amount_col)).alias("monetary_cents"),
+        )
+    )
+    # all nine quartile cutoffs in ONE one-row aggregate over the
+    # customer-sized frame, broadcast back (t2_price_tiers discipline; the
+    # exact-percentile ~1e9-row buffer cliff and its sketch relief valve
+    # are documented there)
+    cuts = per_user.agg(
+        *[
+            F.expr(f"percentile({m}, {p})").alias(f"__{m}_{int(p * 100)}")
+            for m in ("recency_days", "frequency", "monetary_cents")
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def scored(col: str, invert: bool):
+        c = F.col(col)
+        q25, q50, q75 = (F.col(f"__{col}_{k}") for k in (25, 50, 75))
+        if invert:  # smaller is better (recency)
+            return F.when(c <= q25, 4).when(c <= q50, 3).when(c <= q75, 2).otherwise(1)
+        return F.when(c >= q75, 4).when(c >= q50, 3).when(c >= q25, 2).otherwise(1)
+
+    return (
+        per_user.crossJoin(F.broadcast(cuts))
+        .select(
+            user_col,
+            "recency_days",
+            "frequency",
+            (F.col("monetary_cents") / F.lit(100.0)).alias("monetary"),
+            scored("recency_days", invert=True).alias("r_score"),
+            scored("frequency", invert=False).alias("f_score"),
+            scored("monetary_cents", invert=False).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+            .when(F.col("r_score") <= 2, "lapsing")
+            .otherwise("developing"),
+        )
+    )

@@ -106,3 +106,66 @@ def test_reconcile_daily_totals_both_null_sides(spark):
     assert out["2024-01-02"].diff_cents == 2000 - 100
     assert out["2024-01-03"].status == "events_only"
     assert out["2024-01-03"].diff_cents == -100
+
+
+# ---------------------------------------------------------------------------
+# transition_matrix / rfm_segments
+# ---------------------------------------------------------------------------
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from datetime import datetime
+
+    from jobanalytics_bigdataproject_spark.operators.behavior import transition_matrix
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, ts(0), "view"), (1, 2, ts(1), "click"), (1, 3, ts(2), "view"),
+            (2, 4, ts(0), "view"), (2, 5, ts(1), "click"), (2, 6, ts(2), "purchase"),
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    rows = {(r.prev_type, r.next_type): (r.n, r.p) for r in transition_matrix(ev).collect()}
+    assert rows == {
+        ("view", "click"): (2, 1.0),
+        ("click", "view"): (1, 0.5),
+        ("click", "purchase"): (1, 0.5),
+    }
+
+
+def test_transition_matrix_no_cross_user_pairs(spark):
+    from datetime import datetime
+
+    from jobanalytics_bigdataproject_spark.operators.behavior import transition_matrix
+
+    ev = spark.createDataFrame(
+        [(1, 1, datetime(2024, 1, 1), "a"), (2, 2, datetime(2024, 1, 2), "b")],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    assert transition_matrix(ev).count() == 0  # one event per user -> no pairs
+
+
+def test_rfm_scores_and_no_global_window(spark, tables):
+    from jobanalytics_bigdataproject_spark.operators.behavior import rfm_segments
+    from jobanalytics_bigdataproject_spark.plans.inspect import formatted_plan
+
+    df = rfm_segments(tables["orders"])
+    plan = formatted_plan(df)
+    assert "Window" not in plan, "cutoff bucketing must not use a global window"
+    rows = df.collect()
+    assert all(1 <= r.r_score <= 4 and 1 <= r.f_score <= 4 and 1 <= r.m_score <= 4 for r in rows)
+    # quartile balance: each recency score bucket holds >= 15% of customers
+    n = len(rows)
+    from collections import Counter
+
+    c = Counter(r.r_score for r in rows)
+    assert all(c[s] >= 0.15 * n for s in (1, 2, 3, 4)), c
+    # the best customers must be 'loyal', the stale ones 'lapsing'
+    for r in rows:
+        if r.r_score >= 3 and r.f_score >= 3:
+            assert r.segment == "loyal"
+        elif r.r_score <= 2:
+            assert r.segment == "lapsing"
