@@ -332,6 +332,36 @@ def _sql_entry_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_Q1)
 
 
+_SQL_RECURSIVE_HIERARCHY = """
+    WITH RECURSIVE chain AS (
+        SELECT c_custkey, c_custkey AS root, 0 AS depth
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, chain.root, chain.depth + 1
+        FROM customer c
+        JOIN chain ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = chain.c_custkey
+        WHERE c.c_custkey >= 10
+    )
+    SELECT c_custkey, root, depth FROM chain ORDER BY c_custkey
+"""
+
+
+def _customer_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Recursive CTE (WITH RECURSIVE — new executable in Spark 4.x):
+    per-row root/depth over a parent chain.  The fixture has no
+    parent-child column, so the hierarchy is derived deterministically
+    from the key itself (parent(c) = floor(c/10), roots = keys < 10 — a
+    forest whose depth is the key's digit count), making the query
+    oracle-checkable while exercising the real recursive executor.
+
+    Scale: Spark runs one join-union iteration per level against the
+    shrinking frontier — O(depth) shuffles on the parent key, frontier ≤
+    |customers|; depth here is log₁₀(max key), so the iteration count is
+    bounded and data-independent."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(_SQL_RECURSIVE_HIERARCHY)
+
+
 def _approx_median_nations(t) -> DataFrame:
     """A2's literal operator — percentile_approx(col, 0.5, 10000)
     (reference 01:168-175, 03:59).
@@ -678,6 +708,7 @@ _PRIORITY = [
     "tpch_q22_idle_customers",
     "events_transition_matrix",
     "customer_rfm",
+    "customer_hierarchy_recursive",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -887,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("events",), lambda t: behavior.transition_matrix(t["events"])
         ),
         "customer_rfm": _q(("orders",), lambda t: behavior.rfm_segments(t["orders"])),
+        "customer_hierarchy_recursive": _customer_hierarchy,
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
         "in_subquery_region0_customers": _in_subquery_region0_customers,
@@ -1824,6 +1856,18 @@ def _oracle_sql_literals() -> dict[str, str]:
                            WHEN r_score <= 2 THEN 'lapsing'
                            ELSE 'developing' END AS segment
             FROM s
+        """,
+        "customer_hierarchy_recursive": """
+            WITH RECURSIVE chain AS (
+                SELECT c_custkey, c_custkey AS root, 0 AS depth
+                FROM customer WHERE c_custkey < 10
+                UNION ALL
+                SELECT c.c_custkey, chain.root, chain.depth + 1
+                FROM customer c
+                JOIN chain ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = chain.c_custkey
+                WHERE c.c_custkey >= 10
+            )
+            SELECT c_custkey, root, depth FROM chain ORDER BY c_custkey
         """,
         "lineitem_mad_outliers": """
             WITH c AS (

@@ -58,6 +58,40 @@ def clean_orders(orders: DataFrame) -> DataFrame:
     return df
 
 
+def clean_orders_observed(orders: DataFrame):
+    """``clean_orders`` with free audit counts: a named ``Observation`` is
+    attached after each mutating stage, so ONE action (the final write or
+    count) yields every stage's row count as a job-listener metric —
+    replacing the reference's 18 recomputing ``count()`` actions
+    (code/01_DataPreprocessing.scala, SURVEY.md §2.4 A9) with zero extra
+    passes.  At 100 TB this is the difference between 1 scan and 18.
+
+    Returns ``(df, observations)``; read ``observations[name].get`` AFTER
+    an action has materialized the frame."""
+    from pyspark.sql import Observation
+
+    obs: dict[str, Observation] = {}
+
+    def tap(df: DataFrame, name: str) -> DataFrame:
+        obs[name] = Observation(name)
+        return df.observe(obs[name], F.count(F.lit(1)).alias("rows"))
+
+    df = cleaning.dedup_by_key_deterministic(
+        orders, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    )
+    df = tap(df, "after_dedup")
+    df = cleaning.drop_null_rows(df, ["o_orderkey", "o_custkey"])
+    df = tap(df, "after_nulldrop")
+    df = df.filter(cleaning.null_or_in_range("o_totalprice", 0, 5_000_000))
+    df = tap(df, "after_valid")
+    df = df.withColumn(
+        "priority_std", map_lookup("o_orderpriority", PRIORITY_STD, F.lit("OTHER"))
+    )
+    df = decompose_timestamp(df, "o_orderdate", prefix="order_")
+    df = with_log_features(df, ["o_totalprice"])
+    return df, obs
+
+
 def run_phase1(
     spark: SparkSession,
     sf_dir: str,
@@ -70,15 +104,22 @@ def run_phase1(
     (partitioned by order month — the [EXT] partition-pruning path the
     reference lacks, SURVEY.md §4.2)."""
     t = load_star(spark, sf_dir, ("orders", "customer", "nation"))
-    cleaned = clean_orders(t["orders"])
     if stats:
+        # observe() audit mode: per-stage counts ride along with the one
+        # materializing action — no recomputation, no extra scans
+        cleaned, observations = clean_orders_observed(t["orders"])
         cleaned = cleaned.cache()
         _ = cleaned.count()
+    else:
+        cleaned = clean_orders(t["orders"])
+        observations = {}
     report = analytics.agg_join_report(cleaned, t["customer"], t["nation"])
     sample = sampling.stratified_sample(
         cleaned, "o_orderstatus", {"O": 0.2, "F": 0.2, "P": 0.2}
     )
     out = {"cleaned": cleaned, "report": report, "sample": sample}
+    if stats:
+        out["audit_counts"] = {k: o.get["rows"] for k, o in observations.items()}
     if out_dir:
         write_parquet(
             cleaned, os.path.join(out_dir, "orders_cleaned"), partition_by=["order_month"]

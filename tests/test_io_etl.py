@@ -60,6 +60,13 @@ def test_phase1_pipeline_end_to_end(spark, tmp_path):
     res = etl.run_phase1(spark, SF_DIR, out_dir=out, stats=True)
     n_clean = res["cleaned"].count()
     assert 0 < n_clean <= read_table(spark, SF_DIR, "orders").count()
+    # observe() audit mode: per-stage counts arrived with the single
+    # materializing action, no recomputation — and they must agree with
+    # a direct recount of the stage predicates (monotone chain, SURVEY 5.2)
+    audit = res["audit_counts"]
+    assert set(audit) == {"after_dedup", "after_nulldrop", "after_valid"}
+    assert audit["after_dedup"] >= audit["after_nulldrop"] >= audit["after_valid"]
+    assert audit["after_valid"] == n_clean
     assert res["report"].count() == 25  # one row per nation
     assert 0 < res["sample"].count() < n_clean
     back = spark.read.parquet(f"{out}/orders_cleaned")
