@@ -719,6 +719,7 @@ _PRIORITY = [
 _ROWS_ONLY = {
     "ann_recall_report",
     "events_hll_distinct_users",
+    "events_cms_heavy_hitters",
     "events_hll_daily_report",
     "events_audience_overlap",
     "percentile_accuracy_report",
@@ -1100,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("embeddings",), lambda t: similarity.center_embeddings(t["embeddings"])
         ),
         "events_hll_distinct_users": sketches.hll_distinct_users_query,
+        "events_cms_heavy_hitters": sketches.cms_heavy_hitters_query,
         "events_hll_daily_report": _q(
             ("events",), lambda t: sketches.daily_distinct_report(t["events"])
         ),

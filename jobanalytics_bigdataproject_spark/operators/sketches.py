@@ -320,3 +320,167 @@ def quantile_store_streaming_sink(
             raise IOError(f"quantile_store_streaming_sink: rename {tmp} -> {path} failed")
 
     return events_stream.writeStream.foreachBatch(_apply)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the FREQUENCY member of the persisted-sketch family
+# (HLL = distincts, fixed-bucket histograms = quantiles, CMS = per-key
+# counts). Public construction per Cormode & Muthukrishnan, "An improved
+# data stream summary: the count-min sketch and its applications" (2005).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sparse count-min sketch of ``key_col`` frequencies: rows
+    (*group_cols, row_i, bucket, n) with bucket = xxhash64(key, row_i) mod
+    width.  Deterministic (seeded xxhash64 — same reasoning as the MinHash
+    store), mergeable by integer addition, bounded at depth·width rows per
+    group regardless of input size.
+
+    Scale: the posexplode fans depth rows per input row, but they flow
+    straight into a map-side-combined hash aggregate whose key space is
+    ≤ depth·width — the exchange moves the sketch, never the data."""
+    buckets = F.array(
+        *[F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)) for i in range(depth)]
+    )
+    return (
+        df.select(*group_cols, F.posexplode(buckets).alias("row_i", "bucket"))
+        .groupBy(*group_cols, "row_i", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def write_cms_store(
+    events: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> None:
+    """Persist one CMS per day, partitioned by day — ingest pays one linear
+    scan, any date-range frequency question is then answered from
+    ≤ days·depth·width integer rows without re-scanning history."""
+    sk = cms_sketch(
+        events.withColumn("day", F.to_date(ts_col)),
+        key_col,
+        depth,
+        width,
+        group_cols=("day",),
+    )
+    sk.write.mode("overwrite").partitionBy("day").parquet(path)
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate each key's frequency from a (possibly rolled-up)
+    sparse CMS: est(k) = min_i n[i, h_i(k)], with absent buckets = 0.
+    Guarantees: est ≥ true count always; est ≤ true + e/width·N with
+    probability 1−e^−depth (classic CMS bound).
+
+    Scale: keys explode ×depth, join the depth·width-row sketch
+    (broadcast), min-reduce per key — cost is O(|keys|·depth), independent
+    of the event volume the sketch summarizes."""
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width))
+                    for i in range(depth)
+                ]
+            )
+        ).alias("row_i", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_rollup(store: DataFrame, start: str, end: str) -> DataFrame:
+    """Merge daily sketches over [start, end): integer sums per
+    (row_i, bucket) — associative, so the rollup of any partitioning of
+    the days equals the single-pass sketch (tested exactly)."""
+    return (
+        store.filter((F.col("day") >= start) & (F.col("day") < end))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def cms_heavy_hitters_report(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """Measured-accuracy report (the ann_recall_report /
+    hll_daily_report pattern): exact top-k user counts side-by-side with
+    the CMS estimates from the persisted store, plus the overestimate in
+    basis points. est ≥ exact must hold for every row (tested); the
+    overestimate scales as N/width."""
+    from jobanalytics_bigdataproject_spark.functions.exact import exact_div
+    from jobanalytics_bigdataproject_spark.sources.readers import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(top_k)
+    )
+    merged = cms_rollup(
+        spark.read.parquet(store_path), "1900-01-01", "2100-01-01"
+    )
+    est = cms_estimate(merged, exact.select("user_id"), "user_id")
+    return (
+        exact.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (
+                exact_div(
+                    F.lit(10000) * (F.col("cms_est") - F.col("exact_n")),
+                    F.col("exact_n"),
+                    0,
+                )
+            ).alias("overest_bp"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
+
+
+_CMS_STORE_CACHE: dict[str, str] = {}
+
+
+def cms_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: per-process-fresh persisted CMS store (same
+    staleness-proof tempdir pattern as the HLL store above), then the
+    heavy-hitters measured-accuracy report answered from the store."""
+    import tempfile
+
+    from jobanalytics_bigdataproject_spark.sources.readers import read_table
+
+    path = _CMS_STORE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="cms_store_") + "/store"
+        write_cms_store(read_table(spark, sf_dir, "events"), path)
+        _CMS_STORE_CACHE[sf_dir] = path
+    return cms_heavy_hitters_report(spark, sf_dir, path)

@@ -220,3 +220,58 @@ def test_quantile_store_streaming_sink_equals_batch(spark, tables, tmp_path):
     a = sketches.quantiles_from_store(spark, store_path).first()
     b = sketches.quantiles_from_store(spark, batch_path).first()
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (frequency member of the sketch-store family)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark, tables):
+    from jobanalytics_bigdataproject_spark.operators import sketches
+
+    ev = tables["events"]
+    exact = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    keys = ev.select("user_id").distinct()
+
+    sk = sketches.cms_sketch(ev, "user_id", depth=4, width=256)
+    est = {r.user_id: r.cms_est for r in sketches.cms_estimate(sk, keys, "user_id", 4, 256).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    n_total = sum(exact.values())
+    # CMS bound: overestimate <= e/width * N with prob 1-e^-depth; allow 2x slack
+    assert all(est[k] - exact[k] <= 2 * 2.72 * n_total / 256 for k in exact)
+
+    # width >> distinct keys -> no collisions -> exact
+    wide = sketches.cms_sketch(ev, "user_id", depth=4, width=1 << 17)
+    est_w = {
+        r.user_id: r.cms_est
+        for r in sketches.cms_estimate(wide, keys, "user_id", 4, 1 << 17).collect()
+    }
+    assert est_w == exact
+
+
+def test_cms_rollup_equals_single_pass(spark, tables, tmp_path):
+    from jobanalytics_bigdataproject_spark.operators import sketches
+
+    ev = tables["events"]
+    path = str(tmp_path / "cms_store")
+    sketches.write_cms_store(ev, path)
+    merged = sketches.cms_rollup(spark.read.parquet(path), "1900-01-01", "2100-01-01")
+    single = sketches.cms_sketch(ev, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_cms_heavy_hitters_report_shape(spark, tmp_path):
+    from jobanalytics_bigdataproject_spark.operators import sketches
+    from jobanalytics_bigdataproject_spark.sources.readers import read_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = str(tmp_path / "cms_store2")
+    sketches.write_cms_store(read_table(spark, sf_dir, "events"), path)
+    rows = sketches.cms_heavy_hitters_report(spark, sf_dir, path, top_k=10).collect()
+    assert len(rows) == 10
+    assert all(r.cms_est >= r.exact_n for r in rows)
+    assert all(r.overest_bp >= 0 for r in rows)
+    ns = [r.exact_n for r in rows]
+    assert ns == sorted(ns, reverse=True)
