@@ -709,6 +709,7 @@ _PRIORITY = [
     "events_transition_matrix",
     "customer_rfm",
     "customer_hierarchy_recursive",
+    "docs_chunk_for_rag",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -920,6 +921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "customer_rfm": _q(("orders",), lambda t: behavior.rfm_segments(t["orders"])),
         "customer_hierarchy_recursive": _customer_hierarchy,
+        "docs_chunk_for_rag": _q(
+            ("documents",), lambda t: corpus.chunk_documents(t["documents"])
+        ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
         "in_subquery_region0_customers": _in_subquery_region0_customers,
@@ -1858,6 +1862,24 @@ def _oracle_sql_literals() -> dict[str, str]:
                            WHEN r_score <= 2 THEN 'lapsing'
                            ELSE 'developing' END AS segment
             FROM s
+        """,
+        "docs_chunk_for_rag": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ),
+            d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            c AS (
+                SELECT doc_id, toks,
+                       UNNEST(range(0, GREATEST(1, (GREATEST(n - 16, 0) + 47) // 48))) AS chunk_idx
+                FROM d
+            )
+            SELECT doc_id, chunk_idx,
+                   len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_chunk_tokens,
+                   array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_idx
         """,
         "customer_hierarchy_recursive": """
             WITH RECURSIVE chain AS (

@@ -693,3 +693,52 @@ def temperature_mix(
         .select(id_col, "lang", source_col, "rate_bp")
         # no presentation sort: D-sized output, order-insensitive compare
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """[EXT] RAG-style chunking: overlapping fixed-token windows over the
+    raw whitespace tokens (original case/punctuation preserved — chunks
+    feed an embedder, not the quality filters, so no normalization).
+
+    Chunk count per doc is ``max(1, ceil((n−overlap)/step))`` with
+    ``step = chunk_tokens − overlap`` — the standard rule that never emits
+    a trailing chunk fully contained in its predecessor; all arithmetic is
+    non-negative integer division so Spark ``div`` and DuckDB ``//``
+    agree.
+
+    Scale: one scan — split/sequence/slice/array_join are all codegen'd
+    built-ins; the explode fans ~n/step rows per doc but carries only the
+    token array pointer per row, and there is no shuffle at all (chunk ids
+    derive from the parent row).  Output order is presentation-only."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    d = (
+        documents.select("doc_id", toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    n_chunks = F.expr(
+        f"greatest(1, (greatest(n_tokens - {overlap}, 0) + {step - 1}) div {step})"
+    )
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_idx") * step + 1, chunk_tokens
+    )
+    return (
+        d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(sl).alias("n_chunk_tokens"),
+            F.array_join(sl, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -351,3 +351,52 @@ def test_bigram_novelty_hand_computed(spark):
         assert out[d].n_bigrams == 2
         assert out[d].n_singletons == 1
         assert out[d].novelty_bp == 5000
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (RAG windows)
+# ---------------------------------------------------------------------------
+
+
+def test_chunking_covers_all_tokens_with_exact_overlap(spark):
+    from jobanalytics_bigdataproject_spark.operators.corpus import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(docs, chunk_tokens=10, overlap=3).collect()
+    # step 7 -> ceil((100-3)/7) = 14 chunks
+    assert len(rows) == 14
+    seen = []
+    for r in sorted(rows, key=lambda r: r.chunk_idx):
+        toks = r.chunk_text.split(" ")
+        assert r.n_chunk_tokens == len(toks) <= 10
+        start = r.chunk_idx * 7
+        assert toks == [f"w{i}" for i in range(start, min(start + 10, 100))]
+        seen.extend(toks)
+    assert set(seen) == {f"w{i}" for i in range(100)}
+
+
+def test_chunking_short_and_empty_docs(spark):
+    from jobanalytics_bigdataproject_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "   "), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=10, overlap=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 3}  # whitespace-only doc yields nothing
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "only three tokens"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 1
+
+
+def test_chunking_no_shuffle(spark, tables):
+    from jobanalytics_bigdataproject_spark.operators.corpus import chunk_documents
+    from jobanalytics_bigdataproject_spark.plans.inspect import count_exchanges
+
+    df = chunk_documents(tables["documents"]).drop("doc_id")  # drop sort? keep plan honest
+    # presentation orderBy adds a range exchange; the chunking itself must
+    # add none beyond it
+    assert count_exchanges(chunk_documents(tables["documents"])) <= 1
