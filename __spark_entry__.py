@@ -710,6 +710,7 @@ _PRIORITY = [
     "customer_rfm",
     "customer_hierarchy_recursive",
     "docs_chunk_for_rag",
+    "embeddings_sq_error",
     # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
     # events-derived plan; these four also had no BASELINE row until now.
     "events_sessionize",
@@ -923,6 +924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_hierarchy_recursive": _customer_hierarchy,
         "docs_chunk_for_rag": _q(
             ("documents",), lambda t: corpus.chunk_documents(t["documents"])
+        ),
+        "embeddings_sq_error": _q(
+            ("embeddings",), lambda t: pq.sq_error_report(t["embeddings"])
         ),
         "exists_high_value_orders": _exists_high_value_orders,
         "scalar_subquery_above_avg": _scalar_subquery_above_avg,
@@ -1862,6 +1866,33 @@ def _oracle_sql_literals() -> dict[str, str]:
                            WHEN r_score <= 2 THEN 'lapsing'
                            ELSE 'developing' END AS segment
             FROM s
+        """,
+        "embeddings_sq_error": """
+            WITH ex AS (
+                SELECT vec_id, UNNEST(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ),
+            mm AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY dim),
+            arr AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi FROM mm),
+            rec AS (
+                SELECT vec_id, embedding,
+                       list_transform(list_zip(embedding, lo, hi),
+                         s -> s[2] + (ROUND(254.0*(s[1]-s[2])/NULLIF(s[3]-s[2], 0.0))/254.0)
+                              *(s[3]-s[2])) AS rhat
+                FROM embeddings, arr
+            )
+            SELECT vec_id,
+                   ROUND(
+                     list_aggregate(list_transform(list_zip(embedding, rhat),
+                                                   s -> s[1]*s[2]), 'sum')
+                     / NULLIF(sqrt(list_aggregate(list_transform(embedding, x -> x*x), 'sum'))
+                              * sqrt(list_aggregate(list_transform(rhat, x -> x*x), 'sum')),
+                              0.0), 4) AS sim,
+                   ROUND(list_aggregate(list_transform(list_zip(embedding, rhat),
+                                                       s -> abs(s[1]-s[2])), 'max'), 4)
+                       AS max_abs_err
+            FROM rec ORDER BY vec_id
         """,
         "docs_chunk_for_rag": """
             WITH t AS (

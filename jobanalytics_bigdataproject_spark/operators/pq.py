@@ -242,3 +242,45 @@ def pq_query(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def sq_error_report(embeddings: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """[EXT] Int8 scalar quantization (the OTHER compression point next to
+    PQ: 64 B/vector instead of 8 B, near-lossless) with a per-vector
+    measured-error report — cosine(x, x̂) and max elementwise |x−x̂| after
+    an encode→decode round trip through 255 per-dimension levels.
+
+    Fully oracle-checkable, unlike the ANN paths: per-dimension min/max
+    are order-independent, the affine round trip is per-row IEEE
+    arithmetic in identical (list) order on both engines, and outputs are
+    rounded at the established 4dp sim precision.
+
+    Scale: the min/max pass is posexplode → map-side-combined per-dim agg
+    (|dims| rows broadcast back); the round trip is one codegen'd
+    projection.  Encoded form = transform(...round(...)) cast to tinyint —
+    the report keeps it fused since storage is not the point here."""
+    ex = embeddings.select(F.posexplode(vec_col).alias("dim", "x"))
+    mm = ex.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    params = mm.agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, lo))), s -> s.lo)").alias("lo"),
+        F.expr("transform(array_sort(collect_list(struct(dim, hi))), s -> s.hi)").alias("hi"),
+    )
+    rhat = F.expr(
+        f"transform(arrays_zip({vec_col}, lo, hi), s -> "
+        f"s.lo + (round(254.0*(s.{vec_col} - s.lo)/nullif(s.hi - s.lo, 0.0D))/254.0)"
+        f"*(s.hi - s.lo))"
+    )
+    sim = cosine_expr(vec_col, "rhat")
+    max_err = F.expr(
+        f"array_max(transform(arrays_zip({vec_col}, rhat), s -> abs(s.{vec_col} - s.rhat)))"
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(params))
+        .withColumn("rhat", rhat)
+        .select(
+            F.col(id_col),
+            F.round(sim, 4).alias("sim"),
+            F.round(max_err, 4).alias("max_abs_err"),
+        )
+        .orderBy(id_col)
+    )

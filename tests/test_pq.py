@@ -89,3 +89,14 @@ def test_pq_on_clustered_data_finds_cluster_members(spark):
         assert r.neighbor_id // 5 == r.query_id // 5, (
             f"query {r.query_id} got cross-cluster neighbor {r.neighbor_id}"
         )
+
+
+def test_sq_error_report_near_lossless(spark, tables):
+    """Int8 round trip must keep cosine ~1 and elementwise error under one
+    quantization step of the observed per-dim range."""
+    rows = pq.sq_error_report(tables["embeddings"]).collect()
+    assert len(rows) == tables["embeddings"].count()
+    assert all(r.sim >= 0.999 for r in rows)
+    # one int8 step = (hi-lo)/254; fixture dims span ~8 -> step ~0.03
+    assert all(r.max_abs_err <= 0.05 for r in rows)
+    assert any(r.max_abs_err > 0 for r in rows), "quantization must not be a no-op"
