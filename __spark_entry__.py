@@ -722,6 +722,7 @@ _ROWS_ONLY = {
     "ann_recall_report",
     "events_hll_distinct_users",
     "events_cms_heavy_hitters",
+    "orders_bloom_prefilter",
     "events_hll_daily_report",
     "events_audience_overlap",
     "percentile_accuracy_report",
@@ -1110,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_hll_distinct_users": sketches.hll_distinct_users_query,
         "events_cms_heavy_hitters": sketches.cms_heavy_hitters_query,
+        "orders_bloom_prefilter": sketches.bloom_prefilter_report,
         "events_hll_daily_report": _q(
             ("events",), lambda t: sketches.daily_distinct_report(t["events"])
         ),

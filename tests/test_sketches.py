@@ -275,3 +275,35 @@ def test_cms_heavy_hitters_report_shape(spark, tmp_path):
     assert all(r.overest_bp >= 0 for r in rows)
     ns = [r.exact_n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_bloom_prefilter_no_false_negatives_and_pure_projection(spark, tables):
+    from jobanalytics_bigdataproject_spark.operators import sketches
+    from jobanalytics_bigdataproject_spark.plans.inspect import formatted_plan
+
+    orders, customer = tables["orders"], tables["customer"]
+    keys = customer.filter(F.col("c_acctbal") >= 5000).select("c_custkey")
+    words = sketches.bloom_bits_from_keys(keys, "c_custkey", depth=4, width=512)
+    pred = sketches.bloom_might_contain("o_custkey", words, depth=4, width=512)
+    kept = orders.filter(pred)
+    # membership is a pure filter: no join anywhere in the plan
+    assert "Join" not in formatted_plan(kept)
+    # never a false negative: every exact-semi-join row passes the bloom
+    exact = orders.join(F.broadcast(keys), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    missed = exact.exceptAll(kept).count()
+    assert missed == 0
+
+
+def test_bloom_prefilter_counts_false_positives_when_narrow(spark):
+    from jobanalytics_bigdataproject_spark.operators import sketches
+
+    # 64-bit bloom with 40 keys is saturated -> false positives guaranteed,
+    # proving the report actually measures them
+    keys = spark.range(40).withColumnRenamed("id", "k")
+    fact = spark.range(2000).withColumnRenamed("id", "fk")
+    words = sketches.bloom_bits_from_keys(keys, "k", depth=2, width=64)
+    pred = sketches.bloom_might_contain("fk", words, depth=2, width=64)
+    kept = fact.filter(pred).count()
+    assert kept > 40  # all true keys + inevitable false positives
+    exact = fact.join(keys, fact["fk"] == keys["k"], "left_semi").count()
+    assert exact == 40
