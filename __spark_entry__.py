@@ -708,6 +708,7 @@ _PRIORITY = [
     "tpch_q22_idle_customers",
     "events_transition_matrix",
     "customer_rfm",
+    "events_session_time_per_day",
     "customer_hierarchy_recursive",
     "docs_chunk_for_rag",
     "embeddings_sq_error",
@@ -922,6 +923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("events",), lambda t: behavior.transition_matrix(t["events"])
         ),
         "customer_rfm": _q(("orders",), lambda t: behavior.rfm_segments(t["orders"])),
+        "events_session_time_per_day": _q(
+            ("events",), lambda t: behavior.session_time_per_day(t["events"])
+        ),
         "customer_hierarchy_recursive": _customer_hierarchy,
         "docs_chunk_for_rag": _q(
             ("documents",), lambda t: corpus.chunk_documents(t["documents"])
@@ -1913,6 +1917,43 @@ def _oracle_sql_literals() -> dict[str, str]:
                    len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_chunk_tokens,
                    array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "events_session_time_per_day": """
+            WITH wo AS (
+                SELECT user_id, ts, event_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            ),
+            marked AS (
+                SELECT user_id, ts,
+                       SUM(CASE WHEN gap IS NULL OR gap >= 1800*1000000
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_seq
+                FROM wo
+            ),
+            sessions AS (
+                SELECT user_id, session_seq,
+                       MIN(ts) AS s_start, MAX(ts) AS s_end
+                FROM marked GROUP BY user_id, session_seq
+            ),
+            days AS (
+                SELECT user_id, s_start, s_end,
+                       UNNEST(generate_series(CAST(s_start AS DATE),
+                                              CAST(s_end AS DATE),
+                                              INTERVAL 1 DAY)) AS day
+                FROM sessions
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day,
+                   CAST(SUM((epoch_us(LEAST(s_end, CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+                        - epoch_us(GREATEST(s_start, CAST(day AS TIMESTAMP)))) // 1000000)
+                       AS BIGINT) AS engaged_seconds,
+                   COUNT(*) AS n_session_days,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM days GROUP BY day ORDER BY day
         """,
         "customer_hierarchy_recursive": """
             WITH RECURSIVE chain AS (

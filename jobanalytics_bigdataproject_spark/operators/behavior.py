@@ -398,3 +398,63 @@ def rfm_segments(
             .otherwise("developing"),
         )
     )
+
+
+def session_time_per_day(
+    events: DataFrame,
+    gap_s: int = 1800,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """[EXT] Daily engagement seconds with midnight proration: sessions are
+    derived as in ``sessionize``, then each session interval is SPLIT at
+    day boundaries and every day is credited exactly its overlapped
+    seconds — the interval-splitting aggregation a naive
+    groupBy(to_date(start)) gets wrong for sessions crossing midnight.
+
+    Determinism: all interval math is integer microseconds
+    (unix_micros div), so both engines agree exactly; a session ending
+    exactly at midnight contributes a 0-second row to that day on both.
+
+    Scale: one shuffle on user for the session windows; the day explode
+    fans ≤ (duration_days) rows per session (1 for almost all); the final
+    per-day aggregate is map-side combined into |days| rows.
+    """
+    wo = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(F.col(ts_col)).over(wo))
+    is_new = (gap.isNull() | (gap >= gap_s * 1_000_000)).cast("long")
+    sessions = (
+        events.select(user_col, ts_col, id_col)
+        .withColumn(
+            "session_seq",
+            F.sum(is_new).over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy(user_col, "session_seq")
+        .agg(F.min(ts_col).alias("s_start"), F.max(ts_col).alias("s_end"))
+    )
+    exploded = sessions.withColumn(
+        "day", F.explode(F.sequence(F.to_date("s_start"), F.to_date("s_end")))
+    )
+    p_start = F.greatest(F.col("s_start"), F.col("day").cast("timestamp"))
+    p_end = F.least(F.col("s_end"), F.date_add(F.col("day"), 1).cast("timestamp"))
+    secs = F.expr(
+        f"(unix_micros({'least(s_end, cast(date_add(day, 1) as timestamp))'}) - "
+        f"unix_micros(greatest(s_start, cast(day as timestamp)))) div 1000000"
+    )
+    return (
+        exploded.select(user_col, "day", secs.alias("secs"))
+        .groupBy("day")
+        .agg(
+            F.sum("secs").cast("long").alias("engaged_seconds"),
+            F.count("*").alias("n_session_days"),
+            F.countDistinct(user_col).alias("n_users"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "engaged_seconds",
+            "n_session_days",
+            "n_users",
+        )
+        .orderBy("day")
+    )

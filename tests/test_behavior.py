@@ -169,3 +169,29 @@ def test_rfm_scores_and_no_global_window(spark, tables):
             assert r.segment == "loyal"
         elif r.r_score <= 2:
             assert r.segment == "lapsing"
+
+
+def test_session_time_per_day_prorates_across_midnight(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.operators.behavior import session_time_per_day
+
+    ev = spark.createDataFrame(
+        [
+            # one session 23:50 -> 00:10 next day (gap 1200s < 1800s)
+            (1, 1, datetime(2024, 1, 1, 23, 50)),
+            (1, 2, datetime(2024, 1, 2, 0, 10)),
+            # separate same-day session 12:00 -> 12:05
+            (2, 3, datetime(2024, 1, 1, 12, 0)),
+            (2, 4, datetime(2024, 1, 1, 12, 5)),
+        ],
+        "user_id long, event_id long, ts timestamp",
+    ).withColumn("value", F.lit(1.0))
+    rows = {r.day: (r.engaged_seconds, r.n_session_days, r.n_users)
+            for r in session_time_per_day(ev).collect()}
+    assert rows == {
+        "2024-01-01": (600 + 300, 2, 2),  # 10 min before midnight + 5 min
+        "2024-01-02": (600, 1, 1),        # 10 min after midnight
+    }
