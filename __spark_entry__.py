@@ -711,6 +711,8 @@ _PRIORITY = [
     "events_session_time_per_day",
     "docs_sample_k_per_source",
     "customer_fuzzy_pairs",
+    "customer_first_last_orders",
+    "lineitem_price_qty_corr",
     "customer_hierarchy_recursive",
     "docs_chunk_for_rag",
     "embeddings_sq_error",
@@ -945,6 +947,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: joins.fuzzy_match_pairs_fast(
                 t["customer"], "c_custkey", "c_name", "c_nationkey"
             ),
+        ),
+        "customer_first_last_orders": _q(
+            ("orders",), lambda t: analytics.first_last_orders(t["orders"])
+        ),
+        "lineitem_price_qty_corr": _q(
+            ("lineitem",), lambda t: analytics.price_quantity_corr(t["lineitem"])
         ),
         "customer_hierarchy_recursive": _customer_hierarchy,
         "docs_chunk_for_rag": _q(
@@ -1995,6 +2003,46 @@ def _oracle_sql_literals() -> dict[str, str]:
              AND a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "customer_first_last_orders": """
+            WITH w AS (
+                SELECT o_custkey,
+                       first_value(o_totalprice) OVER win AS first_price,
+                       last_value(o_totalprice) OVER win AS last_price,
+                       nth_value(o_totalprice, 2) OVER win AS second_price,
+                       COUNT(*) OVER win AS n_orders,
+                       row_number() OVER (
+                           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ) AS rn
+                FROM orders
+                WINDOW win AS (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                )
+            )
+            SELECT o_custkey, first_price, last_price, second_price, n_orders
+            FROM w WHERE rn = 1
+        """,
+        "lineitem_price_qty_corr": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS HUGEINT) AS sy,
+                       SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+                           * CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)) AS sxy,
+                       SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+                           * CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS sxx,
+                       SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)
+                           * CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)) AS syy
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+                   ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+                         / NULLIF(sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0), 6)
+                       AS price_qty_corr
+            FROM g ORDER BY l_returnflag
         """,
         "customer_hierarchy_recursive": """
             WITH RECURSIVE chain AS (

@@ -780,3 +780,63 @@ def tpch_q19_disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFr
             (F.sum(F.when(arm3, rev).otherwise(0)) / F.lit(100.0)).alias("rev_arm3"),
         )
     )
+
+
+def first_last_orders(orders: DataFrame) -> DataFrame:
+    """[EXT] first_value / last_value / nth_value over a per-customer
+    full-frame window: each customer's first, latest, and second order
+    value in one pass — the W-family members the reference never uses.
+
+    One shuffle on custkey; all three window functions share the same
+    (partition, order, frame) spec so the per-key sort happens once; the
+    dedup to one row per customer rides the same partitioning.  The order
+    key carries the orderkey tiebreak, so ties are deterministic."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first_value("o_totalprice").over(w).alias("first_price"),
+            F.last_value("o_totalprice").over(w).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.count("*").over(w).alias("n_orders"),
+        )
+        .dropDuplicates(["o_custkey"])
+    )
+
+
+def price_quantity_corr(lineitem: DataFrame) -> DataFrame:
+    """[EXT] Pearson correlation of price and quantity per return flag,
+    computed from EXACT integer sums -- the statistical-aggregate analog
+    of the integer-cents rule: naive ``F.corr`` accumulates float moments
+    whose value depends on partition order, so it can't hash-match an
+    oracle (nor itself across cluster sizes).  Here the linear sums
+    accumulate as int64 over integer cents/centi-units and the product
+    sums as decimal(38,0) (x^2 in cents^2 is ~1e14/row and would overflow
+    int64 past ~1e5 rows per group; the DuckDB oracle uses HUGEINT); the
+    final correlation is ONE per-group float expression over those exact
+    integers -- identical on any engine -- rounded at 6dp."""
+    d = "decimal(38,0)"
+    x = cents("l_extendedprice")
+    y = F.round(F.col("l_quantity") * 100).cast("long")
+    xd, yd = x.cast(d), y.cast(d)
+    g = lineitem.groupBy("l_returnflag").agg(
+        F.count("*").cast(d).alias("n"),
+        F.sum(x).cast(d).alias("sx"),
+        F.sum(y).cast(d).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("price_qty_corr"),
+    ).orderBy("l_returnflag")

@@ -288,3 +288,41 @@ def test_round3_broadcasts(spark, tables):
             tables["customer"], tables["orders"], tables["lineitem"], tables["nation"]
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# first/last/nth window + exact correlation
+# ---------------------------------------------------------------------------
+
+
+def test_first_last_orders_semantics(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01"), 100.0),
+            (1, 11, _ts("2024-02-01"), 200.0),
+            (1, 12, _ts("2024-03-01"), 300.0),
+            (2, 13, _ts("2024-01-15"), 50.0),
+        ],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp, o_totalprice double",
+    )
+    rows = {r.o_custkey: r for r in analytics.first_last_orders(orders).collect()}
+    assert (rows[1].first_price, rows[1].last_price, rows[1].second_price,
+            rows[1].n_orders) == (100.0, 300.0, 200.0, 3)
+    assert (rows[2].first_price, rows[2].last_price, rows[2].second_price) == (
+        50.0, 50.0, None)
+
+
+def test_price_qty_corr_matches_numpy_and_is_bounded(spark, tables):
+    import numpy as np
+
+    rows = analytics.price_quantity_corr(tables["lineitem"]).collect()
+    assert rows and all(-1.0 <= r.price_qty_corr <= 1.0 for r in rows)
+    pdf = tables["lineitem"].select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).toPandas()
+    for r in rows:
+        g = pdf[pdf.l_returnflag == r.l_returnflag]
+        x = np.round(g.l_extendedprice.to_numpy() * 100)
+        y = np.round(g.l_quantity.to_numpy() * 100)
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(r.price_qty_corr - want) < 1e-4
