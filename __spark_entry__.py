@@ -713,6 +713,7 @@ _PRIORITY = [
     "customer_fuzzy_pairs",
     "customer_first_last_orders",
     "lineitem_price_qty_corr",
+    "part_skyline",
     "customer_hierarchy_recursive",
     "docs_chunk_for_rag",
     "embeddings_sq_error",
@@ -953,6 +954,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lineitem_price_qty_corr": _q(
             ("lineitem",), lambda t: analytics.price_quantity_corr(t["lineitem"])
+        ),
+        "part_skyline": _q(
+            ("part",),
+            lambda t: analytics.pareto_frontier(
+                t["part"],
+                F.round(F.col("p_retailprice") * 100).cast("long"),
+                F.col("p_size").cast("long"),
+                ["p_partkey"],
+            ),
         ),
         "customer_hierarchy_recursive": _customer_hierarchy,
         "docs_chunk_for_rag": _q(
@@ -2043,6 +2053,22 @@ def _oracle_sql_literals() -> dict[str, str]:
                                   * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0), 6)
                        AS price_qty_corr
             FROM g ORDER BY l_returnflag
+        """,
+        "part_skyline": """
+            WITH pts AS (
+                SELECT p_partkey,
+                       CAST(ROUND(p_retailprice*100) AS BIGINT) AS x,
+                       CAST(p_size AS BIGINT) AS y
+                FROM part
+            )
+            SELECT a.p_partkey, a.x, a.y
+            FROM pts a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts b
+                WHERE b.x <= a.x AND b.y <= a.y
+                  AND (b.x < a.x OR b.y < a.y)
+            )
+            ORDER BY a.x, a.y, a.p_partkey
         """,
         "customer_hierarchy_recursive": """
             WITH RECURSIVE chain AS (

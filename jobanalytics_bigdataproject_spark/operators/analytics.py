@@ -840,3 +840,53 @@ def price_quantity_corr(lineitem: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n_lines"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("price_qty_corr"),
     ).orderBy("l_returnflag")
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: Column,
+    y_col: Column,
+    id_cols: "Sequence[str]",
+    shards: int = 64,
+) -> DataFrame:
+    """[EXT] 2-D Pareto frontier (skyline): rows not strictly dominated on
+    (x, y), both minimized -- "cheapest part for its size class" style
+    queries.  Exact duplicates on (x, y) are all kept (neither strictly
+    dominates), matching the NOT-EXISTS dominance definition the oracle
+    uses.
+
+    Scale shape -- skyline-of-skylines: the frontier of a union equals the
+    frontier of per-shard frontiers, for ANY sharding.  Phase 1 computes a
+    local skyline per hash shard (window partitioned by shard: per-shard
+    sort, no global exchange of the input); phase 2 re-runs the same rule
+    globally over the per-shard survivors, which are frontier-sized, not
+    input-sized.  The only single-partition window in the plan therefore
+    sees |survivors| rows.  x must be integer-valued (cents here) because
+    the strictly-smaller-x test is a RANGE frame ending at -1.
+
+    Keep rule per pass: y < min(y over x' <= x-1)  [no strictly-cheaper-x
+    row is at-or-below y]  AND  y == min(y over same x)  [not dominated
+    within the x tie group; (x,y) duplicates all satisfy equality]."""
+    base = df.select(*id_cols, x_col.alias("__x"), y_col.alias("__y")).withColumn(
+        "__shard", F.pmod(F.xxhash64(*[F.col(c) for c in id_cols]), F.lit(shards))
+    )
+
+    def keep(frame: DataFrame, part_cols: list) -> DataFrame:
+        wr = (
+            Window.partitionBy(*part_cols)
+            .orderBy("__x")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        wx = Window.partitionBy(*part_cols, "__x")
+        m1 = F.min("__y").over(wr)
+        mx = F.min("__y").over(wx)
+        return frame.withColumn("__m1", m1).withColumn("__mx", mx).filter(
+            (F.col("__m1").isNull() | (F.col("__y") < F.col("__m1")))
+            & (F.col("__y") == F.col("__mx"))
+        ).drop("__m1", "__mx")
+
+    local = keep(base, ["__shard"])
+    glob = keep(local.drop("__shard"), [])
+    return glob.select(
+        *id_cols, F.col("__x").alias("x"), F.col("__y").alias("y")
+    ).orderBy("x", "y", *id_cols)

@@ -326,3 +326,39 @@ def test_price_qty_corr_matches_numpy_and_is_bounded(spark, tables):
         y = np.round(g.l_quantity.to_numpy() * 100)
         want = np.corrcoef(x, y)[0, 1]
         assert abs(r.price_qty_corr - want) < 1e-4
+
+
+def test_pareto_frontier_matches_brute_force_with_ties_and_dups(spark):
+    import itertools
+
+    pts = [
+        (1, 10, 5), (2, 10, 5),   # duplicate points: both kept
+        (3, 10, 7),               # same x, worse y: dominated
+        (4, 8, 9), (5, 12, 3),    # frontier members
+        (6, 9, 9),                # dominated by (4,8,9)? x=9>8,y=9==9 -> dominated
+        (7, 20, 1),
+    ]
+    df = spark.createDataFrame(pts, "id long, xv long, yv long")
+    got = {
+        (r.id, r.x, r.y)
+        for r in analytics.pareto_frontier(
+            df, F.col("xv"), F.col("yv"), ["id"], shards=3
+        ).collect()
+    }
+    brute = set()
+    for a in pts:
+        dominated = any(
+            b[1] <= a[1] and b[2] <= a[2] and (b[1] < a[1] or b[2] < a[2])
+            for b in pts
+        )
+        if not dominated:
+            brute.add((a[0], a[1], a[2]))
+    assert got == brute
+
+
+def test_pareto_frontier_invariant_under_sharding(spark, tables):
+    args = (F.round(F.col("p_retailprice") * 100).cast("long"),
+            F.col("p_size").cast("long"), ["p_partkey"])
+    r1 = analytics.pareto_frontier(tables["part"], *args, shards=2).collect()
+    r64 = analytics.pareto_frontier(tables["part"], *args, shards=64).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r64))
