@@ -574,3 +574,57 @@ def bloom_prefilter_report(
             0,
         ).alias("fp_bp"),
     )
+
+
+def cms_store_streaming_sink(
+    events_stream,
+    path: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """Streaming maintenance of the CMS store: each micro-batch's sketch
+    cells MERGE into the persisted store by integer addition — like the
+    quantile store, stream==batch equality is EXACT (integer sums are
+    associative), not approximate; only the CMS→truth relationship is
+    approximate.
+
+    Same durability discipline as the other sinks: explicit FileSystem
+    existence probe (a read error aborts the batch rather than being
+    mistaken for first-batch) and write-to-temp-then-swap.  Per-batch
+    cost: batch scan + a ≤ |days·depth·width|-row merge, independent of
+    summarized history.  Returns a DataStreamWriter."""
+
+    def _apply(batch_df, _batch_id):
+        sp = batch_df.sparkSession
+        fresh = cms_sketch(
+            batch_df.withColumn("day", F.date_format(F.to_date(ts_col), "yyyy-MM-dd")),
+            key_col,
+            depth,
+            width,
+            group_cols=("day",),
+        )
+        jvm = sp._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sp._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            merged = (
+                sp.read.parquet(path)
+                .unionByName(fresh)
+                .groupBy("day", "row_i", "bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = fresh
+        tmp = path.rstrip("/") + "__tmp"
+        htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        if fs.exists(htmp):
+            fs.delete(htmp, True)
+        merged.write.mode("overwrite").parquet(tmp)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
+        if not fs.rename(htmp, hpath):
+            raise IOError(f"cms_store_streaming_sink: rename {tmp} -> {path} failed")
+
+    return events_stream.writeStream.foreachBatch(_apply)

@@ -307,3 +307,31 @@ def test_bloom_prefilter_counts_false_positives_when_narrow(spark):
     assert kept > 40  # all true keys + inevitable false positives
     exact = fact.join(keys, fact["fk"] == keys["k"], "left_semi").count()
     assert exact == 40
+
+
+def test_cms_streaming_sink_equals_batch_store(spark, tables, tmp_path):
+    from jobanalytics_bigdataproject_spark.operators import sketches
+    from jobanalytics_bigdataproject_spark.streaming import windows as stream
+
+    ev = tables["events"]
+    src = str(tmp_path / "cms_ev")
+    ev.repartition(2).write.parquet(src)
+    streamed = stream.read_events_stream(spark, src, max_files_per_trigger=1)
+    store = str(tmp_path / "cms_stream_store")
+    q = (
+        sketches.cms_store_streaming_sink(streamed, store)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = spark.read.parquet(store)
+    want = sketches.cms_sketch(
+        ev.withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")),
+        "user_id",
+        group_cols=("day",),
+    )
+    assert sorted(map(tuple, got.select("day", "row_i", "bucket", "n").collect())) == \
+           sorted(map(tuple, want.select("day", "row_i", "bucket", "n").collect()))
