@@ -740,6 +740,7 @@ _ROWS_ONLY = {
     "docs_incremental_dedup",
     "ann_cosine_lsh",
     "embedding_near_dups_lsh",
+    "embeddings_semantic_dedup",
     "ann_cosine_ivf",
     "ann_cosine_ivf_indexed",
     "ann_cosine_pq",
@@ -1147,6 +1148,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: similarity.embedding_near_dups_lsh(
                 t["embeddings"], threshold=0.3, bits=2, n_tables=8
             ),
+        ),
+        # SemDeDup-style composition: LSH pairs -> star-CC -> min-id
+        # survivors (rows-only: stage 1 recall < 1; composition exactness
+        # is pinned by the planted-cluster pytest)
+        "embeddings_semantic_dedup": _q(
+            ("embeddings",),
+            lambda t: similarity.semantic_dedup(
+                t["embeddings"], threshold=0.3, bits=2, n_tables=8
+            ).select("vec_id"),
         ),
         "embeddings_centered": _q(
             ("embeddings",), lambda t: similarity.center_embeddings(t["embeddings"])

@@ -611,3 +611,49 @@ def ivf_append(
         .select(id_col, vec_col, "cell")
     )
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/corpus")
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    bits: int = 2,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """[EXT] SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public literature): drop all but one representative from every group
+    of embedding-near-duplicate items — the embedding-space twin of the
+    MinHash ``neardup_dedup`` pipeline, built from the same three staged
+    primitives:
+
+      1. candidate pairs: ``embedding_near_dups_lsh`` (data-independent
+         banded SRP blocking, verified cosines — no all-pairs anywhere);
+      2. grouping: large-star/small-star connected components over the
+         pair graph (O(log n) rounds on the candidate subgraph only);
+      3. survivorship: keep each component's min-id member (deterministic
+         representative), plus every un-paired item.
+
+    Rows-only by design (LSH recall < 1); the pipeline-level test pins
+    survivors == brute-force-pairs + CC on the fixture, so the composition
+    itself is exact given the candidate set.
+
+    Scale: stage 1 is the documented SRP dial; stages 2-3 touch candidate
+    pairs and their nodes, not the corpus; the final filter is a broadcast
+    anti-join of dropped ids against the corpus scan."""
+    from jobanalytics_bigdataproject_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = embedding_near_dups_lsh(
+        embeddings, threshold=threshold, bits=bits, n_tables=n_tables, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    )
+    comp = connected_components_star(pairs, id_a="id_a", id_b="id_b")
+    dropped = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("__drop_id")
+    )
+    return embeddings.join(
+        F.broadcast(dropped), F.col(id_col) == F.col("__drop_id"), "left_anti"
+    ).select(id_col, vec_col)

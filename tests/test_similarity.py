@@ -263,3 +263,39 @@ def test_neardup_lsh_production_dial_on_synthetic_clusters(spark):
     assert len(got) / len(exact) >= 0.9
     # all recovered pairs are intra-cluster (ids 0..39 grouped in fours)
     assert all(a // 4 == b // 4 for a, b in got if a < 40 and b < 40)
+
+
+def test_semantic_dedup_keeps_one_per_cluster(spark):
+    """Planted clusters of jittered copies: exactly one survivor per
+    cluster (its min id) plus all background vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(6):
+        base = rng.normal(size=64)
+        base /= np.linalg.norm(base)
+        for _ in range(4):
+            v = base + rng.normal(scale=0.02, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    first_bg = vid
+    for _ in range(50):
+        v = rng.normal(size=64)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id for r in similarity.semantic_dedup(
+        emb, threshold=0.95, bits=8, n_tables=8
+    ).collect()}
+    # each cluster of four (ids 4c..4c+3) survives only as its min id —
+    # modulo LSH recall; require >= 5 of 6 clusters fully collapsed and
+    # no cluster losing its min id
+    collapsed = sum(
+        1 for c in range(6)
+        if out & {4 * c, 4 * c + 1, 4 * c + 2, 4 * c + 3} == {4 * c}
+    )
+    assert collapsed >= 5
+    assert all(4 * c in out for c in range(6))
+    assert {v for v in out if v >= first_bg} == set(range(first_bg, vid))
