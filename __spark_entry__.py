@@ -714,6 +714,8 @@ _PRIORITY = [
     "customer_first_last_orders",
     "lineitem_price_qty_corr",
     "part_skyline",
+    "docs_weighted_sample",
+    "orders_dq_report",
     "customer_hierarchy_recursive",
     "docs_chunk_for_rag",
     "embeddings_sq_error",
@@ -955,6 +957,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "lineitem_price_qty_corr": _q(
             ("lineitem",), lambda t: analytics.price_quantity_corr(t["lineitem"])
+        ),
+        "docs_weighted_sample": _q(
+            ("documents",),
+            lambda t: sampling.weighted_sample(
+                t["documents"], "doc_id", "n_chars", k=50
+            ).select("doc_id", "source", "n_chars"),
+        ),
+        "orders_dq_report": _q(
+            ("orders",),
+            lambda t: profile.expect(t["orders"], {
+                "price_in_range": F.col("o_totalprice").between(0, 5_000_000),
+                "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+                "priority_known": F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+                ),
+                "status_known": F.col("o_orderstatus").isin("O", "F", "P"),
+            }),
         ),
         "part_skyline": _q(
             ("part",),
@@ -2063,6 +2082,40 @@ def _oracle_sql_literals() -> dict[str, str]:
                                   * sqrt(CAST(n*syy - sy*sy AS DOUBLE)), 0.0), 6)
                        AS price_qty_corr
             FROM g ORDER BY l_returnflag
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE n_chars > 0
+            ORDER BY pow(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+                         / 4503599627370496.0,
+                         1.0 / n_chars) DESC,
+                     doc_id
+            LIMIT 50
+        """,
+        "orders_dq_report": """
+            WITH a AS (
+                SELECT COUNT(*) AS total,
+                       SUM(CASE WHEN NOT (o_totalprice BETWEEN 0 AND 5000000)
+                                THEN 1 ELSE 0 END) AS v0,
+                       SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS v1,
+                       SUM(CASE WHEN o_orderpriority NOT IN
+                                ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                                THEN 1 ELSE 0 END) AS v2,
+                       SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                                THEN 1 ELSE 0 END) AS v3
+                FROM orders
+            )
+            SELECT r.rule, CAST(r.violations AS BIGINT) AS violations,
+                   CAST(a.total AS BIGINT) AS total,
+                   ROUND(10000.0*(a.total - r.violations)/NULLIF(a.total, 0)) AS pass_bp
+            FROM a, (
+                SELECT 'price_in_range' AS rule, v0 AS violations FROM a
+                UNION ALL SELECT 'orderdate_not_null', v1 FROM a
+                UNION ALL SELECT 'priority_known', v2 FROM a
+                UNION ALL SELECT 'status_known', v3 FROM a
+            ) r
+            ORDER BY r.rule
         """,
         "part_skyline": """
             WITH pts AS (

@@ -76,3 +76,52 @@ def profile_table(
         F.col("p.min_value").alias("min_value"),
         F.col("p.max_value").alias("max_value"),
     )
+
+
+def expect(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
+    """[EXT] Data-quality expectations in ONE pass (great-expectations
+    shape, deequ-style execution): ``rules`` maps rule name -> boolean
+    expectation column; the report counts violations per rule from a
+    single aggregate of CASE sums — one scan however many rules, the same
+    economics as the profiler above.
+
+    Output: (rule, violations, total, pass_bp) with pass_bp on the
+    scaled-integer rounding rule so both engines agree exactly.
+
+    NULL semantics (3-valued logic, same as SQL CHECK constraints): a rule
+    evaluating to NULL counts as NOT violated — nullness needs its own
+    ``isNotNull`` rule. Pinned by tests/test_properties.py."""
+    from jobanalytics_bigdataproject_spark.functions.exact import exact_div
+
+    names = list(rules)
+    agg = df.agg(
+        F.count("*").alias("__total"),
+        *[
+            F.sum(F.when(~rules[n], 1).otherwise(0)).cast("long").alias(f"__v_{i}")
+            for i, n in enumerate(names)
+        ],
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rule"),
+                F.col(f"__v_{i}").alias("violations"),
+                F.col("__total").alias("total"),
+            )
+            for i, n in enumerate(names)
+        ]
+    )
+    return (
+        agg.select(F.explode(pairs).alias("p"))
+        .select(
+            "p.rule",
+            "p.violations",
+            "p.total",
+            exact_div(
+                F.lit(10000) * (F.col("p.total") - F.col("p.violations")),
+                F.col("p.total"),
+                0,
+            ).alias("pass_bp"),
+        )
+        .orderBy("rule")
+    )

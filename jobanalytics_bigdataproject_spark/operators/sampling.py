@@ -131,3 +131,36 @@ def deterministic_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """[EXT] Weighted sampling without replacement, deterministic:
+    Efraimidis-Spirakis A-Res (public algorithm) with the uniform draw
+    derived from md5 instead of an RNG — rank key = u^(1/w), keep the
+    top k.  Like deterministic_k_per_group, the md5-derived u makes the
+    sample reproducible across runs, engines, partitionings and cluster
+    sizes, and therefore oracle hash-checkable.
+
+    u = int(first 13 md5 hex digits) / 16^13 — 52 bits, exactly
+    representable; Spark spells it conv(...,16,10), DuckDB
+    CAST('0x'||substr AS UBIGINT).  Selection is
+    ``orderBy(key desc).limit(k)`` = TakeOrderedAndProject: per-partition
+    k-row heaps, no global sort."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(16**13))
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__sk", key)
+        .orderBy(F.desc("__sk"), id_col)
+        .limit(k)
+        .drop("__sk")
+    )
