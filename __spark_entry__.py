@@ -709,6 +709,7 @@ _PRIORITY = [
     "events_transition_matrix",
     "customer_rfm",
     "events_session_time_per_day",
+    "events_time_to_convert",
     "docs_sample_k_per_source",
     "customer_fuzzy_pairs",
     "customer_first_last_orders",
@@ -933,6 +934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm": _q(("orders",), lambda t: behavior.rfm_segments(t["orders"])),
         "events_session_time_per_day": _q(
             ("events",), lambda t: behavior.session_time_per_day(t["events"])
+        ),
+        "events_time_to_convert": _q(
+            ("events",), lambda t: behavior.time_to_convert(t["events"])
         ),
         # deterministic (md5-ordered) sampler — oracle-checkable, unlike RNG
         # samplers; source coalesced to '' on BOTH engines (ADVICE r2: Spark
@@ -2132,6 +2136,30 @@ def _oracle_sql_literals() -> dict[str, str]:
                   AND (b.x < a.x OR b.y < a.y)
             )
             ORDER BY a.x, a.y, a.p_partkey
+        """,
+        "events_time_to_convert": """
+            WITH pe AS (
+                SELECT user_id, event_type, ts,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                           OVER (PARTITION BY user_id) AS t0
+                FROM events
+            ),
+            pu AS (
+                SELECT user_id,
+                       MIN(t0) AS t0,
+                       MIN(CASE WHEN event_type = 'purchase' AND t0 IS NOT NULL
+                                AND ts > t0 THEN ts END) AS t1
+                FROM pe GROUP BY user_id
+            ),
+            lat AS (
+                SELECT (epoch_us(t1) - epoch_us(t0)) // 1000000 AS latency_s
+                FROM pu WHERE t0 IS NOT NULL AND t1 IS NOT NULL
+            )
+            SELECT COUNT(*) AS n_converted,
+                   CAST(quantile_cont(latency_s, 0.5) AS DOUBLE) AS p50_s,
+                   CAST(quantile_cont(latency_s, 0.9) AS DOUBLE) AS p90_s,
+                   CAST(MAX(latency_s) AS BIGINT) AS max_s
+            FROM lat
         """,
         "customer_hierarchy_recursive": """
             WITH RECURSIVE chain AS (

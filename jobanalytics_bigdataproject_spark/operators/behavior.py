@@ -458,3 +458,52 @@ def session_time_per_day(
         )
         .orderBy("day")
     )
+
+
+def time_to_convert(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """[EXT] Conversion-latency distribution: per user, the seconds from
+    the FIRST ``from_type`` event to the first ``to_type`` event strictly
+    after it; report converting-user count and exact p50/p90/max latency.
+
+    One shuffle on user for the two window minima (same partition spec);
+    latencies are integer seconds (micros div), so the exact percentiles
+    interpolate on representable k.5 boundaries and both engines agree.
+    The percentile input is one row per converting user — customer-scale,
+    not event-scale; the documented exact-percentile cliff and its sketch
+    relief valve (t2_price_tiers) apply at 1e9+ users."""
+    w = Window.partitionBy(user_col)
+    t0 = F.min(F.when(F.col(type_col) == from_type, F.col(ts_col))).over(w)
+    per_event = events.select(user_col, type_col, ts_col).withColumn("__t0", t0)
+    t1 = F.min(
+        F.when(
+            (F.col(type_col) == to_type)
+            & F.col("__t0").isNotNull()
+            & (F.col(ts_col) > F.col("__t0")),
+            F.col(ts_col),
+        )
+    ).over(w)
+    per_user = (
+        per_event.withColumn("__t1", t1)
+        .groupBy(user_col)
+        .agg(
+            F.first("__t0").alias("t0"),
+            F.first("__t1").alias("t1"),
+        )
+        .filter(F.col("t0").isNotNull() & F.col("t1").isNotNull())
+        .select(
+            F.expr("(unix_micros(t1) - unix_micros(t0)) div 1000000").alias("latency_s")
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("CAST(percentile(latency_s, 0.5) AS DOUBLE)").alias("p50_s"),
+        F.expr("CAST(percentile(latency_s, 0.9) AS DOUBLE)").alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+    )

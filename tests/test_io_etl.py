@@ -206,3 +206,25 @@ def test_csv_permissive_corrupt_record_capture(spark, tmp_path):
     assert {r.id for r in good.collect()} == {1, 3}
     bad_rows = bad.collect()
     assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]._bad
+
+
+def test_schema_evolution_mergeschema_read(spark, tables, tmp_path):
+    """Schema drift across parquet generations: an appended batch carries a
+    new column; mergeSchema=True surfaces the union schema with NULLs for
+    the old files — the read-side contract a long-lived 100 TB table needs
+    (writer-side policy stays explicit-schema, readers.py rationale)."""
+    path = str(tmp_path / "evolving")
+    v1 = tables["nation"].select("n_nationkey", "n_name")
+    v1.write.parquet(path)
+    v2 = tables["nation"].select(
+        "n_nationkey", "n_name", F.lit("emea").alias("region_tag")
+    ).limit(5)
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "region_tag"}
+    assert merged.count() == v1.count() + 5
+    # old-generation rows surface NULL for the new column
+    assert merged.filter(F.col("region_tag").isNull()).count() == v1.count()
+    # without mergeSchema the footer picked may hide the new column — the
+    # explicit option is the contract, not a default behavior assumption

@@ -162,3 +162,43 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tables, tmp_path):
     out = spark.sql("SELECT event_id FROM dedup_stream_test")
     assert out.count() == ev.select("event_id").distinct().count()
     assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_stream_static_enrichment_join(spark, tables, tmp_path):
+    """Stream-static join: a streaming fact joined to a static broadcast
+    dimension — the standard streaming enrichment shape (the static side
+    is re-resolved per micro-batch, no watermark needed)."""
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.streaming.windows import read_events_stream
+
+    src = str(tmp_path / "ev_enrich")
+    tables["events"].limit(500).write.parquet(src)
+    streamed = read_events_stream(spark, src)
+    dim = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    q = (
+        streamed.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r.c_mktsegment: r.n for r in spark.sql("SELECT * FROM enriched").collect()}
+    want = {
+        r.c_mktsegment: r.n
+        for r in spark.read.parquet(src)
+        .join(dim, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and sum(got.values()) == 500
