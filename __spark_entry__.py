@@ -325,6 +325,16 @@ _SQL_Q1 = """
 """
 
 
+def _events_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MLlib FPGrowth market-basket itemsets over per-user event
+    types (ml/pipeline.frequent_event_itemsets). Rows-only: no DuckDB
+    FPGrowth; supports pinned by hand-enumerated pytest."""
+    from jobanalytics_bigdataproject_spark.ml import pipeline as mlp
+
+    t = load_star(spark, sf_dir, ("events",))
+    return mlp.frequent_event_itemsets(t["events"])
+
+
 def _sql_entry_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase-4 mechanism (reference 03:13-16): temp-view registration +
     ``spark.sql`` text entry point — same ANSI SQL runs on both engines."""
@@ -712,6 +722,7 @@ _PRIORITY = [
     "events_time_to_convert",
     "docs_sample_k_per_source",
     "customer_fuzzy_pairs",
+    "fuzzy_graph_triangles",
     "customer_first_last_orders",
     "lineitem_price_qty_corr",
     "part_skyline",
@@ -752,6 +763,7 @@ _ROWS_ONLY = {
     "random_split_lineitem",
     "summary_lineitem",
     "ml_price_model",
+    "events_frequent_itemsets",
     "multimodal_image",
     "multimodal_resize",
     "multimodal_frame_sample",
@@ -938,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": _q(
             ("events",), lambda t: behavior.time_to_convert(t["events"])
         ),
+        "events_frequent_itemsets": _events_frequent_itemsets,
         # deterministic (md5-ordered) sampler — oracle-checkable, unlike RNG
         # samplers; source coalesced to '' on BOTH engines (ADVICE r2: Spark
         # concat_ws skips NULLs while || propagates them)
@@ -954,6 +967,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("customer",),
             lambda t: joins.fuzzy_match_pairs_fast(
                 t["customer"], "c_custkey", "c_name", "c_nationkey"
+            ),
+        ),
+        "fuzzy_graph_triangles": _q(
+            ("customer",),
+            lambda t: joins.triangle_count(
+                joins.fuzzy_match_pairs_fast(
+                    t["customer"], "c_custkey", "c_name", "c_nationkey"
+                )
             ),
         ),
         "customer_first_last_orders": _q(
@@ -2046,6 +2067,25 @@ def _oracle_sql_literals() -> dict[str, str]:
              AND a.c_custkey < b.c_custkey
              AND abs(length(a.c_name) - length(b.c_name)) <= 1
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "fuzzy_graph_triangles": """
+            WITH e AS (
+                SELECT DISTINCT a.c_custkey AS a, b.c_custkey AS b
+                FROM customer a JOIN customer b
+                  ON a.c_nationkey = b.c_nationkey
+                 AND a.c_custkey < b.c_custkey
+                 AND abs(length(a.c_name) - length(b.c_name)) <= 1
+                WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ),
+            w AS (
+                SELECT e1.a, e1.b, e2.b AS c
+                FROM e e1 JOIN e e2 ON e1.b = e2.a
+            )
+            SELECT (SELECT COUNT(*) FROM e) AS edges,
+                   (SELECT COUNT(*) FROM w) AS wedges,
+                   (SELECT COUNT(*) FROM w
+                    WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c))
+                       AS triangles
         """,
         "customer_first_last_orders": """
             WITH w AS (

@@ -218,3 +218,44 @@ def back_transform(predictions: DataFrame, col: str = "prediction") -> DataFrame
     """M15: log-scale → price scale, ``expm1`` (reference 04:321-326 uses
     exp(x)-1; expm1 is the numerically-stable identical form)."""
     return predictions.withColumn(f"{col}_price", F.expm1(F.col(col)))
+
+
+def frequent_event_itemsets(
+    events, min_support: float = 0.2, ts_col: str = "ts",
+    user_col: str = "user_id", type_col: str = "event_type",
+):
+    """[EXT] MLlib FPGrowth over per-user event-type baskets: which
+    combinations of behaviors co-occur in the same user — the market-
+    basket member of the ML tier beyond the reference's M1-M15 surface.
+
+    Baskets are per-user DISTINCT types (array_sort for a deterministic
+    item order); itemsets and supports are deterministic given the data
+    (FP-tree construction is order-insensitive once items are
+    canonicalized), so the output is stable run-to-run — but the driver
+    check stays rows-only because DuckDB has no FPGrowth; the pytest pins
+    supports against hand-enumerated subsets on a constructed log.
+
+    Scale: basket building is one user-keyed aggregate; FPGrowth runs
+    MLlib's parallel FP-tree (group-by-prefix partitions). Output rows =
+    frequent itemsets only (min_support prunes exponential blowup)."""
+    from pyspark.ml.fpm import FPGrowth
+    from pyspark.sql import functions as F
+
+    baskets = (
+        events.groupBy(user_col)
+        .agg(F.array_sort(F.collect_set(type_col)).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=min_support, minConfidence=0.5
+    ).fit(baskets)
+    n_users = baskets.count()
+    return (
+        model.freqItemsets.select(
+            F.array_sort("items").alias("itemset"),
+            F.col("freq").alias("n_users_with_set"),
+            F.round(F.lit(10000) * F.col("freq") / F.lit(n_users)).cast("long").alias(
+                "support_bp"
+            ),
+        )
+        .orderBy(F.desc("n_users_with_set"), "itemset")
+    )

@@ -232,3 +232,33 @@ def fuzzy_match_pairs_fast(
         .filter(F.col("distance") <= 1)
         .select("id_a", "id_b", F.col("blk").alias(block_col), "distance")
     )
+
+
+def triangle_count(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """[EXT] Distributed triangle counting over an undirected edge list
+    (edges oriented a<b as the fuzzy/near-dup pair ops emit them):
+    join edges (a,b)+(b,c) to wedges, close each wedge against (a,c).
+    Returns one row: edges, wedges, triangles.
+
+    Scale: the canonical two-join formulation; both joins shuffle on a
+    vertex key, and orienting edges low->high means every triangle is
+    counted exactly once (a<b<c) with no post-dedup. Skewed hub vertices
+    make wedge counts quadratic in hub degree — the standard mitigation
+    (split hubs / approximate with degree threshold) applies upstream by
+    capping block sizes in the pair generators."""
+    e = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).distinct()
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    wedges = e.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")), "left_semi"
+    )
+    return (
+        e.agg(F.count("*").alias("edges"))
+        .crossJoin(wedges.agg(F.count("*").alias("wedges")))
+        .crossJoin(tri.agg(F.count("*").alias("triangles")))
+    )

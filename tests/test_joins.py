@@ -137,3 +137,13 @@ def test_fuzzy_fast_handles_indels_via_cross_length_leg(spark):
     rows = {(r.id_a, r.id_b): r.distance
             for r in fuzzy_match_pairs_fast(df, "id", "name", "blk").collect()}
     assert rows == {(1, 2): 1, (1, 3): 1}
+
+
+def test_triangle_count_on_known_graph(spark):
+    from jobanalytics_bigdataproject_spark.operators.joins import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, 6 edges) + pendant edge (4,5)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    r = triangle_count(df).first()
+    assert (r.edges, r.triangles) == (7, 4)

@@ -56,3 +56,26 @@ def test_back_transform_positive(fitted):
     _, _, _, models, test_f, _ = fitted
     out = mlp.back_transform(models["lr"].transform(test_f))
     assert out.filter(F.col("prediction_price") <= -1).count() == 0
+
+
+def test_fpgrowth_itemsets_match_hand_enumeration(spark):
+    from datetime import datetime
+
+    from jobanalytics_bigdataproject_spark.ml.pipeline import frequent_event_itemsets
+
+    # 4 users: baskets {a,b}, {a,b}, {a,c}, {b}
+    rows = []
+    eid = 0
+    for uid, types in [(1, "ab"), (2, "ab"), (3, "ac"), (4, "b")]:
+        for t in types:
+            rows.append((uid, eid, datetime(2024, 1, 1), t))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = {tuple(r.itemset): (r.n_users_with_set, r.support_bp)
+           for r in frequent_event_itemsets(ev, min_support=0.5).collect()}
+    # support >= 0.5 of 4 users = >= 2 users
+    assert out == {
+        ("a",): (3, 7500),
+        ("b",): (3, 7500),
+        ("a", "b"): (2, 5000),
+    }
