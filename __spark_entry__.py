@@ -720,6 +720,7 @@ _PRIORITY = [
     "customer_rfm",
     "events_session_time_per_day",
     "events_time_to_convert",
+    "events_dow_seasonality",
     "docs_sample_k_per_source",
     "customer_fuzzy_pairs",
     "fuzzy_graph_triangles",
@@ -951,6 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("events",), lambda t: behavior.time_to_convert(t["events"])
         ),
         "events_frequent_itemsets": _events_frequent_itemsets,
+        "events_dow_seasonality": _q(
+            ("events",), lambda t: behavior.dow_seasonality(t["events"])
+        ),
         # deterministic (md5-ordered) sampler — oracle-checkable, unlike RNG
         # samplers; source coalesced to '' on BOTH engines (ADVICE r2: Spark
         # concat_ws skips NULLs while || propagates them)
@@ -2200,6 +2204,25 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(quantile_cont(latency_s, 0.9) AS DOUBLE) AS p90_s,
                    CAST(MAX(latency_s) AS BIGINT) AS max_s
             FROM lat
+        """,
+        "events_dow_seasonality": """
+            WITH daily AS (
+                SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                       dayofweek(CAST(ts AS DATE)) + 1 AS dow
+                FROM events GROUP BY CAST(ts AS DATE)
+            ),
+            prof AS (
+                SELECT dow, CAST(SUM(n) AS BIGINT) AS dow_total,
+                       COUNT(*) AS dow_days
+                FROM daily GROUP BY dow
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day, daily.dow, n,
+                   ROUND(100.0 * CAST(dow_total AS DOUBLE)
+                         / NULLIF(CAST(dow_days AS DOUBLE), 0)) / 100.0 AS dow_mean,
+                   ROUND(10000.0 * n * dow_days / NULLIF(dow_total, 0)) - 10000
+                       AS deviation_bp
+            FROM daily JOIN prof USING (dow)
+            ORDER BY day
         """,
         "customer_hierarchy_recursive": """
             WITH RECURSIVE chain AS (

@@ -507,3 +507,51 @@ def time_to_convert(
         F.expr("CAST(percentile(latency_s, 0.9) AS DOUBLE)").alias("p90_s"),
         F.max("latency_s").alias("max_s"),
     )
+
+
+def dow_seasonality(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[EXT] Day-of-week seasonality profile with per-day deviation: daily
+    event counts, the mean count for that weekday across the whole log,
+    and the day's deviation from its weekday norm in basis points — the
+    "is this Monday unusually quiet" report (seasonal twin of
+    ``daily_anomaly``, which scores against the global mean).
+
+    Determinism: counts are integers; the weekday mean is an exact
+    integer-sum / integer-count division done identically on both engines
+    (scaled-integer rounding for the output ratio).  Spark ``dayofweek``
+    is 1=Sunday; the oracle spells DuckDB's ``dayofweek()+1``
+    (SURVEY.md §5.3).
+
+    Scale: one shuffle to daily counts (|days| rows), everything after is
+    metadata-sized; the weekday profile joins back by broadcast."""
+    from jobanalytics_bigdataproject_spark.functions.exact import exact_div
+
+    daily = events.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.count("*").alias("n")
+    ).withColumn("dow", F.dayofweek("day"))
+    prof = daily.groupBy("dow").agg(
+        F.sum("n").alias("dow_total"), F.count("*").alias("dow_days")
+    )
+    return (
+        daily.join(F.broadcast(prof), "dow")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "n",
+            exact_div(
+                F.col("dow_total").cast("double"), F.col("dow_days").cast("double"), 2
+            ).alias("dow_mean"),
+            (
+                exact_div(
+                    F.lit(10000.0) * F.col("n") * F.col("dow_days"),
+                    F.col("dow_total"),
+                    0,
+                )
+                - F.lit(10000)
+            ).alias("deviation_bp"),
+        )
+        .orderBy("day")
+    )
