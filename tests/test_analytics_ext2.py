@@ -362,3 +362,53 @@ def test_pareto_frontier_invariant_under_sharding(spark, tables):
     r1 = analytics.pareto_frontier(tables["part"], *args, shards=2).collect()
     r64 = analytics.pareto_frontier(tables["part"], *args, shards=64).collect()
     assert sorted(map(tuple, r1)) == sorted(map(tuple, r64))
+
+
+def test_late_round3_exchange_budgets(spark, tables):
+    """Shuffle budgets for the late-round operators (same regression
+    discipline as test_round3_exchange_budgets)."""
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.operators import (
+        corpus as cp,
+        joins,
+        sampling,
+        tpch,
+    )
+    from jobanalytics_bigdataproject_spark.operators.behavior import (
+        dow_seasonality,
+        rfm_segments,
+        session_time_per_day,
+        time_to_convert,
+        transition_matrix,
+    )
+
+    budgets = {
+        # chunking: zero data shuffles + presentation sort
+        "chunking": (cp.chunk_documents(tables["documents"]), 1),
+        # lag window + pair agg + per-prev window + presentation sort
+        "transition": (transition_matrix(tables["events"]), 4),
+        # the per-user frame feeds BOTH the cutoff agg and the final
+        # select, so its groupBy exchange (and the ref-date agg upstream)
+        # appears twice in the static plan (5 total); Spark's
+        # ReuseExchange dedupes identical subtrees at runtime
+        "rfm": (rfm_segments(tables["orders"]), 5),
+        # session windows + day rollup
+        "session_day": (session_time_per_day(tables["events"]), 3),
+        # user window + converting-user agg + scalar agg
+        "ttc": (time_to_convert(tables["events"]), 3),
+        # daily agg + dow profile agg (broadcast back) + sort
+        "dow": (dow_seasonality(tables["events"]), 4),
+        # md5-rank window + WindowGroupLimit
+        "k_per_group": (
+            sampling.deterministic_k_per_group(tables["documents"], "source", "doc_id", 5),
+            1,
+        ),
+        # q6: pure scan-agg — a single one-row exchange at most
+        "q6": (tpch.q6_forecast_revenue(tables["lineitem"]), 1),
+        # q13: custkey agg + c_count agg + sort
+        "q13": (tpch.q13_customer_distribution(tables["customer"], tables["orders"]), 4),
+    }
+    for name, (df, budget) in budgets.items():
+        n = count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
