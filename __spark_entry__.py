@@ -766,6 +766,7 @@ _ROWS_ONLY = {
     "ml_price_model",
     "events_frequent_itemsets",
     "multimodal_image",
+    "multimodal_image_neardups",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio",
@@ -1234,6 +1235,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: multimodal.decode_image(
                 multimodal.attach_bmp_payload(t["documents"])
             ).select("doc_id", "width", "height", "mean_r", "mean_g", "mean_b"),
+        ),
+        "multimodal_image_neardups": _q(
+            # perceptual aHash (REAL BMP decode -> 8x8 mean-pool bitmask)
+            # + the SimHash chunk-pigeonhole candidate rule on images;
+            # rows-only (binary decode not SQL-expressible)
+            ("documents",),
+            lambda t: multimodal.image_near_dup_pairs(
+                multimodal.attach_bmp_payload(t["documents"])
+            ),
         ),
         "multimodal_resize": _q(
             # REAL resize: BMP decode → nearest-neighbor resample → BMP

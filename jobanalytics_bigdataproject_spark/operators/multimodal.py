@@ -515,3 +515,96 @@ def frame_sample(media: DataFrame, every_nth: int = 4, max_frames: int = 8) -> D
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def image_ahash(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """[EXT] Perceptual average-hash (aHash — public technique) per image:
+    REAL BMP decode → grayscale → ``hash_size²`` mean-pool grid → 64-bit
+    above-mean bitmask.  Near-identical images (small jitter, exposure
+    shifts) map to hashes within a few hamming bits, so the SimHash
+    machinery (chunk-pigeonhole buckets + bit_count verify,
+    operators/dedup.py) applies to IMAGES unchanged — this is the bridge
+    between the multimodal tier and the dedup tier.
+
+    Arrow-batched mapInPandas; per image O(pixels) numpy; no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+    hs = hash_size
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp(bytes(raw)).astype(np.float64)
+                gray = px.mean(axis=2)
+                h, w = gray.shape
+                # mean-pool to hs x hs (truncating partial cells like a
+                # floor-resize; deterministic)
+                ys = (np.arange(hs + 1) * h) // hs
+                xs = (np.arange(hs + 1) * w) // hs
+                cells = np.empty((hs, hs))
+                for i in range(hs):
+                    for j in range(hs):
+                        cells[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                bits = (cells > cells.mean()).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                # two's complement into signed int64
+                if val >= 1 << 63:
+                    val -= 1 << 64
+                out.append((int(doc_id), val))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash"])
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema)
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, hash_size: int = 8
+) -> DataFrame:
+    """[EXT] Image near-duplicate pairs: aHash + the chunk-pigeonhole
+    candidate rule (two 64-bit hashes within hamming ≤ 3 must share at
+    least one of 4 16-bit chunks — exact, same guarantee as
+    ``dedup.simhash_candidates``), verified with ``bit_count``.
+
+    Scale: bucket self-join on (chunk_idx, chunk_value) — no all-pairs;
+    candidates are near-singleton buckets unless images genuinely
+    collide."""
+    hashed = image_ahash(media, hash_size)
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = F.array(
+        *[
+            F.expr(f"shiftright(ahash, {i * width}) & {(1 << width) - 1}L")
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = hashed.select(
+        "doc_id", "ahash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("h_a"),
+        "chunk_idx", "chunk_val",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("h_b"),
+        "chunk_idx", "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(h_a ^ h_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

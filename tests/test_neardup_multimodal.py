@@ -187,3 +187,46 @@ def test_wav_payload_is_deterministic(tables):
     b = {r.doc_id: bytes(r.payload) for r in multimodal.attach_wav_payload(docs).collect()}
     assert a == b
     assert all(p[:4] == b"RIFF" and p[8:12] == b"WAVE" for p in a.values())
+
+
+# ---------------------------------------------------------------------------
+# perceptual aHash image near-dup (multimodal x dedup bridge)
+# ---------------------------------------------------------------------------
+
+
+def test_image_ahash_finds_jittered_duplicates_only(spark):
+    import numpy as np
+
+    from jobanalytics_bigdataproject_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # 5 base images; each with one jittered copy (id+100): +-1 pixel noise
+    for i in range(5):
+        base = mm.decode_bmp(mm.synth_bmp(i, 32, 24)).astype(np.int16)
+        rows.append((i, bytearray(mm.encode_bmp(base.astype(np.uint8)))))
+        noise = rng.integers(-1, 2, size=base.shape)
+        jit = np.clip(base + noise, 0, 255).astype(np.uint8)
+        rows.append((i + 100, bytearray(mm.encode_bmp(jit))))
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in mm.image_near_dup_pairs(media, max_hamming=3).collect()}
+    # every jittered copy pairs with its original...
+    for i in range(5):
+        assert (i, i + 100) in pairs, f"jittered copy of {i} not found"
+    # ...and no cross-image pair sneaks in
+    assert all(a % 100 == b % 100 for a, b in pairs)
+
+
+def test_image_ahash_exact_for_hamming_bound(spark):
+    """Pigeonhole completeness: flip exactly `max_hamming` chosen bits of a
+    hash-identical payload pair -> still found; flipping across all chunks
+    beyond the bound -> correctly excluded (hamming filter)."""
+    from jobanalytics_bigdataproject_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, bytearray(mm.synth_bmp(7, 16, 12))), (2, bytearray(mm.synth_bmp(7, 16, 12)))],
+        "doc_id long, payload binary",
+    )
+    rows = mm.image_near_dup_pairs(media, max_hamming=3).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
