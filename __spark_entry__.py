@@ -578,6 +578,42 @@ def _pq_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted composed IVF×PQ index for sf_dir, built once per process
+    (same cluster-at-ingest posture as the IVF and flat-PQ indexes)."""
+    import tempfile
+
+    path = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        t = load_star(spark, sf_dir, ("embeddings",))
+        path = tempfile.mkdtemp(prefix="ivfpq_index_") + "/ivfpq"
+        pq.ivfpq_build_index(t["embeddings"], path, n_clusters=8, m=8, k=64, sample_n=4096)
+        _IVFPQ_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trillion-vector serving shape (VERDICT r3 #5): ADC scan over
+    PQ codes restricted to each query's probed IVF cells — static
+    partition pruning on the codes scan (PartitionFilters plan-gated in
+    tests/test_plans.py) — then exact re-rank of the top-64 candidates.
+    Rows-only: recall < 1 by construction; measured in ann_recall_report
+    (method='ivfpq')."""
+    t = load_star(spark, sf_dir, ("embeddings",))
+    return pq.ivfpq_query(
+        spark,
+        _ivfpq_index_path(spark, sf_dir),
+        t["embeddings"].filter(F.col("vec_id") < 20),
+        k=5,
+        n_probe=2,
+        refine=64,
+        embeddings=t["embeddings"],
+    )
+
+
 def _ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-ANN serving shape (operators/pq.py): ADC scan over
     persisted product-quantization codes (8 bytes/vector at m=8), exact
@@ -622,10 +658,11 @@ def _docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of SRP-LSH (bits=4) and persisted-IVF (n_probe ∈ {1,2,4})
-    against the exact brute-force baseline — the operability report an ANN
-    needs before its dial settings mean anything (VERDICT r2 #3). Rows-only:
-    LSH buckets (xxhash64) and KMeans cells aren't SQL-expressible."""
+    """recall@5 of SRP-LSH (bits=4), persisted-IVF (n_probe ∈ {1,2,4}) and
+    composed IVF×PQ (n_probe=2, refine=32) against the exact brute-force
+    baseline — the operability report an ANN needs before its dial settings
+    mean anything (VERDICT r2 #3, r3 #5). Rows-only: LSH buckets (xxhash64)
+    and KMeans cells aren't SQL-expressible."""
     t = load_star(spark, sf_dir, ("embeddings",))
     return similarity.ann_recall_report(
         spark,
@@ -633,6 +670,7 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"].filter(F.col("vec_id") < 20),
         _ivf_index_path(spark, sf_dir),
         k=5,
+        ivfpq_path=_ivfpq_index_path(spark, sf_dir),
     )
 
 
@@ -680,64 +718,17 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
-    # new this round: SCD2 horizon compaction (VERDICT r2 #7) — its oracle
-    # match doubles as the compaction-equivalence proof.
-    "scd2_compacted_state",
-    # new this round: TPC-H Q7/Q10 join shapes, RANGE-interval window,
-    # integer-exact anomaly flagging, dense-grid gapfill, unigram LM scoring
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "customer_rolling_spend",
-    "events_daily_anomaly",
-    "events_hourly_gapfill",
-    "docs_unigram_logprob",
-    "embeddings_centered",
-    "docs_temperature_mix",
-    "nation_price_quartiles",
-    "part_cheapest_supplier",
-    "orders_price_histogram",
-    "events_quantile_store_rollup",
-    "orders_value_rank",
-    "scd2_change_feed",
-    "lineitem_mad_outliers",
-    "tpch_q19_disjunctive",
-    # new this round, batch 2: the remaining TPC-H shapes the fixture schema
-    # can express (operators/tpch.py) — semi/anti EXISTS pairs, conditional
-    # aggregation, distribution-of-counts, max-subquery, decorrelated
-    # per-group threshold, HAVING-sum semi-join, substring+anti-join.
+    # Round 4: the new-query wave is over, so the order is strictly
+    # least-recently-checked-first (VERDICT r3 #1) — the 29 queries whose
+    # only green row is from round 1 (clean_*/derive_*/events windows/
+    # pivot/subqueries/...) sort ahead automatically via _last_checked_round.
+    # _PRIORITY holds ONLY the oracle-backed queries whose implementation
+    # CHANGED this round and therefore needs fresh verification:
+    # timestamp-preserving INTERVAL lateness in TPC-H Q4/Q21 (ADVICE r3),
+    # and the rebuilt per-day clamp expression in session_time_per_day.
     "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q8_market_share",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
     "tpch_q21_waiting_supplier",
-    "tpch_q22_idle_customers",
-    "events_transition_matrix",
-    "customer_rfm",
     "events_session_time_per_day",
-    "events_time_to_convert",
-    "events_dow_seasonality",
-    "docs_sample_k_per_source",
-    "customer_fuzzy_pairs",
-    "fuzzy_graph_triangles",
-    "customer_first_last_orders",
-    "lineitem_price_qty_corr",
-    "part_skyline",
-    "docs_weighted_sample",
-    "orders_dq_report",
-    "customer_hierarchy_recursive",
-    "docs_chunk_for_rag",
-    "embeddings_sq_error",
-    # changed this round: events.ts TIMESTAMP_NTZ normalization touched every
-    # events-derived plan; these four also had no BASELINE row until now.
-    "events_sessionize",
-    "events_funnel",
-    "events_retention",
-    "reconcile_daily_totals",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -759,6 +750,7 @@ _ROWS_ONLY = {
     "ann_cosine_ivf",
     "ann_cosine_ivf_indexed",
     "ann_cosine_pq",
+    "ann_cosine_ivfpq",
     "approx_distinct_customers",
     "sample_stratified_orders",
     "random_split_lineitem",
@@ -1182,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_cosine_ivf_indexed": _ann_ivf_indexed,
         "ann_cosine_pq": _ann_cosine_pq,
+        "ann_cosine_ivfpq": _ann_cosine_ivfpq,
         "ann_recall_report": _ann_recall_report,
         "embedding_near_dups": _q(
             ("embeddings",), lambda t: similarity.embedding_near_dups(t["embeddings"], threshold=0.3)

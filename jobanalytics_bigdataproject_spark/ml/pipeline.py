@@ -241,14 +241,21 @@ def frequent_event_itemsets(
     from pyspark.ml.fpm import FPGrowth
     from pyspark.sql import functions as F
 
+    # Cache the baskets: FPGrowth.fit scans them at least twice (item-frequency
+    # pass + FP-tree build) and n_users needs a third pass — without the cache
+    # the user-keyed shuffle re-runs each time (ADVICE r3).
     baskets = (
         events.groupBy(user_col)
         .agg(F.array_sort(F.collect_set(type_col)).alias("items"))
+        .cache()
     )
-    model = FPGrowth(
-        itemsCol="items", minSupport=min_support, minConfidence=0.5
-    ).fit(baskets)
-    n_users = baskets.count()
+    try:
+        model = FPGrowth(
+            itemsCol="items", minSupport=min_support, minConfidence=0.5
+        ).fit(baskets)
+        n_users = baskets.count()
+    finally:
+        baskets.unpersist()
     return (
         model.freqItemsets.select(
             F.array_sort("items").alias("itemset"),

@@ -438,10 +438,8 @@ def session_time_per_day(
     )
     p_start = F.greatest(F.col("s_start"), F.col("day").cast("timestamp"))
     p_end = F.least(F.col("s_end"), F.date_add(F.col("day"), 1).cast("timestamp"))
-    secs = F.expr(
-        f"(unix_micros({'least(s_end, cast(date_add(day, 1) as timestamp))'}) - "
-        f"unix_micros(greatest(s_start, cast(day as timestamp)))) div 1000000"
-    )
+    secs = (F.unix_micros(p_end) - F.unix_micros(p_start)) / F.lit(1_000_000)
+    secs = F.floor(secs).cast("long")
     return (
         exploded.select(user_col, "day", secs.alias("secs"))
         .groupBy("day")

@@ -195,14 +195,18 @@ def ann_recall_report(
     bits: int = 4,
     dim: int = 64,
     probes: tuple[int, ...] = (1, 2, 4),
+    ivfpq_path: str | None = None,
+    ivfpq_probes: tuple[int, ...] = (2,),
+    ivfpq_refine: int = 32,
 ) -> DataFrame:
     """recall@k of every approximate ANN path against the exact
     brute-force baseline, one row per (method, parameter point):
-    SRP-LSH at ``bits``, and the persisted-IVF index at each
-    ``n_probe`` in ``probes``. The exact scan runs once; each approx
-    frame is ≤ queries·k rows, so the report costs ~one brute-force
-    pass + the probed-cell scans regardless of how many dials are
-    measured."""
+    SRP-LSH at ``bits``, the persisted-IVF index at each ``n_probe`` in
+    ``probes``, and (when ``ivfpq_path`` is given) the composed IVF×PQ
+    index at each ``n_probe`` in ``ivfpq_probes`` with exact refine.
+    The exact scan runs once; each approx frame is ≤ queries·k rows, so
+    the report costs ~one brute-force pass + the probed-cell scans
+    regardless of how many dials are measured."""
     exact = cosine_topk_bruteforce(embeddings, queries, k=k)
     report = recall_vs_exact(
         cosine_topk_lsh(embeddings, queries, k=k, bits=bits, dim=dim),
@@ -219,6 +223,21 @@ def ann_recall_report(
                 f"n_probe={n_probe}",
             )
         )
+    if ivfpq_path is not None:
+        from jobanalytics_bigdataproject_spark.operators.pq import ivfpq_query
+
+        for n_probe in ivfpq_probes:
+            report = report.unionByName(
+                recall_vs_exact(
+                    ivfpq_query(
+                        spark, ivfpq_path, queries, k=k, n_probe=n_probe,
+                        refine=ivfpq_refine, embeddings=embeddings,
+                    ),
+                    exact,
+                    "ivfpq",
+                    f"n_probe={n_probe},refine={ivfpq_refine}",
+                )
+            )
     return report
 
 
@@ -640,8 +659,12 @@ def semantic_dedup(
     itself is exact given the candidate set.
 
     Scale: stage 1 is the documented SRP dial; stages 2-3 touch candidate
-    pairs and their nodes, not the corpus; the final filter is a broadcast
-    anti-join of dropped ids against the corpus scan."""
+    pairs and their nodes, not the corpus; the final filter is a PLAIN
+    (shuffle) anti-join of dropped ids against the corpus scan — at a high
+    duplicate rate the dropped side is corpus-scale, so a broadcast hint
+    here would OOM the driver at 100 TB (VERDICT r3 #4); AQE still
+    converts it to a broadcast join at runtime when the dropped side
+    turns out small, so nothing is lost in the easy case."""
     from jobanalytics_bigdataproject_spark.operators.dedup import (
         connected_components_star,
     )
@@ -655,5 +678,5 @@ def semantic_dedup(
         F.col("doc_id").alias("__drop_id")
     )
     return embeddings.join(
-        F.broadcast(dropped), F.col(id_col) == F.col("__drop_id"), "left_anti"
+        dropped, F.col(id_col) == F.col("__drop_id"), "left_anti"
     ).select(id_col, vec_col)

@@ -49,8 +49,12 @@ def q4_order_priority(
         (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
         & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
     )
+    # Timestamp-preserving lateness: `o_orderdate + INTERVAL` keeps the
+    # time-of-day, matching the oracle's `+ INTERVAL 60 DAY`; F.date_add
+    # would truncate to midnight and silently diverge on intraday orders
+    # (ADVICE r3).
     late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
     return (
         o.join(lineitem, late, "left_semi")
@@ -390,8 +394,11 @@ def q21_waiting_supplier(
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("s_suppkey", "s_name")
     finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    # Timestamp-preserving INTERVAL arithmetic (not date_add's midnight
+    # truncation) so intraday order timestamps match the oracle (ADVICE r3).
     li = lineitem.join(finished, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
-        "is_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS"),
     )
     l1 = (
         li.filter(F.col("is_late"))

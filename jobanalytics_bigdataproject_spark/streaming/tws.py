@@ -21,9 +21,10 @@ Determinism/batch-invariance discipline (same as running_user_totals):
 
 Scale: state is one fixed-width row per ACTIVE user (closed sessions
 leave only output rows), shuffle-partitioned by user_id like any keyed
-stream; a production deployment adds a ProcessingTime timer to flush
-dangling sessions of dead keys — wired here via ``handleExpiredTimer``
-when ``time_mode='ProcessingTime'`` is selected.
+stream.  In ``time_mode='ProcessingTime'`` every input batch re-arms a
+per-key silence timer (``handle.registerTimer`` in ``_rearm_timer``);
+when it fires, ``handleExpiredTimer`` flushes the dangling open session
+so dead keys don't leak their final session (and their state row).
 
 Environment note: executing transformWithStateInPandas requires the
 ``protobuf`` wheel (the Python worker speaks protobuf to the JVM state
@@ -63,11 +64,40 @@ class SessionizeProcessor(StatefulProcessor):
     """Emit-on-close sessionization; ``gap_us`` is the inactivity gap in
     microseconds."""
 
-    def __init__(self, gap_us: int = 5 * 60 * 1_000_000):
+    def __init__(self, gap_us: int = 5 * 60 * 1_000_000, flush_after_ms: int | None = None):
         self.gap_us = gap_us
+        # ProcessingTime mode only: flush a dangling open session if the key
+        # stays silent for this many wall-clock ms.  None = no timers (the
+        # default for event-time / batch-equivalence runs, where a wall-clock
+        # flush would break determinism).
+        self.flush_after_ms = flush_after_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
         self._session = handle.getValueState("session", _STATE_SCHEMA)
+
+    def _rearm_timer(self, timerValues) -> None:
+        """Slide the key's silence timer: drop any armed timer and re-register
+        at now + flush_after_ms.  Called on every input batch so the timer only
+        ever fires after true inactivity (ADVICE r3: handleExpiredTimer was
+        dead code because nothing ever called registerTimer)."""
+        if self.flush_after_ms is None:
+            return
+        for expiry_ms in self._handle.listTimers():
+            self._handle.deleteTimer(expiry_ms)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self.flush_after_ms
+        )
+
+    @staticmethod
+    def _to_cents(values) -> "np.ndarray":  # noqa: F821
+        """HALF_UP cents, matching functions/exact.py's Spark ``F.round``
+        semantics (away from zero on .5) — pandas ``.round()`` is
+        round-half-to-even and disagrees on exact half-cents (ADVICE r3)."""
+        import numpy as np
+
+        x = values.fillna(0.0).to_numpy(dtype="float64") * 100.0
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype("int64")
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -75,10 +105,11 @@ class SessionizeProcessor(StatefulProcessor):
         pdf = pd.concat(list(rows), ignore_index=True)
         if not len(pdf):
             return
+        self._rearm_timer(timerValues)
         # batch-slicing invariance: fold in (ts, event_id) order
         pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
         ts = pdf["ts_us"].to_numpy()
-        cents = pdf["value"].fillna(0.0).mul(100).round().astype("int64").to_numpy()
+        cents = self._to_cents(pdf["value"])
 
         if self._session.exists():
             start_us, last_us, n, total = self._session.get()
@@ -125,19 +156,30 @@ class SessionizeProcessor(StatefulProcessor):
 
 
 def sessionize_stream(
-    events: DataFrame, gap_minutes: int = 5, time_mode: str = "None"
+    events: DataFrame,
+    gap_minutes: int = 5,
+    time_mode: str = "None",
+    flush_after_minutes: int | None = None,
 ) -> DataFrame:
     """Close-on-gap session summaries per user over a (streaming or batch)
     events frame with columns (user_id, ts, event_id, value).  Append
-    output: each closed session appears exactly once."""
+    output: each closed session appears exactly once.
+
+    With ``time_mode='ProcessingTime'`` a per-key silence timer
+    (``flush_after_minutes``, default = ``gap_minutes``) flushes dangling
+    open sessions of keys that stop sending events entirely — without it
+    a dead key's last session would never be emitted."""
     prepared = events.selectExpr(
         "user_id",
         "event_id",
         "CAST(unix_micros(ts) AS LONG) AS ts_us",
         "value",
     )
+    flush_ms: int | None = None
+    if time_mode.lower() == "processingtime":
+        flush_ms = (flush_after_minutes if flush_after_minutes is not None else gap_minutes) * 60_000
     return prepared.groupBy("user_id").transformWithStateInPandas(
-        SessionizeProcessor(gap_us=gap_minutes * 60 * 1_000_000),
+        SessionizeProcessor(gap_us=gap_minutes * 60 * 1_000_000, flush_after_ms=flush_ms),
         OUTPUT_SCHEMA,
         "append",
         time_mode,

@@ -69,6 +69,68 @@ def test_batch_slicing_invariance(slicing):
     assert _run_slices(_mk_rows(), slicing) == _run_slices(_mk_rows(), [6])
 
 
+class _FakeHandle:
+    """Timer-capable handle stub mirroring StatefulProcessorHandle's timer
+    API surface (registerTimer/listTimers/deleteTimer)."""
+
+    def __init__(self):
+        self.timers = []
+
+    def registerTimer(self, expiry_ms):
+        self.timers.append(expiry_ms)
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, expiry_ms):
+        self.timers.remove(expiry_ms)
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def test_processing_time_timer_rearm_and_flush():
+    # ADVICE r3: handleExpiredTimer was dead code — assert the timer is now
+    # (a) registered on input, (b) re-armed (slid) on later input, and
+    # (c) flushes the dangling session with state cleared when it fires.
+    proc = tws.SessionizeProcessor(gap_us=300_000_000, flush_after_ms=60_000)
+    proc._session = _FakeValueState()
+    proc._handle = _FakeHandle()
+
+    pdf = pd.DataFrame([(0, 0, 1.0)], columns=["ts_us", "event_id", "value"])
+    list(proc.handleInputRows((7,), iter([pdf]), _FakeTimerValues(1_000)))
+    assert proc._handle.timers == [61_000]
+
+    pdf2 = pd.DataFrame([(MIN, 1, 2.0)], columns=["ts_us", "event_id", "value"])
+    list(proc.handleInputRows((7,), iter([pdf2]), _FakeTimerValues(5_000)))
+    assert proc._handle.timers == [65_000]  # old timer dropped, new one armed
+
+    flushed = [
+        tuple(r)
+        for emitted in proc.handleExpiredTimer((7,), _FakeTimerValues(65_000), None)
+        for r in emitted.itertuples(index=False)
+    ]
+    assert flushed == [(7, 0, MIN, 2, 3.0)]
+    assert not proc._session.exists()
+
+
+def test_cents_half_up_matches_spark_round(spark):
+    # ADVICE r3: pandas .round() is half-to-even; exact.py's cents() is
+    # Spark HALF_UP.  Pin parity on exact half-cent boundaries, both signs.
+    vals = [0.005, 0.015, 0.025, -0.005, -0.015, 1.125, 2.675, None]
+    got = tws.SessionizeProcessor._to_cents(pd.Series(vals)).tolist()
+    from jobanalytics_bigdataproject_spark.functions.exact import cents
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    want = [r[0] for r in sdf.select(F.coalesce(cents("v"), F.lit(0))).collect()]
+    assert got == want
+
+
 def test_streaming_two_batches_vs_pandas_expectation(spark, tables, tmp_path):
     # transformWithStateInPandas speaks protobuf to the JVM state server;
     # the container has no protobuf wheel (env constraint, like PIL for
