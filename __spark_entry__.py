@@ -729,6 +729,10 @@ _PRIORITY = [
     "tpch_q4_order_priority",
     "tpch_q21_waiting_supplier",
     "events_session_time_per_day",
+    # new this round: value-tier curriculum sharding + integer-exact YoY
+    # growth (both oracle-backed, need their first green row)
+    "docs_curriculum_shards",
+    "lineitem_yoy_growth",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1009,6 +1013,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_hierarchy_recursive": _customer_hierarchy,
         "docs_chunk_for_rag": _q(
             ("documents",), lambda t: corpus.chunk_documents(t["documents"])
+        ),
+        "docs_curriculum_shards": _q(
+            ("documents",), lambda t: corpus.curriculum_shards(t["documents"])
+        ),
+        "lineitem_yoy_growth": _q(
+            ("lineitem",), lambda t: analytics.yoy_revenue_growth(t["lineitem"])
         ),
         "embeddings_sq_error": _q(
             ("embeddings",), lambda t: pq.sq_error_report(t["embeddings"])
@@ -2016,6 +2026,59 @@ def _oracle_sql_literals() -> dict[str, str]:
                    len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_chunk_tokens,
                    array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_idx
+        """,
+        "docs_curriculum_shards": """
+            WITH b AS (
+                SELECT doc_id,
+                       LEAST(20 * length(text), 10000) AS len_bp,
+                       CAST(COALESCE(ROUND(10000.0 * len(list_filter(
+                                regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> list_contains(['the','and','for','with','from','this','that','are','was'], t)))
+                            / NULLIF(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 0)), 0) AS BIGINT) AS stop_bp,
+                       CAST(COALESCE(ROUND(10000.0 * len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                            / NULLIF(length(text), 0)), 0) AS BIGINT) AS punct_bp,
+                       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_toks
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n_toks,
+                       CAST(2*((len_bp + LEAST(5*stop_bp, 10000))/2.0
+                               - LEAST(punct_bp, 5000)) AS BIGINT) AS q_bp2
+                FROM b
+            ),
+            c AS (
+                SELECT quantile_cont(q_bp2, 0.25) AS c0,
+                       quantile_cont(q_bp2, 0.50) AS c1,
+                       quantile_cont(q_bp2, 0.75) AS c2
+                FROM s
+            )
+            SELECT (CASE WHEN q_bp2 > c0 THEN 1 ELSE 0 END
+                    + CASE WHEN q_bp2 > c1 THEN 1 ELSE 0 END
+                    + CASE WHEN q_bp2 > c2 THEN 1 ELSE 0 END) AS shard,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS tok_total,
+                   MIN(q_bp2) AS q_min_bp2,
+                   MAX(q_bp2) AS q_max_bp2,
+                   CAST(SUM(q_bp2) AS BIGINT) AS q_sum_bp2
+            FROM s CROSS JOIN c
+            GROUP BY 1 ORDER BY shard
+        """,
+        "lineitem_yoy_growth": """
+            WITH y AS (
+                SELECT year(l_shipdate) AS year,
+                       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+                FROM lineitem GROUP BY 1
+            ),
+            l AS (
+                SELECT year, rev_cents,
+                       LAG(rev_cents // 100) OVER (ORDER BY year) AS prev_usd
+                FROM y
+            )
+            SELECT year,
+                   ROUND(rev_cents/100.0, 2) AS revenue,
+                   CAST(CASE WHEN prev_usd IS NULL OR prev_usd = 0 THEN NULL
+                        ELSE (10000*(rev_cents//100 - prev_usd)) // prev_usd END AS BIGINT) AS growth_bp
+            FROM l ORDER BY year
         """,
         "events_session_time_per_day": """
             WITH wo AS (

@@ -60,16 +60,18 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 def load_baselines() -> dict[str, float]:
     """Parse per-query declared baselines out of BASELINE.md.
 
-    Rows look like ``| query_name | 1.234 |`` inside the measured-baseline
-    tables. Names are snake_case query ids; the metric tables at the top
-    of the file have prose cells and never match the numeric pattern.
-    Later sections win on duplicates (re-declared baselines supersede).
+    Rows look like ``| query_name | 1.234 |`` (optionally with extra
+    columns, e.g. the regenerated single-table form's duckdb_sec) inside
+    the measured-baseline tables. Names are snake_case query ids; the
+    metric tables at the top of the file have prose cells and never match
+    the numeric pattern. Later sections win on duplicates (re-declared
+    baselines supersede).
     """
     path = os.path.join(_REPO, "BASELINE.md")
     baselines: dict[str, float] = {}
     if not os.path.exists(path):
         return baselines
-    row = re.compile(r"^\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|\s*$")
+    row = re.compile(r"^\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|")
     with open(path) as f:
         for line in f:
             m = row.match(line.strip())
@@ -108,6 +110,23 @@ def main() -> None:
     # Cheap tier first: ascending declared baseline; unbaselined queries
     # run last (they have no 2x bar yet and are typically the newest).
     order = sorted(qmap, key=lambda n: (n not in baselines, baselines.get(n, 0.0), n))
+
+    # Priming pass (VERDICT r3 #2): ONE untimed run of every query before
+    # any timing — identical to tools/rebaseline.py's methodology, so the
+    # bench numerator and the BASELINE.md denominator see the same session
+    # state. Sub-second queries are the motivation: they run FIRST in the
+    # cheap-tier order, exactly when background C2/JIT compilation from
+    # session start is still stealing cores, and that inflated them ~2.5x
+    # uniformly (the r3 6.4x impute_customer_balance row, and an r4 dry
+    # run where priming only the sub-second tier left the whole early
+    # band >2x while a fully-primed session reproduced the baselines).
+    # Cost: ~one N=1 sweep; also where the per-process ANN/PQ index
+    # builds land, keeping them out of the timed runs.
+    for name in order:
+        try:
+            _time_once(qmap[name], spark, sf_dir)
+        except Exception:  # noqa: BLE001 - the timed loop reports failures
+            pass
 
     timings: dict[str, float] = {}
     best: dict[str, float] = {}

@@ -890,3 +890,36 @@ def pareto_frontier(
     return glob.select(
         *id_cols, F.col("__x").alias("x"), F.col("__y").alias("y")
     ).orderBy("x", "y", *id_cols)
+
+
+def yoy_revenue_growth(lineitem: DataFrame) -> DataFrame:
+    """[EXT] Year-over-year revenue growth: per ship-year exact revenue
+    plus the growth vs the previous year in integer basis points.
+
+    Exactness: revenue accumulates as integer cents (functions/exact.py);
+    the growth ratio is computed on ``cents div 100`` (whole dollars) with
+    Spark ``div`` == DuckDB ``//`` truncating division, so the 10000×
+    numerator stays within bigint headroom even at petabyte yearly revenue
+    (|rev_usd| < 9.2e14 before overflow) and both engines produce the
+    identical integer — no float rounding anywhere.
+
+    Scale: one map-side-combined aggregate to |years| rows; the lag window
+    is over that post-aggregate frame (metadata scale), never the fact."""
+    yearly = (
+        lineitem.groupBy(F.year("l_shipdate").alias("year"))
+        .agg(F.sum(cents("l_extendedprice")).alias("rev_cents"))
+    )
+    w = Window.orderBy("year")
+    prev = F.lag(F.expr("rev_cents div 100")).over(w)
+    return (
+        yearly.withColumn("prev_usd", prev)
+        .select(
+            "year",
+            F.round(F.col("rev_cents") / F.lit(100.0), 2).alias("revenue"),
+            F.expr(
+                "CASE WHEN prev_usd IS NULL OR prev_usd = 0 THEN NULL "
+                "ELSE (10000 * (rev_cents div 100 - prev_usd)) div prev_usd END"
+            ).cast("long").alias("growth_bp"),
+        )
+        .orderBy("year")
+    )

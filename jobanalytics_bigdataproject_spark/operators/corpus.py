@@ -742,3 +742,62 @@ def chunk_documents(
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def curriculum_shards(
+    documents: DataFrame,
+    n_shards: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """[EXT] Curriculum sharding: split the corpus into quality tiers a
+    trainer can schedule easy->hard, reporting per-shard volume stats.
+    Shard cutoffs are exact quality-score percentiles (value-based tiers:
+    ties land in one shard, deterministic on any engine/partitioning —
+    unlike a global ``ntile``, which is both rank-arbitrary under ties and
+    a single-partition window at scale, the anti-pattern RFM avoids).
+
+    Scores are the integer-basis-point quality_bp from ``text._quality_bp``
+    (doubled to a ``*_bp2`` bigint so the half-point values stay integer);
+    shard k = #cutoffs strictly below the doc's score.
+
+    Scale: one scan computes scores; the (n_shards-1)-value cutoff row is
+    a global aggregate broadcast back (exact ``F.percentile`` for oracle
+    parity here — at 100 TB swap in percentile_approx, the documented GK
+    path whose error is measured by percentile_accuracy_report); the final
+    per-shard aggregate is map-side combined into n_shards rows."""
+    from jobanalytics_bigdataproject_spark.operators.text import (
+        DEFAULT_STOPWORDS,
+        _quality_bp,
+    )
+
+    txt = F.col(text_col)
+    *_, quality_bp = _quality_bp(txt, DEFAULT_STOPWORDS)
+    n_tokens = F.size(F.split(F.lower(F.trim(txt)), r"\s+"))
+    scored = documents.select(
+        "doc_id",
+        (quality_bp * 2).cast("long").alias("q_bp2"),
+        n_tokens.alias("n_toks"),
+    )
+    probs = [i / n_shards for i in range(1, n_shards)]
+    cutoffs = scored.agg(
+        *[
+            F.percentile("q_bp2", F.lit(p)).alias(f"c{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    shard = sum(
+        (F.col("q_bp2") > F.col(f"c{i}")).cast("int") for i in range(len(probs))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cutoffs))
+        .withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("tok_total"),
+            F.min("q_bp2").alias("q_min_bp2"),
+            F.max("q_bp2").alias("q_max_bp2"),
+            F.sum("q_bp2").alias("q_sum_bp2"),
+        )
+        .orderBy("shard")
+    )

@@ -412,3 +412,22 @@ def test_late_round3_exchange_budgets(spark, tables):
     for name, (df, budget) in budgets.items():
         n = count_exchanges(df)
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_yoy_revenue_growth_hand_computed(spark):
+    from jobanalytics_bigdataproject_spark.operators.analytics import yoy_revenue_growth
+
+    li = spark.createDataFrame(
+        [
+            ("1995-03-01", 100.0), ("1995-07-01", 150.0),   # 1995: 250.00
+            ("1996-01-01", 500.0),                            # 1996: 500.00 -> +100%
+            ("1997-06-15", 250.0),                            # 1997: 250.00 -> -50%
+        ],
+        "l_shipdate string, l_extendedprice double",
+    ).selectExpr("CAST(l_shipdate AS TIMESTAMP) AS l_shipdate", "l_extendedprice")
+    rows = yoy_revenue_growth(li).collect()
+    assert [(r.year, r.revenue, r.growth_bp) for r in rows] == [
+        (1995, 250.0, None),
+        (1996, 500.0, 10000),
+        (1997, 250.0, -5000),
+    ]

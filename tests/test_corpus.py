@@ -400,3 +400,18 @@ def test_chunking_no_shuffle(spark, tables):
     # presentation orderBy adds a range exchange; the chunking itself must
     # add none beyond it
     assert count_exchanges(chunk_documents(tables["documents"])) <= 1
+
+
+def test_curriculum_shards_partitions_whole_corpus(spark, tables):
+    from jobanalytics_bigdataproject_spark.operators.corpus import curriculum_shards
+
+    docs = tables["documents"]
+    rows = curriculum_shards(docs, n_shards=4).collect()
+    assert [r.shard for r in rows] == sorted({r.shard for r in rows})
+    assert sum(r.n_docs for r in rows) == docs.count()
+    # value-tier property: shard ranges are disjoint and ascending
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.q_max_bp2 <= hi.q_min_bp2
+    # roughly balanced (value ties can skew, but no shard may be empty
+    # on the fixture's continuous-ish score distribution)
+    assert all(r.n_docs > 0 for r in rows)

@@ -58,6 +58,32 @@ def test_star_cc_logarithmic_rounds_on_chain(spark):
     assert set(prop.values()) != {0}  # label prop is NOT done in 6 rounds
 
 
+def test_star_cc_reliable_checkpoint_mode(spark, tmp_path):
+    """VERDICT r3 #9: with checkpoint_dir set, every round persists to the
+    reliable checkpoint directory (survives executor death, unlike
+    localCheckpoint blocks) and the result is unchanged."""
+    import os
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(100, 101)], ["doc_id_a", "doc_id_b"]
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    durable = {
+        (r.doc_id, r.component)
+        for r in dedup.connected_components_star(pairs, checkpoint_dir=ckpt).collect()
+    }
+    default = {
+        (r.doc_id, r.component)
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert durable == default and len(durable) == 23
+    # reliable checkpoint data actually landed in the requested directory
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "checkpoint_dir must contain persisted RDD blocks"
+
+
 def test_star_cc_empty_edges(spark):
     from pyspark.sql import types as T
 

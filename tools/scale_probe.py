@@ -1,0 +1,161 @@
+"""Measured sf0.1 -> sf1 scaling exponents for the most expensive query
+families (VERDICT r3 #7: SCALE.md argued O()-shapes with no measurement
+a decade of scale up backing them).
+
+Builds a synthetic sf1 (10x sf0.1) under /tmp by unioning 10 key-offset
+copies of every fact table — dims (region/nation) stay as-is, foreign
+keys shift together so join selectivity per row is UNCHANGED, and the
+content columns that drive similarity operators are made copy-distinct
+so candidate-pair structure scales linearly instead of quadratically
+(what an organic 10x corpus does):
+
+- documents.text: every word suffixed ``_i`` in copy i -> zero shingle
+  overlap across copies; MinHash/SimHash clusters replicate, not merge.
+- customer.c_name: suffixed ``-i`` -> distance-1 blocks replicate.
+- embeddings.embedding: copy-dependent sign-flip pattern -> copies are
+  near-orthogonal, not 10-cliques of exact duplicates.
+
+Then runs the probe queries once untimed (prime) + ``--runs`` timed at
+both scales in ONE session and reports the wall-time exponent
+``log(t_sf1/t_sf0.1)/log(10)`` — 1.0 = linear, <1 = sublinear (fixed
+overhead amortizing), >1 = superlinear (a shape to explain or fix).
+
+Usage: python tools/scale_probe.py [--runs 2] [--rebuild]
+Writes tools/scale_probe_result.json; SCALE.md's exponent table is
+pasted from that artifact.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = "/tmp/sf1_scaled"
+COPIES = 10
+OFF = 100_000_000  # key offset per copy; far above any sf0.1 key
+
+# top-cost queries from the round bench plus one reference per family
+# (scan-agg, multi-join, window). Index-backed ANN paths (ann_cosine_ivf*,
+# ann_cosine_pq, ann_recall_report, docs_incremental_dedup) are excluded:
+# their first call at a new sf_dir measures index INGEST, which SCALE.md
+# treats separately from the query path.
+PROBES = [
+    "q1_pricing_summary",
+    "tpch_q18_large_volume",
+    "customer_rolling_spend",
+    "events_sessionize",
+    "t2_price_tiers",
+    "percentiles_price",
+    "percentile_accuracy_report",
+    "lineitem_mad_outliers",
+    "customer_fuzzy_pairs",
+    "fuzzy_graph_triangles",
+    "docs_neardup_dedup",
+    "docs_corpus_pipeline",
+    "embeddings_semantic_dedup",
+    "ml_price_model",
+]
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.sources.readers import read_table
+
+    os.makedirs(SF1, exist_ok=True)
+    key_cols = {
+        "customer": ["c_custkey"],
+        "supplier": ["s_suppkey"],
+        "part": ["p_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+    }
+    for t in ("region", "nation"):
+        read_table(spark, SF01, t).write.mode("overwrite").parquet(f"{SF1}/{t}.parquet")
+    for t, keys in key_cols.items():
+        base = read_table(spark, SF01, t)
+        parts = []
+        for i in range(COPIES):
+            c = base
+            for kcol in keys:
+                c = c.withColumn(kcol, F.col(kcol) + F.lit(i * OFF))
+            if t == "documents":
+                # copy-distinct shingles: suffix every word with the copy id
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(F.split("text", " "), lambda w: F.concat(w, F.lit(f"_{i}"))),
+                        " ",
+                    ),
+                )
+            if t == "customer":
+                c = c.withColumn("c_name", F.concat("c_name", F.lit(f"-{i}")))
+            if t == "embeddings":
+                # copy-dependent sign pattern -> copies near-orthogonal
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: F.when((j * (i + 1)) % 5 < 2, -x).otherwise(x),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{SF1}/{t}.parquet")
+        print(f"  built {t}", flush=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    import bench
+    import __spark_entry__ as mod
+    from jobanalytics_bigdataproject_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    if args.rebuild or not os.path.exists(f"{SF1}/lineitem.parquet"):
+        print("building sf1 fixture (10x sf0.1)", flush=True)
+        build_sf1(spark)
+
+    qmap = mod.queries()
+    result: dict[str, dict] = {}
+    for sf_dir, tag in ((SF01, "sf0.1"), (SF1, "sf1")):
+        for name in PROBES:
+            fn = qmap[name]
+            try:
+                bench._time_once(fn, spark, sf_dir)  # prime
+                runs = [bench._time_once(fn, spark, sf_dir) for _ in range(args.runs)]
+            except Exception as e:  # noqa: BLE001
+                print(f"  FAIL {name}@{tag}: {str(e)[:150]}", flush=True)
+                continue
+            med = round(statistics.median(runs), 3)
+            result.setdefault(name, {})[tag] = med
+            print(f"  {name}@{tag}: {med}", flush=True)
+
+    for name, r in result.items():
+        if "sf0.1" in r and "sf1" in r:
+            r["exponent"] = round(math.log10(r["sf1"] / r["sf0.1"]), 2)
+    with open("/root/repo/tools/scale_probe_result.json", "w") as f:
+        json.dump({"copies": COPIES, "runs": args.runs, "probes": result}, f, indent=1)
+    print(json.dumps(result, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
