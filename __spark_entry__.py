@@ -736,6 +736,7 @@ _PRIORITY = [
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
+    "docs_fuzzy_contamination",
     "events_hll_distinct_users",
     "events_cms_heavy_hitters",
     "orders_bloom_prefilter",
@@ -1112,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_mixture_sample": _q(("documents",), lambda t: corpus.mixture_sample(t["documents"])),
         "docs_bm25_search": _q(("documents",), lambda t: corpus.bm25_search(t["documents"])),
         "docs_contamination": _q(("documents",), lambda t: corpus.benchmark_contamination(t["documents"])),
+        "docs_fuzzy_contamination": _q(("documents",), lambda t: corpus.fuzzy_contamination(t["documents"])),
         "docs_corpus_pipeline": _q(("documents",), lambda t: corpus.full_prep_pipeline(t["documents"])),
         "docs_hash_split": _q(("documents",), lambda t: corpus.hash_split(t["documents"])),
         "docs_source_cap": _q(("documents",), lambda t: corpus.cap_per_source(t["documents"])),

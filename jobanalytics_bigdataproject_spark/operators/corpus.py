@@ -801,3 +801,75 @@ def curriculum_shards(
         )
         .orderBy("shard")
     )
+
+
+def fuzzy_contamination(
+    documents: DataFrame,
+    bench_max_id: int = 20,
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """[EXT] NEAR-duplicate train/eval contamination: the exact 8-gram pass
+    (``benchmark_contamination``) misses paraphrased or lightly-edited
+    leaks; this one flags corpus documents whose n-gram Jaccard against
+    ANY benchmark document clears ``jaccard_threshold``, via the same
+    MinHash-band machinery as dedup but probed CROSS-set.  As in the exact
+    pass, ``doc_id < bench_max_id`` stands in for the eval suite.
+
+    Stages: band buckets for both sides (``dedup.band_buckets``, one
+    shingle pass each); corpus buckets probe the benchmark's buckets with
+    a BROADCAST join (eval suites are tiny vs a 100 TB corpus — the
+    corpus is never shuffled for the probe); candidate (corpus, bench)
+    pairs verify with exact ``ngram_jaccard_pairs``; per corpus doc keep
+    the max Jaccard + matched bench doc (min id on ties).  Corpus docs
+    with no candidate keep a 0 row via the final left join.
+
+    Rows-only check (xxhash64 banding has no DuckDB analog); the pytest
+    pins recall against brute-force cross-pair Jaccard on planted
+    paraphrases and exactness of every reported score."""
+    from jobanalytics_bigdataproject_spark.operators.dedup import (
+        band_buckets,
+        ngram_jaccard_pairs,
+    )
+
+    is_bench = F.col("doc_id") < bench_max_id
+    buckets = band_buckets(documents, text_col, num_hashes, bands, shingle_n)
+    bench_b = buckets.filter(is_bench).select(
+        F.col("doc_id").alias("bench_id"), "band_idx", "band_hash"
+    ).distinct()
+    corp_b = buckets.filter(~is_bench)
+    cands = (
+        corp_b.join(F.broadcast(bench_b), ["band_idx", "band_hash"])
+        .select(F.col("bench_id").alias("doc_id_a"), F.col("doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(
+        documents, cands, text_col, shingle_n, threshold=jaccard_threshold
+    )
+    # deterministic matched-bench pick: max jaccard, then min bench id
+    # (argmax via MIN(struct(-jaccard, bench_id)) — tiebreak inside the
+    # aggregate, map-side partials, no window shuffle of verified pairs)
+    best = (
+        verified.groupBy("doc_id_b")
+        .agg(
+            F.max("jaccard").alias("max_jaccard"),
+            F.min(
+                F.struct((-F.col("jaccard")).alias("nj"), F.col("doc_id_a").alias("bid"))
+            ).alias("pick"),
+        )
+        .select(
+            F.col("doc_id_b").alias("doc_id"),
+            "max_jaccard",
+            F.col("pick.bid").alias("matched_bench_id"),
+        )
+    )
+    base = documents.filter(~is_bench).select("doc_id")
+    return base.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        "matched_bench_id",
+        F.col("max_jaccard").isNotNull().alias("is_contaminated"),
+    ).orderBy("doc_id")

@@ -112,6 +112,23 @@ def minhash_signatures(
     return out.select("doc_id", sig.alias("minhash"))
 
 
+def band_buckets(
+    documents: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH bucket rows — the shared banding
+    core of ``minhash_lsh_candidates`` (self-join dedup), the incremental
+    signature store, and ``corpus.fuzzy_contamination`` (cross-set probe).
+    Explode multiplies doc rows by ``bands`` (fixed factor); the bucket
+    key is high-cardinality and uniform.  Thin composition of
+    ``minhash_signatures`` + the store's ``_band_buckets`` banding."""
+    sigs = minhash_signatures(documents, text_col, num_hashes, shingle_n)
+    return _band_buckets(sigs, num_hashes, bands)
+
+
 def minhash_lsh_candidates(
     documents: DataFrame,
     text_col: str = "text",
@@ -127,25 +144,7 @@ def minhash_lsh_candidates(
     the shuffle key (band_idx, band_hash) is high-cardinality and uniform;
     bucket pair expansion is bounded by bucket size, and pathological
     buckets (identical corpora) are exactly the dups being hunted."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, text_col, num_hashes, shingle_n)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.xxhash64(
-                    *[
-                        F.element_at("minhash", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_idx", "band.band_hash"
-    )
+    banded = band_buckets(documents, text_col, num_hashes, bands, shingle_n)
     left = banded.alias("a")
     right = banded.alias("b")
     return (

@@ -383,6 +383,65 @@ def ivfpq_build_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
+def ivfpq_append(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental ingest into a persisted IVF×PQ index: assign each new
+    vector to its nearest existing coarse centroid (cosine, matching
+    ``ivfpq_query``'s probe ranking), encode with the STORED codebooks,
+    and append to the cell-partitioned codes layout.  No re-fit, history
+    untouched — the same operational shape as ``similarity.ivf_append``
+    and the MinHash signature store.  Centroid/codebook drift is the
+    operator's accepted debt; ``ann_recall_report`` is the watchdog that
+    says when to rebuild offline."""
+    import numpy as np
+
+    books_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    mm = 1 + max(r.sub for r in books_rows)
+    dsub = len(books_rows[0].center)
+    books = np.empty((mm, 1 + max(r.code for r in books_rows), dsub))
+    for r in books_rows:
+        books[r.sub, r.code] = r.center
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.empty((1 + max(r.cell for r in cent_rows), mm * dsub))
+    for r in cent_rows:
+        cents[r.cell] = r.centroid
+    cents_unit = _normalize_rows(cents)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _normalize_rows(
+                np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            )
+            cell = np.argmax(mat @ cents_unit.T, axis=1).astype(np.int32)
+            codes = np.empty((len(pdf), mm), dtype=np.int32)
+            for s in range(mm):
+                x = mat[:, s * dsub : (s + 1) * dsub]
+                d2 = ((x[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes), "cell": cell}
+            )
+
+    new_vectors.select(id_col, vec_col).mapInPandas(encode, schema).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+
+
 def ivfpq_query(
     spark,
     path: str,

@@ -415,3 +415,45 @@ def test_curriculum_shards_partitions_whole_corpus(spark, tables):
     # roughly balanced (value ties can skew, but no shard may be empty
     # on the fixture's continuous-ish score distribution)
     assert all(r.n_docs > 0 for r in rows)
+
+
+def test_fuzzy_contamination_catches_paraphrase(spark):
+    from jobanalytics_bigdataproject_spark.operators.corpus import fuzzy_contamination
+    from jobanalytics_bigdataproject_spark.operators.dedup import ngram_jaccard_pairs
+
+    words = ("the quick brown fox jumps over the lazy dog while seven wizards "
+             "brew strong potions near the ancient stone bridge at midnight "
+             "under a pale winter moon as silent rivers carry old secrets "
+             "toward the distant sea past sleeping villages and dark forests").split()
+    para = list(words)
+    para[5] = "vaults"      # light edit: two word substitutions
+    para[20] = "copper"
+    rows = [
+        (0, " ".join(words)),                       # bench doc
+        (1, "completely different benchmark text about tax law and spreadsheets " * 3),
+        (100, " ".join(para)),                      # paraphrased leak of bench 0
+        (101, "unrelated corpus document discussing gardening tips " * 5),
+        (102, " ".join(words)),                     # exact copy of bench 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in fuzzy_contamination(
+        docs, bench_max_id=2, jaccard_threshold=0.5
+    ).collect()}
+    assert set(out) == {100, 101, 102}
+    assert out[102].is_contaminated and out[102].max_jaccard == 1.0
+    assert out[102].matched_bench_id == 0
+    assert out[100].is_contaminated and 0.5 <= out[100].max_jaccard < 1.0
+    assert out[100].matched_bench_id == 0
+    assert not out[101].is_contaminated and out[101].max_jaccard == 0.0
+
+    # reported scores are EXACT: equal to brute-force cross-pair Jaccard
+    cross = spark.createDataFrame(
+        [(a, b) for a in (0, 1) for b in (100, 101, 102)],
+        "doc_id_a long, doc_id_b long",
+    )
+    brute = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, cross, threshold=0.0).collect()
+    }
+    assert out[100].max_jaccard == brute[(0, 100)]
+    assert out[102].max_jaccard == brute[(0, 102)]

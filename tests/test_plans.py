@@ -93,6 +93,22 @@ def test_declared_ann_flagship_prunes_partitions(spark):
     ), scan_lines
 
 
+def test_curriculum_shards_exchange_budget(tables):
+    from jobanalytics_bigdataproject_spark.operators import corpus
+
+    df = corpus.curriculum_shards(tables["documents"])
+    # one global percentile agg + one shard agg + the presentation sort;
+    # the cutoff row rides a broadcast, never a shuffle
+    assert inspect.count_exchanges(df) <= 3
+
+
+def test_yoy_growth_exchange_budget(tables):
+    df = analytics.yoy_revenue_growth(tables["lineitem"])
+    # yearly agg exchange + the single-partition lag window over the
+    # post-agg |years| rows (metadata scale by design)
+    assert inspect.count_exchanges(df) <= 2
+
+
 def test_declared_ivfpq_prunes_partitions(spark):
     """The composed IVF×PQ serving path (VERDICT r3 #5) must restrict its
     ADC scan to probed cells at the SOURCE: the codes scan carries a static
