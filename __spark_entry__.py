@@ -614,6 +614,36 @@ def _ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO (upsert form, operators/scd.py:merge_upsert):
+    a deterministic update batch (every 10th order re-statused 'U' with
+    +1.00 on the total — pure IEEE add, no rounding function, so both
+    engines produce identical bits) plus an insert batch (key-offset
+    copies of every 100th-order-ending-in-7, status 'N') merged into
+    orders: matched rows take every source column, unmatched pass
+    through, inserts append. Fully oracle-checked against the FULL OUTER
+    JOIN + COALESCE twin."""
+    t = load_star(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 == 7).select(
+        (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    return scd.merge_upsert(o, upd.unionByName(ins), key_cols=("o_orderkey",))
+
+
 def _ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-ANN serving shape (operators/pq.py): ADC scan over
     persisted product-quantization codes (8 bytes/vector at m=8), exact
@@ -730,13 +760,15 @@ _PRIORITY = [
     "tpch_q21_waiting_supplier",
     "events_session_time_per_day",
     # new this round: value-tier curriculum sharding + integer-exact YoY
-    # growth (both oracle-backed, need their first green row)
+    # growth + MERGE-INTO upsert (all oracle-backed, need first green rows)
     "docs_curriculum_shards",
     "lineitem_yoy_growth",
+    "orders_merge_upsert",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
     "docs_fuzzy_contamination",
+    "fuzzy_graph_pagerank",
     "events_hll_distinct_users",
     "events_cms_heavy_hitters",
     "orders_bloom_prefilter",
@@ -979,6 +1011,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             ),
         ),
+        "fuzzy_graph_pagerank": _q(
+            ("customer",),
+            lambda t: joins.pagerank_micro(
+                joins.fuzzy_match_pairs_fast(
+                    t["customer"], "c_custkey", "c_name", "c_nationkey"
+                ),
+                n_iter=5,
+            ).limit(100),
+        ),
         "customer_first_last_orders": _q(
             ("orders",), lambda t: analytics.first_last_orders(t["orders"])
         ),
@@ -1080,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # proof (operators/scd.py:scd2_compact; VERDICT r2 #7)
         # CDC change feed between the mid-month snapshot and now: full-outer
         # diff of two current-state views (operators/scd.py:scd2_change_feed)
+        "orders_merge_upsert": _orders_merge_upsert,
         "scd2_change_feed": _q(
             ("events",),
             lambda t: scd.scd2_change_feed(
@@ -2652,6 +2694,24 @@ def _oracle_sql_literals() -> dict[str, str]:
             for i in range(16)
         ) + """) AS BIGINT) AS zkey
             FROM events
+        """,
+        "orders_merge_upsert": """
+            WITH src AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, 'N',
+                       o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 100 = 7
+            )
+            SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+            FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
         """,
         "scd2_change_feed": """
             WITH o AS (

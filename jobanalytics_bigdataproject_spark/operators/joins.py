@@ -262,3 +262,64 @@ def triangle_count(
         .crossJoin(wedges.agg(F.count("*").alias("wedges")))
         .crossJoin(tri.agg(F.count("*").alias("triangles")))
     )
+
+
+def pagerank_micro(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """[EXT] PageRank over an undirected edge list (Brin & Page 1998;
+    symmetrized power iteration, fixed ``n_iter`` rounds) in INTEGER
+    micro-units: ranks start at 1,000,000 per node, each round a node
+    sends ``rank div degree`` to every neighbor, and the damped update is
+    ``(100-damping_pct)·10^4 + (damping_pct · inbound) div 100`` — all
+    integer arithmetic, so results are bit-identical under any partition
+    count or summation order (the unigram_logprob/exact-cents discipline
+    applied to an iterative algorithm; float PageRank differs run-to-run
+    at shuffle-reduce order). Rows-only by design (iterative, no SQL
+    oracle per SURVEY §5.3); pinned against a pure-python mirror in tests.
+
+    Scale: each round is one edge⋈rank join + one inbound aggregate, both
+    shuffling on a vertex key over the candidate subgraph only; lineage
+    truncated per round via localCheckpoint, or a durable
+    ``checkpoint(checkpoint_dir)`` for executor-death tolerance on long
+    runs (same dial as connected_components_star). Hub-degree skew is the
+    known quadratic risk, mitigated upstream by the pair generators'
+    block caps."""
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    u, v = F.col("u"), F.col("v")
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")).filter(u != v).distinct()
+    sym = _persist(e.union(e.select(v.alias("u"), u.alias("v"))))
+    deg = sym.groupBy("u").agg(F.count("*").alias("deg"))
+    base = (100 - damping_pct) * 10_000
+    ranks = deg.select(F.col("u").alias("node"), F.lit(1_000_000).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(deg, "u")
+            .select(v.alias("node"), F.expr("r div deg").alias("c"))
+        )
+        inbound = contrib.groupBy("node").agg(F.sum("c").alias("inc"))
+        ranks = _persist(
+            deg.select(F.col("u").alias("node"))
+            .join(inbound, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(inc, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(F.col("node"), F.col("r").alias("rank_micro")).orderBy(
+        F.desc("rank_micro"), "node"
+    )

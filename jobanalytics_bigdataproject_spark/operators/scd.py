@@ -268,3 +268,48 @@ def scd2_change_feed(
         )
         # no presentation sort: the feed is dimension-sized
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str] | tuple[str, ...] = ("o_orderkey",),
+) -> DataFrame:
+    """[EXT] MERGE INTO (upsert form): WHEN MATCHED update every non-key
+    column from the source, WHEN NOT MATCHED insert the source row — the
+    Type-1 sibling of the SCD2 merge above, and the other half of the
+    lakehouse MERGE surface.  Expressed declaratively so it is fully
+    oracle-checkable (DuckDB twin: FULL OUTER JOIN + per-column COALESCE
+    with source precedence), unlike engine-specific MERGE DML.
+
+    Scale: one shuffle per side on the key (or zero for bucketed
+    targets — tests/test_bucketing.py's layout applies directly); the
+    update batch is typically broadcastable and AQE will choose that at
+    runtime.  Untouched target rows stream through the join without
+    per-column work (COALESCE short-circuits on the NULL source side).
+    Deletes are out of scope here — pair with an anti-join (`P9`/
+    `dedup_exact` shapes) for MERGE's DELETE clause."""
+    keys = list(key_cols)
+    value_cols = [c for c in target.columns if c not in keys]
+    if source.columns != target.columns:
+        missing = set(target.columns) ^ set(source.columns)
+        raise ValueError(f"merge_upsert requires identical schemas; differ on {missing}")
+    t = target.alias("t")
+    # presence marker instead of testing a source key for NULL: exact even
+    # if a (pathological) null-keyed row rides the null-safe join
+    s = source.withColumn("__src", F.lit(1)).alias("s")
+    merged = t.join(
+        s,
+        on=F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in keys)),
+        how="full_outer",
+    )
+    out_keys = [F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys]
+    # source precedence column-wise ONLY when the source row exists at all
+    # (matched or inserted); a NULL in a matched source column still wins,
+    # matching MERGE's UPDATE SET t.c = s.c semantics
+    src_exists = F.col("s.__src").isNotNull()
+    out_vals = [
+        F.when(src_exists, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in value_cols
+    ]
+    return merged.select(*out_keys, *out_vals)

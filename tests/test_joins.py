@@ -147,3 +147,50 @@ def test_triangle_count_on_known_graph(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     r = triangle_count(df).first()
     assert (r.edges, r.triangles) == (7, 4)
+
+
+def test_pagerank_micro_matches_python_mirror(spark):
+    from jobanalytics_bigdataproject_spark.operators.joins import pagerank_micro
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    # pure-python mirror of the integer recurrence
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b)); sym.add((b, a))
+    nodes = {n for e in sym for n in e}
+    deg = {n: sum(1 for u, _ in sym if u == n) for n in nodes}
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(10):
+        inc = {n: 0 for n in nodes}
+        for u, v in sym:
+            inc[v] += r[u] // deg[u]
+        r = {n: 150_000 + (85 * inc[n]) // 100 for n in nodes}
+
+    got = {row.node: row.rank_micro for row in pagerank_micro(df).collect()}
+    assert got == r
+    # hub node 3 (degree 3) must outrank the leaf (node 4)
+    assert got[3] > got[4]
+
+
+def test_pagerank_micro_partitioning_independent(spark):
+    from jobanalytics_bigdataproject_spark.operators.joins import pagerank_micro
+
+    import random
+    random.seed(3)
+    edges = list({tuple(sorted(random.sample(range(60), 2))) for _ in range(120)})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = [tuple(x) for x in pagerank_micro(df, n_iter=4).collect()]
+    b = [tuple(x) for x in pagerank_micro(df.repartition(7), n_iter=4).collect()]
+    assert a == b  # integer arithmetic: bit-identical under any partitioning
+
+
+def test_pagerank_micro_durable_checkpoint(spark, tmp_path):
+    from jobanalytics_bigdataproject_spark.operators.joins import pagerank_micro
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    ck = str(tmp_path / "pr_ckpt")
+    a = [tuple(x) for x in pagerank_micro(df, n_iter=3).collect()]
+    b = [tuple(x) for x in pagerank_micro(df, n_iter=3, checkpoint_dir=ck).collect()]
+    assert a == b

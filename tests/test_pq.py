@@ -206,6 +206,45 @@ def test_ivfpq_append_finds_planted_twins(spark):
         assert qid + 2 in nbrs and qid + 3 in nbrs  # the APPENDED twins
 
 
+def test_ivfpq_streaming_ingest_foreachbatch(spark, tables, tmp_path):
+    """Streaming ANN ingest: a readStream of new vectors appended into the
+    persisted IVF×PQ index via foreachBatch(ivfpq_append) — the streaming
+    twin of the batch append, same no-re-fit contract. After the
+    availableNow drain, the full corpus is queryable."""
+    emb = tables["embeddings"]
+    built = emb.filter(F.col("vec_id") < 300)
+    incoming = emb.filter(F.col("vec_id") >= 300)
+    n_total = emb.count()
+    path = tempfile.mkdtemp(prefix="ivfpqs_") + "/ivfpq"
+    pq.ivfpq_build_index(built, path, n_clusters=4, m=8, k=16, sample_n=300)
+
+    src = str(tmp_path / "vec_stream")
+    incoming.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(incoming.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: pq.ivfpq_append(batch.sparkSession, batch, path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == n_total
+    assert codes.select("vec_id").distinct().count() == n_total
+    # an ingested vector is retrievable (full probe + refine -> exact top-k)
+    probe = emb.filter(F.col("vec_id") == 400)
+    out = pq.ivfpq_query(spark, path, probe, k=3, n_probe=4, refine=32, embeddings=emb).collect()
+    assert len(out) == 3 and all(r.query_id == 400 for r in out)
+
+
 def test_query_batch_guard_raises(spark, pq_index, ivfpq_index):
     """VERDICT r3 #5: a corpus-scale queries frame must raise, not OOM the
     driver building a corpus-sized LUT."""

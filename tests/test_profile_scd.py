@@ -268,3 +268,34 @@ def test_scd2_change_feed_against_snapshots(spark, tables):
             assert o[r.user_id] == r.old_state != r.new_state == n[r.user_id]
         else:
             assert r.user_id not in o and r.new_state == n[r.user_id]
+
+
+def test_merge_upsert_semantics(spark):
+    from jobanalytics_bigdataproject_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 40.0)],  # update (with NULL winning) + insert
+        "k long, name string, v double",
+    )
+    got = {r.k: (r.name, r.v) for r in merge_upsert(target, source, ("k",)).collect()}
+    assert got == {
+        1: ("a", 10.0),   # untouched
+        2: ("B", None),   # matched: EVERY source column wins, NULL included
+        3: ("c", 30.0),   # untouched
+        4: ("d", 40.0),   # inserted
+    }
+
+
+def test_merge_upsert_rejects_schema_drift(spark):
+    import pytest as _pytest
+
+    from jobanalytics_bigdataproject_spark.operators.scd import merge_upsert
+
+    t = spark.createDataFrame([(1, "a")], "k long, name string")
+    s = spark.createDataFrame([(1,)], "k long")
+    with _pytest.raises(ValueError, match="identical schemas"):
+        merge_upsert(t, s, ("k",))
