@@ -764,6 +764,9 @@ _PRIORITY = [
     "docs_curriculum_shards",
     "lineitem_yoy_growth",
     "orders_merge_upsert",
+    "events_attribution",
+    "embeddings_matryoshka",
+    "part_supplier_share",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -980,6 +983,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_time_to_convert": _q(
             ("events",), lambda t: behavior.time_to_convert(t["events"])
+        ),
+        "events_attribution": _q(
+            ("events",), lambda t: behavior.last_touch_attribution(t["events"])
+        ),
+        "embeddings_matryoshka": _q(
+            ("embeddings",), lambda t: similarity.matryoshka_report(t["embeddings"])
+        ),
+        "part_supplier_share": _q(
+            ("lineitem",), lambda t: analytics.part_supplier_share(t["lineitem"])
         ),
         "events_frequent_itemsets": _events_frequent_itemsets,
         "events_dow_seasonality": _q(
@@ -2314,6 +2326,48 @@ def _oracle_sql_literals() -> dict[str, str]:
                    CAST(quantile_cont(latency_s, 0.9) AS DOUBLE) AS p90_s,
                    CAST(MAX(latency_s) AS BIGINT) AS max_s
             FROM lat
+        """,
+        "events_attribution": """
+            WITH p AS (
+                SELECT user_id, ts, event_type,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN struct_pack(pts := ts, ptype := event_type) END
+                                  IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+                FROM events
+            )
+            SELECT COALESCE(CASE WHEN prev.pts >= ts - INTERVAL 7 DAY
+                                 THEN prev.ptype END, '(none)') AS attributed_type,
+                   COUNT(*) AS n_conversions,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM p WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY attributed_type
+        """,
+        "embeddings_matryoshka": """
+            SELECT vec_id,
+                   16 AS dims_kept,
+                   CAST((10000 * list_sum(list_transform(embedding[1:16],
+                            x -> CAST(ROUND(x*10000) AS BIGINT) * CAST(ROUND(x*10000) AS BIGINT))))
+                        // NULLIF(list_sum(list_transform(embedding,
+                            x -> CAST(ROUND(x*10000) AS BIGINT) * CAST(ROUND(x*10000) AS BIGINT))), 0)
+                        AS BIGINT) AS energy_kept_bp
+            FROM embeddings ORDER BY vec_id
+        """,
+        "part_supplier_share": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sq
+                FROM lineitem GROUP BY 1, 2
+            ),
+            sh AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST((10000 * sq) // SUM(sq) OVER (PARTITION BY l_partkey) AS BIGINT) AS share_bp
+                FROM ps
+            )
+            SELECT l_partkey, l_suppkey, share_bp
+            FROM sh WHERE share_bp >= 2000
+            ORDER BY l_partkey, l_suppkey
         """,
         "events_dow_seasonality": """
             WITH daily AS (

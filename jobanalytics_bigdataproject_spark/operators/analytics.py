@@ -923,3 +923,29 @@ def yoy_revenue_growth(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+def part_supplier_share(lineitem: DataFrame, min_share_bp: int = 2000) -> DataFrame:
+    """[EXT] TPC-H Q20-family shape without the partsupp table: suppliers
+    carrying at least ``min_share_bp`` basis points of a part's total
+    shipped quantity — the supply-concentration screen.
+
+    Exactness: quantities quantize to integer centi-units, the per-part
+    total is a window SUM over the (part, supplier) aggregate (never the
+    fact), and the share is truncating integer division — Spark ``div``
+    == DuckDB ``//``, no float anywhere.
+
+    Scale: one map-side-combined aggregate on (part, supplier), then the
+    part-keyed window over that much smaller frame; the share filter
+    prunes before the presentation sort."""
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    per = lineitem.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty_c).alias("sq"))
+    w = Window.partitionBy("l_partkey")
+    shared = per.withColumn("tq", F.sum("sq").over(w)).withColumn(
+        "share_bp", F.expr("CAST((10000 * sq) div tq AS BIGINT)")
+    )
+    return (
+        shared.filter(F.col("share_bp") >= min_share_bp)
+        .select("l_partkey", "l_suppkey", "share_bp")
+        .orderBy("l_partkey", "l_suppkey")
+    )

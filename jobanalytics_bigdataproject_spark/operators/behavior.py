@@ -553,3 +553,60 @@ def dow_seasonality(
         )
         .orderBy("day")
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    lookback_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """[EXT] Last-touch conversion attribution: each conversion credits the
+    user's most recent PRECEDING non-conversion event, but only if it
+    happened within ``lookback_days`` — older touches (or none at all)
+    fall into the '(none)' bucket.  The marketing-analytics sibling of
+    ``time_to_convert``; per attributed channel report conversions and
+    distinct converting users.
+
+    Determinism: the per-user ordering is (ts, event_id) — the repo-wide
+    total order — and the credited touch is picked by LAST(...) IGNORE
+    NULLS over a rows-frame, which both engines define identically on a
+    total order.
+
+    Scale: one shuffle on user for the window; conversions filter before
+    the tiny per-channel aggregate (map-side combined, |types|+1 rows)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(
+            F.col(type_col) != convert_type,
+            F.struct(F.col(ts_col).alias("pts"), F.col(type_col).alias("ptype")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    attributed = F.coalesce(
+        F.when(
+            F.col("prev.pts")
+            >= F.col(ts_col) - F.expr(f"INTERVAL {int(lookback_days)} DAYS"),
+            F.col("prev.ptype"),
+        ),
+        F.lit("(none)"),
+    )
+    return (
+        events.select(user_col, ts_col, type_col, id_col)
+        .withColumn("prev", prev)
+        .filter(F.col(type_col) == convert_type)
+        .select(attributed.alias("attributed_type"), user_col)
+        .groupBy("attributed_type")
+        .agg(
+            F.count("*").alias("n_conversions"),
+            F.countDistinct(user_col).alias("n_users"),
+        )
+        .orderBy("attributed_type")
+    )

@@ -680,3 +680,40 @@ def semantic_dedup(
     return embeddings.join(
         dropped, F.col(id_col) == F.col("__drop_id"), "left_anti"
     ).select(id_col, vec_col)
+
+
+def matryoshka_report(
+    embeddings: DataFrame,
+    dims_kept: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """[EXT] Matryoshka truncation audit (Kusupati et al. 2022): how much
+    of each vector's energy survives keeping only the first ``dims_kept``
+    dimensions — the report that says whether a cheap truncated index
+    (k dims instead of 64: k/64 of the storage and ADC cost) is viable
+    for a first-pass retrieval tier.
+
+    Exactness: elements quantize ONCE to integer 1e4-units, energies are
+    int64 sums of squares, and the kept-energy ratio is a truncating
+    integer division to basis points — bit-identical on any engine or
+    partitioning (center_embeddings' discipline). Headroom: |x|≤10³ ⇒
+    q²≤1e14 ⇒ safe to ~9e4 element terms per vector.
+
+    Scale: one scan, zero shuffles (per-row array fold); the final sort
+    is presentation."""
+    def ss(expr: str) -> str:
+        return (
+            f"aggregate(transform({expr}, x -> CAST(ROUND(x*10000) AS BIGINT)"
+            f" * CAST(ROUND(x*10000) AS BIGINT)), 0L, (a, x) -> a + x)"
+        )
+
+    head = ss(f"slice({vec_col}, 1, {int(dims_kept)})")
+    total = ss(vec_col)
+    return embeddings.select(
+        F.col(id_col),
+        F.lit(int(dims_kept)).alias("dims_kept"),
+        F.expr(f"CAST((10000 * {head}) div nullif({total}, 0L) AS BIGINT)").alias(
+            "energy_kept_bp"
+        ),
+    ).orderBy(id_col)

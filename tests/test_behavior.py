@@ -195,3 +195,34 @@ def test_session_time_per_day_prorates_across_midnight(spark):
         "2024-01-01": (600 + 300, 2, 2),  # 10 min before midnight + 5 min
         "2024-01-02": (600, 1, 1),        # 10 min after midnight
     }
+
+
+def test_last_touch_attribution_lookback_edges(spark):
+    from jobanalytics_bigdataproject_spark.operators.behavior import (
+        last_touch_attribution,
+    )
+
+    rows = [
+        # user 1: click 1 day before purchase -> attributed to click
+        (1, "2024-01-01 00:00:00", "click", 1),
+        (2, "2024-01-02 00:00:00", "purchase", 1),
+        # user 2: view 8 days before purchase -> outside 7d lookback
+        (3, "2024-01-01 00:00:00", "view", 2),
+        (4, "2024-01-09 00:00:01", "purchase", 2),
+        # user 3: purchase with no prior events at all
+        (5, "2024-01-05 00:00:00", "purchase", 3),
+        # user 4: view then click (same lookback) -> LAST touch (click) wins;
+        # an intervening purchase must not become a touch for the second one
+        (6, "2024-01-10 00:00:00", "view", 4),
+        (7, "2024-01-10 01:00:00", "click", 4),
+        (8, "2024-01-10 02:00:00", "purchase", 4),
+        (9, "2024-01-10 03:00:00", "purchase", 4),  # prev non-conv is still click
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, user_id long"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "user_id")
+    got = {
+        r.attributed_type: (r.n_conversions, r.n_users)
+        for r in last_touch_attribution(ev).collect()
+    }
+    assert got == {"click": (3, 2), "(none)": (2, 2)}
