@@ -802,6 +802,7 @@ _ROWS_ONLY = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio",
+    "multimodal_audio_spectral",
 }
 
 
@@ -1335,6 +1336,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: multimodal.extract_features(
                 multimodal.attach_binary_payload(t["documents"])
             ).select("doc_id", "n_bytes", "checksum"),
+        ),
+        "multimodal_audio_spectral": _q(
+            # REAL numpy-FFT spectral features over the decoded WAV stream
+            # (operators/multimodal.py:audio_spectral_features). FFT is not
+            # SQL-expressible → rows-only; sine-frequency recovery pinned
+            # in tests/test_neardup_multimodal.py.
+            ("documents",),
+            lambda t: multimodal.audio_spectral_features(
+                multimodal.attach_wav_payload(t["documents"])
+            ).select("doc_id", "dominant_hz", "spectral_centroid_hz"),
         ),
         # --- MLlib pipeline (SURVEY.md §2.13; rows-only: tree/regression
         # internals are not SQL-expressible) ---

@@ -608,3 +608,72 @@ def image_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("band_energy", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def audio_spectral_features(
+    media: DataFrame, n_fft: int = 256, n_bands: int = 8
+) -> DataFrame:
+    """REAL spectral feature extraction — numpy FFT, no external DSP libs:
+    Hann-windowed frames of ``n_fft`` samples (hop = n_fft/2), averaged
+    power spectrum per clip, then (a) the dominant frequency (argmax bin,
+    DC excluded, mapped to Hz), (b) the spectral centroid, and (c)
+    ``n_bands`` equal-width band energies normalized to sum 1 — the
+    features an audio quality/language-ID gate actually consumes.
+
+    Same plumbing contract as ``decode_audio``: Arrow-batched
+    mapInPandas over (doc_id, payload) only, linear pass, no shuffle.
+    Not SQL-expressible (FFT) → rows-only; the pytest pins the dominant
+    frequency of synthesized sines to their known generator frequency
+    within one bin width."""
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        win = None
+        rows: dict[str, list] = {f.name: [] for f in SPECTRAL_SCHEMA.fields}
+        for pdf in it:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    width, rate = w.getsampwidth(), w.getframerate()
+                    raw = w.readframes(w.getnframes())
+                dtype = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+                x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                hop = n_fft // 2
+                if win is None or len(win) != n_fft:
+                    win = np.hanning(n_fft)
+                if len(x) < n_fft:
+                    x = np.pad(x, (0, n_fft - len(x)))
+                starts = range(0, len(x) - n_fft + 1, hop)
+                frames = np.stack([x[s : s + n_fft] * win for s in starts])
+                power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+                freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
+                p = power.copy()
+                p[0] = 0.0  # DC excluded from dominance
+                dom = float(freqs[int(np.argmax(p))])
+                total = float(power.sum())
+                centroid = float((freqs * power).sum() / total) if total else 0.0
+                bands = np.array_split(power[1:], n_bands)
+                be = np.array([b.sum() for b in bands])
+                be = be / be.sum() if be.sum() else be
+                rows["doc_id"].append(doc_id)
+                rows["dominant_hz"].append(dom)
+                rows["spectral_centroid_hz"].append(centroid)
+                rows["band_energy"].append([float(v) for v in be])
+            yield pd.DataFrame(rows)
+            rows = {f.name: [] for f in SPECTRAL_SCHEMA.fields}
+
+    return media.select("doc_id", "payload").mapInPandas(batches, SPECTRAL_SCHEMA)

@@ -256,3 +256,20 @@ def test_image_ahash_exact_for_hamming_bound(spark):
     )
     rows = mm.image_near_dup_pairs(media, max_hamming=3).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in rows] == [(1, 2, 0)]
+
+
+def test_audio_spectral_recovers_sine_frequency(spark):
+    """The synthesized fixture clips are pure sines with generator
+    frequency 100 + (doc_id % 32)*25 Hz; the FFT dominant bin must land
+    within one bin width (sample_rate/n_fft = 31.25 Hz) of it, and the
+    normalized band energies must sum to ~1."""
+    docs = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    media = multimodal.attach_wav_payload(docs, n_samples=1600)
+    rows = multimodal.audio_spectral_features(media, n_fft=256).collect()
+    assert len(rows) == 8
+    for r in rows:
+        expect = 100.0 + (r.doc_id % 32) * 25.0
+        assert abs(r.dominant_hz - expect) <= 8000.0 / 256, (r.doc_id, r.dominant_hz)
+        assert abs(sum(r.band_energy) - 1.0) < 1e-5
+        # a pure sine concentrates its centroid near the tone
+        assert abs(r.spectral_centroid_hz - expect) <= 150.0
