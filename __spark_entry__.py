@@ -27,6 +27,7 @@ from jobanalytics_bigdataproject_spark.functions.exact import cents
 from jobanalytics_bigdataproject_spark.operators import (
     analytics,
     behavior,
+    bpe,
     cleaning,
     corpus,
     dedup,
@@ -614,6 +615,45 @@ def _ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_RULES_CACHE: dict[str, list] = {}
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str):
+    """BPE merge rules trained once per (process, sf_dir) — tokenizer
+    training is an ingest-time artifact, like the ANN indexes; the stats
+    query measures application, the training query the rule table."""
+    rules = _BPE_RULES_CACHE.get(sf_dir)
+    if rules is None:
+        t = load_star(spark, sf_dir, ("documents",))
+        rules = [
+            (int(r.rank), r.left, r.right, int(r.pair_count))
+            for r in bpe.bpe_train(t["documents"], n_merges=40).collect()
+        ]
+        _BPE_RULES_CACHE[sf_dir] = rules
+    return rules
+
+
+def _docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge-rule table (operators/bpe.py:bpe_train): the
+    corpus-scale stage is one word-count shuffle; the merge loop runs on
+    the bounded word-frequency dict. Rows-only: the iterative merge loop
+    has no SQL oracle (SURVEY §5.3); the sequence is pinned by
+    tests/test_bpe.py's hand-computed corpus."""
+    return spark.createDataFrame(
+        _bpe_rules(spark, sf_dir), "rank INT, left STRING, right STRING, pair_count BIGINT"
+    )
+
+
+def _docs_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE vs whitespace token counts under the trained rules
+    (Arrow mapInPandas with the kilobyte rule table in the closure)."""
+    t = load_star(spark, sf_dir, ("documents",))
+    merges = spark.createDataFrame(
+        _bpe_rules(spark, sf_dir), "rank INT, left STRING, right STRING, pair_count BIGINT"
+    )
+    return bpe.bpe_token_stats(t["documents"], merges)
+
+
 _FUZZY_GRAPH_CACHE: dict[str, str] = {}
 
 
@@ -810,6 +850,8 @@ _PRIORITY = [
 _ROWS_ONLY = {
     "ann_recall_report",
     "docs_fuzzy_contamination",
+    "docs_bpe_merges",
+    "docs_bpe_token_stats",
     "fuzzy_graph_pagerank",
     "events_hll_distinct_users",
     "events_cms_heavy_hitters",
@@ -1193,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bm25_search": _q(("documents",), lambda t: corpus.bm25_search(t["documents"])),
         "docs_contamination": _q(("documents",), lambda t: corpus.benchmark_contamination(t["documents"])),
         "docs_fuzzy_contamination": _q(("documents",), lambda t: corpus.fuzzy_contamination(t["documents"])),
+        "docs_bpe_merges": _docs_bpe_merges,
+        "docs_bpe_token_stats": _docs_bpe_token_stats,
         "docs_corpus_pipeline": _q(("documents",), lambda t: corpus.full_prep_pipeline(t["documents"])),
         "docs_hash_split": _q(("documents",), lambda t: corpus.hash_split(t["documents"])),
         "docs_source_cap": _q(("documents",), lambda t: corpus.cap_per_source(t["documents"])),
