@@ -253,3 +253,66 @@ def test_incremental_store_append_blocks_reentry(spark, tables, tmp_path):
         "doc_id", F.col("doc_id") + F.lit(2_000_000)
     )
     assert dedup.dedup_batch_incremental(spark, copies3, path).count() == 0
+
+
+def test_streaming_firehose_dedup_foreachbatch(spark, tables, tmp_path):
+    """Streaming ingest-dedup: a document firehose drains through
+    foreachBatch(dedup_batch_incremental(update_store=True)) — each
+    micro-batch dedups against the persisted store AND itself, survivors
+    land in a sink, and the store grows so later batches dedup against
+    earlier ones. The end state must match the one-shot batch dedup of
+    the same corpus (the stream==batch discipline applied to the dedup
+    store family)."""
+    docs = tables["documents"].select("doc_id", "text")
+    n_hist = 200
+    hist = docs.filter(F.col("doc_id") < n_hist)
+    incoming = docs.filter(F.col("doc_id") >= n_hist)
+
+    store = str(tmp_path / "store")
+    dedup.minhash_store_write(hist, store)
+
+    src = str(tmp_path / "stream_src")
+    # two files -> two micro-batches, older file first. Batches split by id
+    # RANGE (not parity): min-id survivorship only equals the one-shot form
+    # when smaller ids never arrive after a larger near-dup was already
+    # emitted — the id-ordered-arrival contract an id-assigned firehose has.
+    cut = 200 + (incoming.count() // 2)
+    incoming.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(src)
+    incoming.filter(F.col("doc_id") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "survivors")
+
+    def _ingest(batch, _id):
+        out = dedup.dedup_batch_incremental(
+            batch.sparkSession, batch, store, update_store=True
+        )
+        out.select("doc_id").write.mode("append").parquet(sink)
+
+    q = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(240)
+    finally:
+        q.stop()
+
+    streamed = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    # batch twin: same history store, whole incoming set in one call —
+    # exact under id-ordered arrival because the store keeps DROPPED docs
+    # too, so a later batch still dedups against an earlier batch's losers.
+    store2 = str(tmp_path / "store2")
+    dedup.minhash_store_write(hist, store2)
+    expected = {
+        r.doc_id
+        for r in dedup.dedup_batch_incremental(spark, incoming, store2)
+        .select("doc_id")
+        .collect()
+    }
+    assert streamed == expected
+    assert streamed, "firehose must keep at least one survivor"
