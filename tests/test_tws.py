@@ -136,6 +136,15 @@ def test_streaming_two_batches_vs_pandas_expectation(spark, tables, tmp_path):
     # the container has no protobuf wheel (env constraint, like PIL for
     # image decode) — semantics stay pinned by the fake-state tests above.
     pytest.importorskip("google.protobuf")
+    # transformWithState keeps per-state-variable column families, which the
+    # default HDFSBackedStateStoreProvider cannot do — RocksDB is the
+    # documented requirement for this operator (ships with Spark 4).
+    _prov_key = "spark.sql.streaming.stateStore.providerClass"
+    _prov_old = spark.conf.get(_prov_key, None)
+    spark.conf.set(
+        _prov_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     ev = tables["events"].select("user_id", "event_id", "ts", "value")
     cut = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).first().m
     src = str(tmp_path / "ev_tws")
@@ -159,6 +168,10 @@ def test_streaming_two_batches_vs_pandas_expectation(spark, tables, tmp_path):
         q.awaitTermination(180)
     finally:
         q.stop()
+        if _prov_old is None:
+            spark.conf.unset(_prov_key)
+        else:
+            spark.conf.set(_prov_key, _prov_old)
     got = {
         (r.user_id, r.session_start, r.session_end, r.n_events, round(r.value_total, 2))
         for r in spark.sql("SELECT * FROM tws_sessions").collect()
@@ -167,14 +180,19 @@ def test_streaming_two_batches_vs_pandas_expectation(spark, tables, tmp_path):
     # expectation: pandas sessionization; every session except each
     # user's LAST (dangling, never closed by a later event)
     pdf = ev.orderBy("ts", "event_id").toPandas()
-    pdf["ts_us"] = pdf["ts"].astype("int64")
+    # pandas datetime64[ns] → int64 is NANOseconds; the stream keys sessions
+    # on unix_micros
+    pdf["ts_us"] = pdf["ts"].astype("int64") // 1000
     expected = set()
     for uid, g in pdf.groupby("user_id"):
         g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
         sessions = []
         start = last = None
         n, cents = 0, 0
-        for t, v in zip(g["ts_us"], g["value"].fillna(0.0)):
+        # same HALF_UP cent quantization as the processor (python round()
+        # is half-to-even and disagrees on exact half-cents)
+        cent_vals = tws.SessionizeProcessor._to_cents(g["value"])
+        for t, v in zip(g["ts_us"], cent_vals):
             if last is not None and t - last > 5 * MIN:
                 sessions.append((uid, start, last, n, round(cents / 100.0, 2)))
                 start, n, cents = t, 0, 0
@@ -182,7 +200,7 @@ def test_streaming_two_batches_vs_pandas_expectation(spark, tables, tmp_path):
                 start = t
             last = t
             n += 1
-            cents += int(round(v * 100))
+            cents += int(v)
         expected.update(sessions)  # dangling session intentionally dropped
     assert got == expected
     assert got, "fixture must close at least one session"
