@@ -1252,6 +1252,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_temperature_mix": _q(
             ("documents",), lambda t: corpus.temperature_mix(t["documents"])
         ),
+        "docs_bigram_logprob": _q(
+            ("documents",), lambda t: corpus.bigram_logprob(t["documents"])
+        ),
         "reconcile_daily_totals": _q(
             ("orders", "events"),
             lambda t: analytics.reconcile_daily_totals(t["orders"], t["events"]),
@@ -2530,6 +2533,29 @@ def _oracle_sql_literals() -> dict[str, str]:
                    ROUND(100.0 * SUM(CAST(ROUND(ln(cnt*1.0/total)*1000000) AS BIGINT))
                          / NULLIF(COUNT(*), 0)) / 100.0 AS avg_lp_micro
             FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "docs_bigram_logprob": """
+            WITH arrs AS (
+                SELECT doc_id, """ + _DOC_TOKENS + """ AS arr
+                FROM documents
+            ),
+            bigs AS (
+                SELECT doc_id,
+                       unnest(arr[1:len(arr)-1]) AS ctx,
+                       unnest(arr[2:len(arr)]) AS nxt
+                FROM arrs WHERE len(arr) >= 2
+            ),
+            bc AS (SELECT ctx, nxt, COUNT(*) AS c_big FROM bigs GROUP BY ctx, nxt),
+            cc AS (SELECT ctx, SUM(c_big) AS c_ctx FROM bc GROUP BY ctx),
+            v AS (SELECT COUNT(DISTINCT tok) AS vsz
+                  FROM (SELECT ctx AS tok FROM bc UNION SELECT nxt FROM bc))
+            SELECT doc_id,
+                   COUNT(*) AS n_bigrams,
+                   ROUND(100.0 * SUM(CAST(ROUND(ln((c_big + 1.0)/(c_ctx + vsz))*1000000) AS BIGINT))
+                         / NULLIF(COUNT(*), 0)) / 100.0 AS avg_lp_micro
+            FROM bigs JOIN bc USING (ctx, nxt) JOIN cc USING (ctx) CROSS JOIN v
             GROUP BY doc_id
             ORDER BY doc_id
         """,

@@ -634,6 +634,98 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """[EXT] Corpus-bigram conditional-LM scoring with add-one (Laplace)
+    smoothing: each document's average per-bigram natural-log probability
+    ``ln p(w_i | w_{i-1}) = ln((c(w_{i-1} w_i)+1) / (c(w_{i-1}·)+V))``
+    under the corpus's own bigram statistics — the next step up from
+    ``unigram_logprob``'s bag-of-words fluency signal (catches shuffled /
+    boilerplate-spliced text that unigram stats score as fluent).
+
+    Bigrams are built ARRAY-NATIVELY — ``zip_with`` over two shifted
+    ``slice``s of the token array, then one explode — so there is NO
+    per-document window (the unigram query's explode pattern would need a
+    doc-ordered window to pair neighbours; this needs zero extra
+    shuffles). Vocabulary ``V`` is the distinct-token count derived from
+    the bigram-count table (vocab-sized, never a second corpus scan);
+    docs with <2 tokens have no bigrams and drop out, and a token
+    occurring only in such docs is by the same rule outside ``V`` —
+    documented definition, mirrored exactly in the oracle.
+
+    Determinism: like ``unigram_logprob``, each bigram's ln p is
+    quantized ONCE to integer micro-nats (the (c_big+1)/(c_ctx+V) double
+    is bit-identical on both engines: int64-derived operands, one IEEE
+    division, one ln), summed in int64, and divided by the bigram count
+    via ``exact_div`` — summation-order-independent, hence oracle
+    hash-checkable.
+
+    Scale shape: two shuffles over corpus-sized data — the bigram count
+    (map-side combined) and the per-doc rollup — plus one shuffle JOIN of
+    the bigram stream against the (bigram-vocab-sized) count table; a
+    100 TB corpus's bigram vocabulary is NOT broadcastable, so the join
+    keys on (ctx, nxt). The context-count and V frames are vocab-sized
+    derivations of the bigram-count table (ctx totals = one more tiny
+    agg), joined into it BEFORE the corpus-scale join so the fact stream
+    is touched once. No all-pairs, no driver-side vocabulary.
+    """
+    from jobanalytics_bigdataproject_spark.functions.exact import exact_div
+
+    arrs = documents.select(
+        F.col(id_col), tokenize(text_col, min_len=1).alias("arr")
+    ).filter(F.size("arr") >= 2)
+    n = F.size("arr")
+    bigrams = arrs.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("arr", 1, n - 1),
+                F.slice("arr", 2, n - 1),
+                lambda a, b: F.struct(a.alias("ctx"), b.alias("nxt")),
+            )
+        ).alias("p"),
+    ).select(id_col, "p.ctx", "p.nxt")
+
+    big_counts = bigrams.groupBy("ctx", "nxt").agg(F.count("*").alias("c_big"))
+    ctx_counts = big_counts.groupBy("ctx").agg(F.sum("c_big").alias("c_ctx"))
+    vocab_size = (
+        big_counts.select(F.col("ctx").alias("tok"))
+        .union(big_counts.select(F.col("nxt").alias("tok")))
+        .agg(F.count_distinct("tok").alias("vsz"))
+    )
+    lm = (
+        big_counts.join(ctx_counts, "ctx")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "ctx",
+            "nxt",
+            F.round(
+                F.log((F.col("c_big") + F.lit(1.0)) / (F.col("c_ctx") + F.col("vsz")))
+                * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        bigrams.join(lm, ["ctx", "nxt"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("lp_micro").alias("sum_lp_micro"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            exact_div(F.col("sum_lp_micro"), F.col("n_bigrams"), 2).alias(
+                "avg_lp_micro"
+            ),
+        )
+        # no presentation sort: D-sized output, order-insensitive compare
+    )
+
+
 def temperature_mix(
     documents: DataFrame,
     temperature: float = 0.7,

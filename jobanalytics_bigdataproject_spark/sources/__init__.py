@@ -6,6 +6,12 @@ from jobanalytics_bigdataproject_spark.sources.readers import (
     register_views,
 )
 from jobanalytics_bigdataproject_spark.sources.writers import write_parquet
+from jobanalytics_bigdataproject_spark.sources.snapshots import (
+    read_snapshot,
+    rollback,
+    vacuum,
+    write_snapshot,
+)
 
 __all__ = [
     "STAR_TABLES",
@@ -14,4 +20,8 @@ __all__ = [
     "read_table",
     "register_views",
     "write_parquet",
+    "read_snapshot",
+    "rollback",
+    "vacuum",
+    "write_snapshot",
 ]

@@ -168,6 +168,28 @@ def test_unigram_logprob_hand_computed(spark):
     assert out[1].avg_lp_micro > out[2].avg_lp_micro
 
 
+def test_bigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb"), (2, "aa cc"), (3, "dd")],
+        ["doc_id", "text"],
+    )
+    # bigrams: doc1 = (aa,bb)x2 (bb,aa)x1; doc2 = (aa,cc)x1; doc3 none (<2 toks)
+    # c_ctx: aa->3, bb->1; V = |{aa,bb,cc}| = 3 (dd never in a bigram)
+    out = {r.doc_id: r for r in corpus.bigram_logprob(docs).collect()}
+    lp = {
+        ("aa", "bb"): round(math.log((2 + 1) / (3 + 3)) * 1e6),
+        ("bb", "aa"): round(math.log((1 + 1) / (1 + 3)) * 1e6),
+        ("aa", "cc"): round(math.log((1 + 1) / (3 + 3)) * 1e6),
+    }
+    exp1 = round(100.0 * (2 * lp[("aa", "bb")] + lp[("bb", "aa")]) / 3) / 100.0
+    exp2 = round(100.0 * lp[("aa", "cc")] / 1) / 100.0
+    assert out[1].n_bigrams == 3 and out[1].avg_lp_micro == exp1
+    assert out[2].n_bigrams == 1 and out[2].avg_lp_micro == exp2
+    assert 3 not in out  # single-token doc has no bigrams
+    # the doc made of the corpus's dominant bigram scores higher
+    assert out[1].avg_lp_micro > out[2].avg_lp_micro
+
+
 # ---------------------------------------------------------------------------
 # docs_temperature_mix / nation_price_quartiles
 # ---------------------------------------------------------------------------
