@@ -693,6 +693,18 @@ def _fuzzy_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+def _scd2_feed_apply(t) -> DataFrame:
+    """CDC apply round trip (operators/scd.py:apply_change_feed): diff the
+    mid-month current-state view against now, replay the feed onto the
+    mid-month snapshot. Oracle = the now-current view computed directly,
+    so the hash-check asserts apply(old, feed(old,new)) == new."""
+    old = scd.scd2_dim(
+        t["events"].filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    ).filter("is_current")
+    new = scd.scd2_dim(t["events"]).filter("is_current")
+    return scd.apply_change_feed(old, scd.scd2_change_feed(old, new))
+
+
 def _orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE INTO (upsert form, operators/scd.py:merge_upsert):
     a deterministic update batch (every 10th order re-statused 'U' with
@@ -1212,6 +1224,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 scd.scd2_dim(t["events"]).filter("is_current"),
             ),
         ),
+        # CDC apply: replay the mid-month→now feed onto the mid-month
+        # snapshot; the oracle is the now-current view itself, so the
+        # hash-check IS the round-trip law (operators/scd.py:apply_change_feed)
+        "scd2_feed_apply": _q(("events",), _scd2_feed_apply),
         "scd2_compacted_state": _q(
             ("events",),
             lambda t: scd.scd2_present(
@@ -2894,6 +2910,16 @@ def _oracle_sql_literals() -> dict[str, str]:
                    old_state, new_state
             FROM oc FULL OUTER JOIN nc ON oc.user_id = nc.user_id
             WHERE (oc.user_id IS NULL OR nc.user_id IS NULL OR old_state <> new_state)
+        """,
+        "scd2_feed_apply": """
+            WITH n AS (
+                SELECT user_id, event_type AS state,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            )
+            SELECT user_id, state FROM n WHERE rn = 1
+            ORDER BY user_id
         """,
         "scd2_user_state": """
             WITH o AS (

@@ -270,6 +270,34 @@ def scd2_change_feed(
     )
 
 
+def apply_change_feed(
+    old_current: DataFrame,
+    feed: DataFrame,
+    key: str = "user_id",
+) -> DataFrame:
+    """[EXT] Apply a CDC change feed to the snapshot it was diffed FROM —
+    the consumer half of ``scd2_change_feed`` (Debezium-sink / Delta
+    `APPLY CHANGES` shape): a downstream table that can't re-read the
+    source replays just the feed to catch up. Round-trip law (tested both
+    directions, so the DELETE arm is exercised too)::
+
+        apply_change_feed(old, scd2_change_feed(old, new)) == new
+
+    Mechanics: drop the keys the feed rewrites or removes (one LEFT ANTI
+    join on UPDATE/DELETE keys), then union the feed's INSERT/UPDATE rows
+    carrying ``new_state``. Both inputs are dimension-sized (one row per
+    key); at 100 TB both sides bucket on the key, making the anti-join
+    co-located — the feed is usually tiny and AQE will broadcast it.
+    """
+    touched = feed.filter(F.col("change").isin("UPDATE", "DELETE")).select(key)
+    kept = old_current.select(key, "state").join(touched, key, "left_anti")
+    added = feed.filter(F.col("change").isin("INSERT", "UPDATE")).select(
+        F.col(key), F.col("new_state").alias("state")
+    )
+    return kept.unionByName(added)
+    # no presentation sort: dimension-sized output, order-insensitive compare
+
+
 def merge_upsert(
     target: DataFrame,
     source: DataFrame,

@@ -45,6 +45,7 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
@@ -100,8 +101,25 @@ def snapshot_info(spark: SparkSession, table_dir: str, version: int) -> dict:
     return _read_manifest(fs, jvm, table_dir, version)
 
 
+def _find_idempotent(fs, jvm, table_dir: str, key: str, head: int) -> int | None:
+    """Newest retained version committed under ``key``, or None. O(versions)
+    small-JSON reads, newest-first — redelivered micro-batches are almost
+    always the head, so this terminates in one read in practice."""
+    for v in range(head, 0, -1):
+        try:
+            if _read_manifest(fs, jvm, table_dir, v).get("idempotency_key") == key:
+                return v
+        except FileNotFoundError:
+            continue
+    return None
+
+
 def write_snapshot(
-    df: DataFrame, table_dir: str, mode: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    idempotency_key: str | None = None,
+    stats_cols: list[str] | tuple[str, ...] = (),
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -112,6 +130,22 @@ def write_snapshot(
     rename, a metadata op); only the manifest create participates in the
     optimistic-retry loop, so a lost race costs one re-read of the head
     manifest, never a data rewrite.
+
+    ``idempotency_key`` makes the commit exactly-once under re-delivery:
+    if any retained manifest already carries the key, the call is a no-op
+    returning that version. This is what lets a Structured Streaming
+    ``foreachBatch`` (which re-runs a micro-batch after a failure, with
+    the same batch id) target this log without double-appending — see
+    ``snapshot_sink``.
+
+    ``stats_cols`` records per-file min/max for the named columns in the
+    manifest (Iceberg manifest-stats style), computed DISTRIBUTED — one
+    grouped aggregate over the staged files keyed by
+    ``input_file_name()``, never a driver-side footer walk — enabling
+    ``read_snapshot``'s file skipping: a range predicate prunes
+    non-overlapping files from the scan list before Spark ever opens
+    them. Most valuable when commits are range-clustered (sorted /
+    z-ordered writers upstream), exactly like Delta data skipping.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -119,15 +153,44 @@ def write_snapshot(
     fs, _, jvm = _fs(spark, table_dir)
     Path = jvm.org.apache.hadoop.fs.Path
 
+    if idempotency_key is not None:
+        prior = _find_idempotent(
+            fs, jvm, table_dir, idempotency_key, current_version(spark, table_dir)
+        )
+        if prior is not None:
+            return prior
+
     # 1. write data files to a staging dir, then move under data/ with
     #    commit-unique names (uuid, not version: a racing writer may end
     #    up committing these files at a later version than it aimed for)
     tag = uuid.uuid4().hex[:12]
     staging = f"{table_dir}/.staging-{tag}"
     df.write.parquet(staging)
+
+    staged_stats: dict[str, dict] = {}
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        stat_rows = (
+            spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        )
+
+        def _plain(v):
+            return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+        for r in stat_rows:
+            staged_stats[r["__file"].rsplit("/", 1)[-1]] = {
+                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"])] for c in stats_cols
+            }
+
     data_dir = Path(f"{table_dir}/{_DATA}")
     fs.mkdirs(data_dir)
     new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
     for i, st in enumerate(sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())):
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
@@ -136,16 +199,30 @@ def write_snapshot(
         if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
             raise IOError(f"rename failed for {name} -> {rel}")
         new_files.append(rel)
+        if name in staged_stats:
+            new_stats[rel] = staged_stats[name]
     fs.delete(Path(staging), True)
 
     # 2. optimistic manifest commit
     while True:
         head = current_version(spark, table_dir)
+        if idempotency_key is not None:
+            # a racing redelivery may have committed our key after the
+            # pre-staging check; our staged files become vacuum debris
+            prior = _find_idempotent(fs, jvm, table_dir, idempotency_key, head)
+            if prior is not None:
+                for rel in new_files:
+                    fs.delete(Path(f"{table_dir}/{rel}"), False)
+                return prior
         if mode == "append" and head > 0:
-            parent_files = _read_manifest(fs, jvm, table_dir, head)["files"]
+            parent = _read_manifest(fs, jvm, table_dir, head)
+            parent_files = parent["files"]
+            parent_stats = parent.get("stats", {})
         else:
             parent_files = []
+            parent_stats = {}
         version = head + 1
+        stats = {**parent_stats, **new_stats} if mode == "append" else new_stats
         manifest = {
             "version": version,
             "parent": head,
@@ -153,6 +230,10 @@ def write_snapshot(
             "files": parent_files + new_files if mode == "append" else new_files,
             "added": new_files,
         }
+        if stats:
+            manifest["stats"] = stats
+        if idempotency_key is not None:
+            manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
         fs.mkdirs(mp.getParent())
         try:
@@ -168,22 +249,62 @@ def write_snapshot(
         return version
 
 
+def _overlaps(stats: dict | None, prune: dict) -> bool:
+    """File-skipping predicate: keep the file unless SOME pruned column's
+    [min,max] provably misses [lo,hi]. Missing/NULL stats keep the file —
+    skipping must never be able to drop a matching row."""
+    if not stats:
+        return True
+    for col, (lo, hi) in prune.items():
+        rng = stats.get(col)
+        if not rng or rng[0] is None or rng[1] is None:
+            continue
+        mn, mx = rng
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            return False
+    return True
+
+
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    prune: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest). Resolves one
     manifest, then hands Spark the explicit file list — normal parquet
-    scan from there (column pruning / filter pushdown all intact)."""
+    scan from there (column pruning / filter pushdown all intact).
+
+    ``prune={"col": (lo, hi)}`` drops files whose manifest min/max (see
+    ``write_snapshot(stats_cols=…)``) provably miss the range BEFORE
+    Spark opens them — manifest-level data skipping, O(files) driver
+    work, zero I/O for skipped files. It only shrinks the scan: the
+    caller still applies the actual row filter (and should — skipping is
+    file-granular). ``None`` bounds are open-ended.
+
+    ``merge_schema=True`` unions file schemas (additive schema evolution
+    across commits — older files yield NULLs for later-added columns).
+    """
     fs, _, jvm = _fs(spark, table_dir)
     if version is None:
         version = current_version(spark, table_dir)
     if version == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, version)
-    files = [f"{table_dir}/{rel}" for rel in manifest["files"]]
-    if not files:
-        return spark.read.parquet(f"{table_dir}/{_DATA}").limit(0)
-    return spark.read.parquet(*files)
+    rels = manifest["files"]
+    kept = rels
+    if prune:
+        stats = manifest.get("stats", {})
+        kept = [rel for rel in rels if _overlaps(stats.get(rel), prune)]
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    if not kept:
+        if rels:  # everything skipped: empty frame, real schema
+            return reader.parquet(f"{table_dir}/{rels[0]}").limit(0)
+        return reader.parquet(f"{table_dir}/{_DATA}").limit(0)
+    return reader.parquet(*(f"{table_dir}/{rel}" for rel in kept))
 
 
 def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
@@ -203,6 +324,8 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
             "files": target["files"],
             "added": [],
         }
+        if target.get("stats"):
+            manifest["stats"] = target["stats"]
         mp = _manifest_path(jvm, table_dir, version)
         try:
             stream = fs.create(mp, False)
@@ -213,6 +336,29 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
         finally:
             stream.close()
         return version
+
+
+def snapshot_sink(table_dir: str, mode: str = "append"):
+    """Structured Streaming sink: ``.writeStream.foreachBatch(
+    snapshot_sink(dir))`` commits each micro-batch as a table version.
+
+    Exactly-once: Spark re-runs a failed micro-batch with the SAME batch
+    id, so the batch id becomes the commit's idempotency key — the retry
+    finds the key already in the log and no-ops (its staged files are
+    cleaned up), never double-appending. This is the same
+    batchId-dedup contract Delta's streaming sink implements, and it
+    completes the streaming-maintenance family (SCD2 / quantile-store /
+    CMS-store sinks) with a versioned-table member: every micro-batch
+    yields a time-travelable snapshot, so a consumer can pin "the table
+    as of batch N" for reproducible training runs.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_snapshot(
+            batch_df, table_dir, mode=mode, idempotency_key=f"stream-{batch_id}"
+        )
+
+    return _write
 
 
 def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:

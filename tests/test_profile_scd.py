@@ -270,6 +270,33 @@ def test_scd2_change_feed_against_snapshots(spark, tables):
             assert r.user_id not in o and r.new_state == n[r.user_id]
 
 
+def test_apply_change_feed_round_trip_both_directions(spark, tables):
+    """The CDC law: applying the old→new feed to old reproduces new.
+    The reverse direction (new→old) exercises the DELETE arm — the
+    fixture's old snapshot is a strict subset of users, so forward feeds
+    have no DELETEs but reverse feeds do."""
+    from pyspark.sql import functions as F
+
+    events = tables["events"]
+    old = scd.scd2_dim(
+        events.filter(F.col("ts") < F.lit("2024-01-16").cast("timestamp"))
+    ).filter("is_current")
+    new = scd.scd2_dim(events).filter("is_current")
+
+    def as_set(df):
+        return {(r.user_id, r.state) for r in df.select("user_id", "state").collect()}
+
+    fwd = scd.apply_change_feed(old, scd.scd2_change_feed(old, new))
+    assert as_set(fwd) == as_set(new)
+    # DELETE arm: at sf0.001 every user appears before mid-month, so diff
+    # toward a user-subset snapshot to force deletions
+    subset = new.filter(F.col("user_id") % 5 != 0)
+    rev_feed = scd.scd2_change_feed(new, subset)
+    assert rev_feed.filter("change = 'DELETE'").count() > 0
+    rev = scd.apply_change_feed(new, rev_feed)
+    assert as_set(rev) == as_set(subset)
+
+
 def test_merge_upsert_semantics(spark):
     from jobanalytics_bigdataproject_spark.operators.scd import merge_upsert
 

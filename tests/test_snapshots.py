@@ -96,3 +96,94 @@ def test_optimistic_commit_skips_taken_version(spark, tdir):
 def test_empty_table_read_raises(spark, tdir):
     with pytest.raises(FileNotFoundError):
         sn.read_snapshot(spark, tdir)
+
+
+def test_idempotency_key_makes_commit_exactly_once(spark, tdir):
+    v1 = sn.write_snapshot(_batch(spark, 0, 5), tdir, idempotency_key="stream-0")
+    # redelivery of the same logical batch: no new version, same answer
+    v1b = sn.write_snapshot(_batch(spark, 0, 5), tdir, idempotency_key="stream-0")
+    assert (v1, v1b) == (1, 1)
+    assert sn.current_version(spark, tdir) == 1
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(5))
+    # and the retry's staged data files were cleaned up, not left as debris
+    import os
+
+    data_files = [
+        f for f in os.listdir(os.path.join(tdir, "data")) if not f.startswith(".")
+    ]  # ignore local-FS .crc checksum sidecars
+    assert set(sn.snapshot_info(spark, tdir, 1)["files"]) == {
+        f"data/{f}" for f in data_files
+    }
+    v2 = sn.write_snapshot(_batch(spark, 5, 8), tdir, idempotency_key="stream-1")
+    assert v2 == 2 and _ids(sn.read_snapshot(spark, tdir)) == list(range(8))
+
+
+def test_manifest_stats_enable_file_skipping(spark, tdir):
+    # three range-clustered commits, each a single file with i-min/max stats
+    for lo, hi in [(0, 10), (10, 20), (20, 30)]:
+        sn.write_snapshot(
+            _batch(spark, lo, hi).coalesce(1), tdir, stats_cols=["i"]
+        )
+    full = sn.read_snapshot(spark, tdir)
+    assert len(full.inputFiles()) == 3
+    pruned = sn.read_snapshot(spark, tdir, prune={"i": (12, 15)})
+    assert len(pruned.inputFiles()) == 1  # only the [10,20) file survives
+    # skipping shrinks the scan but never the answer
+    assert _ids(pruned.filter("i BETWEEN 12 AND 15")) == list(range(12, 16))
+    # open-ended bound
+    assert len(sn.read_snapshot(spark, tdir, prune={"i": (21, None)}).inputFiles()) == 1
+    # a range matching nothing: empty frame with the real schema
+    empty = sn.read_snapshot(spark, tdir, prune={"i": (100, 200)})
+    assert empty.count() == 0 and empty.columns == ["i"]
+    # rollback carries the stats forward
+    sn.write_snapshot(_batch(spark, 50, 60).coalesce(1), tdir, mode="overwrite")
+    sn.rollback(spark, tdir, to_version=3)
+    assert len(sn.read_snapshot(spark, tdir, prune={"i": (12, 15)}).inputFiles()) == 1
+
+
+def test_stats_missing_keeps_file(spark, tdir):
+    # v1 committed without stats, v2 with: pruning must keep the statless file
+    sn.write_snapshot(_batch(spark, 0, 5).coalesce(1), tdir)
+    sn.write_snapshot(_batch(spark, 100, 105).coalesce(1), tdir, stats_cols=["i"])
+    pruned = sn.read_snapshot(spark, tdir, prune={"i": (0, 5)})
+    # v1's statless file must be kept (skipping needs proof); v2's stats
+    # [100,104] provably miss (0,5) so that file is skipped
+    assert len(pruned.inputFiles()) == 1
+    assert _ids(pruned) == list(range(5))
+
+
+def test_schema_evolution_merge_schema_read(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 3), tdir)
+    widened = _batch(spark, 3, 5).withColumn("tag", F.lit("b"))
+    sn.write_snapshot(widened, tdir)
+    df = sn.read_snapshot(spark, tdir, merge_schema=True)
+    assert sorted(df.columns) == ["i", "tag"]
+    got = {(r.i, r.tag) for r in df.collect()}
+    assert got == {(0, None), (1, None), (2, None), (3, "b"), (4, "b")}
+
+
+def test_streaming_sink_commits_one_version_per_microbatch(spark, tdir, tmp_path):
+    src = str(tmp_path / "src")
+    _batch(spark, 0, 6).coalesce(1).write.parquet(src)
+    _batch(spark, 6, 10).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("i long").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sn.snapshot_sink(tdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    head = sn.current_version(spark, tdir)
+    assert head == 2  # one version per micro-batch
+    # stream == batch: the latest snapshot is exactly the static input
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(10))
+    # a manual re-run of an already-committed batch id is a no-op
+    sink = sn.snapshot_sink(tdir)
+    sink(_batch(spark, 0, 6), 0)
+    assert sn.current_version(spark, tdir) == 2
