@@ -43,6 +43,7 @@ from jobanalytics_bigdataproject_spark.operators import (
     text,
     tpch,
 )
+from jobanalytics_bigdataproject_spark.ml import quality as mlq
 from jobanalytics_bigdataproject_spark.sources.readers import load_star, register_views
 from jobanalytics_bigdataproject_spark.streaming import joins as stream_joins
 from jobanalytics_bigdataproject_spark.streaming import windows as stream
@@ -861,6 +862,7 @@ _PRIORITY = [
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
+    "docs_quality_classifier",
     "docs_fuzzy_contamination",
     "docs_bpe_merges",
     "docs_bpe_token_stats",
@@ -1437,6 +1439,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- MLlib pipeline (SURVEY.md §2.13; rows-only: tree/regression
         # internals are not SQL-expressible) ---
         "ml_price_model": _ml_price_model,
+        # model-based quality filtering (ml/quality.py): distill the
+        # heuristic score into a HashingTF+IDF+LR classifier, score every
+        # doc (rows-only: float model probabilities)
+        "docs_quality_classifier": _q(
+            ("documents",),
+            lambda t: mlq.doc_quality_classifier(t["documents"]),
+        ),
         # --- sampling / statistics (SURVEY.md §2.9; rows-only by design) ---
         "sample_stratified_orders": _q(
             ("orders",),

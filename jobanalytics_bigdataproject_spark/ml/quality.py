@@ -1,0 +1,104 @@
+"""[EXT] Model-based document quality filtering — the production second
+stage of an LLM-data pipeline (the FineWeb-Edu / DCLM pattern): the cheap
+per-row heuristic (`operators/text.quality_score`) labels the extremes of
+the corpus, a text classifier distills those labels, and the MODEL's
+probability then scores every document — including the ambiguous middle
+band the heuristic can't rank, and (in production) future crawl batches
+without re-deriving labels.
+
+The reference has no classifier surface; this composes the engine's own
+pieces: heuristic scorer → exact percentile cutoffs (one broadcast scalar
+row) → deterministic md5 train/holdout split (same device as
+`corpus.hash_split`, so membership is stable across runs/engines) →
+HashingTF/IDF/LogisticRegression (MLlib distributed implementations).
+
+Scale shape: one corpus scan builds tokens+features (HashingTF is a
+per-row map into a fixed 2^15-dim sparse vector — no vocabulary state at
+all, which is WHY it scales where a fitted CountVectorizer needs a
+vocab broadcast); IDF's doc-frequency fit is a treeAggregate producing
+one 2^15 vector; LR iterates only over the labeled extreme bands
+(~2/3 of rows, bounded passes, vectors cached). Scoring is a stateless
+map. The exact global percentile cutoffs buffer the score column per
+partition — at 100 TB swap in `approx_percentile` (the documented
+sketch path, same as `operators/sampling.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import LogisticRegression
+from pyspark.ml.feature import IDF, HashingTF
+from pyspark.ml.functions import vector_to_array
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.functions.textfns import tokenize
+from jobanalytics_bigdataproject_spark.operators.text import quality_score
+
+
+def doc_quality_classifier(
+    documents: DataFrame,
+    n_features: int = 1 << 15,
+    train_bp: int = 8000,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Distill the heuristic quality score into a logistic-regression text
+    classifier; return every document scored by the model.
+
+    Labels: top third of the heuristic score = 1, bottom third = 0,
+    middle band = NULL (excluded from training — distillation only
+    trusts the heuristic where it is confident). Split: deterministic
+    md5 bucket, ``train_bp``/10000 to train, rest held out. IDF is fit
+    on the labeled train subset only (no leakage). Output columns:
+    ``doc_id, split, label, prob_good, pred``.
+    """
+    qs = quality_score(documents).select("doc_id", "quality_score")
+    cuts = qs.agg(
+        F.percentile("quality_score", F.lit([1.0 / 3, 2.0 / 3])).alias("c")
+    ).select(F.col("c")[0].alias("lo"), F.col("c")[1].alias("hi"))
+
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 4
+    )
+    t_train = f"{(train_bp * 65536) // 10000:04x}"
+    base = (
+        documents.select("doc_id", tokenize("text", min_len=1).alias("toks"))
+        .join(qs, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "toks",
+            F.when(F.col("quality_score") >= F.col("hi"), F.lit(1.0))
+            .when(F.col("quality_score") <= F.col("lo"), F.lit(0.0))
+            .alias("label"),
+            F.when(bucket < t_train, F.lit("train"))
+            .otherwise(F.lit("holdout"))
+            .alias("split"),
+        )
+    )
+
+    tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=n_features)
+    with_tf = tf.transform(base)
+    train_labeled = with_tf.filter("split = 'train' AND label IS NOT NULL")
+    idf_model = IDF(inputCol="tf", outputCol="features").fit(train_labeled)
+    featurized = idf_model.transform(with_tf)
+
+    train = featurized.filter("split = 'train' AND label IS NOT NULL").select(
+        "features", "label"
+    )
+    train.cache().count()  # materialize before the iterative fit
+    try:
+        lr = LogisticRegression(
+            maxIter=50, regParam=0.01, featuresCol="features", labelCol="label"
+        )
+        model = lr.fit(train)
+    finally:
+        train.unpersist()
+
+    return model.transform(featurized).select(
+        "doc_id",
+        "split",
+        "label",
+        F.round(vector_to_array("probability")[1], 6).alias("prob_good"),
+        F.col("prediction").alias("pred"),
+    )
+    # no presentation sort: D-sized output; rows-only (float model scores)

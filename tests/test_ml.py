@@ -79,3 +79,30 @@ def test_fpgrowth_itemsets_match_hand_enumeration(spark):
         ("b",): (3, 7500),
         ("a", "b"): (2, 5000),
     }
+
+
+def test_doc_quality_classifier_distills_heuristic(spark, tables):
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from jobanalytics_bigdataproject_spark.ml.quality import doc_quality_classifier
+
+    out = doc_quality_classifier(tables["documents"]).cache()
+    try:
+        n_docs = tables["documents"].count()
+        assert out.count() == n_docs  # every doc scored, middle band included
+        assert out.filter("prob_good < 0 OR prob_good > 1").count() == 0
+        # the distilled model must rank HELD-OUT extreme-band docs almost
+        # perfectly (it never trained on them)
+        hold = out.filter("split = 'holdout' AND label IS NOT NULL")
+        assert hold.count() > 10
+        auc = BinaryClassificationEvaluator(
+            rawPredictionCol="prob_good", labelCol="label"
+        ).evaluate(hold)
+        assert auc > 0.9
+        # deterministic split membership: same doc, same split, every run
+        again = doc_quality_classifier(tables["documents"])
+        a = {r.doc_id: r.split for r in out.select("doc_id", "split").collect()}
+        b = {r.doc_id: r.split for r in again.select("doc_id", "split").collect()}
+        assert a == b
+    finally:
+        out.unpersist()
