@@ -1,0 +1,159 @@
+"""[EXT] Spark 4 Python DataSource exposing the snapshot commit log
+(`sources/snapshots.py`) as a STREAMING source — the consumer half of
+`snapshot_sink`: one pipeline commits micro-batches as table versions,
+another tails the log and sees each new version as a micro-batch, rows
+tagged `_commit_version`. Together they make the versioned table a
+durable, replayable queue with exactly-once ends (idempotent producer
+commits + Spark's checkpointed offsets on the consumer), the Delta
+streaming-source/sink pattern rebuilt on plain parquet.
+
+Built on the `pyspark.sql.datasource` API (Spark 4's Python data source
+extension point):
+
+- offsets are simply ``{"version": N}`` — the commit log IS an offset
+  log, so `latestOffset` is one directory listing and restart-from-
+  checkpoint needs no extra bookkeeping;
+- `partitions(start, end)` maps each data file ADDED in versions
+  ``(start, end]`` to one `InputPartition` — reads scale with executors,
+  never through the driver (this is `DataSourceStreamReader`, not the
+  driver-side `SimpleDataSourceStreamReader`);
+- `read(partition)` yields Arrow RecordBatches via pyarrow — the
+  sanctioned batch-columnar path, no per-row Python.
+
+Filesystem note: the data source runs in plain Python workers (no JVM
+access), so it uses direct file I/O — local/NFS paths here; swap the
+`open`/`os.listdir` calls for `pyarrow.fs.FileSystem.from_uri` handles to
+target S3/HDFS, the protocol is unchanged. The JVM-side module
+(`snapshots.py`) keeps using the Hadoop FileSystem API.
+
+Register + use::
+
+    spark.dataSource.register(SnapshotDataSource)
+    stream = spark.readStream.format("snapshotlog") \\
+        .option("path", table_dir).load()
+
+`.option("startingVersion", N)` skips history ≤ N (default 0 = replay
+everything still retained; vacuumed versions raise rather than silently
+skip, matching `read_changes`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+_LOG = "_log"
+
+
+def _manifest_file(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _LOG, f"v{version:08d}.json")
+
+
+def _read_manifest_local(table_dir: str, version: int) -> dict:
+    path = _manifest_file(table_dir, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"no snapshot v{version} at {table_dir} (vacuumed or never written)"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _current_version_local(table_dir: str) -> int:
+    log_dir = os.path.join(table_dir, _LOG)
+    if not os.path.isdir(log_dir):
+        return 0
+    best = 0
+    for name in os.listdir(log_dir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[1:-5]))
+            except ValueError:
+                continue
+    return best
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+    version: int
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, table_dir: str, starting_version: int):
+        self._table_dir = table_dir
+        self._starting = starting_version
+
+    def initialOffset(self) -> dict:
+        return {"version": self._starting}
+
+    def latestOffset(self) -> dict:
+        return {"version": _current_version_local(self._table_dir)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        out: list[InputPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            for rel in _read_manifest_local(self._table_dir, v)["added"]:
+                out.append(
+                    _FilePartition(os.path.join(self._table_dir, rel), v)
+                )
+        return out
+
+    def read(self, partition: _FilePartition) -> Iterator["RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        table = table.append_column(
+            "_commit_version",
+            pa.array([partition.version] * len(table), pa.int64()),
+        )
+        yield from table.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; the log needs no ack
+
+
+class SnapshotDataSource(DataSource):
+    """``format("snapshotlog")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshotlog"
+
+    def _table_dir(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshotlog requires .option('path', table_dir)")
+        return path
+
+    def schema(self) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        table_dir = self._table_dir()
+        head = _current_version_local(table_dir)
+        if head == 0:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        manifest = _read_manifest_local(table_dir, head)
+        probe = (manifest["files"] or manifest["added"])[0]
+
+        import pyarrow.parquet as pq
+
+        base = from_arrow_schema(pq.read_schema(os.path.join(table_dir, probe)))
+        return StructType(
+            list(base.fields) + [StructField("_commit_version", LongType(), False)]
+        )
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:
+        return SnapshotStreamReader(
+            self._table_dir(), int(self.options.get("startingVersion", 0))
+        )

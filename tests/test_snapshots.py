@@ -93,6 +93,71 @@ def test_optimistic_commit_skips_taken_version(spark, tdir):
     assert _ids(sn.read_snapshot(spark, tdir)) == list(range(8))
 
 
+_SOURCE_ROWS: list = []
+
+
+def _collect_batch(batch_df, batch_id):
+    _SOURCE_ROWS.extend(
+        (r.i, r._commit_version) for r in batch_df.collect()
+    )
+
+
+def test_snapshot_stream_source_tails_the_log(spark, tdir, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources.snapshot_source import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    sn.write_snapshot(_batch(spark, 0, 3), tdir)
+    sn.write_snapshot(_batch(spark, 3, 5), tdir)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("snapshotlog")
+            .option("path", tdir)
+            .load()
+            .writeStream.foreachBatch(_collect_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    _SOURCE_ROWS.clear()
+    run()
+    assert set(_SOURCE_ROWS) == {(0, 1), (1, 1), (2, 1), (3, 2), (4, 2)}
+
+    # new commits land; a resumed query (same checkpoint) reads ONLY them
+    sn.write_snapshot(_batch(spark, 5, 7), tdir)
+    _SOURCE_ROWS.clear()
+    run()
+    assert set(_SOURCE_ROWS) == {(5, 3), (6, 3)}
+
+    # startingVersion skips history for a fresh consumer
+    df = (
+        spark.readStream.format("snapshotlog")
+        .option("path", tdir)
+        .option("startingVersion", 2)
+        .load()
+    )
+    q = (
+        df.writeStream.foreachBatch(_collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _SOURCE_ROWS.clear()
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert set(_SOURCE_ROWS) == {(5, 3), (6, 3)}
+
+
 def test_empty_table_read_raises(spark, tdir):
     with pytest.raises(FileNotFoundError):
         sn.read_snapshot(spark, tdir)
@@ -160,6 +225,24 @@ def test_schema_evolution_merge_schema_read(spark, tdir):
     assert sorted(df.columns) == ["i", "tag"]
     got = {(r.i, r.tag) for r in df.collect()}
     assert got == {(0, None), (1, None), (2, None), (3, "b"), (4, "b")}
+
+
+def test_read_changes_incremental_consumption(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 5), tdir)
+    sn.write_snapshot(_batch(spark, 5, 8), tdir)
+    sn.write_snapshot(_batch(spark, 8, 9), tdir)
+    delta = sn.read_changes(spark, tdir, from_version=1)
+    got = {(r.i, r._commit_version) for r in delta.collect()}
+    assert got == {(5, 2), (6, 2), (7, 2), (8, 3)}
+    # bounded range; empty range yields an empty frame with the cdc column
+    assert {r.i for r in sn.read_changes(spark, tdir, 1, 2).collect()} == {5, 6, 7}
+    empty = sn.read_changes(spark, tdir, 3, 3)
+    assert empty.count() == 0 and "_commit_version" in empty.columns
+    # vacuumed-away range must fail loudly, not silently skip
+    sn.write_snapshot(_batch(spark, 100, 101), tdir, mode="overwrite")  # v4
+    sn.vacuum(spark, tdir, keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        sn.read_changes(spark, tdir, from_version=0).collect()
 
 
 def test_streaming_sink_commits_one_version_per_microbatch(spark, tdir, tmp_path):
