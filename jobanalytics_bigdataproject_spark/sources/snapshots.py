@@ -42,6 +42,7 @@ the same code runs on local disk, HDFS, or object stores.
 from __future__ import annotations
 
 import json
+import math
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -402,6 +403,34 @@ def snapshot_sink(table_dir: str, mode: str = "append"):
         )
 
     return _write
+
+
+def optimize_snapshot(
+    spark: SparkSession, table_dir: str, target_mb: int = 128
+) -> int:
+    """OPTIMIZE: rewrite the CURRENT snapshot's files into ~target-sized
+    ones and commit the rewrite as a new version — same rows, fewer
+    files (the small-file debt a streaming `snapshot_sink` accrues one
+    commit per micro-batch). Readers never block: until the commit lands
+    they resolve the old manifest; after it they see identical data. The
+    replaced files stay on disk for time travel until `vacuum`.
+
+    The rewrite is `coalesce` (shuffle-free concatenation of input
+    splits, same as `maintenance.compact_parquet`); returns the new
+    version.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    total = sum(
+        fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{rel}")).getLen()
+        for rel in manifest["files"]
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    current = read_snapshot(spark, table_dir, version=head)
+    return write_snapshot(current.coalesce(n), table_dir, mode="overwrite")
 
 
 def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:

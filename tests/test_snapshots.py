@@ -93,6 +93,21 @@ def test_optimistic_commit_skips_taken_version(spark, tdir):
     assert _ids(sn.read_snapshot(spark, tdir)) == list(range(8))
 
 
+def test_optimize_rewrites_small_files_same_rows(spark, tdir):
+    # five tiny single-file commits (the streaming-sink debt pattern)
+    for k in range(5):
+        sn.write_snapshot(_batch(spark, k * 2, k * 2 + 2).coalesce(1), tdir)
+    assert len(sn.read_snapshot(spark, tdir).inputFiles()) == 5
+    v = sn.optimize_snapshot(spark, tdir)
+    assert v == 6
+    opt = sn.read_snapshot(spark, tdir)
+    assert len(opt.inputFiles()) == 1  # tiny table -> one target-size bin
+    assert _ids(opt) == list(range(10))  # same rows
+    # pre-optimize versions still time-travel until vacuum
+    assert _ids(sn.read_snapshot(spark, tdir, version=5)) == list(range(10))
+    assert sn.vacuum(spark, tdir, keep_last=1) == 5  # the five small files
+
+
 _SOURCE_ROWS: list = []
 
 
