@@ -661,14 +661,20 @@ def bigram_logprob(
     via ``exact_div`` — summation-order-independent, hence oracle
     hash-checkable.
 
-    Scale shape: two shuffles over corpus-sized data — the bigram count
-    (map-side combined) and the per-doc rollup — plus one shuffle JOIN of
-    the bigram stream against the (bigram-vocab-sized) count table; a
-    100 TB corpus's bigram vocabulary is NOT broadcastable, so the join
-    keys on (ctx, nxt). The context-count and V frames are vocab-sized
-    derivations of the bigram-count table (ctx totals = one more tiny
-    agg), joined into it BEFORE the corpus-scale join so the fact stream
-    is touched once. No all-pairs, no driver-side vocabulary.
+    Scale shape: two corpus scans (count-build and probe) and two
+    corpus-sized shuffles — the bigram count (map-side combined) and the
+    per-doc rollup — plus one shuffle JOIN of the bigram stream against
+    the (bigram-vocab-sized) count table; a 100 TB corpus's bigram
+    vocabulary is NOT broadcastable, so the join keys on (ctx, nxt). The
+    count table feeds THREE consumers (ctx totals, V, the LM join), so
+    it is eagerly ``localCheckpoint``-ed: without that, Spark re-derives
+    the whole corpus-scan→explode→aggregate subtree per consumer —
+    measured 5 corpus scans, and runtime AQE exchange reuse does NOT
+    collapse them (the subtrees canonicalize differently). The
+    checkpoint is vocab-sized, the same lineage-truncation device as
+    dedup.py's connected components (same executor-loss caveat; swap for
+    ``checkpoint(dir)`` on long-lived clusters). No all-pairs, no
+    driver-side vocabulary.
     """
     from jobanalytics_bigdataproject_spark.functions.exact import exact_div
 
@@ -687,7 +693,11 @@ def bigram_logprob(
         ).alias("p"),
     ).select(id_col, "p.ctx", "p.nxt")
 
-    big_counts = bigrams.groupBy("ctx", "nxt").agg(F.count("*").alias("c_big"))
+    big_counts = (
+        bigrams.groupBy("ctx", "nxt")
+        .agg(F.count("*").alias("c_big"))
+        .localCheckpoint()  # vocab-sized; see docstring
+    )
     ctx_counts = big_counts.groupBy("ctx").agg(F.sum("c_big").alias("c_ctx"))
     vocab_size = (
         big_counts.select(F.col("ctx").alias("tok"))

@@ -45,6 +45,32 @@ def interval_join(
     return lf.join(rf, cond)
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the third streaming-join variant
+    next to stream-stream interval joins (above) and the windowed aggs
+    (streaming/windows.py): attach dimension attributes to a fact stream.
+
+    Spark plans a stream-static join statelessly: the static side needs
+    no watermark and holds no streaming state; with the explicit
+    ``broadcast`` hint each micro-batch is a map-side hash join — the
+    stream side NEVER shuffles, which is the only acceptable shape for a
+    100 TB/day firehose against a dimension table. The static plan is
+    re-evaluated per micro-batch, so pairing the dim side with
+    ``sources.snapshots.read_snapshot`` pins a VERSION for exactly-
+    reproducible enrichment (or, inside ``foreachBatch``, re-resolves
+    the latest version each batch — slowly-changing enrichment).
+
+    The same function on two batch frames is the oracle-checkable twin
+    (equivalence tested in tests/test_streaming_join.py).
+    """
+    return stream.join(F.broadcast(dim), key, how)
+
+
 def click_purchase_attribution(
     events: DataFrame, upper: str = "10 minutes"
 ) -> DataFrame:

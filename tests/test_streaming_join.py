@@ -27,8 +27,10 @@ def test_stream_static_enrichment_join(spark, tables, events_stream_dir):
     from pyspark.sql import functions as F
 
     src = stream.read_events_stream(spark, events_stream_dir)
-    dim = tables["customer"].select("c_custkey", "c_mktsegment")
-    joined = src.join(F.broadcast(dim), src.user_id == dim.c_custkey).select(
+    dim = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = sjoins.enrich_stream(src, dim, "user_id", how="inner").select(
         "event_id", "user_id", "c_mktsegment"
     )
     assert joined.isStreaming
@@ -43,9 +45,18 @@ def test_stream_static_enrichment_join(spark, tables, events_stream_dir):
         q.awaitTermination(120)
     finally:
         q.stop()
-    n_stream = spark.sql("SELECT COUNT(*) c FROM ss_static_test").first().c
-    n_batch = tables["events"].join(dim, tables["events"].user_id == dim.c_custkey).count()
-    assert n_stream == n_batch > 0
+    got = {
+        (r.event_id, r.c_mktsegment)
+        for r in spark.sql("SELECT event_id, c_mktsegment FROM ss_static_test").collect()
+    }
+    # same function on the batch frame is the equivalence twin
+    want = {
+        (r.event_id, r.c_mktsegment)
+        for r in sjoins.enrich_stream(tables["events"], dim, "user_id", how="inner")
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == want and got
 
 
 def test_stream_stream_join_equals_batch(spark, tables, events_stream_dir):
