@@ -1263,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": _q(("events",), lambda t: behavior.retention_cohorts(t["events"])),
         "events_sessionize": _q(("events",), lambda t: behavior.sessionize(t["events"])),
         "events_daily_anomaly": _q(("events",), lambda t: behavior.daily_anomaly(t["events"])),
+        "events_ewma_daily": _q(("events",), lambda t: behavior.ewma_daily(t["events"])),
         "events_hourly_gapfill": _q(("events",), lambda t: behavior.hourly_gapfill(t["events"])),
         "docs_unigram_logprob": _q(
             ("documents",), lambda t: corpus.unigram_logprob(t["documents"])
@@ -1769,6 +1770,23 @@ def _oracle_sql_literals() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
                    )/100.0, 2) AS spend_90d
             FROM orders
+        """,
+        "events_ewma_daily": """
+            WITH d AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+                FROM events GROUP BY event_type, CAST(ts AS DATE)
+            ),
+            s AS (
+                SELECT event_type,
+                       list(cnt * 1000000 ORDER BY day) AS seq,
+                       CAST(COUNT(*) AS BIGINT) AS n_days
+                FROM d GROUP BY event_type
+            )
+            SELECT event_type, n_days,
+                   CAST(list_reduce(seq, (acc, x) -> (acc*7 + x*3) // 10) AS BIGINT)
+                       AS ewma_micro
+            FROM s
+            ORDER BY event_type
         """,
         "events_daily_anomaly": """
             WITH daily AS (

@@ -555,6 +555,57 @@ def dow_seasonality(
     )
 
 
+def ewma_daily(
+    events: DataFrame,
+    alpha_tenths: int = 3,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[EXT] Exponentially-weighted moving average of daily event volume
+    per type — the smoothing baseline behind alerting/trend dashboards
+    (pairs with ``daily_anomaly``'s z-score tripwire: EWMA tracks level,
+    the tripwire flags spikes).
+
+    EXACTLY reproducible, unlike float EWMA: daily counts are scaled to
+    integer micro-units and folded left-to-right with the all-integer
+    recurrence ``acc ← (acc·(10−a) + x·a) div 10`` (α = a/10, truncating
+    division each step) — no float enters the fold, so Spark's
+    ``aggregate`` HOF and DuckDB's ``list_reduce`` produce bit-identical
+    results and the query is oracle hash-checkable. A closed-form
+    Σ α(1−α)^i float evaluation could not be (power rounding diverges).
+
+    Scale shape: the events→daily-counts aggregation is the only
+    corpus-scale stage (map-side combined, shuffle moves |types × days|
+    rows). The fold runs on a per-type array of length |days| —
+    bounded by the calendar horizon, KBs per group — so the interpreted
+    HOF lambda touches trivially few elements (the textfns.py "HOFs are
+    slow on token arrays" caveat does not apply at |days| scale).
+    Per-day ordering inside the collected array comes from
+    ``array_sort`` on (day, cnt) structs — deterministic, no window.
+    """
+    if not 1 <= alpha_tenths <= 9:
+        raise ValueError("alpha_tenths must be in [1, 9]")
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"), F.to_date(ts_col).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+            lambda r: r["cnt"].cast("long") * F.lit(1_000_000),
+        ).alias("seq"),
+        F.count("*").alias("n_days"),
+    )
+    a, b = alpha_tenths, 10 - alpha_tenths
+    return series.select(
+        "event_type",
+        "n_days",
+        F.expr(
+            f"aggregate(slice(seq, 2, size(seq)-1), element_at(seq, 1), "
+            f"(acc, x) -> (acc*{b} + x*{a}) div 10)"
+        ).alias("ewma_micro"),
+    ).orderBy("event_type")
+
+
 def last_touch_attribution(
     events: DataFrame,
     convert_type: str = "purchase",

@@ -226,3 +226,22 @@ def test_last_touch_attribution_lookback_edges(spark):
         for r in last_touch_attribution(ev).collect()
     }
     assert got == {"click": (3, 2), "(none)": (2, 2)}
+
+
+def test_ewma_daily_hand_computed(spark):
+    # type "a": days with counts [10, 20, 40]; type "b": single day [5]
+    rows = []
+    eid = 0
+    for day, n in [(1, 10), (2, 20), (3, 40)]:
+        for _ in range(n):
+            rows.append((eid, f"2024-01-0{day} 12:00:00", "a", 1))
+            eid += 1
+    for _ in range(5):
+        rows.append((eid, "2024-01-02 08:00:00", "b", 2))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, user_id long"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "user_id")
+    got = {r.event_type: (r.n_days, r.ewma_micro) for r in behavior.ewma_daily(ev).collect()}
+    # alpha=0.3: acc0=10e6; acc1=(10e6*7+20e6*3)//10=13e6; acc2=(13e6*7+40e6*3)//10=21.1e6
+    assert got == {"a": (3, 21_100_000), "b": (1, 5_000_000)}
