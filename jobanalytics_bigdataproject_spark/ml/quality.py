@@ -12,13 +12,14 @@ row) → deterministic md5 train/holdout split (same device as
 `corpus.hash_split`, so membership is stable across runs/engines) →
 HashingTF/IDF/LogisticRegression (MLlib distributed implementations).
 
-Scale shape: one corpus scan builds tokens+features (HashingTF is a
-per-row map into a fixed 2^15-dim sparse vector — no vocabulary state at
-all, which is WHY it scales where a fitted CountVectorizer needs a
-vocab broadcast); IDF's doc-frequency fit is a treeAggregate producing
-one 2^15 vector; LR iterates only over the labeled extreme bands
-(~2/3 of rows, bounded passes, vectors cached). Scoring is a stateless
-map. The exact global percentile cutoffs buffer the score column per
+Scale shape: bounded corpus passes, each one scan — the IDF
+doc-frequency fit (a treeAggregate producing one 2^15 vector), the LR
+fit (iterating ONLY over the labeled extreme bands, ~2/3 of rows,
+materialized as cached feature vectors so the corpus is not re-scanned
+per iteration), and one stateless scoring pass. HashingTF itself is a
+per-row map into a fixed 2^15-dim sparse vector — no vocabulary state
+at all, which is WHY it scales where a fitted CountVectorizer needs a
+vocab broadcast. The exact global percentile cutoffs buffer the score column per
 partition — at 100 TB swap in `approx_percentile` (the documented
 sketch path, same as `operators/sampling.py`).
 """
@@ -93,6 +94,21 @@ def doc_quality_classifier(
         model = lr.fit(train)
     finally:
         train.unpersist()
+
+    # Drop the training summary before scoring: the fitted model's summary
+    # pins the SparkSession, and the scoring task closure serializes the
+    # model — which explodes with NotSerializableException(ObservationManager)
+    # once ANY Observation has materialized the session's manager (order-
+    # dependent under a shared session; reproduced via etl's observe mode).
+    # A write/load round-trip is the supported way to shed the summary; the
+    # artifact is one 2^15 coefficient vector.
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = tempfile.mkdtemp(prefix="doc_quality_lr_")
+    model.write().overwrite().save(path)
+    model = LogisticRegressionModel.load(path)
 
     return model.transform(featurized).select(
         "doc_id",

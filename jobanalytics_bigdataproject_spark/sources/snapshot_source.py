@@ -144,7 +144,12 @@ class SnapshotDataSource(DataSource):
         if head == 0:
             raise FileNotFoundError(f"{table_dir} has no committed snapshots")
         manifest = _read_manifest_local(table_dir, head)
-        probe = (manifest["files"] or manifest["added"])[0]
+        candidates = manifest["files"] or manifest["added"]
+        if not candidates:
+            raise FileNotFoundError(
+                f"{table_dir} v{head} has no data files to infer a schema from"
+            )
+        probe = candidates[0]
 
         import pyarrow.parquet as pq
 

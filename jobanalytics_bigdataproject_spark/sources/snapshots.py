@@ -204,8 +204,10 @@ def write_snapshot(
             new_stats[rel] = staged_stats[name]
     fs.delete(Path(staging), True)
 
-    # 2. optimistic manifest commit
-    while True:
+    # 2. optimistic manifest commit (bounded: losing the create race 100
+    # times in a row means the "conflict" is really a persistent error —
+    # permissions, bad path — and must surface, not spin)
+    for _attempt in range(100):
         head = current_version(spark, table_dir)
         if idempotency_key is not None:
             # a racing redelivery may have committed our key after the
@@ -248,6 +250,10 @@ def write_snapshot(
         finally:
             stream.close()
         return version
+    raise IOError(
+        f"could not commit to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )
 
 
 def _overlaps(stats: dict | None, prune: dict) -> bool:
@@ -336,14 +342,14 @@ def read_changes(
         if added:
             frames.append(
                 spark.read.parquet(*(f"{table_dir}/{rel}" for rel in added))
-                .withColumn("_commit_version", F.lit(v))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
             )
     if not frames:
         head = current_version(spark, table_dir)
         if head == 0:
             raise FileNotFoundError(f"{table_dir} has no committed snapshots")
         return read_snapshot(spark, table_dir, version=head).limit(0).withColumn(
-            "_commit_version", F.lit(0)
+            "_commit_version", F.lit(0).cast("long")
         )
     out = frames[0]
     for f in frames[1:]:
@@ -357,7 +363,7 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
     exactly Delta's RESTORE semantics. Returns the new version."""
     fs, _, jvm = _fs(spark, table_dir)
     target = _read_manifest(fs, jvm, table_dir, to_version)
-    while True:
+    for _attempt in range(100):  # bounded like write_snapshot's commit loop
         head = current_version(spark, table_dir)
         version = head + 1
         manifest = {
@@ -380,6 +386,10 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
         finally:
             stream.close()
         return version
+    raise IOError(
+        f"could not commit rollback to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )
 
 
 def snapshot_sink(table_dir: str, mode: str = "append"):
