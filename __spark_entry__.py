@@ -1264,6 +1264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q(("events",), lambda t: behavior.sessionize(t["events"])),
         "events_daily_anomaly": _q(("events",), lambda t: behavior.daily_anomaly(t["events"])),
         "events_ewma_daily": _q(("events",), lambda t: behavior.ewma_daily(t["events"])),
+        "events_holt_forecast": _q(("events",), lambda t: behavior.holt_daily(t["events"])),
         "events_hourly_gapfill": _q(("events",), lambda t: behavior.hourly_gapfill(t["events"])),
         "docs_unigram_logprob": _q(
             ("documents",), lambda t: corpus.unigram_logprob(t["documents"])
@@ -1770,6 +1771,36 @@ def _oracle_sql_literals() -> dict[str, str]:
                        RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
                    )/100.0, 2) AS spend_90d
             FROM orders
+        """,
+        "events_holt_forecast": """
+            -- the fold is a WITH RECURSIVE CTE, not list_reduce: DuckDB
+            -- 1.0's list_reduce miscompiles lambdas whose body repeats a
+            -- subexpression (the l_t term appears in both arms here) —
+            -- multi-step folds return values no stepwise evaluation
+            -- produces, while the recursive form is stepwise-verified.
+            WITH RECURSIVE d AS (
+                SELECT event_type, CAST(cnt * 1000000 AS BIGINT) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+                FROM (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+                      FROM events GROUP BY event_type, CAST(ts AS DATE))
+            ),
+            f AS (
+                SELECT event_type, i, x AS l, CAST(0 AS BIGINT) AS b
+                FROM d WHERE i = 1
+                UNION ALL
+                SELECT d.event_type, d.i,
+                       (3*d.x + 7*(f.l + f.b)) // 10,
+                       (2*(((3*d.x + 7*(f.l + f.b)) // 10) - f.l) + 8*f.b) // 10
+                FROM f JOIN d ON d.event_type = f.event_type AND d.i = f.i + 1
+            )
+            SELECT event_type,
+                   CAST(MAX(i) AS BIGINT) AS n_days,
+                   CAST(arg_max(l, i) AS BIGINT) AS level_micro,
+                   CAST(arg_max(b, i) AS BIGINT) AS trend_micro,
+                   CAST(arg_max(l, i) + arg_max(b, i) AS BIGINT) AS forecast_next_micro
+            FROM f
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_ewma_daily": """
             WITH d AS (

@@ -606,6 +606,71 @@ def ewma_daily(
     ).orderBy("event_type")
 
 
+def holt_daily(
+    events: DataFrame,
+    alpha_tenths: int = 3,
+    beta_tenths: int = 2,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """[EXT] Holt double-exponential smoothing (level + trend) of daily
+    event volume per type, with a one-step-ahead forecast — ``ewma_daily``
+    tracks level only; this adds the trend term that makes the smoother
+    usable for capacity forecasting (is tomorrow's volume growing?).
+
+    Same exactness device as ``ewma_daily``: micro-unit integers, the
+    coupled recurrences (α = a/10, β = c/10)::
+
+        l_t = (a·x_t + (10−a)·(l_{t−1}+b_{t−1})) div 10
+        b_t = (c·(l_t − l_{t−1}) + (10−c)·b_{t−1}) div 10
+
+    folded as an all-integer STRUCT accumulator (Spark ``aggregate``
+    with ``named_struct``; truncating division — Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero, verified on negatives,
+    which the trend term produces). l_t is textually repeated inside
+    the b_t arm because a fold lambda can't bind a local — and exactly
+    that duplicated-subexpression shape exposed a DuckDB 1.0
+    ``list_reduce`` miscompilation (multi-step folds return values no
+    stepwise evaluation produces; single steps are correct), so the
+    ORACLE does the identical fold as a WITH RECURSIVE CTE instead —
+    standard SQL, stepwise-verified. Init: l₀ = x₀, b₀ = 0.
+    Forecast = lₙ + bₙ.
+
+    Scale shape: identical to ``ewma_daily`` — corpus-scale work is one
+    map-side daily count; the fold touches a per-type |days|-bounded
+    array.
+    """
+    for v in (alpha_tenths, beta_tenths):
+        if not 1 <= v <= 9:
+            raise ValueError("alpha_tenths/beta_tenths must be in [1, 9]")
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"), F.to_date(ts_col).alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+            lambda r: r["cnt"].cast("long") * F.lit(1_000_000),
+        ).alias("seq"),
+        F.count("*").alias("n_days"),
+    )
+    a, na = alpha_tenths, 10 - alpha_tenths
+    c, nc = beta_tenths, 10 - beta_tenths
+    new_l = f"(({a}*x + {na}*(acc.l + acc.b)) div 10)"
+    new_b = f"(({c}*({new_l} - acc.l) + {nc}*acc.b) div 10)"
+    fold = (
+        f"aggregate(slice(seq, 2, size(seq)-1), "
+        f"named_struct('l', element_at(seq, 1), 'b', CAST(0 AS BIGINT)), "
+        f"(acc, x) -> named_struct('l', {new_l}, 'b', {new_b}))"
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        F.expr(f"({fold}).l").alias("level_micro"),
+        F.expr(f"({fold}).b").alias("trend_micro"),
+        F.expr(f"({fold}).l + ({fold}).b").alias("forecast_next_micro"),
+    ).orderBy("event_type")
+
+
 def last_touch_attribution(
     events: DataFrame,
     convert_type: str = "purchase",

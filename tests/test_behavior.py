@@ -245,3 +245,21 @@ def test_ewma_daily_hand_computed(spark):
     got = {r.event_type: (r.n_days, r.ewma_micro) for r in behavior.ewma_daily(ev).collect()}
     # alpha=0.3: acc0=10e6; acc1=(10e6*7+20e6*3)//10=13e6; acc2=(13e6*7+40e6*3)//10=21.1e6
     assert got == {"a": (3, 21_100_000), "b": (1, 5_000_000)}
+
+
+def test_holt_daily_hand_computed(spark):
+    # counts [10, 20, 40] -> scaled micro: l0=10e6, b0=0
+    # step2: l=(3*20e6+7*10e6)//10=13e6, b=(2*3e6+0)//10=0.6e6
+    # step3: l=(3*40e6+7*13.6e6)//10=21.52e6, b=(2*8.52e6+8*0.6e6)//10=2.184e6
+    rows = []
+    eid = 0
+    for day, n in [(1, 10), (2, 20), (3, 40)]:
+        for _ in range(n):
+            rows.append((eid, f"2024-01-0{day} 12:00:00", "a", 1))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, user_id long"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "user_id")
+    r = behavior.holt_daily(ev).collect()[0]
+    assert (r.n_days, r.level_micro, r.trend_micro) == (3, 21_520_000, 2_184_000)
+    assert r.forecast_next_micro == 21_520_000 + 2_184_000
