@@ -686,6 +686,22 @@ def _fuzzy_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.triangle_count(spark.read.parquet(_fuzzy_graph_path(spark, sf_dir)))
 
 
+def _fuzzy_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (two-phase star, operators/dedup.py:
+    connected_components_star) over the persisted match graph — the
+    dedup-critical iterative algorithm, ORACLE hash-checked: component =
+    min reachable id is engine-independent, and DuckDB expresses the same
+    fixpoint as a WITH RECURSIVE min-label walk (pruned to labels smaller
+    than the target node, which cannot change any MIN)."""
+    return (
+        dedup.connected_components_star(
+            spark.read.parquet(_fuzzy_graph_path(spark, sf_dir)), "id_a", "id_b"
+        )
+        .select(F.col("doc_id").alias("c_custkey"), "component")
+        .orderBy("c_custkey")
+    )
+
+
 def _fuzzy_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer micro-unit PageRank over the persisted match graph
     (operators/joins.py:pagerank_micro; rows-only — iterative)."""
@@ -859,6 +875,11 @@ _PRIORITY = [
     "events_attribution",
     "embeddings_matryoshka",
     "part_supplier_share",
+    # late round 4: Q9/Q11 adaptations complete the TPC-H family coverage;
+    # components upgrades star-CC from equivalence-tested to oracle-green
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "fuzzy_graph_components",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1070,6 +1091,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("customer", "orders"),
             lambda t: tpch.q22_idle_customers(t["customer"], t["orders"]),
         ),
+        "tpch_q9_product_profit": _q(
+            ("lineitem", "part", "supplier", "nation", "orders"),
+            lambda t: tpch.q9_product_profit(
+                t["lineitem"], t["part"], t["supplier"], t["nation"], t["orders"]
+            ),
+        ),
+        "tpch_q11_important_stock": _q(
+            ("lineitem", "supplier", "nation"),
+            lambda t: tpch.q11_important_stock(
+                t["lineitem"], t["supplier"], t["nation"]
+            ),
+        ),
         "events_transition_matrix": _q(
             ("events",), lambda t: behavior.transition_matrix(t["events"])
         ),
@@ -1113,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "fuzzy_graph_triangles": _fuzzy_graph_triangles,
         "fuzzy_graph_pagerank": _fuzzy_graph_pagerank,
+        "fuzzy_graph_components": _fuzzy_graph_components,
         "customer_first_last_orders": _q(
             ("orders",), lambda t: analytics.first_last_orders(t["orders"])
         ),
@@ -2136,6 +2170,40 @@ def _oracle_sql_literals() -> dict[str, str]:
             GROUP BY cntrycode
             ORDER BY cntrycode
         """,
+        "tpch_q9_product_profit": """
+            -- cost proxy: round(p_retailprice*100)*qty in integer cents
+            -- (no partsupp in the fixture); quantity is an integral double,
+            -- so DuckDB's rounding and Spark's truncating double->bigint
+            -- casts agree.
+            SELECT n_name AS nation,
+                   year(o_orderdate) AS o_year,
+                   ROUND(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                             - CAST(ROUND(p_retailprice*100) AS BIGINT)
+                               * CAST(l_quantity AS BIGINT))/100.0, 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11_important_stock": """
+            WITH g AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS v
+                FROM lineitem
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_name = 'NATION_3'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, ROUND(v/100.0, 2) AS stock_value
+            FROM g, (SELECT SUM(v) AS total FROM g) t
+            WHERE v * 1000000 > t.total * 1000
+            ORDER BY stock_value DESC, l_partkey
+        """,
         "events_transition_matrix": """
             WITH pairs AS (
                 SELECT lag(event_type) OVER (
@@ -2368,6 +2436,28 @@ def _oracle_sql_literals() -> dict[str, str]:
                    (SELECT COUNT(*) FROM w
                     WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c))
                        AS triangles
+        """,
+        "fuzzy_graph_components": """
+            -- component = min id reachable in the undirected match graph:
+            -- a recursive min-label walk. The prune (w.label < e.v) drops
+            -- only labels >= the target node, which can never win the MIN
+            -- against the base row (node, node).
+            WITH RECURSIVE e AS (
+                SELECT a.c_custkey AS u, b.c_custkey AS v
+                FROM customer a JOIN customer b
+                  ON a.c_nationkey = b.c_nationkey
+                 AND a.c_custkey <> b.c_custkey
+                 AND abs(length(a.c_name) - length(b.c_name)) <= 1
+                WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ),
+            walk(node, label) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT e.v, w.label FROM walk w JOIN e ON e.u = w.node
+                WHERE w.label < e.v
+            )
+            SELECT node AS c_custkey, MIN(label) AS component
+            FROM walk GROUP BY node ORDER BY c_custkey
         """,
         "customer_first_last_orders": """
             WITH w AS (

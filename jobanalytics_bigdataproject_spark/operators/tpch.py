@@ -463,3 +463,94 @@ def q22_idle_customers(
         )
         .orderBy("cntrycode")
     )
+
+
+def q9_product_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    name_fragment: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line, by supplier nation and
+    order year — the classic 5-way star join whose fact-fact edge is the
+    lineitem⋈orders shuffle.
+
+    Adaptation: the fixture has no ``partsupp``, so unit cost is
+    ``p_retailprice`` (the only cost-like column) — profit per line is
+    ``round(extprice·(1−disc)·100) − round(p_retailprice·100)·qty`` in
+    exact integer cents (the quantity cast is safe: fixture quantities are
+    integral doubles, on which Spark's truncating and DuckDB's rounding
+    double→bigint casts agree).
+
+    Scale: part (name-filtered), supplier and nation are broadcast onto
+    the lineitem scan, so the only big shuffle is lineitem⋈orders on
+    orderkey; the aggregate is |nations|×|years| rows with map-side
+    partials. Profit can be negative — integer cents keep the sum exact
+    under any partitioning either way.
+    """
+    p = part.filter(F.col("p_name").like(f"%{name_fragment}%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = supplier.join(
+        nation.select("n_nationkey", F.col("n_name").alias("nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    cost_cents = cents("p_retailprice") * F.col("l_quantity").cast("long")
+    return (
+        lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            (revenue_cents() - cost_cents).alias("profit_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("profit_cents") / F.lit(100.0), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    target_nation: str = "NATION_3",
+    fraction_ppm: int = 1000,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's supplied value — GROUP BY plus a HAVING threshold computed
+    from a global scalar over the *same* grouped frame.
+
+    Adaptation: no ``partsupp``, so "stock value" is the shipped value
+    ``Σ round(l_extendedprice·100)`` of lines from the target nation's
+    suppliers, per part; the significance test keeps parts whose value
+    exceeds ``fraction_ppm`` parts-per-million of the nation total.
+
+    Scale: supplier⋈nation is broadcast onto lineitem; ONE corpus-scale
+    groupBy on partkey. The total branch re-aggregates the same grouped
+    frame — AQE's runtime exchange reuse turns it into a ReusedExchange
+    of the partkey shuffle (asserted post-execution in
+    tests/test_tpch2.py), so the corpus is scanned and shuffled once; the
+    one-row total then broadcasts. The ppm comparison stays in int64 —
+    ``v·10⁶`` bounds the nation total at ~9e12 dollars; past that,
+    rescale to ppb on decimal(38,0)/hugeint.
+    """
+    s = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == target_nation)),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    grouped = (
+        lineitem.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents("l_extendedprice")).alias("v"))
+    )
+    total = grouped.agg(F.sum("v").alias("total"))
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * F.lit(1_000_000) > F.col("total") * F.lit(fraction_ppm))
+        .select("l_partkey", F.round(F.col("v") / F.lit(100.0), 2).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "l_partkey")
+    )

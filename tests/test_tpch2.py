@@ -199,3 +199,65 @@ def test_q16_anti_join_and_partial_distinct(spark, tables):
     rows = df.collect()
     assert all(r.supplier_cnt >= 1 for r in rows)
     assert all(r.p_brand != "Brand#1" and r.p_type != "PROMO" for r in rows)
+
+
+def test_q9_profit_is_revenue_minus_retail_cost(spark):
+    """One line: qty 2 at retail 10.00, sold for 30.00 undiscounted →
+    profit 30.00 − 20.00 = 10.00, keyed to the supplier nation / order year."""
+    lineitem = spark.createDataFrame(
+        [(100, 1, 1, 2.0, 30.0, 0.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_quantity double, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "red widget", 10.0), (2, "blue bolt", 5.0)],
+        "p_partkey long, p_name string, p_retailprice double",
+    )
+    supplier = spark.createDataFrame([(1, 7)], "s_suppkey long, s_nationkey int")
+    nation = spark.createDataFrame([(7, "NATION_7")], "n_nationkey int, n_name string")
+    orders = spark.createDataFrame(
+        [(100, _ts("1996-03-01"))], "o_orderkey long, o_orderdate timestamp"
+    )
+    rows = tpch.q9_product_profit(lineitem, part, supplier, nation, orders).collect()
+    assert [(r.nation, r.o_year, r.sum_profit) for r in rows] == [("NATION_7", 1996, 10.0)]
+
+
+def test_q9_name_filter_and_broadcast_dims(spark, tables):
+    df = tpch.q9_product_profit(
+        tables["lineitem"], tables["part"], tables["supplier"],
+        tables["nation"], tables["orders"],
+    )
+    assert has_broadcast_hash_join(df)
+    # non-matching part names contribute nothing
+    assert df.count() > 0
+
+
+def test_q11_threshold_is_against_nation_total(spark):
+    """part 1 carries 9999/10000 of the value, part 2 only 1/10000 —
+    at 1000 ppm only part 1 survives; lines from other nations' suppliers
+    are excluded entirely."""
+    lineitem = spark.createDataFrame(
+        [(1, 1, 1, 9999.0), (2, 2, 1, 1.0), (3, 1, 2, 500.0)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_extendedprice double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, 3), (2, 4)], "s_suppkey long, s_nationkey int"
+    )
+    nation = spark.createDataFrame(
+        [(3, "NATION_3"), (4, "NATION_4")], "n_nationkey int, n_name string"
+    )
+    rows = tpch.q11_important_stock(lineitem, supplier, nation).collect()
+    assert [(r.l_partkey, r.stock_value) for r in rows] == [(1, 9999.0)]
+
+
+def test_q11_total_reuses_partkey_exchange(spark, tables):
+    """The global total must not rescan/re-shuffle lineitem at runtime:
+    after execution, AQE's final plan reuses the partkey exchange for the
+    total branch (ReusedExchange), leaving one live corpus scan."""
+    df = tpch.q11_important_stock(
+        tables["lineitem"], tables["supplier"], tables["nation"]
+    )
+    assert len(df.collect()) > 0  # execute THIS plan (count() plans separately)
+    plan = formatted_plan(df)  # post-execution: adaptive final plan
+    assert "ReusedExchange" in plan, "total branch recomputed the corpus aggregate"
+    assert has_broadcast_hash_join(df)
