@@ -337,6 +337,17 @@ def _events_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mlp.frequent_event_itemsets(t["events"])
 
 
+def _events_als_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MLlib ALS implicit-feedback matrix factorization over
+    (user, event_type) counts (ml/pipeline.als_event_affinity) — top-3
+    recommended behaviors per user. Rows-only: factor scores are float
+    and seed-dependent (SURVEY §5.3); ranking sanity pinned in pytest."""
+    from jobanalytics_bigdataproject_spark.ml import pipeline as mlp
+
+    t = load_star(spark, sf_dir, ("events",))
+    return mlp.als_event_affinity(t["events"])
+
+
 def _sql_entry_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase-4 mechanism (reference 03:13-16): temp-view registration +
     ``spark.sql`` text entry point — same ANSI SQL runs on both engines."""
@@ -913,6 +924,7 @@ _ROWS_ONLY = {
     "summary_lineitem",
     "ml_price_model",
     "events_frequent_itemsets",
+    "events_als_affinity",
     "multimodal_image",
     "multimodal_image_neardups",
     "multimodal_resize",
@@ -1123,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("lineitem",), lambda t: analytics.part_supplier_share(t["lineitem"])
         ),
         "events_frequent_itemsets": _events_frequent_itemsets,
+        "events_als_affinity": _events_als_affinity,
         "events_dow_seasonality": _q(
             ("events",), lambda t: behavior.dow_seasonality(t["events"])
         ),

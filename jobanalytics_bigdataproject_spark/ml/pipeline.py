@@ -266,3 +266,64 @@ def frequent_event_itemsets(
         )
         .orderBy(F.desc("n_users_with_set"), "itemset")
     )
+
+
+def als_event_affinity(
+    events, rank: int = 8, n_iter: int = 5, seed: int = 42,
+    user_col: str = "user_id", type_col: str = "event_type", top_n: int = 3,
+):
+    """[EXT] MLlib ALS with implicit feedback over (user, event_type)
+    interaction counts — the collaborative-filtering member of the ML
+    tier: "users who browse also purchase" affinities from behavior
+    alone, no item metadata. Completes the MLlib family coverage
+    (regressors M10-M12, FPGrowth, KMeans-at-ingest, now matrix
+    factorization).
+
+    Returns top-``top_n`` recommended event types per user with the
+    model's affinity score scaled to integer basis points (scores are
+    float and seed-dependent — rows-only by design, SURVEY §5.3; the
+    pytest pins that a user's strongest observed behavior family ranks
+    above behaviors they never exhibited on a constructed log).
+
+    Scale: the ratings build is one (user,type)-keyed count aggregate;
+    ALS itself is MLlib's blocked alternating least squares — factor
+    matrices live in block-partitioned RDDs, each sweep joins
+    interaction blocks with one factor side (never a cross join), and
+    implicit mode weights by confidence 1+alpha·count. recommendForAll
+    is a blocked factor×factor top-k, quadratic in *blocks* not rows —
+    the standard trillion-interaction recommender shape."""
+    from pyspark.ml.feature import StringIndexer
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import functions as F
+
+    ratings = (
+        events.groupBy(user_col, type_col)
+        .agg(F.count("*").cast("float").alias("cnt"))
+        .cache()
+    )
+    try:
+        idx = StringIndexer(
+            inputCol=type_col, outputCol="item", stringOrderType="alphabetAsc"
+        ).fit(ratings)
+        rated = idx.transform(ratings).withColumn("item", F.col("item").cast("int"))
+        model = ALS(
+            rank=rank, maxIter=n_iter, seed=seed, implicitPrefs=True,
+            alpha=1.0, regParam=0.1, userCol=user_col, itemCol="item",
+            ratingCol="cnt", coldStartStrategy="drop", nonnegative=True,
+        ).fit(rated)
+        recs = model.recommendForAllUsers(top_n)
+    finally:
+        ratings.unpersist()
+    labels = idx.labelsArray[0]
+    return (
+        recs.select(user_col, F.posexplode("recommendations").alias("pos", "rec"))
+        .select(
+            user_col,
+            (F.col("pos") + 1).alias("rank_n"),
+            F.element_at(
+                F.lit(labels), F.col("rec.item") + 1
+            ).alias("event_type"),
+            F.round(F.col("rec.rating") * 10000).cast("long").alias("affinity_bp"),
+        )
+        .orderBy(user_col, "rank_n")
+    )

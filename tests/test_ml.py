@@ -106,3 +106,23 @@ def test_doc_quality_classifier_distills_heuristic(spark, tables):
         assert a == b
     finally:
         out.unpersist()
+
+
+def test_als_affinity_ranks_observed_behavior_first(spark):
+    from jobanalytics_bigdataproject_spark.ml.pipeline import als_event_affinity
+
+    rows = [(1, "click")] * 50 + [(1, "view")] * 2 \
+         + [(2, "purchase")] * 50 + [(2, "view")] * 2
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = als_event_affinity(ev).collect()
+    top = {r.user_id: r.event_type for r in out if r.rank_n == 1}
+    # each user's dominant observed behavior must rank first
+    assert top == {1: "click", 2: "purchase"}
+    # full top-3 per user, contiguous ranks
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r.rank_n)
+    assert all(sorted(v) == [1, 2, 3] for v in by_user.values())
+    # never-exhibited behavior scores below exhibited ones for user 1
+    u1 = {r.event_type: r.affinity_bp for r in out if r.user_id == 1}
+    assert u1["purchase"] < u1["click"] and u1["purchase"] < u1["view"]
