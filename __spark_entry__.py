@@ -733,6 +733,39 @@ def _scd2_feed_apply(t) -> DataFrame:
     return scd.apply_change_feed(old, scd.scd2_change_feed(old, new))
 
 
+_GDPR_TABLE_CACHE: dict[str, str] = {}
+
+
+def _orders_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-be-forgotten propagation on a versioned snapshot
+    table (sources/snapshots.delete_where): orders lands in a snapshot
+    table once per process, every order of the forgotten cohort
+    (custkey % 100 == 7) is removed by a copy-on-write DELETE that
+    rewrites only files containing matches, and the query returns the
+    surviving current version. The oracle is the anti-filtered base
+    table, so the hash-check asserts the DELETE's row-level law: exactly
+    the matching rows gone, every survivor value-identical. History
+    stays time-travelable; file-level behavior (untouched files carried
+    verbatim, stats recomputed, NULL-condition rows kept, concurrency
+    rebase) is pinned in tests/test_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _GDPR_TABLE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        path = tempfile.mkdtemp(prefix="gdpr_orders_") + "/tbl"
+        sn.write_snapshot(t["orders"], path, mode="overwrite")
+        sn.delete_where(spark, path, "o_custkey % 100 = 7")
+        _GDPR_TABLE_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def _orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE INTO (upsert form, operators/scd.py:merge_upsert):
     a deterministic update batch (every 10th order re-statused 'U' with
@@ -1262,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CDC change feed between the mid-month snapshot and now: full-outer
         # diff of two current-state views (operators/scd.py:scd2_change_feed)
         "orders_merge_upsert": _orders_merge_upsert,
+        "orders_delete_propagation": _orders_delete_propagation,
         "scd2_change_feed": _q(
             ("events",),
             lambda t: scd.scd2_change_feed(
@@ -3030,6 +3064,12 @@ def _oracle_sql_literals() -> dict[str, str]:
             for i in range(16)
         ) + """) AS BIGINT) AS zkey
             FROM events
+        """,
+        "orders_delete_propagation": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE NOT (o_custkey % 100 = 7)
+            ORDER BY o_orderkey
         """,
         "orders_merge_upsert": """
             WITH src AS (

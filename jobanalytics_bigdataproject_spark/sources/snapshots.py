@@ -478,3 +478,176 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
         if fs.exists(mp):
             fs.delete(mp, False)
     return deleted
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    prune: dict | None = None,
+) -> dict:
+    """Copy-on-write DELETE (Delta ``DELETE FROM`` semantics) — the
+    right-to-be-forgotten propagation primitive: remove every row where
+    ``condition`` is TRUE by rewriting ONLY the files that actually
+    contain matching rows; every other file is carried into the new
+    version untouched (no copy, no I/O). Rows where the condition is
+    NULL are kept, matching SQL DELETE.
+
+    Two pruning tiers before any rewrite:
+
+    1. ``prune={"col": (lo, hi)}`` — manifest-stats file skipping (same
+       contract as ``read_snapshot``): files provably outside the range
+       are not even SCANNED for matches.
+    2. a distributed match probe — one filtered aggregate grouped by
+       ``input_file_name()`` over the candidate files — finds which
+       files truly contain matches; scan-only candidates are kept as-is.
+
+    The rewrite reads only the hit files and writes survivors; per-file
+    min/max stats are recomputed for the columns the parent manifest
+    tracked. Untouched files keep their stats verbatim (deletion only
+    ever SHRINKS a file's value range, so inherited stats stay
+    correct for skipping — just possibly less tight).
+
+    Concurrency: the manifest commit uses the same optimistic
+    create-if-absent loop as ``write_snapshot``; on a lost race the head
+    is re-read and the delete REBASES onto it if every hit file is still
+    present (a concurrent append commutes with this delete). If a hit
+    file vanished from the head (concurrent OPTIMIZE/overwrite/delete
+    touched the same data), the staged files are removed and a
+    ``RuntimeError`` surfaces — serializable behavior, never a lost
+    delete or a resurrect.
+
+    Returns ``{"version", "rows_deleted", "files_rewritten",
+    "files_untouched", "files_skipped_by_stats"}``; a no-match call
+    commits nothing and returns the current version with zero counts.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    all_files = manifest["files"]
+    stats = manifest.get("stats", {})
+
+    candidates = all_files
+    if prune:
+        candidates = [rel for rel in all_files if _overlaps(stats.get(rel), prune)]
+    skipped_by_stats = len(all_files) - len(candidates)
+
+    def _result(version, deleted=0, rewritten=0):
+        return {
+            "version": version,
+            "rows_deleted": deleted,
+            "files_rewritten": rewritten,
+            "files_untouched": len(all_files) - rewritten,
+            "files_skipped_by_stats": skipped_by_stats,
+        }
+
+    if not candidates:
+        return _result(head)
+
+    cond = F.expr(condition)
+    cand_df = spark.read.parquet(*(f"{table_dir}/{rel}" for rel in candidates))
+    probe = (
+        cand_df.filter(cond)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )  # metadata-scale: one row per file containing matches
+    hit_names = {r["__file"].rsplit("/", 1)[-1]: r["n"] for r in probe}
+    hit_files = [rel for rel in candidates if rel.rsplit("/", 1)[-1] in hit_names]
+    rows_deleted = sum(hit_names.values())
+    if not hit_files:
+        return _result(head)
+
+    # rewrite survivors of the hit files only; NULL condition rows kept
+    tag = uuid.uuid4().hex[:12]
+    staging = f"{table_dir}/.staging-{tag}"
+    survivors = spark.read.parquet(
+        *(f"{table_dir}/{rel}" for rel in hit_files)
+    ).filter(~cond | cond.isNull())
+    survivors.write.parquet(staging)
+
+    stats_cols = sorted({c for s in stats.values() for c in s})
+    staged_stats: dict[str, dict] = {}
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        def _plain(v):
+            return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+        for r in (
+            spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        ):
+            staged_stats[r["__file"].rsplit("/", 1)[-1]] = {
+                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"])] for c in stats_cols
+            }
+
+    data_dir = Path(f"{table_dir}/{_DATA}")
+    fs.mkdirs(data_dir)
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    for i, st in enumerate(
+        sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())
+    ):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{_DATA}/d{tag}-{i}-{name}"
+        if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
+            raise IOError(f"rename failed for {name} -> {rel}")
+        new_files.append(rel)
+        if name in staged_stats:
+            new_stats[rel] = staged_stats[name]
+    fs.delete(Path(staging), True)
+
+    hit_set = set(hit_files)
+    for _attempt in range(100):
+        cur = current_version(spark, table_dir)
+        cur_manifest = manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
+        cur_files = cur_manifest["files"]
+        if not hit_set.issubset(cur_files):
+            for rel in new_files:  # staged survivors become debris, not data
+                fs.delete(Path(f"{table_dir}/{rel}"), False)
+            raise RuntimeError(
+                f"concurrent commit removed files this DELETE rewrote "
+                f"({table_dir} v{cur}); rerun the delete against the new head"
+            )
+        cur_stats = cur_manifest.get("stats", {})
+        files = [rel for rel in cur_files if rel not in hit_set] + new_files
+        merged_stats = {
+            **{k: v for k, v in cur_stats.items() if k not in hit_set},
+            **new_stats,
+        }
+        version = cur + 1
+        new_manifest = {
+            "version": version,
+            "parent": cur,
+            "action": "delete",
+            "condition": condition,
+            "files": files,
+            "added": new_files,
+            "removed": sorted(hit_set),
+            "rows_deleted": rows_deleted,
+        }
+        if merged_stats:
+            new_manifest["stats"] = merged_stats
+        mp = _manifest_path(jvm, table_dir, version)
+        try:
+            stream = fs.create(mp, False)
+        except Exception:
+            continue  # lost the race: rebase onto the new head
+        try:
+            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
+        finally:
+            stream.close()
+        return _result(version, rows_deleted, len(hit_files))
+    raise IOError(
+        f"could not commit delete to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )

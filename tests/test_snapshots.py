@@ -285,3 +285,69 @@ def test_streaming_sink_commits_one_version_per_microbatch(spark, tdir, tmp_path
     sink = sn.snapshot_sink(tdir)
     sink(_batch(spark, 0, 6), 0)
     assert sn.current_version(spark, tdir) == 2
+
+
+# ---------------------------------------------------------------------------
+# copy-on-write DELETE (delete_where)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_removes_rows_and_keeps_history(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 5), tdir)
+    sn.write_snapshot(_batch(spark, 5, 10), tdir)
+    res = sn.delete_where(spark, tdir, "i IN (2, 7)")
+    assert res["rows_deleted"] == 2
+    assert _ids(sn.read_snapshot(spark, tdir)) == [0, 1, 3, 4, 5, 6, 8, 9]
+    # both pre-delete versions still time-travelable
+    assert _ids(sn.read_snapshot(spark, tdir, version=2)) == list(range(10))
+    info = sn.snapshot_info(spark, tdir, res["version"])
+    assert info["action"] == "delete" and info["rows_deleted"] == 2
+    assert info["removed"]  # rewritten sources recorded
+
+
+def test_delete_where_rewrites_only_hit_files(spark, tdir):
+    # two commits = two disjoint file sets; matches live only in the first
+    sn.write_snapshot(_batch(spark, 0, 5).coalesce(1), tdir)
+    sn.write_snapshot(_batch(spark, 100, 105).coalesce(1), tdir)
+    before = set(sn.snapshot_info(spark, tdir, 2)["files"])
+    res = sn.delete_where(spark, tdir, "i < 3")
+    assert res["rows_deleted"] == 3 and res["files_rewritten"] == 1
+    after = set(sn.snapshot_info(spark, tdir, res["version"])["files"])
+    # the untouched commit's file is carried over verbatim (no rewrite)
+    assert len(before & after) == 1
+    assert _ids(sn.read_snapshot(spark, tdir)) == [3, 4, 100, 101, 102, 103, 104]
+
+
+def test_delete_where_stats_prune_skips_scan_and_survives(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 10).coalesce(1), tdir, stats_cols=["i"])
+    sn.write_snapshot(_batch(spark, 100, 110).coalesce(1), tdir, stats_cols=["i"])
+    res = sn.delete_where(spark, tdir, "i = 105", prune={"i": (100, 110)})
+    assert res["files_skipped_by_stats"] == 1
+    assert res["rows_deleted"] == 1 and res["files_rewritten"] == 1
+    assert 105 not in _ids(sn.read_snapshot(spark, tdir))
+    # rewritten file's recomputed stats still enable skipping
+    info = sn.snapshot_info(spark, tdir, res["version"])
+    new_rel = info["added"][0]
+    assert info["stats"][new_rel]["i"] == [100, 109]
+
+
+def test_delete_where_null_condition_rows_are_kept(spark, tdir):
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "x")], "i long, s string")
+    sn.write_snapshot(df, tdir)
+    res = sn.delete_where(spark, tdir, "s = 'x'")
+    assert res["rows_deleted"] == 1
+    assert _ids(sn.read_snapshot(spark, tdir)) == [1, 2]  # NULL row kept
+
+
+def test_delete_where_no_match_commits_nothing(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 5), tdir)
+    head = sn.current_version(spark, tdir)
+    res = sn.delete_where(spark, tdir, "i = 999")
+    assert res == {
+        "version": head,
+        "rows_deleted": 0,
+        "files_rewritten": 0,
+        "files_untouched": len(sn.snapshot_info(spark, tdir, head)["files"]),
+        "files_skipped_by_stats": 0,
+    }
+    assert sn.current_version(spark, tdir) == head
