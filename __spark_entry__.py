@@ -766,6 +766,68 @@ def _orders_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_META_TABLE_CACHE: dict[str, str] = {}
+
+
+def _orders_snapshot_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation on a versioned snapshot table
+    (sources/snapshots.metadata_agg): COUNT(*) / MIN / MAX answered from
+    the manifest's per-file row counts and min/max stats with ZERO data
+    files opened at query time — the Iceberg/Delta shape where "how many
+    rows?" on a 100 TB table costs one small JSON read, not a scan. The
+    table is built once per process across three commits (two appends
+    split by order-key parity, then a copy-on-write DELETE of the
+    custkey%100==7 cohort) so the manifest arithmetic is exercised over
+    a multi-commit log including the delete path's stats recompute. The
+    oracle computes the same three numbers by actually scanning the
+    equivalent rows, so the hash check asserts metadata == scan exactly."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _META_TABLE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"]
+        path = tempfile.mkdtemp(prefix="meta_orders_") + "/tbl"
+        sn.write_snapshot(
+            o.filter(F.col("o_orderkey") % 2 == 0), path,
+            mode="append", stats_cols=("o_totalprice",),
+        )
+        sn.write_snapshot(
+            o.filter(F.col("o_orderkey") % 2 != 0), path,
+            mode="append", stats_cols=("o_totalprice",),
+        )
+        sn.delete_where(spark, path, "o_custkey % 100 = 7")
+        _META_TABLE_CACHE[sf_dir] = path
+    m = sn.metadata_agg(spark, path, cols=("o_totalprice",))
+    return spark.createDataFrame(
+        [(m["n_rows"], m["min"]["o_totalprice"], m["max"]["o_totalprice"])],
+        "n_rows bigint, min_price double, max_price double",
+    )
+
+
+def _orders_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report (operators/profile.drift_report) between
+    orders and a deterministically shifted twin (drop the custkey%7
+    cohort, +25000.00 on the custkey%3 cohort's prices): fixed-edge
+    10-bucket histogram of o_totalprice on both sides, shares in integer
+    basis points, signed per-bucket delta. Fully oracle-checked — the
+    bucket law, the zero-filled empty buckets, and the truncating share
+    division are all engine-exact."""
+    t = load_star(spark, sf_dir, ("orders",))
+    o = t["orders"]
+    cur = o.filter(F.col("o_custkey") % 7 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_custkey") % 3 == 0, F.col("o_totalprice") + F.lit(25000.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return profile.drift_report(
+        o, cur, "o_totalprice", lo=0.0, hi=500000.0, n_buckets=10
+    )
+
+
 def _orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE INTO (upsert form, operators/scd.py:merge_upsert):
     a deterministic update batch (every 10th order re-statused 'U' with
@@ -924,6 +986,10 @@ _PRIORITY = [
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "fuzzy_graph_components",
+    # metadata-only snapshot aggregation + distribution-drift report
+    # (new oracle-backed queries, need first green rows)
+    "orders_snapshot_metadata_agg",
+    "orders_drift_report",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1296,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diff of two current-state views (operators/scd.py:scd2_change_feed)
         "orders_merge_upsert": _orders_merge_upsert,
         "orders_delete_propagation": _orders_delete_propagation,
+        "orders_snapshot_metadata_agg": _orders_snapshot_metadata_agg,
+        "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
             lambda t: scd.scd2_change_feed(
@@ -3070,6 +3138,40 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_custkey % 100 = 7)
             ORDER BY o_orderkey
+        """,
+        "orders_snapshot_metadata_agg": """
+            SELECT COUNT(*) AS n_rows,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+            WHERE NOT (o_custkey % 100 = 7)
+        """,
+        "orders_drift_report": """
+            WITH base AS (
+                SELECT LEAST(9, GREATEST(0, CAST(FLOOR(o_totalprice / 50000.0) AS INT))) AS bucket
+                FROM orders
+            ),
+            cur AS (
+                SELECT LEAST(9, GREATEST(0, CAST(FLOOR(
+                    (CASE WHEN o_custkey % 3 = 0 THEN o_totalprice + 25000.0
+                          ELSE o_totalprice END) / 50000.0) AS INT))) AS bucket
+                FROM orders WHERE o_custkey % 7 <> 0
+            ),
+            bk AS (SELECT UNNEST(range(0, 10)) AS bucket),
+            bh AS (SELECT bucket, COUNT(*) AS base_n FROM base GROUP BY bucket),
+            ch AS (SELECT bucket, COUNT(*) AS cur_n FROM cur GROUP BY bucket),
+            j AS (
+                SELECT bk.bucket,
+                       COALESCE(base_n, 0) AS base_n,
+                       COALESCE(cur_n, 0) AS cur_n
+                FROM bk LEFT JOIN bh USING (bucket) LEFT JOIN ch USING (bucket)
+            )
+            SELECT bucket, base_n, cur_n,
+                   CAST((10000 * base_n) // NULLIF(SUM(base_n) OVER (), 0) AS BIGINT) AS base_share_bp,
+                   CAST((10000 * cur_n) // NULLIF(SUM(cur_n) OVER (), 0) AS BIGINT) AS cur_share_bp,
+                   CAST(((10000 * cur_n) // NULLIF(SUM(cur_n) OVER (), 0))
+                     - ((10000 * base_n) // NULLIF(SUM(base_n) OVER (), 0)) AS BIGINT) AS delta_bp
+            FROM j ORDER BY bucket
         """,
         "orders_merge_upsert": """
             WITH src AS (

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,3 +125,80 @@ def expect(df: DataFrame, rules: "dict[str, Column]") -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+def drift_report(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """[EXT] Distribution-drift report between two table versions (the
+    check a training pipeline runs when a new source drop or upstream
+    code change lands: did the value distribution move?): fixed-edge
+    histogram of ``value_col`` on both frames, per-bucket population
+    shares in integer basis points, and their signed delta. The caller
+    derives headline numbers from the rows (total-variation distance =
+    sum(abs(delta_bp))/2/10000); PSI needs ln() and is deliberately left
+    float-free here so the report hash-matches across engines.
+
+    Bucket law: NULL → -1, else clamp(floor((v - lo)/width), 0, n-1)
+    with width = (hi - lo)/n_buckets — fixed edges shared by BOTH frames
+    (quantile edges would re-fit to the drifted data and mask the
+    drift). Empty buckets are emitted with zero counts so the report
+    always has one row per bucket and a consumer can diff reports
+    positionally.
+
+    Scale: one scan + one n_buckets-row aggregate per side; the join and
+    the share-of-total window run on ≤ n_buckets+1 rows (metadata
+    scale). Shares use truncating integer division — exact, engine-
+    independent.
+    """
+    width = (hi - lo) / n_buckets
+
+    def hist(df: DataFrame, n_alias: str) -> DataFrame:
+        v = F.col(value_col)
+        bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+            )
+        )
+        return df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(n_alias)
+        )
+
+    buckets = base.sparkSession.range(-1, n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    joined = (
+        buckets.join(hist(base, "base_n"), "bucket", "left")
+        .join(hist(current, "cur_n"), "bucket", "left")
+        .na.fill(0, ["base_n", "cur_n"])
+    )
+    w = Window.partitionBy()  # ≤ n_buckets+1 rows: a single tiny partition
+    shares = joined.select(
+        "bucket",
+        "base_n",
+        "cur_n",
+        F.expr("CAST(10000 * base_n AS BIGINT)").alias("__b"),
+        F.expr("CAST(10000 * cur_n AS BIGINT)").alias("__c"),
+        F.sum("base_n").over(w).alias("__bt"),
+        F.sum("cur_n").over(w).alias("__ct"),
+    ).select(
+        "bucket",
+        "base_n",
+        "cur_n",
+        F.expr("__b div nullif(__bt, 0)").alias("base_share_bp"),
+        F.expr("__c div nullif(__ct, 0)").alias("cur_share_bp"),
+        F.expr("(__c div nullif(__ct, 0)) - (__b div nullif(__bt, 0))").alias(
+            "delta_bp"
+        ),
+    )
+    # drop the NULL bucket row when neither side has NULLs (keeps the
+    # common case at exactly n_buckets rows)
+    return shares.filter(
+        (F.col("bucket") >= 0) | (F.col("base_n") > 0) | (F.col("cur_n") > 0)
+    ).orderBy("bucket")

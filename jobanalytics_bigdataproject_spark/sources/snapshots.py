@@ -52,6 +52,12 @@ _LOG = "_log"
 _DATA = "data"
 
 
+def _plain(v):
+    """JSON-safe manifest value: primitives pass through, everything else
+    (dates/timestamps/decimals) round-trips as its string form."""
+    return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -147,6 +153,15 @@ def write_snapshot(
     non-overlapping files from the scan list before Spark ever opens
     them. Most valuable when commits are range-clustered (sorted /
     z-ordered writers upstream), exactly like Delta data skipping.
+
+    Every commit also records per-file ROW COUNTS (manifest ``rows``
+    map). The collection is a zero-data-column grouped count over the
+    just-staged files (parquet answers it from row-group metadata — no
+    value pages are read), and it is what lets ``metadata_agg`` answer
+    ``COUNT(*)`` (and, with ``stats_cols``, ``MIN``/``MAX``) from the
+    manifest alone — zero file I/O at query time, the Iceberg/Delta
+    metadata-only-query shape that matters when the table is 100 TB and
+    the question is one number.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -168,23 +183,25 @@ def write_snapshot(
     staging = f"{table_dir}/.staging-{tag}"
     df.write.parquet(staging)
 
+    # one grouped agg over the staged files collects row counts (always)
+    # and min/max (when stats_cols): with no stats_cols the scan touches
+    # zero data columns, so parquet serves it from row-group metadata
     staged_stats: dict[str, dict] = {}
-    if stats_cols:
-        aggs = []
-        for c in stats_cols:
-            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
-        stat_rows = (
-            spark.read.parquet(staging)
-            .groupBy(F.input_file_name().alias("__file"))
-            .agg(*aggs)
-            .collect()
-        )
-
-        def _plain(v):
-            return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
-
-        for r in stat_rows:
-            staged_stats[r["__file"].rsplit("/", 1)[-1]] = {
+    staged_rows: dict[str, int] = {}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+    stat_rows = (
+        spark.read.parquet(staging)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    for r in stat_rows:
+        name = r["__file"].rsplit("/", 1)[-1]
+        staged_rows[name] = int(r["__rows"])
+        if stats_cols:
+            staged_stats[name] = {
                 c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"])] for c in stats_cols
             }
 
@@ -192,6 +209,7 @@ def write_snapshot(
     fs.mkdirs(data_dir)
     new_files: list[str] = []
     new_stats: dict[str, dict] = {}
+    new_rows: dict[str, int] = {}
     for i, st in enumerate(sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())):
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
@@ -202,6 +220,8 @@ def write_snapshot(
         new_files.append(rel)
         if name in staged_stats:
             new_stats[rel] = staged_stats[name]
+        # a 0-row file forms no group in the count agg: it has zero rows
+        new_rows[rel] = staged_rows.get(name, 0)
     fs.delete(Path(staging), True)
 
     # 2. optimistic manifest commit (bounded: losing the create race 100
@@ -221,11 +241,14 @@ def write_snapshot(
             parent = _read_manifest(fs, jvm, table_dir, head)
             parent_files = parent["files"]
             parent_stats = parent.get("stats", {})
+            parent_rows = parent.get("rows", {})
         else:
             parent_files = []
             parent_stats = {}
+            parent_rows = {}
         version = head + 1
         stats = {**parent_stats, **new_stats} if mode == "append" else new_stats
+        rows = {**parent_rows, **new_rows} if mode == "append" else new_rows
         manifest = {
             "version": version,
             "parent": head,
@@ -235,6 +258,8 @@ def write_snapshot(
         }
         if stats:
             manifest["stats"] = stats
+        if rows:
+            manifest["rows"] = rows
         if idempotency_key is not None:
             manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
@@ -376,6 +401,8 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
         }
         if target.get("stats"):
             manifest["stats"] = target["stats"]
+        if target.get("rows"):
+            manifest["rows"] = target["rows"]
         mp = _manifest_path(jvm, table_dir, version)
         try:
             stream = fs.create(mp, False)
@@ -416,7 +443,10 @@ def snapshot_sink(table_dir: str, mode: str = "append"):
 
 
 def optimize_snapshot(
-    spark: SparkSession, table_dir: str, target_mb: int = 128
+    spark: SparkSession,
+    table_dir: str,
+    target_mb: int = 128,
+    cluster_by: tuple[str, ...] | list[str] = (),
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot's files into ~target-sized
     ones and commit the rewrite as a new version — same rows, fewer
@@ -425,9 +455,20 @@ def optimize_snapshot(
     they resolve the old manifest; after it they see identical data. The
     replaced files stay on disk for time travel until `vacuum`.
 
-    The rewrite is `coalesce` (shuffle-free concatenation of input
-    splits, same as `maintenance.compact_parquet`); returns the new
-    version.
+    Default rewrite is `coalesce` (shuffle-free concatenation of input
+    splits, same as `maintenance.compact_parquet`). ``cluster_by`` makes
+    the rewrite a range-cluster instead (Delta ``OPTIMIZE ... ZORDER BY``
+    shape): one range shuffle + in-partition sort on the named columns,
+    so each output file covers a narrow key range and the recomputed
+    manifest min/max stats become maximally tight — file skipping on
+    those columns goes from "whatever the ingest order left" to
+    near-perfect. Worth the shuffle exactly when reads prune on the
+    clustered columns.
+
+    Per-file min/max for the columns the parent manifest tracked are
+    RECOMPUTED (not dropped — a compaction that loses its table's data-
+    skipping stats un-optimizes every future read), and per-file row
+    counts are refreshed as on any commit. Returns the new version.
     """
     fs, _, jvm = _fs(spark, table_dir)
     head = current_version(spark, table_dir)
@@ -440,7 +481,16 @@ def optimize_snapshot(
     )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     current = read_snapshot(spark, table_dir, version=head)
-    return write_snapshot(current.coalesce(n), table_dir, mode="overwrite")
+    if cluster_by:
+        current = current.repartitionByRange(n, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        current = current.coalesce(n)
+    stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
+    return write_snapshot(
+        current, table_dir, mode="overwrite", stats_cols=stats_cols
+    )
 
 
 def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
@@ -571,20 +621,20 @@ def delete_where(
 
     stats_cols = sorted({c for s in stats.values() for c in s})
     staged_stats: dict[str, dict] = {}
-    if stats_cols:
-        aggs = []
-        for c in stats_cols:
-            aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
-        def _plain(v):
-            return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
-
-        for r in (
-            spark.read.parquet(staging)
-            .groupBy(F.input_file_name().alias("__file"))
-            .agg(*aggs)
-            .collect()
-        ):
-            staged_stats[r["__file"].rsplit("/", 1)[-1]] = {
+    staged_rows: dict[str, int] = {}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+    for r in (
+        spark.read.parquet(staging)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    ):
+        name = r["__file"].rsplit("/", 1)[-1]
+        staged_rows[name] = int(r["__rows"])
+        if stats_cols:
+            staged_stats[name] = {
                 c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"])] for c in stats_cols
             }
 
@@ -592,6 +642,7 @@ def delete_where(
     fs.mkdirs(data_dir)
     new_files: list[str] = []
     new_stats: dict[str, dict] = {}
+    new_rows: dict[str, int] = {}
     for i, st in enumerate(
         sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())
     ):
@@ -604,6 +655,8 @@ def delete_where(
         new_files.append(rel)
         if name in staged_stats:
             new_stats[rel] = staged_stats[name]
+        # a 0-row file forms no group in the count agg: it has zero rows
+        new_rows[rel] = staged_rows.get(name, 0)
     fs.delete(Path(staging), True)
 
     hit_set = set(hit_files)
@@ -619,10 +672,15 @@ def delete_where(
                 f"({table_dir} v{cur}); rerun the delete against the new head"
             )
         cur_stats = cur_manifest.get("stats", {})
+        cur_rows = cur_manifest.get("rows", {})
         files = [rel for rel in cur_files if rel not in hit_set] + new_files
         merged_stats = {
             **{k: v for k, v in cur_stats.items() if k not in hit_set},
             **new_stats,
+        }
+        merged_rows = {
+            **{k: v for k, v in cur_rows.items() if k not in hit_set},
+            **new_rows,
         }
         version = cur + 1
         new_manifest = {
@@ -637,6 +695,8 @@ def delete_where(
         }
         if merged_stats:
             new_manifest["stats"] = merged_stats
+        if merged_rows:
+            new_manifest["rows"] = merged_rows
         mp = _manifest_path(jvm, table_dir, version)
         try:
             stream = fs.create(mp, False)
@@ -651,3 +711,74 @@ def delete_where(
         f"could not commit delete to {table_dir} after 100 attempts — "
         "manifest create keeps failing (permissions/path problem, not contention)"
     )
+
+
+def metadata_agg(
+    spark: SparkSession,
+    table_dir: str,
+    cols: tuple[str, ...] | list[str] = (),
+    version: int | None = None,
+) -> dict:
+    """Answer ``COUNT(*)`` — and ``MIN``/``MAX`` of ``cols`` — from the
+    manifest ALONE: zero data files opened, O(files) driver arithmetic
+    over the per-file row counts and min/max stats every commit records.
+    This is the Iceberg/Delta metadata-only query shape: on a 100 TB
+    table, "how many rows?" and "what's the value range?" must not cost
+    a scan.
+
+    Exactness, not estimation: per-file counts sum to the exact table
+    count (every commit path — write/append/delete/optimize — maintains
+    them), and min-of-mins / max-of-maxes over ALL files equals the true
+    column min/max (file stats are exact per file; unlike range
+    *skipping*, which stays safe with stale bounds, aggregation is only
+    valid because rewrites recompute stats for every live file).
+
+    Loudly refuses (``ValueError``) when the manifest lacks counts or a
+    requested column's stats for any live file — a silent fall-back scan
+    would defeat the contract, and a silent partial answer would be
+    wrong. NULL handling: file-level min/max ignore NULLs (both parquet
+    and the collection agg), matching SQL MIN/MAX; an all-NULL file
+    records [None, None] and is skipped, again matching SQL.
+
+    Returns ``{"n_rows": int, "n_files": int, "min": {col: v},
+    "max": {col: v}}`` (min/max keys only for requested ``cols``).
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    if version is None:
+        version = current_version(spark, table_dir)
+    if version == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, version)
+    files = manifest["files"]
+    rows = manifest.get("rows", {})
+    missing = [rel for rel in files if rel not in rows]
+    if missing:
+        raise ValueError(
+            f"manifest v{version} lacks row counts for {len(missing)} file(s) "
+            "(written before row-count tracking?) — metadata COUNT would be wrong"
+        )
+    out = {
+        "n_rows": sum(int(rows[rel]) for rel in files),
+        "n_files": len(files),
+        "min": {},
+        "max": {},
+    }
+    stats = manifest.get("stats", {})
+    for c in cols:
+        mins, maxs = [], []
+        for rel in files:
+            if int(rows[rel]) == 0:
+                continue  # empty file: no stats needed, contributes nothing
+            rng = stats.get(rel, {}).get(c)
+            if rng is None:
+                raise ValueError(
+                    f"manifest v{version} lacks {c!r} stats for {rel} — "
+                    "metadata MIN/MAX would be wrong (commit with stats_cols)"
+                )
+            if rng[0] is not None:
+                mins.append(rng[0])
+            if rng[1] is not None:
+                maxs.append(rng[1])
+        out["min"][c] = min(mins) if mins else None
+        out["max"][c] = max(maxs) if maxs else None
+    return out

@@ -326,3 +326,28 @@ def test_merge_upsert_rejects_schema_drift(spark):
     s = spark.createDataFrame([(1,)], "k long")
     with _pytest.raises(ValueError, match="identical schemas"):
         merge_upsert(t, s, ("k",))
+
+
+def test_drift_report_detects_shift_and_zero_fills(spark):
+    base = spark.createDataFrame([(float(v),) for v in [5, 15, 15, 25, 35]], "v double")
+    cur = spark.createDataFrame([(float(v),) for v in [5, 35, 35, 35]], "v double")
+    rep = profile.drift_report(base, cur, "v", lo=0.0, hi=40.0, n_buckets=4)
+    rows = {r["bucket"]: r for r in rep.collect()}
+    assert sorted(rows) == [0, 1, 2, 3]  # empty buckets are emitted
+    assert rows[1]["base_n"] == 2 and rows[1]["cur_n"] == 0
+    # shares are truncating integer bp of each side's own total
+    assert rows[0]["base_share_bp"] == 2000  # 1/5
+    assert rows[0]["cur_share_bp"] == 2500   # 1/4
+    assert rows[3]["delta_bp"] == 7500 - 2000
+    # identical frames -> all deltas zero
+    same = profile.drift_report(base, base, "v", lo=0.0, hi=40.0, n_buckets=4)
+    assert all(r["delta_bp"] == 0 for r in same.collect())
+
+
+def test_drift_report_clamps_outliers_and_buckets_nulls(spark):
+    base = spark.createDataFrame([(v,) for v in [-5.0, 100.0, None]], "v double")
+    cur = spark.createDataFrame([(v,) for v in [1.0]], "v double")
+    rep = profile.drift_report(base, cur, "v", lo=0.0, hi=10.0, n_buckets=2)
+    rows = {r["bucket"]: r for r in rep.collect()}
+    assert rows[0]["base_n"] == 1 and rows[1]["base_n"] == 1  # clamped ends
+    assert rows[-1]["base_n"] == 1 and rows[-1]["cur_n"] == 0  # NULL bucket kept

@@ -351,3 +351,86 @@ def test_delete_where_no_match_commits_nothing(spark, tdir):
         "files_skipped_by_stats": 0,
     }
     assert sn.current_version(spark, tdir) == head
+
+
+def test_metadata_agg_count_min_max_from_manifest_only(spark, tdir):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("i"), (F.col("id") * 2.5).alias("v")
+    )
+    sn.write_snapshot(df.filter("i % 2 = 0"), tdir, stats_cols=("v",))
+    sn.write_snapshot(df.filter("i % 2 = 1"), tdir, stats_cols=("v",))
+    m = sn.metadata_agg(spark, tdir, cols=("v",))
+    assert m["n_rows"] == 100
+    assert m["min"]["v"] == 0.0 and m["max"]["v"] == 99 * 2.5
+    # metadata answers must track the delete path's stats recompute
+    sn.delete_where(spark, tdir, "i >= 90")
+    m2 = sn.metadata_agg(spark, tdir, cols=("v",))
+    assert m2["n_rows"] == 90
+    assert m2["max"]["v"] == 89 * 2.5
+    # time travel: the pre-delete version still answers the old numbers
+    head = sn.current_version(spark, tdir)
+    assert sn.metadata_agg(spark, tdir, version=head - 1)["n_rows"] == 100
+
+
+def test_metadata_agg_refuses_missing_column_stats(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 5), tdir)  # no stats_cols
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 5  # counts always exist
+    with pytest.raises(ValueError, match="lacks 'i' stats"):
+        sn.metadata_agg(spark, tdir, cols=("i",))
+
+
+def test_metadata_agg_refuses_manifest_without_row_counts(spark, tdir):
+    import json as _json
+    import pathlib
+
+    sn.write_snapshot(_batch(spark, 0, 5), tdir)
+    mp = pathlib.Path(tdir) / "_log" / "v00000001.json"
+    man = _json.loads(mp.read_text())
+    del man["rows"]  # simulate a pre-row-count manifest
+    mp.write_text(_json.dumps(man))
+    # the local Hadoop FS keeps a checksum sidecar; the out-of-band edit
+    # above invalidates it
+    (mp.parent / f".{mp.name}.crc").unlink(missing_ok=True)
+    with pytest.raises(ValueError, match="lacks row counts"):
+        sn.metadata_agg(spark, tdir)
+
+
+def test_optimize_carries_stats_and_rows(spark, tdir):
+    df = spark.range(0, 60).select(F.col("id").alias("i"))
+    for lo in range(0, 60, 10):  # six tiny commits -> small-file debt
+        sn.write_snapshot(
+            df.filter((F.col("i") >= lo) & (F.col("i") < lo + 10)),
+            tdir,
+            stats_cols=("i",),
+        )
+    v = sn.optimize_snapshot(spark, tdir, target_mb=1024)
+    # stats survived the rewrite: metadata min/max still answerable,
+    # and file skipping still works on the optimized snapshot
+    m = sn.metadata_agg(spark, tdir, cols=("i",))
+    assert (m["n_rows"], m["min"]["i"], m["max"]["i"]) == (60, 0, 59)
+    assert _ids(sn.read_snapshot(spark, tdir, version=v)) == list(range(60))
+
+
+def test_optimize_cluster_by_tightens_file_ranges(spark, tdir):
+    import random
+
+    rnd = random.Random(7)
+    vals = list(range(400))
+    rnd.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "i long").repartition(8)
+    sn.write_snapshot(df, tdir, stats_cols=("i",))
+    # unclustered ingest: a narrow range predicate prunes nothing
+    before = sn.snapshot_info(spark, tdir, 1)
+    v = sn.optimize_snapshot(spark, tdir, target_mb=1, cluster_by=("i",))
+    after = sn.snapshot_info(spark, tdir, v)
+
+    def kept(man, lo, hi):
+        stats = man.get("stats", {})
+        return sum(1 for rel in man["files"] if sn._overlaps(stats.get(rel), {"i": (lo, hi)}))
+
+    if len(after["files"]) > 1:  # clustering only shows with >1 output file
+        # after range-clustering, a narrow predicate touches exactly the
+        # file(s) covering that range — pruning is near-perfect
+        assert kept(after, 0, 10) < len(after["files"])
+        assert kept(after, 0, 10) <= max(1, kept(before, 0, 10))
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(400))
