@@ -994,6 +994,7 @@ _PRIORITY = [
 _ROWS_ONLY = {
     "ann_recall_report",
     "docs_quality_classifier",
+    "docs_lda_topics",
     "docs_fuzzy_contamination",
     "docs_bpe_merges",
     "docs_bpe_token_stats",
@@ -1596,6 +1597,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": _q(
             ("documents",),
             lambda t: mlq.doc_quality_classifier(t["documents"]),
+        ),
+        # corpus-mix audit: MLlib LDA-EM topic discovery (ml/quality.py:
+        # lda_topics; rows-only: iterative float posterior weights)
+        "docs_lda_topics": _q(
+            ("documents",),
+            lambda t: mlq.lda_topics(t["documents"]),
         ),
         # --- sampling / statistics (SURVEY.md §2.9; rows-only by design) ---
         "sample_stratified_orders": _q(

@@ -118,3 +118,69 @@ def doc_quality_classifier(
         F.col("prediction").alias("pred"),
     )
     # no presentation sort: D-sized output; rows-only (float model scores)
+
+
+def lda_topics(
+    documents: DataFrame,
+    k: int = 5,
+    vocab_size: int = 256,
+    max_iter: int = 20,
+    top_terms: int = 7,
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """[EXT] Corpus topic discovery via MLlib LDA (Blei et al. 2003; the
+    distributed EM optimizer, Spark's graph-based implementation): what a
+    training-data pipeline runs to AUDIT a corpus mix — "what is actually
+    in this crawl?" — before choosing mixture weights. Completes the
+    MLlib family next to the regressors, FPGrowth, ALS, and the
+    KMeans-at-ingest quantizers.
+
+    Pipeline: whitespace tokenize (the fixture is pre-normalized; real
+    corpora reuse textfns' regex tokenizer) → CountVectorizer (bounded
+    ``vocab_size``: the model is vocab × k, broadcast-sized by
+    construction) → LDA(k, em, seed pinned). EM is deterministic given
+    the seed, but term WEIGHTS are iterative floats — so this is
+    rows-only evidence by design (SURVEY §5.3, like the other MLlib
+    members); the test pins structure (k topics, ``top_terms`` ranked
+    vocabulary members each, weights descending and positive).
+
+    Output: one row per (topic, rank): topic id, rank, term string,
+    weight in integer micro-units (deterministic presentation of the
+    float posterior).
+
+    Scale: LDA-EM shuffles the doc-term graph per iteration — inherent
+    to the algorithm and linear in corpus tokens; the describeTopics
+    result is k × top_terms rows (driver-tiny). The vocabulary array is
+    broadcast via the CV model, never collected per-row.
+    """
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer, Tokenizer
+
+    spark = documents.sparkSession
+    toks = Tokenizer(inputCol=text_col, outputCol="__tokens").transform(
+        documents.select(text_col).na.drop()
+    )
+    cv = CountVectorizer(
+        inputCol="__tokens", outputCol="features", vocabSize=vocab_size, minDF=2.0
+    ).fit(toks)
+    corpus = cv.transform(toks).select("features")
+    lda = LDA(k=k, maxIter=max_iter, seed=seed, optimizer="em").fit(corpus)
+    topics = lda.describeTopics(top_terms)
+    vocab = spark.createDataFrame(
+        list(enumerate(cv.vocabulary)), "term_idx int, term string"
+    )
+    exploded = topics.select(
+        "topic",
+        F.posexplode(F.arrays_zip("termIndices", "termWeights")).alias("rank", "tw"),
+    ).select(
+        "topic",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("tw.termIndices").alias("term_idx"),
+        F.floor(F.col("tw.termWeights") * 1_000_000).cast("long").alias("weight_micro"),
+    )
+    return (
+        exploded.join(F.broadcast(vocab), "term_idx")
+        .select("topic", "rank", "term", "weight_micro")
+        .orderBy("topic", "rank")
+    )

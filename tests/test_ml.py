@@ -126,3 +126,26 @@ def test_als_affinity_ranks_observed_behavior_first(spark):
     # never-exhibited behavior scores below exhibited ones for user 1
     u1 = {r.event_type: r.affinity_bp for r in out if r.user_id == 1}
     assert u1["purchase"] < u1["click"] and u1["purchase"] < u1["view"]
+
+
+def test_lda_topics_structure_and_ranking(spark, tables):
+    from jobanalytics_bigdataproject_spark.ml.quality import lda_topics
+
+    out = lda_topics(tables["documents"], k=3, top_terms=5).collect()
+    assert len(out) == 3 * 5  # one row per (topic, rank)
+    by_topic = {}
+    for r in out:
+        by_topic.setdefault(r.topic, []).append(r)
+    assert sorted(by_topic) == [0, 1, 2]
+    for rows in by_topic.values():
+        ranks = [r.rank for r in sorted(rows, key=lambda r: r.rank)]
+        assert ranks == [0, 1, 2, 3, 4]  # contiguous ranks
+        weights = [r.weight_micro for r in sorted(rows, key=lambda r: r.rank)]
+        assert weights == sorted(weights, reverse=True)  # descending
+        assert all(w > 0 for w in weights)
+        assert all(isinstance(r.term, str) and r.term for r in rows)
+    # seed-pinned: same call, same result (EM determinism given the seed)
+    again = lda_topics(tables["documents"], k=3, top_terms=5).collect()
+    assert [(r.topic, r.rank, r.term) for r in out] == [
+        (r.topic, r.rank, r.term) for r in again
+    ]
