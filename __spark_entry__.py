@@ -990,6 +990,7 @@ _PRIORITY = [
     # (new oracle-backed queries, need first green rows)
     "orders_snapshot_metadata_agg",
     "orders_drift_report",
+    "events_contingency_audit",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1238,6 +1239,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_als_affinity": _events_als_affinity,
         "events_dow_seasonality": _q(
             ("events",), lambda t: behavior.dow_seasonality(t["events"])
+        ),
+        # integer-exact chi-square independence audit of type × weekday
+        # (operators/behavior.py:contingency_audit — decimal(38,0) lanes)
+        "events_contingency_audit": _q(
+            ("events",), lambda t: behavior.contingency_audit(t["events"])
         ),
         # deterministic (md5-ordered) sampler — oracle-checkable, unlike RNG
         # samplers; source coalesced to '' on BOTH engines (ADVICE r2: Spark
@@ -2755,6 +2761,35 @@ def _oracle_sql_literals() -> dict[str, str]:
                        AS deviation_bp
             FROM daily JOIN prof USING (dow)
             ORDER BY day
+        """,
+        "events_contingency_audit": """
+            WITH cells AS (
+                SELECT event_type,
+                       dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+                       COUNT(*) AS observed
+                FROM events
+                GROUP BY event_type, dayofweek(CAST(ts AS DATE)) + 1
+            ),
+            tot AS (
+                SELECT event_type, dow, observed,
+                       SUM(observed) OVER (PARTITION BY event_type) AS row_total,
+                       SUM(observed) OVER (PARTITION BY dow) AS col_total,
+                       SUM(observed) OVER () AS grand
+                FROM cells
+            )
+            SELECT event_type, dow, observed,
+                   CAST((CAST(row_total AS HUGEINT) * col_total * 1000000)
+                        // CAST(grand AS HUGEINT) AS BIGINT) AS expected_micro,
+                   CAST(((CAST(observed AS HUGEINT) * grand
+                          - CAST(row_total AS HUGEINT) * col_total) * 10000)
+                        // (CAST(row_total AS HUGEINT) * col_total) AS BIGINT) AS dev_bp,
+                   CAST(((CAST(observed AS HUGEINT) * grand
+                          - CAST(row_total AS HUGEINT) * col_total)
+                         * (CAST(observed AS HUGEINT) * grand
+                            - CAST(row_total AS HUGEINT) * col_total) * 1000000)
+                        // (CAST(grand AS HUGEINT) * row_total * col_total) AS BIGINT)
+                       AS chi2_micro
+            FROM tot ORDER BY event_type, dow
         """,
         "customer_hierarchy_recursive": """
             WITH RECURSIVE chain AS (

@@ -128,6 +128,19 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - the timed loop reports failures
             pass
 
+    # Settle between the priming marathon and the timed loop: the ~180
+    # freshly-compiled plans leave a JIT/GC backlog that steals cores from
+    # whatever runs NEXT — which, in ascending-baseline order, is exactly
+    # the sub-second tier where a stolen core doubles the reading (r4 full
+    # run: grouping_sets_orders 0.50 s in-bench vs 0.22 s solo, same
+    # session config). One explicit GC + a short pause drains the backlog
+    # before the first timed measurement.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001 - py4j hiccup: settle by sleep alone
+        pass
+    time.sleep(3.0)
+
     timings: dict[str, float] = {}
     best: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -138,6 +151,18 @@ def main() -> None:
         fn = qmap[name]
         runs: list[float] = []
         ok = True
+        # sub-second tier: one extra untimed warm run immediately before
+        # timing — at the job-overhead floor a single cold code path or a
+        # stray GC during the first timed run is the whole 2x budget, and
+        # the global priming pass ran a full sweep (minutes) ago. Costs
+        # ~sum(sub-second baselines) ≈ 30 s per bench run, removes the
+        # dominant false-regression mode (this run's re-check: all three
+        # in-bench >2x rows were ≤1.4x solo).
+        if baselines.get(name, 1.0) < 1.0:
+            try:
+                _time_once(fn, spark, sf_dir)
+            except Exception:  # noqa: BLE001 - the timed loop reports it
+                pass
         for _ in range(n_runs):
             try:
                 runs.append(_time_once(fn, spark, sf_dir))

@@ -726,3 +726,75 @@ def last_touch_attribution(
         )
         .orderBy("attributed_type")
     )
+
+
+def contingency_audit(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """[EXT] Integer-exact chi-square contingency audit of event type ×
+    day-of-week: observed cell counts against the independence-hypothesis
+    expectation, per-cell deviation, and the chi-square contribution —
+    the "did our traffic mix change by weekday?" independence test, the
+    categorical sibling of ``daily_anomaly``'s z-test.
+
+    Exactness (same discipline as ``daily_anomaly``): with O the cell
+    count, R/C the row/column totals and G the grand total, the textbook
+    statistic (O − E)²/E with E = R·C/G multiplies out to
+
+        chi2_cell = (O·G − R·C)² / (G·R·C)
+
+    — evaluated in DECIMAL(38,0) integer arithmetic with one truncating
+    division to micro-units at the end, so every reported number is
+    bit-identical on any engine and any partitioning (a float E differs
+    in the last ulp between Spark's agg tree and a single-node oracle).
+    decimal(38,0) holds (O·G − R·C)² up to ~10³⁸ — safe beyond 10¹⁸
+    events; the per-cell deviation in basis points uses only linear
+    terms.
+
+    Scale: one shuffle for the (type, dow) cell counts (map-side combine
+    does the reduction; the cell frame is |types|×7 rows). Row/column/
+    grand totals are windows over that TINY frame — the single-partition
+    window is |types|×7 rows of longs, never the event log. The caller
+    sums ``chi2_micro`` and compares to a χ² critical value at
+    (|types|−1)(7−1) degrees of freedom.
+    """
+    cells = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.dayofweek(F.col(ts_col)).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    totals = cells.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("event_type")).alias("row_total"),
+        F.sum("observed").over(Window.partitionBy("dow")).alias("col_total"),
+        F.sum("observed").over(Window.partitionBy()).alias("grand"),
+    )
+    dec = "decimal(38,0)"
+    o, r, c, g = (
+        F.col("observed").cast(dec),
+        F.col("row_total").cast(dec),
+        F.col("col_total").cast(dec),
+        F.col("grand").cast(dec),
+    )
+    diff = o * g - r * c
+    return totals.select(
+        "event_type",
+        "dow",
+        "observed",
+        (r * c * F.lit(1_000_000).cast(dec)).alias("__e_num"),
+        (diff * F.lit(10_000).cast(dec)).alias("__d_num"),
+        (diff * diff * F.lit(1_000_000).cast(dec)).alias("__x_num"),
+        (r * c).alias("__rc"),
+        (g * r * c).alias("__grc"),
+        g.alias("__g"),
+    ).select(
+        "event_type",
+        "dow",
+        "observed",
+        F.expr("CAST(__e_num div __g AS BIGINT)").alias("expected_micro"),
+        F.expr("CAST(__d_num div __rc AS BIGINT)").alias("dev_bp"),
+        F.expr("CAST(__x_num div __grc AS BIGINT)").alias("chi2_micro"),
+    ).orderBy("event_type", "dow")

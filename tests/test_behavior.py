@@ -263,3 +263,32 @@ def test_holt_daily_hand_computed(spark):
     r = behavior.holt_daily(ev).collect()[0]
     assert (r.n_days, r.level_micro, r.trend_micro) == (3, 21_520_000, 2_184_000)
     assert r.forecast_next_micro == 21_520_000 + 2_184_000
+
+
+def test_contingency_audit_hand_case(spark):
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.operators.behavior import contingency_audit
+
+    # 2 types x 2 weekdays (2024-01-01 Mon, 2024-01-02 Tue):
+    #   A: Mon 3, Tue 1;  B: Mon 1, Tue 3  -> every E = 4*4/8 = 2
+    rows = (
+        [("A", "2024-01-01 10:00:00")] * 3 + [("A", "2024-01-02 10:00:00")]
+        + [("B", "2024-01-01 10:00:00")] + [("B", "2024-01-02 10:00:00")] * 3
+    )
+    ev = spark.createDataFrame(rows, "event_type string, ts_s string").select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {(r.event_type, r.dow): r for r in contingency_audit(ev).collect()}
+    assert len(out) == 4
+    mon_a = out[("A", 2)]  # Spark dayofweek: Monday = 2
+    assert mon_a.observed == 3
+    assert mon_a.expected_micro == 2_000_000
+    # dev = (O*G - R*C)*1e4 / (R*C) = (24-16)*1e4/16 = 5000 bp over expected
+    assert mon_a.dev_bp == 5000
+    # chi2 cell = (3-2)^2/2 = 0.5 -> 500000 micro
+    assert mon_a.chi2_micro == 500_000
+    tue_a = out[("A", 3)]
+    assert (tue_a.observed, tue_a.dev_bp, tue_a.chi2_micro) == (1, -5000, 500_000)
+    # symmetric table: total chi2 = 4 * 0.5 = 2.0
+    assert sum(r.chi2_micro for r in out.values()) == 2_000_000

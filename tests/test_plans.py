@@ -150,3 +150,29 @@ def test_semantic_dedup_anti_join_not_broadcast(spark):
         if "BroadcastHashJoin" in l and "LeftAnti" in l
     ]
     assert not offending, offending
+
+
+def test_contingency_audit_exchange_budget(tables):
+    from jobanalytics_bigdataproject_spark.operators import behavior
+
+    df = behavior.contingency_audit(tables["events"])
+    # one (type, dow) cell-count exchange over the event log; every later
+    # exchange (the three total windows + presentation sort) moves the
+    # |types|x7 cell frame only — cap the total so a corpus-sized window
+    # can never sneak in
+    assert inspect.count_exchanges(df) <= 5
+    plan = inspect.formatted_plan(df)
+    assert "BatchEvalPython" not in plan  # stays JVM-side
+
+
+def test_drift_report_single_agg_per_side(tables):
+    from jobanalytics_bigdataproject_spark.operators import profile
+
+    o = tables["orders"]
+    cur = o.filter(F.col("o_custkey") % 7 != 0)
+    df = profile.drift_report(o, cur, "o_totalprice", lo=0.0, hi=500000.0)
+    plan = inspect.formatted_plan(df)
+    # the two corpus-side aggs are partial (map-side combine) before their
+    # single exchange each; everything downstream is <=11 rows
+    assert plan.count("HashAggregate") >= 4  # partial+final per side
+    assert "BatchEvalPython" not in plan
