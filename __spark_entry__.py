@@ -991,6 +991,7 @@ _PRIORITY = [
     "orders_snapshot_metadata_agg",
     "orders_drift_report",
     "events_contingency_audit",
+    "events_quantile_store_drift",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1529,6 +1530,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic persisted-histogram quantile store: integer pipeline
         # end-to-end, so the rollup IS oracle-checked (unlike HLL estimates)
         "events_quantile_store_rollup": sketches.quantile_rollup_query,
+        # drift between two windows answered from the SAME store — raw
+        # events never re-read (operators/sketches.py:drift_from_store)
+        "events_quantile_store_drift": sketches.store_drift_query,
         # --- multimodal columns [EXT]: binary payload + typed metadata;
         # every decode is REAL (stdlib wave / pure-stdlib BMP codec) through
         # Arrow mapInPandas; binary container parsing is not SQL-expressible
@@ -2761,6 +2765,41 @@ def _oracle_sql_literals() -> dict[str, str]:
                        AS deviation_bp
             FROM daily JOIN prof USING (dow)
             ORDER BY day
+        """,
+        "events_quantile_store_drift": """
+            WITH h AS (
+                SELECT CAST(ts AS DATE) AS day,
+                       CASE WHEN c < 0 THEN 0
+                            WHEN c >= 100000 THEN 257
+                            ELSE 1 + CAST(FLOOR(c * 256.0 / 100000) AS BIGINT)
+                       END AS bucket,
+                       COUNT(*) AS cnt
+                FROM (SELECT ts, CAST(ROUND(value*100) AS BIGINT) AS c FROM events)
+                GROUP BY 1, 2
+            ),
+            a AS (
+                SELECT bucket, SUM(cnt) AS base_n FROM h
+                WHERE day >= DATE '2024-01-01' AND day <= DATE '2024-01-07'
+                GROUP BY bucket
+            ),
+            b AS (
+                SELECT bucket, SUM(cnt) AS cur_n FROM h
+                WHERE day >= DATE '2024-01-15' AND day <= DATE '2024-01-21'
+                GROUP BY bucket
+            ),
+            j AS (
+                SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+                       COALESCE(base_n, 0) AS base_n,
+                       COALESCE(cur_n, 0) AS cur_n
+                FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+            )
+            SELECT bucket, CAST(base_n AS BIGINT) AS base_n,
+                   CAST(cur_n AS BIGINT) AS cur_n,
+                   CAST((10000 * base_n) // NULLIF(SUM(base_n) OVER (), 0) AS BIGINT) AS base_share_bp,
+                   CAST((10000 * cur_n) // NULLIF(SUM(cur_n) OVER (), 0) AS BIGINT) AS cur_share_bp,
+                   CAST(((10000 * cur_n) // NULLIF(SUM(cur_n) OVER (), 0))
+                     - ((10000 * base_n) // NULLIF(SUM(base_n) OVER (), 0)) AS BIGINT) AS delta_bp
+            FROM j ORDER BY bucket
         """,
         "events_contingency_audit": """
             WITH cells AS (

@@ -628,3 +628,89 @@ def cms_store_streaming_sink(
             raise IOError(f"cms_store_streaming_sink: rename {tmp} -> {path} failed")
 
     return events_stream.writeStream.foreachBatch(_apply)
+
+
+def drift_from_store(
+    spark: SparkSession,
+    path: str,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+) -> DataFrame:
+    """Distribution drift between two date ranges answered from the
+    persisted histogram store ALONE — the streaming-maintained twin of
+    ``profile.drift_report``: because the per-day cells are integer
+    counts on a FIXED bucket grid, any two time windows merge by integer
+    addition and compare exactly; the raw events are never re-read. This
+    is what makes "did this week's value distribution drift from
+    baseline week?" an O(|days|×|buckets|) question on a 100 TB log.
+
+    Same output law as ``drift_report``: per-bucket counts for both
+    windows (zero-filled on the side missing the bucket), shares in
+    truncating-integer basis points of each window's own total, signed
+    delta. Buckets observed in neither window are omitted (the store
+    has no row to resurrect them from — callers needing the dense grid
+    join against a range frame). Fully oracle-checkable: every number
+    is integer arithmetic on a deterministic bucket law.
+
+    Scale: two pruned scans of the tiny store, two ≤|buckets|-row
+    merges; the join and share windows run on ≤|buckets| rows.
+    """
+    store = spark.read.parquet(path)
+
+    def side(start: str, end: str, alias: str) -> DataFrame:
+        return (
+            store.filter((F.col("day") >= start) & (F.col("day") <= end))
+            .groupBy("bucket")
+            .agg(F.sum("cnt").alias(alias))
+        )
+
+    joined = (
+        side(a_start, a_end, "base_n")
+        .join(side(b_start, b_end, "cur_n"), "bucket", "full_outer")
+        .na.fill(0, ["base_n", "cur_n"])
+    )
+    w = Window.partitionBy()  # ≤ |buckets| rows
+    return (
+        joined.select(
+            "bucket",
+            "base_n",
+            "cur_n",
+            F.expr("CAST(10000 * base_n AS BIGINT)").alias("__b"),
+            F.expr("CAST(10000 * cur_n AS BIGINT)").alias("__c"),
+            F.sum("base_n").over(w).alias("__bt"),
+            F.sum("cur_n").over(w).alias("__ct"),
+        )
+        .select(
+            "bucket",
+            "base_n",
+            "cur_n",
+            F.expr("__b div nullif(__bt, 0)").alias("base_share_bp"),
+            F.expr("__c div nullif(__ct, 0)").alias("cur_share_bp"),
+            F.expr(
+                "(__c div nullif(__ct, 0)) - (__b div nullif(__bt, 0))"
+            ).alias("delta_bp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def store_drift_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing query: week-1 vs week-3 value-distribution drift from
+    the persisted histogram store (shared with ``quantile_rollup_query``
+    via the per-process cache — ingest once, answer quantiles AND drift).
+    Fully oracle-checked: DuckDB rebuilds both windows' histograms from
+    the raw events with the identical bucket law."""
+    import tempfile
+
+    from jobanalytics_bigdataproject_spark.sources.readers import read_table
+
+    path = _QUANTILE_STORE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="qstore_") + "/store"
+        write_quantile_store(read_table(spark, sf_dir, "events"), path)
+        _QUANTILE_STORE_CACHE[sf_dir] = path
+    return drift_from_store(
+        spark, path, "2024-01-01", "2024-01-07", "2024-01-15", "2024-01-21"
+    )

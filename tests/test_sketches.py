@@ -335,3 +335,31 @@ def test_cms_streaming_sink_equals_batch_store(spark, tables, tmp_path):
     )
     assert sorted(map(tuple, got.select("day", "row_i", "bucket", "n").collect())) == \
            sorted(map(tuple, want.select("day", "row_i", "bucket", "n").collect()))
+
+
+def test_drift_from_store_zero_fills_and_shares(spark, tmp_path):
+    from jobanalytics_bigdataproject_spark.operators import sketches as sk
+
+    # two days, deliberately different bucket mixes
+    rows = (
+        [("2024-01-01 00:00:00", 10.0)] * 3 + [("2024-01-01 00:00:00", 500.0)]
+        + [("2024-01-02 00:00:00", 10.0)] + [("2024-01-02 00:00:00", 900.0)] * 3
+    )
+    ev = spark.createDataFrame(rows, "ts_s string, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    path = str(tmp_path / "store")
+    sk.write_quantile_store(ev, path)
+    rep = sk.drift_from_store(
+        spark, path, "2024-01-01", "2024-01-01", "2024-01-02", "2024-01-02"
+    ).collect()
+    by_bucket = {r.bucket: r for r in rep}
+    # value 10.0 -> cents 1000 -> bucket 1 + floor(1000*256/100000) = 3
+    assert by_bucket[3].base_n == 3 and by_bucket[3].cur_n == 1
+    assert by_bucket[3].base_share_bp == 7500 and by_bucket[3].cur_share_bp == 2500
+    assert by_bucket[3].delta_bp == -5000
+    # bucket present only in one window is zero-filled, not dropped
+    b500 = 1 + (50000 * 256) // 100000
+    assert by_bucket[b500].base_n == 1 and by_bucket[b500].cur_n == 0
+    # buckets observed in neither window are absent
+    assert all(r.base_n > 0 or r.cur_n > 0 for r in rep)
