@@ -807,6 +807,25 @@ def _orders_snapshot_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _orders_snapshot_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-hybrid range count on the versioned snapshot table
+    (sources/snapshots.count_where): files disjoint from the range are
+    never opened, files fully inside contribute their manifest non-null
+    count with zero I/O, and only boundary-straddling files are scanned
+    (predicate pushed down). Shares the multi-commit table
+    _orders_snapshot_metadata_agg builds (two appends + a COW delete).
+    The oracle is the full-scan COUNT over the equivalent rows, so the
+    hash check asserts hybrid == scan exactly — including the NULL-
+    excluding BETWEEN semantics the non-null counts exist for."""
+    _orders_snapshot_metadata_agg(spark, sf_dir)  # ensure table + cache
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    r = sn.count_where(
+        spark, _META_TABLE_CACHE[sf_dir], "o_totalprice", 100000.0, 400000.0
+    )
+    return spark.createDataFrame([(r["n_rows"],)], "n_rows bigint")
+
+
 def _orders_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report (operators/profile.drift_report) between
     orders and a deterministically shifted twin (drop the custkey%7
@@ -992,6 +1011,7 @@ _PRIORITY = [
     "orders_drift_report",
     "events_contingency_audit",
     "events_quantile_store_drift",
+    "orders_snapshot_count_where",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1371,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": _orders_merge_upsert,
         "orders_delete_propagation": _orders_delete_propagation,
         "orders_snapshot_metadata_agg": _orders_snapshot_metadata_agg,
+        "orders_snapshot_count_where": _orders_snapshot_count_where,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3219,6 +3240,12 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_custkey % 100 = 7)
             ORDER BY o_orderkey
+        """,
+        "orders_snapshot_count_where": """
+            SELECT COUNT(*) AS n_rows
+            FROM orders
+            WHERE NOT (o_custkey % 100 = 7)
+              AND o_totalprice BETWEEN 100000.0 AND 400000.0
         """,
         "orders_snapshot_metadata_agg": """
             SELECT COUNT(*) AS n_rows,

@@ -190,7 +190,14 @@ def write_snapshot(
     staged_rows: dict[str, int] = {}
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
-        aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        aggs += [
+            F.min(c).alias(f"min__{c}"),
+            F.max(c).alias(f"max__{c}"),
+            # non-null count: what makes stats-only COUNT-WHERE exact for
+            # fully-contained files (min/max ignore NULLs, so row count
+            # alone would overcount rows the predicate excludes)
+            F.count(c).alias(f"nn__{c}"),
+        ]
     stat_rows = (
         spark.read.parquet(staging)
         .groupBy(F.input_file_name().alias("__file"))
@@ -202,7 +209,8 @@ def write_snapshot(
         staged_rows[name] = int(r["__rows"])
         if stats_cols:
             staged_stats[name] = {
-                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"])] for c in stats_cols
+                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"]), int(r[f"nn__{c}"])]
+                for c in stats_cols
             }
 
     data_dir = Path(f"{table_dir}/{_DATA}")
@@ -291,7 +299,7 @@ def _overlaps(stats: dict | None, prune: dict) -> bool:
         rng = stats.get(col)
         if not rng or rng[0] is None or rng[1] is None:
             continue
-        mn, mx = rng
+        mn, mx = rng[0], rng[1]  # rng may carry a 3rd non-null-count slot
         if (lo is not None and mx < lo) or (hi is not None and mn > hi):
             return False
     return True
@@ -624,7 +632,11 @@ def delete_where(
     staged_rows: dict[str, int] = {}
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
-        aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+        aggs += [
+            F.min(c).alias(f"min__{c}"),
+            F.max(c).alias(f"max__{c}"),
+            F.count(c).alias(f"nn__{c}"),
+        ]
     for r in (
         spark.read.parquet(staging)
         .groupBy(F.input_file_name().alias("__file"))
@@ -635,7 +647,8 @@ def delete_where(
         staged_rows[name] = int(r["__rows"])
         if stats_cols:
             staged_stats[name] = {
-                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"])] for c in stats_cols
+                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"]), int(r[f"nn__{c}"])]
+                for c in stats_cols
             }
 
     data_dir = Path(f"{table_dir}/{_DATA}")
@@ -782,3 +795,76 @@ def metadata_agg(
         out["min"][c] = min(mins) if mins else None
         out["max"][c] = max(maxs) if maxs else None
     return out
+
+
+def count_where(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> dict:
+    """Exact ``COUNT(*) WHERE col BETWEEN lo AND hi`` with a stats-hybrid
+    scan (the Iceberg/Delta metadata-count optimization taken one step
+    further than ``metadata_agg``): every file is classified by its
+    manifest min/max —
+
+      - disjoint from [lo, hi]      → contributes 0, never opened;
+      - fully contained in [lo, hi] → contributes its NON-NULL count
+                                      straight from the manifest (SQL
+                                      BETWEEN is false for NULL, so the
+                                      row count alone would overcount —
+                                      this is why commits record per-file
+                                      non-null counts), never opened;
+      - straddling a boundary       → scanned with the predicate pushed
+                                      down (the only I/O).
+
+    On a range-clustered table (``optimize_snapshot(cluster_by=…)``) the
+    straddling set is O(1) files per boundary, so a 100 TB range count
+    opens two files. Files lacking stats (or pre-non-null-count stats)
+    fall into the scan tier — degraded cost, never a wrong answer.
+
+    Returns ``{"n_rows", "files_skipped", "files_from_stats",
+    "files_scanned"}``.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    if version is None:
+        version = current_version(spark, table_dir)
+    if version == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, version)
+    rows = manifest.get("rows", {})
+    stats = manifest.get("stats", {})
+    skipped, from_stats, to_scan = 0, 0, []
+    total = 0
+    for rel in manifest["files"]:
+        if int(rows.get(rel, 1)) == 0:
+            skipped += 1
+            continue
+        rng = stats.get(rel, {}).get(col)
+        mn, mx = (rng[0], rng[1]) if rng else (None, None)
+        nn = rng[2] if rng is not None and len(rng) > 2 else None
+        if mn is not None and mx is not None and (mx < lo or mn > hi):
+            skipped += 1
+        elif (
+            mn is not None and mx is not None and nn is not None
+            and mn >= lo and mx <= hi
+        ):
+            total += int(nn)
+            from_stats += 1
+        else:
+            to_scan.append(rel)
+    if to_scan:
+        scanned = (
+            spark.read.parquet(*(f"{table_dir}/{rel}" for rel in to_scan))
+            .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+            .count()
+        )
+        total += int(scanned)
+    return {
+        "n_rows": total,
+        "files_skipped": skipped,
+        "files_from_stats": from_stats,
+        "files_scanned": len(to_scan),
+    }

@@ -328,7 +328,7 @@ def test_delete_where_stats_prune_skips_scan_and_survives(spark, tdir):
     # rewritten file's recomputed stats still enable skipping
     info = sn.snapshot_info(spark, tdir, res["version"])
     new_rel = info["added"][0]
-    assert info["stats"][new_rel]["i"] == [100, 109]
+    assert info["stats"][new_rel]["i"][:2] == [100, 109]  # [min, max, nonnull]
 
 
 def test_delete_where_null_condition_rows_are_kept(spark, tdir):
@@ -434,3 +434,36 @@ def test_optimize_cluster_by_tightens_file_ranges(spark, tdir):
         assert kept(after, 0, 10) < len(after["files"])
         assert kept(after, 0, 10) <= max(1, kept(before, 0, 10))
     assert _ids(sn.read_snapshot(spark, tdir)) == list(range(400))
+
+
+def test_count_where_hybrid_tiers_and_nulls(spark, tdir):
+    # 3 single-file commits with disjoint ranges; middle file has NULLs
+    a = spark.createDataFrame([(float(v),) for v in range(0, 10)], "v double")
+    b = spark.createDataFrame(
+        [(float(v),) for v in range(10, 20)] + [(None,)] * 5, "v double"
+    )
+    c = spark.createDataFrame([(float(v),) for v in range(20, 30)], "v double")
+    for df in (a, b, c):
+        sn.write_snapshot(df.coalesce(1), tdir, stats_cols=("v",))
+    # range fully covering file b, straddling nothing: b answered from
+    # stats (NULLs excluded via the non-null count), a/c skipped
+    r = sn.count_where(spark, tdir, "v", 10.0, 19.0)
+    assert r["n_rows"] == 10  # not 15: the 5 NULL rows don't satisfy BETWEEN
+    assert r["files_from_stats"] == 1 and r["files_scanned"] == 0
+    assert r["files_skipped"] == 2
+    # range straddling file boundaries: boundary files scanned, middle
+    # from stats
+    r2 = sn.count_where(spark, tdir, "v", 5.0, 25.0)
+    assert r2["n_rows"] == 21  # 5..9 + 10..19 + 20..25
+    assert r2["files_from_stats"] == 1 and r2["files_scanned"] == 2
+    # sanity against the full scan
+    full = sn.read_snapshot(spark, tdir).filter(F.col("v").between(5.0, 25.0)).count()
+    assert r2["n_rows"] == full
+
+
+def test_count_where_falls_back_to_scan_without_stats(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 50), tdir)  # no stats_cols
+    r = sn.count_where(spark, tdir, "i", 10, 19)
+    assert r["n_rows"] == 10
+    assert r["files_from_stats"] == 0 and r["files_skipped"] <= 50
+    assert r["files_scanned"] >= 1
