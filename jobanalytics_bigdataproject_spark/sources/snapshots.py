@@ -180,7 +180,11 @@ def write_snapshot(
     #    commit-unique names (uuid, not version: a racing writer may end
     #    up committing these files at a later version than it aimed for)
     tag = uuid.uuid4().hex[:12]
-    staging = f"{table_dir}/.staging-{tag}"
+    # staging dir name is NOT dot-prefixed: Spark reads a hidden-named
+    # root only via ambiguous base-path fallback (and WARNs "All paths
+    # were ignored"); nothing ever lists the table root, so visibility
+    # costs nothing and the stats read is on defined behavior
+    staging = f"{table_dir}/staging-{tag}"
     df.write.parquet(staging)
 
     # one grouped agg over the staged files collects row counts (always)
@@ -621,7 +625,11 @@ def delete_where(
 
     # rewrite survivors of the hit files only; NULL condition rows kept
     tag = uuid.uuid4().hex[:12]
-    staging = f"{table_dir}/.staging-{tag}"
+    # staging dir name is NOT dot-prefixed: Spark reads a hidden-named
+    # root only via ambiguous base-path fallback (and WARNs "All paths
+    # were ignored"); nothing ever lists the table root, so visibility
+    # costs nothing and the stats read is on defined behavior
+    staging = f"{table_dir}/staging-{tag}"
     survivors = spark.read.parquet(
         *(f"{table_dir}/{rel}" for rel in hit_files)
     ).filter(~cond | cond.isNull())
