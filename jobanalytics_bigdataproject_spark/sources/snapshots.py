@@ -187,6 +187,28 @@ def write_snapshot(
     staging = f"{table_dir}/staging-{tag}"
     df.write.parquet(staging)
 
+    # CHECK-constraint validation (Delta semantics: a row violates when
+    # the expression is FALSE; NULL passes). Validated against the head's
+    # constraint set BEFORE any file lands in data/ — a violating commit
+    # is refused atomically with the staging dir removed. The commit loop
+    # re-checks that the constraint set hasn't changed underneath us.
+    head0 = current_version(spark, table_dir)
+    validated = (
+        _read_manifest(fs, jvm, table_dir, head0).get("constraints", {})
+        if head0 > 0
+        else {}
+    )
+    if validated:
+        staged = spark.read.parquet(staging)
+        for cname, cexpr in sorted(validated.items()):
+            bad = staged.filter(~F.coalesce(F.expr(cexpr), F.lit(True))).count()
+            if bad:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                    f"{bad} staged row(s) — commit refused, nothing written"
+                )
+
     # one grouped agg over the staged files collects row counts (always)
     # and min/max (when stats_cols): with no stats_cols the scan touches
     # zero data columns, so parquet serves it from row-group metadata
@@ -249,8 +271,19 @@ def write_snapshot(
                 for rel in new_files:
                     fs.delete(Path(f"{table_dir}/{rel}"), False)
                 return prior
+        parent = _read_manifest(fs, jvm, table_dir, head) if head > 0 else {}
+        constraints = parent.get("constraints", {})
+        if constraints != validated:
+            # a concurrent set/drop-constraint landed after our validation:
+            # refusing is the only serializable answer (our staged rows
+            # were never checked against the new set)
+            for rel in new_files:
+                fs.delete(Path(f"{table_dir}/{rel}"), False)
+            raise RuntimeError(
+                f"constraint set changed concurrently on {table_dir} "
+                f"(validated against v{head0}, head is v{head}); re-run the commit"
+            )
         if mode == "append" and head > 0:
-            parent = _read_manifest(fs, jvm, table_dir, head)
             parent_files = parent["files"]
             parent_stats = parent.get("stats", {})
             parent_rows = parent.get("rows", {})
@@ -272,6 +305,8 @@ def write_snapshot(
             manifest["stats"] = stats
         if rows:
             manifest["rows"] = rows
+        if constraints:
+            manifest["constraints"] = constraints
         if idempotency_key is not None:
             manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
@@ -415,6 +450,17 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
             manifest["stats"] = target["stats"]
         if target.get("rows"):
             manifest["rows"] = target["rows"]
+        # RESTORE restores DATA; table metadata (constraints) stays at
+        # the head's set, Delta-style. Note: the restored rows predate
+        # any constraint added after to_version and were never validated
+        # against it — same caveat as Delta RESTORE.
+        head_cons = (
+            _read_manifest(fs, jvm, table_dir, head).get("constraints", {})
+            if head > 0
+            else {}
+        )
+        if head_cons:
+            manifest["constraints"] = head_cons
         mp = _manifest_path(jvm, table_dir, version)
         try:
             stream = fs.create(mp, False)
@@ -718,6 +764,10 @@ def delete_where(
             new_manifest["stats"] = merged_stats
         if merged_rows:
             new_manifest["rows"] = merged_rows
+        # survivors are a subset of rows that already satisfied every
+        # row-level CHECK — carry the constraint set, no re-validation
+        if cur_manifest.get("constraints"):
+            new_manifest["constraints"] = cur_manifest["constraints"]
         mp = _manifest_path(jvm, table_dir, version)
         try:
             stream = fs.create(mp, False)
@@ -876,3 +926,119 @@ def count_where(
         "files_from_stats": from_stats,
         "files_scanned": len(to_scan),
     }
+
+
+def _commit_metadata(fs, jvm, table_dir: str, build) -> int:
+    """Shared optimistic metadata-only commit: ``build(head_manifest,
+    version)`` returns the new manifest dict; the create-if-absent loop
+    handles races exactly like data commits."""
+    for _attempt in range(100):
+        head = current_version_from_fs(fs, jvm, table_dir)
+        if head == 0:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        parent = _read_manifest(fs, jvm, table_dir, head)
+        manifest = build(parent, head + 1)
+        mp = _manifest_path(jvm, table_dir, head + 1)
+        try:
+            stream = fs.create(mp, False)
+        except Exception:
+            continue
+        try:
+            stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            stream.close()
+        return head + 1
+    raise IOError(f"could not commit metadata to {table_dir} after 100 attempts")
+
+
+def current_version_from_fs(fs, jvm, table_dir: str) -> int:
+    """`current_version` without re-resolving the FileSystem (loop helper)."""
+    log_path = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{_LOG}")
+    if not fs.exists(log_path):
+        return 0
+    best = 0
+    for st in fs.listStatus(log_path):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[1:-5]))
+            except ValueError:
+                continue
+    return best
+
+
+def add_constraint(
+    spark: SparkSession, table_dir: str, name: str, expr: str
+) -> int:
+    """Register a table-level CHECK constraint (Delta ``ALTER TABLE … ADD
+    CONSTRAINT`` semantics): the CURRENT snapshot is validated first (one
+    filtered count — a constraint the existing data violates is refused),
+    then a metadata-only version records it. Every later commit validates
+    its STAGED rows against the set and refuses atomically on violation
+    (NULL passes, FALSE violates — SQL CHECK semantics); copy-on-write
+    DELETE carries the set without re-validation (survivors are a subset
+    of already-valid rows). Concurrent data commits that validated
+    against the old set are refused by the committer's own re-check —
+    serializable, never a silently unvalidated row.
+
+    Scale: validation is one predicate-pushdown count over the current
+    snapshot at ADD time and over each commit's NEW files only afterward
+    — never a revalidation of the table per commit.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    bad = (
+        read_snapshot(spark, table_dir)
+        .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): {bad} existing "
+            "row(s) violate it"
+        )
+
+    def build(parent: dict, version: int) -> dict:
+        cons = dict(parent.get("constraints", {}))
+        cons[name] = expr
+        man = {
+            "version": version,
+            "parent": parent["version"],
+            "action": "set_constraint",
+            "files": parent["files"],
+            "added": [],
+            "constraints": cons,
+        }
+        for k in ("stats", "rows"):
+            if parent.get(k):
+                man[k] = parent[k]
+        return man
+
+    return _commit_metadata(fs, jvm, table_dir, build)
+
+
+def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
+    """Remove a CHECK constraint in a metadata-only commit (unknown names
+    raise — a typo must not silently 'succeed')."""
+    fs, _, jvm = _fs(spark, table_dir)
+    head = current_version(spark, table_dir)
+    if name not in _read_manifest(fs, jvm, table_dir, head).get("constraints", {}):
+        raise KeyError(f"no CHECK constraint {name!r} on {table_dir}")
+
+    def build(parent: dict, version: int) -> dict:
+        cons = dict(parent.get("constraints", {}))
+        cons.pop(name, None)
+        man = {
+            "version": version,
+            "parent": parent["version"],
+            "action": "drop_constraint",
+            "files": parent["files"],
+            "added": [],
+        }
+        if cons:
+            man["constraints"] = cons
+        for k in ("stats", "rows"):
+            if parent.get(k):
+                man[k] = parent[k]
+        return man
+
+    return _commit_metadata(fs, jvm, table_dir, build)

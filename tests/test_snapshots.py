@@ -467,3 +467,48 @@ def test_count_where_falls_back_to_scan_without_stats(spark, tdir):
     assert r["n_rows"] == 10
     assert r["files_from_stats"] == 0 and r["files_skipped"] <= 50
     assert r["files_scanned"] >= 1
+
+
+def test_check_constraint_enforced_on_commit(spark, tdir):
+    import os
+
+    sn.write_snapshot(_batch(spark, 0, 10), tdir)
+    v = sn.add_constraint(spark, tdir, "i_nonneg", "i >= 0")
+    assert v == 2
+    # violating append refused atomically: no version, no rows, no debris
+    with pytest.raises(ValueError, match="i_nonneg"):
+        sn.write_snapshot(
+            spark.createDataFrame([(5,), (-1,)], "i long"), tdir
+        )
+    assert sn.current_version(spark, tdir) == 2
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(10))
+    assert not [d for d in os.listdir(tdir) if d.startswith("staging-")]
+    # passing append succeeds and carries the constraint forward
+    v3 = sn.write_snapshot(_batch(spark, 10, 12), tdir)
+    assert sn.snapshot_info(spark, tdir, v3)["constraints"] == {"i_nonneg": "i >= 0"}
+    # NULL passes (SQL CHECK semantics)
+    sn.write_snapshot(spark.createDataFrame([(None,)], "i long"), tdir)
+    # copy-on-write DELETE carries the set without re-validation
+    sn.delete_where(spark, tdir, "i = 11")
+    head = sn.current_version(spark, tdir)
+    assert sn.snapshot_info(spark, tdir, head)["constraints"] == {
+        "i_nonneg": "i >= 0"
+    }
+
+
+def test_add_constraint_refuses_when_existing_rows_violate(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 10), tdir)
+    with pytest.raises(ValueError, match="existing"):
+        sn.add_constraint(spark, tdir, "i_big", "i >= 5")
+    assert sn.current_version(spark, tdir) == 1  # nothing committed
+
+
+def test_drop_constraint_reopens_commits_and_typo_raises(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 3), tdir)
+    sn.add_constraint(spark, tdir, "i_nonneg", "i >= 0")
+    with pytest.raises(KeyError):
+        sn.drop_constraint(spark, tdir, "no_such")
+    sn.drop_constraint(spark, tdir, "i_nonneg")
+    v = sn.write_snapshot(spark.createDataFrame([(-7,)], "i long"), tdir)
+    assert -7 in _ids(sn.read_snapshot(spark, tdir, version=v))
+    assert "constraints" not in sn.snapshot_info(spark, tdir, v)
