@@ -121,12 +121,18 @@ def _find_idempotent(fs, jvm, table_dir: str, key: str, head: int) -> int | None
     return None
 
 
+def _schema_fields(schema_json: dict) -> dict:
+    """name → type-json map for order-insensitive schema comparison."""
+    return {f["name"]: f["type"] for f in schema_json.get("fields", [])}
+
+
 def write_snapshot(
     df: DataFrame,
     table_dir: str,
     mode: str = "append",
     idempotency_key: str | None = None,
     stats_cols: list[str] | tuple[str, ...] = (),
+    allow_schema_evolution: bool = False,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -193,11 +199,50 @@ def write_snapshot(
     # is refused atomically with the staging dir removed. The commit loop
     # re-checks that the constraint set hasn't changed underneath us.
     head0 = current_version(spark, table_dir)
-    validated = (
-        _read_manifest(fs, jvm, table_dir, head0).get("constraints", {})
-        if head0 > 0
-        else {}
+    head0_manifest = (
+        _read_manifest(fs, jvm, table_dir, head0) if head0 > 0 else {}
     )
+    validated = head0_manifest.get("constraints", {})
+
+    # Schema-on-write enforcement (Delta semantics): an append must match
+    # the table schema recorded in the head manifest — a renamed column
+    # or a changed type is refused atomically BEFORE any file lands.
+    # ``allow_schema_evolution=True`` permits ADDITIVE drift only (new
+    # columns; old files read as NULL under merge_schema=True) and the
+    # manifest records the union schema. Overwrite resets the schema.
+    # Pre-schema-tracking manifests (no "schema" key) skip enforcement.
+    staged_schema = df.schema.jsonValue()
+    committed_schema = staged_schema
+    parent_schema = head0_manifest.get("schema")
+    if mode == "append" and parent_schema is not None:
+        have, want = _schema_fields(staged_schema), _schema_fields(parent_schema)
+        changed = {n for n in have.keys() & want.keys() if have[n] != want[n]}
+        missing = want.keys() - have.keys()
+        extra = have.keys() - want.keys()
+        problems = []
+        if changed:
+            problems.append(f"type changed: {sorted(changed)}")
+        if missing:
+            problems.append(f"missing columns: {sorted(missing)}")
+        if extra and not allow_schema_evolution:
+            problems.append(
+                f"new columns: {sorted(extra)} (pass allow_schema_evolution=True)"
+            )
+        if problems:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+            raise ValueError(
+                f"schema mismatch vs {table_dir} v{head0}: "
+                + "; ".join(problems) + " — commit refused, nothing written"
+            )
+        if extra:  # additive evolution: manifest records the union schema
+            committed_schema = dict(
+                parent_schema,
+                fields=parent_schema["fields"]
+                + [f for f in staged_schema["fields"] if f["name"] in extra],
+            )
+        else:
+            committed_schema = parent_schema
+
     if validated:
         staged = spark.read.parquet(staging)
         for cname, cexpr in sorted(validated.items()):
@@ -272,6 +317,20 @@ def write_snapshot(
                     fs.delete(Path(f"{table_dir}/{rel}"), False)
                 return prior
         parent = _read_manifest(fs, jvm, table_dir, head) if head > 0 else {}
+        loop_schema = parent.get("schema") if mode == "append" else None
+        # a concurrent commit may have EVOLVED the schema after our
+        # validation — refuse like a constraint change (our staged files
+        # were validated against the old shape)
+        if mode == "append" and head != head0:
+            now = _schema_fields(loop_schema) if loop_schema else None
+            then = _schema_fields(parent_schema) if parent_schema else None
+            if now != then:
+                for rel in new_files:
+                    fs.delete(Path(f"{table_dir}/{rel}"), False)
+                raise RuntimeError(
+                    f"table schema changed concurrently on {table_dir} "
+                    f"(validated against v{head0}, head is v{head}); re-run"
+                )
         constraints = parent.get("constraints", {})
         if constraints != validated:
             # a concurrent set/drop-constraint landed after our validation:
@@ -305,6 +364,7 @@ def write_snapshot(
             manifest["stats"] = stats
         if rows:
             manifest["rows"] = rows
+        manifest["schema"] = committed_schema
         if constraints:
             manifest["constraints"] = constraints
         if idempotency_key is not None:
@@ -450,6 +510,10 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
             manifest["stats"] = target["stats"]
         if target.get("rows"):
             manifest["rows"] = target["rows"]
+        if target.get("schema"):
+            # the restored FILES have the restored schema — recording the
+            # head's evolved schema would misdescribe them
+            manifest["schema"] = target["schema"]
         # RESTORE restores DATA; table metadata (constraints) stays at
         # the head's set, Delta-style. Note: the restored rows predate
         # any constraint added after to_version and were never validated
@@ -765,9 +829,12 @@ def delete_where(
         if merged_rows:
             new_manifest["rows"] = merged_rows
         # survivors are a subset of rows that already satisfied every
-        # row-level CHECK — carry the constraint set, no re-validation
+        # row-level CHECK — carry the constraint set, no re-validation;
+        # a DELETE never changes the schema either
         if cur_manifest.get("constraints"):
             new_manifest["constraints"] = cur_manifest["constraints"]
+        if cur_manifest.get("schema"):
+            new_manifest["schema"] = cur_manifest["schema"]
         mp = _manifest_path(jvm, table_dir, version)
         try:
             stream = fs.create(mp, False)
@@ -1008,7 +1075,7 @@ def add_constraint(
             "added": [],
             "constraints": cons,
         }
-        for k in ("stats", "rows"):
+        for k in ("stats", "rows", "schema"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -1036,7 +1103,7 @@ def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
         }
         if cons:
             man["constraints"] = cons
-        for k in ("stats", "rows"):
+        for k in ("stats", "rows", "schema"):
             if parent.get(k):
                 man[k] = parent[k]
         return man

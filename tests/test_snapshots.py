@@ -235,7 +235,8 @@ def test_stats_missing_keeps_file(spark, tdir):
 def test_schema_evolution_merge_schema_read(spark, tdir):
     sn.write_snapshot(_batch(spark, 0, 3), tdir)
     widened = _batch(spark, 3, 5).withColumn("tag", F.lit("b"))
-    sn.write_snapshot(widened, tdir)
+    # schema-on-write: additive drift needs the explicit opt-in now
+    sn.write_snapshot(widened, tdir, allow_schema_evolution=True)
     df = sn.read_snapshot(spark, tdir, merge_schema=True)
     assert sorted(df.columns) == ["i", "tag"]
     got = {(r.i, r.tag) for r in df.collect()}
@@ -512,3 +513,53 @@ def test_drop_constraint_reopens_commits_and_typo_raises(spark, tdir):
     v = sn.write_snapshot(spark.createDataFrame([(-7,)], "i long"), tdir)
     assert -7 in _ids(sn.read_snapshot(spark, tdir, version=v))
     assert "constraints" not in sn.snapshot_info(spark, tdir, v)
+
+
+def test_schema_enforced_on_append(spark, tdir):
+    import os
+
+    sn.write_snapshot(_batch(spark, 0, 5), tdir)
+    # changed type refused atomically
+    with pytest.raises(ValueError, match="type changed"):
+        sn.write_snapshot(
+            spark.createDataFrame([("x",)], "i string"), tdir
+        )
+    # renamed/new column refused without opt-in
+    with pytest.raises(ValueError, match="new columns"):
+        sn.write_snapshot(
+            spark.range(1).select(F.col("id").alias("i"), F.lit(1).alias("j")),
+            tdir,
+        )
+    # missing column refused
+    with pytest.raises(ValueError, match="missing columns"):
+        sn.write_snapshot(spark.range(1).select(F.lit("a").alias("z")), tdir)
+    assert sn.current_version(spark, tdir) == 1
+    assert not [d for d in os.listdir(tdir) if d.startswith("staging-")]
+    # matching append fine (column order is irrelevant to the field map)
+    sn.write_snapshot(_batch(spark, 5, 7), tdir)
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(7))
+
+
+def test_schema_additive_evolution_and_overwrite_reset(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 3), tdir)
+    ev = spark.range(3, 5).select(
+        F.col("id").alias("i"), (F.col("id") * 10).alias("j")
+    )
+    v2 = sn.write_snapshot(ev, tdir, allow_schema_evolution=True)
+    man = sn.snapshot_info(spark, tdir, v2)
+    assert {f["name"] for f in man["schema"]["fields"]} == {"i", "j"}
+    got = sn.read_snapshot(spark, tdir, merge_schema=True)
+    rows = {r.i: r.j for r in got.collect()}
+    assert rows[0] is None and rows[4] == 40  # old files NULL-fill j
+    # an append matching the EVOLVED schema now passes without the flag
+    sn.write_snapshot(
+        spark.range(5, 6).select(F.col("id").alias("i"), F.lit(7).cast("long").alias("j")),
+        tdir,
+    )
+    # overwrite resets the table schema entirely
+    v = sn.write_snapshot(
+        spark.range(2).select(F.lit("s").alias("only")), tdir, mode="overwrite"
+    )
+    assert {f["name"] for f in sn.snapshot_info(spark, tdir, v)["schema"]["fields"]} == {
+        "only"
+    }
