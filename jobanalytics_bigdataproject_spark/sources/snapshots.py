@@ -404,12 +404,35 @@ def _overlaps(stats: dict | None, prune: dict) -> bool:
     return True
 
 
+def version_as_of(spark: SparkSession, table_dir: str, ts: float) -> int:
+    """Newest version whose manifest was committed at-or-before epoch
+    seconds ``ts`` (Delta ``AS OF TIMESTAMP`` resolution: commit time is
+    the manifest file's modification time — the atomic create that IS
+    the commit). Raises if the table didn't exist yet at ``ts`` or the
+    matching versions were vacuumed. O(versions) name+mtime stats."""
+    fs, _, jvm = _fs(spark, table_dir)
+    head = current_version(spark, table_dir)
+    best = 0
+    for v in range(1, head + 1):
+        mp = _manifest_path(jvm, table_dir, v)
+        if not fs.exists(mp):
+            continue  # vacuumed prefix
+        if fs.getFileStatus(mp).getModificationTime() / 1000.0 <= ts:
+            best = v
+    if best == 0:
+        raise FileNotFoundError(
+            f"{table_dir} has no retained snapshot at or before ts={ts}"
+        )
+    return best
+
+
 def read_snapshot(
     spark: SparkSession,
     table_dir: str,
     version: int | None = None,
     prune: dict | None = None,
     merge_schema: bool = False,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest). Resolves one
     manifest, then hands Spark the explicit file list — normal parquet
@@ -424,8 +447,16 @@ def read_snapshot(
 
     ``merge_schema=True`` unions file schemas (additive schema evolution
     across commits — older files yield NULLs for later-added columns).
+
+    ``as_of_ts`` (epoch seconds; mutually exclusive with ``version``)
+    resolves the version by commit time via ``version_as_of`` — the
+    "what did the training job actually see at 03:00" read.
     """
     fs, _, jvm = _fs(spark, table_dir)
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of_ts, not both")
+        version = version_as_of(spark, table_dir, as_of_ts)
     if version is None:
         version = current_version(spark, table_dir)
     if version == 0:

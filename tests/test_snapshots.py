@@ -563,3 +563,24 @@ def test_schema_additive_evolution_and_overwrite_reset(spark, tdir):
     assert {f["name"] for f in sn.snapshot_info(spark, tdir, v)["schema"]["fields"]} == {
         "only"
     }
+
+
+def test_timestamp_time_travel(spark, tdir):
+    import os
+    import pathlib
+
+    sn.write_snapshot(_batch(spark, 0, 3), tdir)
+    sn.write_snapshot(_batch(spark, 3, 5), tdir)
+    sn.write_snapshot(_batch(spark, 5, 6), tdir)
+    # pin distinct commit times (mtime IS the commit clock)
+    log = pathlib.Path(tdir) / "_log"
+    for v, t in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+        os.utime(log / f"v{v:08d}.json", (t, t))
+    assert sn.version_as_of(spark, tdir, 1500.0) == 1
+    assert sn.version_as_of(spark, tdir, 2000.0) == 2  # at-or-before
+    assert _ids(sn.read_snapshot(spark, tdir, as_of_ts=2500.0)) == list(range(5))
+    assert _ids(sn.read_snapshot(spark, tdir, as_of_ts=9e9)) == list(range(6))
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        sn.read_snapshot(spark, tdir, as_of_ts=500.0)
+    with pytest.raises(ValueError, match="not both"):
+        sn.read_snapshot(spark, tdir, version=1, as_of_ts=1500.0)
