@@ -1140,3 +1140,45 @@ def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
         return man
 
     return _commit_metadata(fs, jvm, table_dir, build)
+
+
+def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per retained version, newest first —
+    action, lineage, file/row deltas, and the metadata each commit kind
+    records (restored version, DELETE condition, constraint names,
+    idempotency key). Pure manifest reads (O(versions) small JSONs);
+    vacuumed versions are simply absent. ``commit_ts`` is the manifest
+    mtime — the same clock ``version_as_of`` resolves against."""
+    fs, _, jvm = _fs(spark, table_dir)
+    head = current_version(spark, table_dir)
+    rows = []
+    for v in range(head, 0, -1):
+        try:
+            man = _read_manifest(fs, jvm, table_dir, v)
+        except FileNotFoundError:
+            continue  # vacuumed
+        rcounts = man.get("rows")
+        rows.append((
+            v,
+            man.get("parent"),
+            man.get("action"),
+            float(
+                fs.getFileStatus(_manifest_path(jvm, table_dir, v))
+                .getModificationTime()
+            ) / 1000.0,
+            len(man.get("files", [])),
+            len(man.get("added", [])),
+            len(man.get("removed", [])),
+            sum(int(n) for n in rcounts.values()) if rcounts else None,
+            man.get("restored"),
+            man.get("condition"),
+            sorted(man.get("constraints", {})) or None,
+            man.get("idempotency_key"),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, action string, commit_ts double, "
+        "n_files int, n_added int, n_removed int, n_rows bigint, "
+        "restored int, condition string, constraints array<string>, "
+        "idempotency_key string",
+    )

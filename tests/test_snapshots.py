@@ -584,3 +584,22 @@ def test_timestamp_time_travel(spark, tdir):
         sn.read_snapshot(spark, tdir, as_of_ts=500.0)
     with pytest.raises(ValueError, match="not both"):
         sn.read_snapshot(spark, tdir, version=1, as_of_ts=1500.0)
+
+
+def test_table_history_describes_every_commit_kind(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 5), tdir)
+    sn.write_snapshot(_batch(spark, 5, 8), tdir, idempotency_key="stream-7")
+    sn.add_constraint(spark, tdir, "i_nonneg", "i >= 0")
+    sn.delete_where(spark, tdir, "i = 2")
+    sn.rollback(spark, tdir, to_version=2)
+    h = {r.version: r for r in sn.table_history(spark, tdir).collect()}
+    assert sorted(h) == [1, 2, 3, 4, 5]
+    assert h[1].action == "append" and h[1].parent == 0 and h[1].n_rows == 5
+    assert h[2].idempotency_key == "stream-7" and h[2].n_rows == 8
+    assert h[3].action == "set_constraint" and h[3].constraints == ["i_nonneg"]
+    assert h[4].action == "delete" and h[4].condition == "i = 2"
+    assert h[4].n_rows == 7 and h[4].n_removed >= 1
+    assert h[5].action == "rollback" and h[5].restored == 2
+    # newest first, commit clock monotone non-decreasing backwards
+    ordered = sn.table_history(spark, tdir).collect()
+    assert [r.version for r in ordered] == [5, 4, 3, 2, 1]
