@@ -58,6 +58,16 @@ def _plain(v):
     return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
 
 
+def _data_path(table_dir: str, rel: str) -> str:
+    """Absolute-aware file resolution: manifests normally hold paths
+    relative to their own table_dir; a shallow clone's manifest holds the
+    SOURCE table's files as absolute paths (leading '/' or a URI scheme),
+    which pass through untouched."""
+    if rel.startswith("/") or "://" in rel:
+        return rel
+    return f"{table_dir}/{rel}"
+
+
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -472,9 +482,9 @@ def read_snapshot(
         reader = reader.option("mergeSchema", "true")
     if not kept:
         if rels:  # everything skipped: empty frame, real schema
-            return reader.parquet(f"{table_dir}/{rels[0]}").limit(0)
+            return reader.parquet(_data_path(table_dir, rels[0])).limit(0)
         return reader.parquet(f"{table_dir}/{_DATA}").limit(0)
-    return reader.parquet(*(f"{table_dir}/{rel}" for rel in kept))
+    return reader.parquet(*(_data_path(table_dir, rel) for rel in kept))
 
 
 def read_changes(
@@ -504,7 +514,7 @@ def read_changes(
         added = _read_manifest(fs, jvm, table_dir, v)["added"]
         if added:
             frames.append(
-                spark.read.parquet(*(f"{table_dir}/{rel}" for rel in added))
+                spark.read.parquet(*(_data_path(table_dir, rel) for rel in added))
                 .withColumn("_commit_version", F.lit(v).cast("long"))
             )
     if not frames:
@@ -629,7 +639,7 @@ def optimize_snapshot(
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
     total = sum(
-        fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{rel}")).getLen()
+        fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(_data_path(table_dir, rel))).getLen()
         for rel in manifest["files"]
     )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
@@ -751,7 +761,7 @@ def delete_where(
         return _result(head)
 
     cond = F.expr(condition)
-    cand_df = spark.read.parquet(*(f"{table_dir}/{rel}" for rel in candidates))
+    cand_df = spark.read.parquet(*(_data_path(table_dir, rel) for rel in candidates))
     probe = (
         cand_df.filter(cond)
         .groupBy(F.input_file_name().alias("__file"))
@@ -772,7 +782,7 @@ def delete_where(
     # costs nothing and the stats read is on defined behavior
     staging = f"{table_dir}/staging-{tag}"
     survivors = spark.read.parquet(
-        *(f"{table_dir}/{rel}" for rel in hit_files)
+        *(_data_path(table_dir, rel) for rel in hit_files)
     ).filter(~cond | cond.isNull())
     survivors.write.parquet(staging)
 
@@ -1013,7 +1023,7 @@ def count_where(
             to_scan.append(rel)
     if to_scan:
         scanned = (
-            spark.read.parquet(*(f"{table_dir}/{rel}" for rel in to_scan))
+            spark.read.parquet(*(_data_path(table_dir, rel) for rel in to_scan))
             .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
             .count()
         )
@@ -1182,3 +1192,71 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         "restored int, condition string, constraints array<string>, "
         "idempotency_key string",
     )
+
+
+def shallow_clone(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+) -> int:
+    """Zero-copy table fork (Delta SHALLOW CLONE): the clone's v1
+    manifest references the SOURCE's data files by absolute path — no
+    bytes move, however large the table. From then on the clone is an
+    independent table: appends land in its own ``data/``, copy-on-write
+    DELETE rewrites only into its own ``data/`` (source files are never
+    touched), constraints/schema/stats/row-counts are carried so
+    metadata-only queries and CHECK enforcement work immediately.
+
+    The experimentation workflow this exists for: clone the 100 TB
+    production table, mutate/filter/relabel the clone, run the candidate
+    pipeline — for the metadata cost of one manifest.
+
+    Caveats (identical to Delta's): ``vacuum`` on the SOURCE can delete
+    files a clone still references (the source doesn't know about
+    clones) — a stale clone read then fails loudly at scan time; and the
+    clone's own ``vacuum`` never touches source files (it only lists its
+    own ``data/``). ``src_dir`` must be an absolute path/URI so the
+    references stay valid from anywhere.
+
+    ``dst_dir`` must have no snapshots yet. Returns the clone's version
+    (always 1).
+    """
+    if not (src_dir.startswith("/") or "://" in src_dir):
+        raise ValueError(f"src_dir must be absolute, got {src_dir!r}")
+    fs, _, jvm = _fs(spark, dst_dir)
+    if current_version(spark, dst_dir) > 0:
+        raise FileExistsError(f"{dst_dir} already has snapshots — clone refused")
+    if version is None:
+        version = current_version(spark, src_dir)
+    src = _read_manifest(fs, jvm, src_dir, version)
+
+    def _abs(rel: str) -> str:
+        return _data_path(src_dir, rel)
+
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "action": "clone",
+        "source": {"table_dir": src_dir, "version": version},
+        "files": [_abs(rel) for rel in src["files"]],
+        "added": [],
+    }
+    for key in ("stats", "rows"):
+        if src.get(key):
+            manifest[key] = {_abs(rel): v for rel, v in src[key].items()}
+    if src.get("schema"):
+        manifest["schema"] = src["schema"]
+    if src.get("constraints"):
+        manifest["constraints"] = src["constraints"]
+    mp = _manifest_path(jvm, dst_dir, 1)
+    fs.mkdirs(mp.getParent())
+    try:
+        stream = fs.create(mp, False)
+    except Exception as e:  # a racing clone into the same dst
+        raise FileExistsError(f"{dst_dir} v1 manifest already exists") from e
+    try:
+        stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        stream.close()
+    return 1

@@ -603,3 +603,44 @@ def test_table_history_describes_every_commit_kind(spark, tdir):
     # newest first, commit clock monotone non-decreasing backwards
     ordered = sn.table_history(spark, tdir).collect()
     assert [r.version for r in ordered] == [5, 4, 3, 2, 1]
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    import os
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(0, 20).select(F.col("id").alias("i"), (F.col("id") * 1.0).alias("v"))
+    sn.write_snapshot(df, src, stats_cols=("v",))
+    sn.add_constraint(spark, src, "v_nonneg", "v >= 0")
+    v = sn.shallow_clone(spark, src, dst)
+    assert v == 1
+    # zero copy: the clone has no data files of its own yet
+    assert not os.path.exists(os.path.join(dst, "data"))
+    assert _ids(sn.read_snapshot(spark, dst)) == list(range(20))
+    # metadata carried: scan-free count + constraints enforced on the clone
+    assert sn.metadata_agg(spark, dst)["n_rows"] == 20
+    with pytest.raises(ValueError, match="v_nonneg"):
+        sn.write_snapshot(
+            spark.createDataFrame([(99, -1.0)], "i long, v double"), dst
+        )
+    # divergence: append to the clone, COW-delete on the clone — the
+    # source never changes
+    sn.write_snapshot(
+        spark.createDataFrame([(100, 5.0)], "i long, v double"), dst
+    )
+    res = sn.delete_where(spark, dst, "i < 5")
+    assert res["rows_deleted"] == 5
+    assert _ids(sn.read_snapshot(spark, dst)) == list(range(5, 20)) + [100]
+    assert _ids(sn.read_snapshot(spark, src)) == list(range(20))  # untouched
+    # clone's vacuum never deletes source files
+    sn.vacuum(spark, dst, keep_last=1)
+    assert _ids(sn.read_snapshot(spark, src)) == list(range(20))
+    # second clone into the same dst refused
+    with pytest.raises(FileExistsError):
+        sn.shallow_clone(spark, src, dst)
+
+
+def test_shallow_clone_requires_absolute_source(spark, tmp_path):
+    with pytest.raises(ValueError, match="absolute"):
+        sn.shallow_clone(spark, "relative/path", str(tmp_path / "d"))
