@@ -826,6 +826,28 @@ def _orders_snapshot_count_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(r["n_rows"],)], "n_rows bigint")
 
 
+def _orders_cdf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-feed of the snapshot table's DELETE commit
+    (sources/snapshots.read_changes_cdf): the logical diff of v3 (the
+    copy-on-write delete of the custkey%100==7 cohort) against its
+    parent — rewrite survivors cancel multiset-exactly, so the feed is
+    EXACTLY the forgotten cohort tagged 'delete'. The oracle selects
+    that cohort directly from the base table, so the hash check asserts
+    the CDF law end-to-end (cancellation + change typing + version
+    stamping)."""
+    _orders_snapshot_metadata_agg(spark, sf_dir)  # ensure table + cache
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    return (
+        sn.read_changes_cdf(spark, _META_TABLE_CACHE[sf_dir], 2, 3)
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice",
+            "_change_type", "_commit_version",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 def _orders_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report (operators/profile.drift_report) between
     orders and a deterministically shifted twin (drop the custkey%7
@@ -1016,6 +1038,7 @@ _PRIORITY = [
     "events_contingency_audit",
     "events_quantile_store_drift",
     "orders_snapshot_count_where",
+    "orders_cdf_deletes",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1093,7 +1116,18 @@ def _evidence_order(d: dict) -> dict:
     rows_only = [k for k in d if k in _ROWS_ONLY and k not in taken]
     taken |= set(rows_only)
     last = _last_checked_round()
-    mid = sorted((k for k in d if k not in taken), key=lambda k: (last.get(k, -1), k))
+    # Never-checked names NOT in _PRIORITY rank between the oldest round
+    # on record and the next one (here: after r1, before r2): the VERDICT
+    # r3 #1 mandate is that the oldest EVIDENCE sweeps first, and a query
+    # someone deliberately queued gets its slot via _PRIORITY — a merely
+    # not-yet-drawn name can wait one round behind a 3-round-stale row.
+    oldest = min(last.values(), default=0)
+
+    def rank(k: str) -> float:
+        r = last.get(k)
+        return r if r is not None else oldest + 0.5
+
+    mid = sorted((k for k in d if k not in taken), key=lambda k: (rank(k), k))
     return {k: d[k] for k in pri + mid + rows_only}
 
 
@@ -1396,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_delete_propagation": _orders_delete_propagation,
         "orders_snapshot_metadata_agg": _orders_snapshot_metadata_agg,
         "orders_snapshot_count_where": _orders_snapshot_count_where,
+        "orders_cdf_deletes": _orders_cdf_deletes,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3243,6 +3278,14 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE NOT (o_custkey % 100 = 7)
+            ORDER BY o_orderkey
+        """,
+        "orders_cdf_deletes": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   'delete' AS _change_type,
+                   CAST(3 AS BIGINT) AS _commit_version
+            FROM orders
+            WHERE o_custkey % 100 = 7
             ORDER BY o_orderkey
         """,
         "orders_snapshot_count_where": """

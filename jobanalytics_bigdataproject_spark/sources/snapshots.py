@@ -1260,3 +1260,95 @@ def shallow_clone(
     finally:
         stream.close()
     return 1
+
+
+def read_changes_cdf(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change-data-feed for ``(from_version, to_version]``
+    (Delta CDF semantics, computed, not stored): for each commit, the
+    LOGICAL row diff vs its parent — ``_change_type`` 'insert' for rows
+    the commit added, 'delete' for rows it removed, plus
+    ``_commit_version``. Unlike ``read_changes`` (physical added-files
+    stream), this cancels rewrite survivors: a copy-on-write DELETE
+    yields exactly the deleted rows as 'delete'; OPTIMIZE yields nothing
+    (same rows, new files); a rollback yields the restored-minus-dropped
+    diff.
+
+    Multiset-exact: the diff is a per-distinct-row COUNT difference
+    between each commit's added and removed files (full-outer on all
+    columns), re-expanded with ``sequence`` — duplicate rows diff by
+    copy count, which a plain anti-join would get wrong.
+
+    Scale: per commit, only the files that CHANGED hands (added ∪
+    removed) are read — unchanged files cancel by construction without
+    being opened; the one shuffle per commit is the group-by over that
+    delta, never the table. Raises on vacuumed gaps like
+    ``read_changes``.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    if to_version is None:
+        to_version = current_version(spark, table_dir)
+    frames = []
+    for v in range(from_version + 1, to_version + 1):
+        man = _read_manifest(fs, jvm, table_dir, v)
+        parent_files = (
+            set(_read_manifest(fs, jvm, table_dir, man["parent"])["files"])
+            if man.get("parent")
+            else set()
+        )
+        cur_files = set(man["files"])
+        added = sorted(cur_files - parent_files)
+        removed = sorted(parent_files - cur_files)
+        if not added and not removed:
+            continue  # metadata-only commit (constraints, clone)
+
+        def _load(rels):
+            if not rels:
+                return None
+            return spark.read.parquet(*(_data_path(table_dir, rel) for rel in rels))
+
+        a_df, r_df = _load(added), _load(removed)
+        base = a_df if a_df is not None else r_df
+        cols = base.columns
+        def _counted(df, alias):
+            if df is None:
+                return None
+            return df.groupBy(*cols).agg(F.count(F.lit(1)).alias(alias))
+        a_c, r_c = _counted(a_df, "__a"), _counted(r_df, "__r")
+        if a_c is None:
+            joined = r_c.withColumn("__a", F.lit(0))
+        elif r_c is None:
+            joined = a_c.withColumn("__r", F.lit(0))
+        else:
+            joined = a_c.join(r_c, on=cols, how="full_outer").na.fill(
+                0, ["__a", "__r"]
+            )
+        diff = joined.withColumn("__d", F.col("__a") - F.col("__r")).filter(
+            F.col("__d") != 0
+        )
+        expanded = diff.select(
+            *cols,
+            F.when(F.col("__d") > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("_change_type"),
+            F.explode(F.sequence(F.lit(1), F.abs(F.col("__d")))).alias("__i"),
+        ).drop("__i").withColumn("_commit_version", F.lit(v).cast("long"))
+        frames.append(expanded)
+    if not frames:
+        head = current_version(spark, table_dir)
+        if head == 0:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        return (
+            read_snapshot(spark, table_dir, version=head)
+            .limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -644,3 +644,31 @@ def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
 def test_shallow_clone_requires_absolute_source(spark, tmp_path):
     with pytest.raises(ValueError, match="absolute"):
         sn.shallow_clone(spark, "relative/path", str(tmp_path / "d"))
+
+
+def test_cdf_cancels_rewrites_and_is_multiset_exact(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 10), tdir)          # v1: 10 inserts
+    sn.delete_where(spark, tdir, "i >= 7")                 # v2: 3 deletes
+    sn.optimize_snapshot(spark, tdir)                      # v3: no logical change
+    sn.write_snapshot(                                     # v4: duplicate rows
+        spark.createDataFrame([(3,), (3,)], "i long"), tdir
+    )
+    cdf = sn.read_changes_cdf(spark, tdir, from_version=0).collect()
+    by_v = {}
+    for r in cdf:
+        by_v.setdefault(r._commit_version, []).append((r.i, r._change_type))
+    assert sorted(by_v[1]) == [(i, "insert") for i in range(10)]
+    assert sorted(by_v[2]) == [(7, "delete"), (8, "delete"), (9, "delete")]
+    assert 3 not in by_v  # OPTIMIZE: same rows, new files -> empty diff
+    assert sorted(by_v[4]) == [(3, "insert"), (3, "insert")]  # multiset: both copies
+    # range scoping: only the delete commit
+    only_v2 = sn.read_changes_cdf(spark, tdir, 1, 2).collect()
+    assert sorted((r.i, r._change_type) for r in only_v2) == [
+        (7, "delete"), (8, "delete"), (9, "delete")
+    ]
+    # rollback yields the logical un-diff
+    sn.rollback(spark, tdir, to_version=2)  # drops v4's duplicate 3s
+    back = sn.read_changes_cdf(spark, tdir, 4).collect()
+    assert sorted((r.i, r._change_type) for r in back) == [
+        (3, "delete"), (3, "delete")
+    ]
