@@ -32,6 +32,16 @@ Register + use::
     stream = spark.readStream.format("snapshotlog") \\
         .option("path", table_dir).load()
 
+Deliberately NOT offered: a maxVersionsPerBatch admission throttle.
+The Python DataSourceStreamReader API gives `latestOffset()` no view of
+the restored start offset and no state guarantee across calls (verified
+empirically: initialOffset and latestOffset can run on different
+instances), so any stateful cap risks planting the batch end BEHIND a
+restart's checkpointed offset and wedging the stream; Scala's
+SupportsAdmissionControl (latestOffset(start, limit)) is the API this
+needs. Backfill boundedness comes from the commit granularity instead —
+each micro-batch of the producer is one version.
+
 `.option("startingVersion", N)` skips history ≤ N (default 0 = replay
 everything still retained; vacuumed versions raise rather than silently
 skip, matching `read_changes`).

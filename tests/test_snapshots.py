@@ -672,3 +672,4 @@ def test_cdf_cancels_rewrites_and_is_multiset_exact(spark, tdir):
     assert sorted((r.i, r._change_type) for r in back) == [
         (3, "delete"), (3, "delete")
     ]
+
