@@ -673,3 +673,50 @@ def test_cdf_cancels_rewrites_and_is_multiset_exact(spark, tdir):
         (3, "delete"), (3, "delete")
     ]
 
+
+def test_ivm_tracks_source_through_arbitrary_commits(spark, tmp_path):
+    from jobanalytics_bigdataproject_spark.operators import ivm
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+
+    def rows(pairs):
+        return spark.createDataFrame(pairs, "k string, v double")
+
+    def check():
+        v = ivm.maintain_sum_agg(spark, src, agg, ("k",), "v")
+        got = {
+            (r.k, r.cnt, r.sum_cents)
+            for r in sn.read_snapshot(spark, agg).collect()
+        }
+        want = {
+            (r.k, r.cnt, r.sum_cents)
+            for r in sn.read_snapshot(spark, src)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+        return v
+
+    sn.write_snapshot(rows([("a", 1.0), ("a", 2.5), ("b", 3.0), (None, 9.0)]), src)
+    v = check()  # initial build (NULL key is a real group)
+    assert ivm.maintain_sum_agg(spark, src, agg, ("k",), "v") == v  # no-op
+
+    sn.write_snapshot(rows([("a", 1.0), ("c", 4.0)]), src)  # duplicate row
+    check()
+    sn.delete_where(spark, src, "k = 'b'")  # group count reaches zero
+    check()
+    assert "b" not in {r.k for r in sn.read_snapshot(spark, agg).collect()}
+    sn.optimize_snapshot(spark, src)  # no logical change
+    v_after_opt = check()
+    sn.rollback(spark, src, to_version=2)  # un-delete b via rollback
+    check()
+    # exactly-once under redelivery: a second maintain call for the same
+    # head commits nothing new
+    head_agg = sn.current_version(spark, agg)
+    ivm.maintain_sum_agg(spark, src, agg, ("k",), "v")
+    assert sn.current_version(spark, agg) == head_agg
