@@ -720,3 +720,43 @@ def test_ivm_tracks_source_through_arbitrary_commits(spark, tmp_path):
     head_agg = sn.current_version(spark, agg)
     ivm.maintain_sum_agg(spark, src, agg, ("k",), "v")
     assert sn.current_version(spark, agg) == head_agg
+
+
+def test_ivm_composes_with_streaming_sink(spark, tmp_path):
+    """Producer stream commits micro-batches via snapshot_sink; the
+    maintenance job refreshes the aggregate after each — the streaming
+    materialized-view loop, exactly-once on both sides."""
+    from jobanalytics_bigdataproject_spark.operators import ivm
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    in_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(in_dir)
+    spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "k string, v double"
+    ).coalesce(1).write.mode("overwrite").json(in_dir + "/batch0")
+    spark.createDataFrame(
+        [("a", 3.0)], "k string, v double"
+    ).coalesce(1).write.mode("overwrite").json(in_dir + "/batch1")
+
+    stream = (
+        spark.readStream.schema("k string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(sn.snapshot_sink(src))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert sn.current_version(spark, src) >= 1
+    ivm.maintain_sum_agg(spark, src, agg, ("k",), "v")
+    got = {(r.k, r.cnt, r.sum_cents) for r in sn.read_snapshot(spark, agg).collect()}
+    assert got == {("a", 2, 400), ("b", 1, 200)}
