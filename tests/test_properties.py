@@ -194,3 +194,68 @@ def test_pagerank_micro_conserves_mass(spark, edges):
     # each round truncates < 1 unit per (edge-endpoint + node) in div ops
     assert n * 1_000_000 >= total > n * 1_000_000 - 3 * (2 * len(edges) + n) * 100
     assert all(150_000 <= r.rank_micro <= n * 1_000_000 for r in rows)
+
+
+# --- stateful model check of the versioned-table stack -----------------
+# A random sequence of table operations is applied BOTH to the real
+# snapshot log and to a trivial pure-Python model (a list of version ->
+# multiset states). After every op: read_snapshot == model, and the
+# metadata-only COUNT (manifest row counts) == len(model state) — so
+# every commit path maintains the row-count map correctly under
+# composition, not just in the per-feature tests.
+
+_op = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=5)),
+    st.tuples(st.just("delete_le"), st.integers(0, 9)),
+    st.tuples(st.just("optimize"), st.just(0)),
+    st.tuples(st.just("rollback"), st.just(0)),
+)
+
+
+@given(ops=st.lists(_op, min_size=1, max_size=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_stack_matches_model(spark, tmp_path_factory, ops):
+    from collections import Counter
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    tdir = str(tmp_path_factory.mktemp("prop") / "tbl")
+    states: list[Counter] = []  # model: states[v-1] = multiset at version v
+
+    for kind, arg in ops:
+        if kind == "append":
+            sn.write_snapshot(
+                spark.createDataFrame([(v,) for v in arg], "i long"), tdir
+            )
+            prev = states[-1] if states else Counter()
+            states.append(prev + Counter(arg))
+        elif kind == "delete_le":
+            if not states:
+                continue
+            res = sn.delete_where(spark, tdir, f"i <= {arg}")
+            cur = Counter({k: n for k, n in states[-1].items() if k > arg})
+            if res["rows_deleted"] > 0:
+                states.append(cur)  # only a real delete commits a version
+            # no-match delete: model state unchanged, no new version
+        elif kind == "optimize":
+            if not states:
+                continue
+            sn.optimize_snapshot(spark, tdir)
+            states.append(Counter(states[-1]))
+        elif kind == "rollback":
+            if len(states) < 2:
+                continue
+            sn.rollback(spark, tdir, to_version=1)
+            states.append(Counter(states[0]))
+
+        if states:
+            got = Counter(r.i for r in sn.read_snapshot(spark, tdir).collect())
+            assert got == states[-1]
+            assert sn.metadata_agg(spark, tdir)["n_rows"] == sum(
+                states[-1].values()
+            )
+            assert sn.current_version(spark, tdir) == len(states)
