@@ -62,6 +62,15 @@ PROBES = [
     "docs_corpus_pipeline",
     "embeddings_semantic_dedup",
     "ml_price_model",
+    # round-4 lakehouse family: the first (untimed) call builds the
+    # versioned snapshot tables at that sf (ingest, measured separately
+    # per SCALE.md); the timed runs measure the QUERY path — scan-after-
+    # delete (linear), metadata-only agg (flat), CDF read of changed
+    # files (linear in churn), IVM read after a no-op refresh (flat+agg)
+    "orders_delete_propagation",
+    "orders_snapshot_metadata_agg",
+    "orders_cdf_deletes",
+    "orders_ivm_agg",
 ]
 
 
@@ -122,6 +131,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="probe only these names; results MERGE into the artifact")
     args = ap.parse_args()
 
     import bench
@@ -134,9 +145,10 @@ def main() -> int:
         build_sf1(spark)
 
     qmap = mod.queries()
+    probes = [n for n in PROBES if not args.only or n in args.only]
     result: dict[str, dict] = {}
     for sf_dir, tag in ((SF01, "sf0.1"), (SF1, "sf1")):
-        for name in PROBES:
+        for name in probes:
             fn = qmap[name]
             try:
                 bench._time_once(fn, spark, sf_dir)  # prime
@@ -151,8 +163,14 @@ def main() -> int:
     for name, r in result.items():
         if "sf0.1" in r and "sf1" in r:
             r["exponent"] = round(math.log10(r["sf1"] / r["sf0.1"]), 2)
-    with open("/root/repo/tools/scale_probe_result.json", "w") as f:
-        json.dump({"copies": COPIES, "runs": args.runs, "probes": result}, f, indent=1)
+    path = "/root/repo/tools/scale_probe_result.json"
+    merged = result
+    if args.only and os.path.exists(path):
+        with open(path) as f:
+            prior = json.load(f).get("probes", {})
+        merged = {**prior, **result}
+    with open(path, "w") as f:
+        json.dump({"copies": COPIES, "runs": args.runs, "probes": merged}, f, indent=1)
     print(json.dumps(result, indent=1))
     return 0
 
