@@ -1352,3 +1352,36 @@ def read_changes_cdf(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def verify_constraints(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Audit the CURRENT snapshot against its registered CHECK
+    constraints — one filtered count per constraint, all computed in a
+    single pass (one aggregate over the table scan). Needed because two
+    sanctioned paths can legally surface rows that predate a constraint:
+    ``rollback`` (RESTORE restores data, the head's constraints stay)
+    and ``shallow_clone`` of an older version. Commit-time enforcement
+    covers every other path, so a non-empty report here always traces to
+    one of those two — or to data corruption, which is the other reason
+    to run it.
+
+    Returns (constraint, expr, violations) — empty means clean."""
+    fs, _, jvm = _fs(spark, table_dir)
+    head = current_version(spark, table_dir)
+    cons = _read_manifest(fs, jvm, table_dir, head).get("constraints", {}) if head else {}
+    if not cons:
+        return spark.createDataFrame(
+            [], "constraint string, expr string, violations bigint"
+        )
+    df = read_snapshot(spark, table_dir)
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+        ).cast("long").alias(n)
+        for n, e in sorted(cons.items())
+    ]
+    counts = df.agg(*aggs).first()
+    return spark.createDataFrame(
+        [(n, cons[n], int(counts[n] or 0)) for n in sorted(cons)],
+        "constraint string, expr string, violations bigint",
+    ).filter(F.col("violations") > 0)

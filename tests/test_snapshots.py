@@ -760,3 +760,16 @@ def test_ivm_composes_with_streaming_sink(spark, tmp_path):
     ivm.maintain_sum_agg(spark, src, agg, ("k",), "v")
     got = {(r.k, r.cnt, r.sum_cents) for r in sn.read_snapshot(spark, agg).collect()}
     assert got == {("a", 2, 400), ("b", 1, 200)}
+
+
+def test_verify_constraints_catches_restore_violations(spark, tdir):
+    sn.write_snapshot(spark.createDataFrame([(-5,), (1,)], "i long"), tdir)  # v1
+    sn.delete_where(spark, tdir, "i < 0")                                    # v2
+    sn.add_constraint(spark, tdir, "i_nonneg", "i >= 0")                     # v3
+    assert sn.verify_constraints(spark, tdir).count() == 0  # clean
+    sn.rollback(spark, tdir, to_version=1)  # legally resurrects i=-5
+    rep = sn.verify_constraints(spark, tdir).collect()
+    assert [(r.constraint, r.violations) for r in rep] == [("i_nonneg", 1)]
+    # fix it; audit clean again
+    sn.delete_where(spark, tdir, "i < 0")
+    assert sn.verify_constraints(spark, tdir).count() == 0
