@@ -605,11 +605,41 @@ def snapshot_sink(table_dir: str, mode: str = "append"):
     return _write
 
 
+def _collect_staged_stats(spark, staging: str, stats_cols: list[str]):
+    """One grouped agg over a staging dir: per-file row counts (always)
+    and [min, max, nonnull] per stats column. Shared by the commit
+    paths."""
+    staged_stats: dict[str, dict] = {}
+    staged_rows: dict[str, int] = {}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in stats_cols:
+        aggs += [
+            F.min(c).alias(f"min__{c}"),
+            F.max(c).alias(f"max__{c}"),
+            F.count(c).alias(f"nn__{c}"),
+        ]
+    for r in (
+        spark.read.parquet(staging)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    ):
+        name = r["__file"].rsplit("/", 1)[-1]
+        staged_rows[name] = int(r["__rows"])
+        if stats_cols:
+            staged_stats[name] = {
+                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"]), int(r[f"nn__{c}"])]
+                for c in stats_cols
+            }
+    return staged_stats, staged_rows
+
+
 def optimize_snapshot(
     spark: SparkSession,
     table_dir: str,
     target_mb: int = 128,
     cluster_by: tuple[str, ...] | list[str] = (),
+    min_file_mb: float | None = None,
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot's files into ~target-sized
     ones and commit the rewrite as a new version — same rows, fewer
@@ -632,14 +662,111 @@ def optimize_snapshot(
     RECOMPUTED (not dropped — a compaction that loses its table's data-
     skipping stats un-optimizes every future read), and per-file row
     counts are refreshed as on any commit. Returns the new version.
+
+    ``min_file_mb`` switches to SELECTIVE compaction (Delta's actual
+    OPTIMIZE behavior): only files smaller than the threshold are
+    rewritten; already-right-sized files are carried into the new
+    version verbatim with their stats — on a 100 TB table where a
+    streaming sink drips small files next to compacted history, this is
+    the difference between rewriting gigabytes and rewriting everything
+    (write amplification ∝ small-file debt, not table size). Ignored
+    when ``cluster_by`` is set (clustering is global by nature). A
+    no-op (0 or 1 small file) returns the current head without
+    committing.
     """
     fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
     head = current_version(spark, table_dir)
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
+
+    if min_file_mb is not None and not cluster_by:
+        sizes = {
+            rel: fs.getFileStatus(Path(_data_path(table_dir, rel))).getLen()
+            for rel in manifest["files"]
+        }
+        small = [r for r in manifest["files"] if sizes[r] < min_file_mb * 1024 * 1024]
+        large = [r for r in manifest["files"] if r not in set(small)]
+        if len(small) <= 1:
+            return head  # nothing worth compacting
+        n = max(1, math.ceil(sum(sizes[r] for r in small) / (target_mb * 1024 * 1024)))
+        tag = uuid.uuid4().hex[:12]
+        staging = f"{table_dir}/staging-{tag}"
+        spark.read.parquet(
+            *(_data_path(table_dir, rel) for rel in small)
+        ).coalesce(n).write.parquet(staging)
+        staged_stats, staged_rows = _collect_staged_stats(spark, staging, stats_cols)
+        new_files: list[str] = []
+        new_stats: dict[str, dict] = {}
+        new_rows: dict[str, int] = {}
+        for i, st in enumerate(
+            sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())
+        ):
+            name = st.getPath().getName()
+            if not name.endswith(".parquet"):
+                continue
+            rel = f"{_DATA}/o{tag}-{i}-{name}"
+            if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
+                raise IOError(f"rename failed for {name} -> {rel}")
+            new_files.append(rel)
+            if name in staged_stats:
+                new_stats[rel] = staged_stats[name]
+            new_rows[rel] = staged_rows.get(name, 0)
+        fs.delete(Path(staging), True)
+
+        small_set = set(small)
+        for _attempt in range(100):
+            cur = current_version(spark, table_dir)
+            cur_man = manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
+            if not small_set.issubset(cur_man["files"]):
+                for rel in new_files:
+                    fs.delete(Path(f"{table_dir}/{rel}"), False)
+                raise RuntimeError(
+                    f"concurrent commit touched files this OPTIMIZE rewrote "
+                    f"({table_dir} v{cur}); rerun"
+                )
+            keep = [r for r in cur_man["files"] if r not in small_set]
+            new_manifest = {
+                "version": cur + 1,
+                "parent": cur,
+                "action": "optimize",
+                "files": keep + new_files,
+                "added": new_files,
+                "removed": sorted(small_set),
+            }
+            cur_stats = cur_man.get("stats", {})
+            cur_rows = cur_man.get("rows", {})
+            merged_stats = {
+                **{k: v for k, v in cur_stats.items() if k not in small_set},
+                **new_stats,
+            }
+            merged_rows = {
+                **{k: v for k, v in cur_rows.items() if k not in small_set},
+                **new_rows,
+            }
+            if merged_stats:
+                new_manifest["stats"] = merged_stats
+            if merged_rows:
+                new_manifest["rows"] = merged_rows
+            for key in ("schema", "constraints"):
+                if cur_man.get(key):
+                    new_manifest[key] = cur_man[key]
+            mp = _manifest_path(jvm, table_dir, cur + 1)
+            try:
+                stream = fs.create(mp, False)
+            except Exception:
+                continue
+            try:
+                stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
+            finally:
+                stream.close()
+            return cur + 1
+        raise IOError(f"could not commit optimize to {table_dir} after 100 attempts")
+
     total = sum(
-        fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(_data_path(table_dir, rel))).getLen()
+        fs.getFileStatus(Path(_data_path(table_dir, rel))).getLen()
         for rel in manifest["files"]
     )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
@@ -650,7 +777,6 @@ def optimize_snapshot(
         )
     else:
         current = current.coalesce(n)
-    stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
     return write_snapshot(
         current, table_dir, mode="overwrite", stats_cols=stats_cols
     )

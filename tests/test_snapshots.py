@@ -773,3 +773,34 @@ def test_verify_constraints_catches_restore_violations(spark, tdir):
     # fix it; audit clean again
     sn.delete_where(spark, tdir, "i < 0")
     assert sn.verify_constraints(spark, tdir).count() == 0
+
+
+def test_optimize_selective_leaves_right_sized_files_alone(spark, tdir):
+    # one genuinely large commit (~1.5 MB) + three tiny ones (~1 KB:
+    # parquet footer overhead dominates 1-row files, so the threshold
+    # must sit far above it)
+    sn.write_snapshot(
+        spark.range(0, 200_000).select(F.col("id").alias("i")).coalesce(1),
+        tdir, stats_cols=("i",),
+    )
+    for k in range(3):
+        sn.write_snapshot(
+            _batch(spark, 200_000 + k, 200_001 + k).coalesce(1),
+            tdir, stats_cols=("i",),
+        )
+    before = sn.snapshot_info(spark, tdir, 4)
+    sizes = {rel: __import__("os").path.getsize(f"{tdir}/{rel}") for rel in before["files"]}
+    big = max(sizes, key=sizes.get)
+    v = sn.optimize_snapshot(spark, tdir, target_mb=1024, min_file_mb=0.5)
+    after = sn.snapshot_info(spark, tdir, v)
+    assert after["action"] == "optimize"
+    assert big in after["files"]              # untouched, carried verbatim
+    assert after["stats"][big] == before["stats"][big]
+    assert len(after["files"]) == 2           # big + one compacted bin
+    assert sorted(after["removed"]) == sorted(
+        r for r in before["files"] if r != big
+    )
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(200_003))
+    assert sn.metadata_agg(spark, tdir, cols=("i",))["n_rows"] == 200_003
+    # second selective pass: single small file -> no-op, no new version
+    assert sn.optimize_snapshot(spark, tdir, target_mb=1024, min_file_mb=0.5) == v
