@@ -60,6 +60,7 @@ def maintain_sum_agg(
     agg_dir: str,
     keys: tuple[str, ...] | list[str],
     value_col: str,
+    derived: dict[str, str] | None = None,
 ) -> int:
     """Bring the aggregate table ``SELECT keys, COUNT(*) AS cnt,
     SUM(round(value*100)) AS sum_cents GROUP BY keys`` up to date with
@@ -67,6 +68,13 @@ def maintain_sum_agg(
     refresh. Returns the source version now reflected (no-op when
     already current). NULL group keys are real groups (null-safe merge,
     matching SQL GROUP BY); groups whose count reaches zero are dropped.
+
+    ``derived`` maps extra group-key names to SQL expressions evaluated
+    on the CDF rows (e.g. ``{"day": "CAST(ts AS DATE)"}``) — the
+    delete-correct continuous-aggregate form: a retraction lands in
+    exactly the bucket its row left, because the bucket is derived from
+    the retracted row itself. Names in ``keys`` may reference source
+    columns or ``derived`` names.
     """
     keys = list(keys)
     last = _last_maintained_version(spark, agg_dir)
@@ -75,6 +83,8 @@ def maintain_sum_agg(
         return last
 
     cdf = sn.read_changes_cdf(spark, src_dir, last, head)
+    for name, expr in (derived or {}).items():
+        cdf = cdf.withColumn(name, F.expr(expr))
     w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
     cents = F.round(F.col(value_col) * 100).cast("long")
     delta = cdf.groupBy(*keys).agg(

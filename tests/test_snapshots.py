@@ -804,3 +804,31 @@ def test_optimize_selective_leaves_right_sized_files_alone(spark, tdir):
     assert sn.metadata_agg(spark, tdir, cols=("i",))["n_rows"] == 200_003
     # second selective pass: single small file -> no-op, no new version
     assert sn.optimize_snapshot(spark, tdir, target_mb=1024, min_file_mb=0.5) == v
+
+
+def test_ivm_derived_time_buckets_retract_into_right_bucket(spark, tmp_path):
+    from jobanalytics_bigdataproject_spark.operators import ivm
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    rows = [
+        ("2024-01-01 10:00:00", 1.0), ("2024-01-01 11:00:00", 2.0),
+        ("2024-01-02 10:00:00", 4.0),
+    ]
+    sn.write_snapshot(
+        spark.createDataFrame(rows, "ts_s string, v double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "v"
+        ),
+        src,
+    )
+    kw = dict(keys=("day",), value_col="v", derived={"day": "CAST(ts AS DATE)"})
+    ivm.maintain_sum_agg(spark, src, agg, **kw)
+    got = {(str(r.day), r.cnt, r.sum_cents)
+           for r in sn.read_snapshot(spark, agg).collect()}
+    assert got == {("2024-01-01", 2, 300), ("2024-01-02", 1, 400)}
+    # delete one day-1 row: the retraction must land in day 1's bucket
+    sn.delete_where(spark, src, "v = 2.0")
+    ivm.maintain_sum_agg(spark, src, agg, **kw)
+    got = {(str(r.day), r.cnt, r.sum_cents)
+           for r in sn.read_snapshot(spark, agg).collect()}
+    assert got == {("2024-01-01", 1, 100), ("2024-01-02", 1, 400)}
