@@ -849,6 +849,45 @@ def _orders_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+_EVENTS_IVM_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _events_ivm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-correct CONTINUOUS daily aggregate (operators/ivm.py with a
+    derived day bucket): events land in a versioned snapshot table, a
+    deterministic cohort (event_type='click') is removed by copy-on-write
+    DELETE, and the per-day COUNT/SUM table is maintained purely from the
+    CDF — each retraction lands in exactly the day bucket its row left.
+    The oracle recomputes the daily aggregate directly from the
+    equivalent rows, hash-asserting maintained == recomputed (integer
+    cents)."""
+    from jobanalytics_bigdataproject_spark.operators import ivm
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    dirs = _EVENTS_IVM_CACHE.get(sf_dir)
+    if dirs is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("events",))
+        base = tempfile.mkdtemp(prefix="ivm_events_")
+        src, agg = base + "/src", base + "/agg"
+        sn.write_snapshot(
+            t["events"].select("event_id", "event_type", "ts", "value"), src
+        )
+        sn.delete_where(spark, src, "event_type = 'click'")
+        _EVENTS_IVM_CACHE[sf_dir] = dirs = (src, agg)
+    src, agg = dirs
+    ivm.maintain_sum_agg(
+        spark, src, agg, ("day",), "value",
+        derived={"day": "CAST(ts AS DATE)"},
+    )
+    return (
+        sn.read_snapshot(spark, agg)
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "cnt", "sum_cents")
+        .orderBy("day")
+    )
+
+
 def _orders_cdf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change-data-feed of the snapshot table's DELETE commit
     (sources/snapshots.read_changes_cdf): the logical diff of v3 (the
@@ -1067,6 +1106,7 @@ _PRIORITY = [
     "orders_snapshot_count_where",
     "orders_cdf_deletes",
     "orders_ivm_agg",
+    "events_ivm_daily",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1460,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_count_where": _orders_snapshot_count_where,
         "orders_cdf_deletes": _orders_cdf_deletes,
         "orders_ivm_agg": _orders_ivm_agg,
+        "events_ivm_daily": _events_ivm_daily,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3308,6 +3349,15 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM orders
             WHERE NOT (o_custkey % 100 = 7)
             ORDER BY o_orderkey
+        """,
+        "events_ivm_daily": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events
+            WHERE event_type <> 'click'
+            GROUP BY CAST(ts AS DATE)
+            ORDER BY day
         """,
         "orders_ivm_agg": """
             SELECT o_orderstatus,
