@@ -888,6 +888,116 @@ def _events_ivm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_TABLE_CACHE: dict[str, str] = {}
+
+
+def _orders_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Needle-in-the-table point lookup via the per-file Bloom index
+    (sources/snapshots.py ``write_snapshot(bloom_cols=…)`` +
+    ``read_snapshot(point=…)``), the Iceberg-Puffin file-skipping shape:
+    orders are committed hash-distributed on o_custkey across two
+    appends (8 files — every file's min/max spans the whole key range,
+    so range stats skip NOTHING), and the equality read probes each
+    file's manifest Bloom words to open only the ~2 files that can
+    contain the key (measured in tests/test_snapshots.py; absent keys
+    open zero). At 100 TB this is the difference between a full scan
+    and opening one file per commit. Never a false negative: files that
+    lose their bloom (compaction/COW rewrites) are always kept. The
+    oracle scans everything, so the hash check asserts skipped == full
+    scan exactly."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _BLOOM_TABLE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="bloom_orders_") + "/tbl"
+        for half in (0, 1):
+            sn.write_snapshot(
+                o.filter(F.col("o_orderkey") % 2 == half).repartition(
+                    4, "o_custkey"
+                ),
+                path,
+                mode="append",
+                stats_cols=("o_custkey",),
+                bloom_cols=("o_custkey",),
+            )
+        _BLOOM_TABLE_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path, point={"o_custkey": 97})
+        .filter(F.col("o_custkey") == 97)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+_MERGE_SNAP_CACHE: dict[str, str] = {}
+
+
+def _orders_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional copy-on-write MERGE INTO on the versioned snapshot
+    table (sources/snapshots.merge_into, the mutable-store twin of the
+    declarative `orders_merge_upsert`): orders lands range-clustered on
+    o_orderkey across 8 files, then one MERGE applies an update batch
+    confined to the key prefix (o_orderkey < 3000 re-statused 'U' with
+    +1.00 — pure IEEE add, bit-identical across engines) plus an insert
+    batch (key-offset copies of every %100==7 order, status 'N').
+    Because the updates hit only the prefix key range, the COW rewrite
+    touches only the file(s) covering that range — every other file is
+    carried into the new version verbatim, which is what makes MERGE
+    affordable on a 100 TB table (cost ∝ touched files + batch, never
+    the table). The oracle is the FULL OUTER JOIN + COALESCE twin over
+    the base table, so the hash check asserts the full row-level merge
+    law: matched rows take every source column, unmatched survive
+    byte-identical, inserts append. File-level behavior (hit-file-only
+    rewrite, stats/bloom rebuild, ambiguous-source refusal, atomic CHECK
+    refusal, CDF delete+insert pairs) is pinned in
+    tests/test_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _MERGE_SNAP_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="merge_orders_") + "/tbl"
+        sn.write_snapshot(
+            o.repartitionByRange(8, "o_orderkey"),
+            path,
+            mode="overwrite",
+            stats_cols=("o_orderkey",),
+            bloom_cols=("o_orderkey",),
+        )
+        upd = o.filter(F.col("o_orderkey") < 3000).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        )
+        ins = o.filter(F.col("o_orderkey") % 100 == 7).select(
+            (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        sn.merge_into(
+            spark, path, upd.unionByName(ins), key_cols=("o_orderkey",)
+        )
+        _MERGE_SNAP_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def _orders_cdf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change-data-feed of the snapshot table's DELETE commit
     (sources/snapshots.read_changes_cdf): the logical diff of v3 (the
@@ -1107,6 +1217,8 @@ _PRIORITY = [
     "orders_cdf_deletes",
     "orders_ivm_agg",
     "events_ivm_daily",
+    "orders_point_lookup",
+    "orders_snapshot_merge",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1501,6 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdf_deletes": _orders_cdf_deletes,
         "orders_ivm_agg": _orders_ivm_agg,
         "events_ivm_daily": _events_ivm_daily,
+        "orders_point_lookup": _orders_point_lookup,
+        "orders_snapshot_merge": _orders_snapshot_merge,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3348,6 +3462,28 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE NOT (o_custkey % 100 = 7)
+            ORDER BY o_orderkey
+        """,
+        "orders_point_lookup": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_custkey = 97
+            ORDER BY o_orderkey
+        """,
+        "orders_snapshot_merge": """
+            WITH src AS (
+                SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                       o_totalprice + 1.0 AS o_totalprice
+                FROM orders WHERE o_orderkey < 3000
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+                FROM orders WHERE o_orderkey % 100 = 7
+            )
+            SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+                   CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+            FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
             ORDER BY o_orderkey
         """,
         "events_ivm_daily": """

@@ -50,6 +50,8 @@ from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
+_BLOOM_WIDTH = 2048  # bits per probe stripe
+_BLOOM_DEPTH = 4  # probes per key
 
 
 def _plain(v):
@@ -143,6 +145,9 @@ def write_snapshot(
     idempotency_key: str | None = None,
     stats_cols: list[str] | tuple[str, ...] = (),
     allow_schema_evolution: bool = False,
+    bloom_cols: list[str] | tuple[str, ...] = (),
+    bloom_width: int = _BLOOM_WIDTH,
+    bloom_depth: int = _BLOOM_DEPTH,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -178,6 +183,15 @@ def write_snapshot(
     manifest alone — zero file I/O at query time, the Iceberg/Delta
     metadata-only-query shape that matters when the table is 100 TB and
     the question is one number.
+
+    ``bloom_cols`` additionally records a per-file BLOOM FILTER for the
+    named columns (Iceberg-Puffin-style point-lookup index): min/max
+    stats skip nothing on a column the data is not clustered by, but a
+    Bloom probe still prunes every file that provably lacks the key —
+    ``read_snapshot(point={"col": v})`` opens ~1 file instead of all of
+    them on a hash-distributed key. Built distributed (see
+    ``_collect_staged_blooms``); never a false negative (files that lose
+    their bloom through compaction/COW-rewrite are simply kept).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -294,10 +308,15 @@ def write_snapshot(
                 for c in stats_cols
             }
 
+    staged_blooms = _collect_staged_blooms(
+        spark, staging, bloom_cols, bloom_width, bloom_depth
+    )
+
     data_dir = Path(f"{table_dir}/{_DATA}")
     fs.mkdirs(data_dir)
     new_files: list[str] = []
     new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
     new_rows: dict[str, int] = {}
     for i, st in enumerate(sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())):
         name = st.getPath().getName()
@@ -309,6 +328,8 @@ def write_snapshot(
         new_files.append(rel)
         if name in staged_stats:
             new_stats[rel] = staged_stats[name]
+        if name in staged_blooms:
+            new_blooms[rel] = staged_blooms[name]
         # a 0-row file forms no group in the count agg: it has zero rows
         new_rows[rel] = staged_rows.get(name, 0)
     fs.delete(Path(staging), True)
@@ -355,13 +376,16 @@ def write_snapshot(
         if mode == "append" and head > 0:
             parent_files = parent["files"]
             parent_stats = parent.get("stats", {})
+            parent_blooms = parent.get("blooms", {})
             parent_rows = parent.get("rows", {})
         else:
             parent_files = []
             parent_stats = {}
+            parent_blooms = {}
             parent_rows = {}
         version = head + 1
         stats = {**parent_stats, **new_stats} if mode == "append" else new_stats
+        blooms = {**parent_blooms, **new_blooms} if mode == "append" else new_blooms
         rows = {**parent_rows, **new_rows} if mode == "append" else new_rows
         manifest = {
             "version": version,
@@ -372,6 +396,8 @@ def write_snapshot(
         }
         if stats:
             manifest["stats"] = stats
+        if blooms:
+            manifest["blooms"] = blooms
         if rows:
             manifest["rows"] = rows
         manifest["schema"] = committed_schema
@@ -443,6 +469,7 @@ def read_snapshot(
     prune: dict | None = None,
     merge_schema: bool = False,
     as_of_ts: float | None = None,
+    point: dict | None = None,
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest). Resolves one
     manifest, then hands Spark the explicit file list — normal parquet
@@ -461,6 +488,17 @@ def read_snapshot(
     ``as_of_ts`` (epoch seconds; mutually exclusive with ``version``)
     resolves the version by commit time via ``version_as_of`` — the
     "what did the training job actually see at 03:00" read.
+
+    ``point={"col": value}`` is EQUALITY file skipping: a file survives
+    only if its min/max stats admit the value AND its per-file Bloom
+    index (``write_snapshot(bloom_cols=…)``) might contain it. On a
+    hash-distributed key this opens ~1 file where range stats open all
+    of them — the needle-in-100-TB lookup. Probe hashes come from one
+    1-row Spark job cast to the manifest schema's column type, so they
+    are bit-identical to the build side; files without a bloom entry
+    (pre-index commits, compaction rewrites) are always kept, so a
+    matching row can never be skipped. The caller still applies the row
+    filter — skipping is file-granular.
     """
     fs, _, jvm = _fs(spark, table_dir)
     if as_of_ts is not None:
@@ -477,6 +515,32 @@ def read_snapshot(
     if prune:
         stats = manifest.get("stats", {})
         kept = [rel for rel in rels if _overlaps(stats.get(rel), prune)]
+    if point:
+        stats = manifest.get("stats", {})
+        blooms = manifest.get("blooms", {})
+        types = {
+            f["name"]: f["type"]
+            for f in manifest.get("schema", {}).get("fields", [])
+        }
+        for c in point:
+            t = types.get(c)
+            if t is not None and not isinstance(t, str):
+                raise ValueError(
+                    f"point lookup on non-atomic column {c!r} (type {t!r}) "
+                    "unsupported — no literal form to probe with"
+                )
+        depth = max(
+            (e[c]["d"] for e in blooms.values() for c in point if c in e),
+            default=0,
+        )
+        hashes = _point_hashes(spark, point, types, depth) if depth else {}
+        eq = {c: (v, v) for c, v in point.items()}
+        kept = [
+            rel
+            for rel in kept
+            if _overlaps(stats.get(rel), eq)
+            and _bloom_keeps(blooms.get(rel), point, hashes)
+        ]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -549,6 +613,8 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
         }
         if target.get("stats"):
             manifest["stats"] = target["stats"]
+        if target.get("blooms"):
+            manifest["blooms"] = target["blooms"]
         if target.get("rows"):
             manifest["rows"] = target["rows"]
         if target.get("schema"):
@@ -634,6 +700,110 @@ def _collect_staged_stats(spark, staging: str, stats_cols: list[str]):
     return staged_stats, staged_rows
 
 
+def _collect_staged_blooms(
+    spark, staging: str, bloom_cols, width: int, depth: int
+) -> dict[str, dict]:
+    """Per-file Bloom filter words for each named column — an
+    Iceberg-Puffin-style secondary file index for point lookups on
+    columns the data is NOT clustered by (where min/max stats span
+    everything and skip nothing). Computed DISTRIBUTED: each key
+    explodes into its ``depth`` probe positions (partitioned bloom:
+    probe i owns its own ``width``-bit stripe, the exact layout of
+    ``operators/sketches.bloom_might_contain``), then one
+    map-side-combined ``bit_or`` grouped by (file, word index). The
+    collect is files × ≤ depth·width/64 rows — metadata scale. Words
+    are stored SPARSE ({word_index: int64}) so a low-cardinality file
+    costs bytes, not the full bitmap."""
+    out: dict[str, dict] = {}
+    if not bloom_cols:
+        return out
+    df = spark.read.parquet(staging)
+    for c in bloom_cols:
+        pos = F.array(
+            *[
+                F.lit(i * width).cast("long")
+                + F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(width).cast("long"))
+                for i in range(depth)
+            ]
+        )
+        rows = (
+            df.select(F.input_file_name().alias("__file"), F.explode(pos).alias("pos"))
+            .groupBy("__file", F.expr("cast(pos div 64 as int)").alias("wi"))
+            .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(pos, 64) as int)))").alias("w"))
+            .collect()
+        )
+        for r in rows:
+            name = r["__file"].rsplit("/", 1)[-1]
+            entry = out.setdefault(name, {}).setdefault(
+                c, {"w": width, "d": depth, "words": {}}
+            )
+            entry["words"][str(int(r["wi"]))] = int(r["w"])
+    return out
+
+
+def _bloom_specs(manifest: dict) -> dict[str, tuple[int, int]]:
+    """Bloom dial (width, depth) per indexed column, recovered from the
+    parent manifest — what rewrite paths (COW delete/merge, compaction)
+    use to rebuild the index for replacement files at the same dial."""
+    specs: dict[str, tuple[int, int]] = {}
+    for e in manifest.get("blooms", {}).values():
+        for c, ent in e.items():
+            specs.setdefault(c, (ent["w"], ent["d"]))
+    return specs
+
+
+def _recompute_staged_blooms(spark, staging: str, specs: dict) -> dict[str, dict]:
+    """Rebuild per-file blooms for a rewrite's staged files, one indexed
+    column at a time (each at its own recovered dial)."""
+    out: dict[str, dict] = {}
+    for c, (w, d) in sorted(specs.items()):
+        for name, entry in _collect_staged_blooms(spark, staging, [c], w, d).items():
+            out.setdefault(name, {}).update(entry)
+    return out
+
+
+def _point_hashes(
+    spark, point: dict, types: dict, depth: int
+) -> dict[str, list[int]]:
+    """Bloom probe hashes for a point lookup, computed BY SPARK in one
+    1-row job so they are bit-identical to the build side: ``xxhash64``
+    hashes the physical type (an int literal and a bigint column hash
+    differently), so every probe literal is cast to the column's
+    manifest-recorded type before hashing. Atomic types only — a point
+    lookup on a struct/array column has no literal form here."""
+    sel = []
+    for c, v in point.items():
+        t = types.get(c)
+        if t is not None and not isinstance(t, str):
+            raise ValueError(
+                f"point lookup on non-atomic column {c!r} (type {t!r}) unsupported"
+            )
+        lit = F.lit(v) if t is None else F.lit(v).cast(t)
+        for i in range(depth):
+            sel.append(F.xxhash64(lit, F.lit(i)).alias(f"{c}__{i}"))
+    row = spark.range(1).select(*sel).first()
+    return {c: [row[f"{c}__{i}"] for i in range(depth)] for c in point}
+
+
+def _bloom_keeps(file_blooms: dict | None, point: dict, hashes: dict) -> bool:
+    """True unless SOME probed column's per-file Bloom provably lacks
+    the key. A file without an index entry for the column is kept — a
+    rewritten/compacted file that lost its bloom can never yield a
+    false negative, only a lost skip."""
+    if not file_blooms:
+        return True
+    for c in point:
+        entry = file_blooms.get(c)
+        if not entry:
+            continue
+        w, words = entry["w"], entry["words"]
+        for i in range(entry["d"]):
+            pos = i * w + hashes[c][i] % w
+            if not (words.get(str(pos // 64), 0) >> (pos % 64)) & 1:
+                return False
+    return True
+
+
 def optimize_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -698,8 +868,12 @@ def optimize_snapshot(
             *(_data_path(table_dir, rel) for rel in small)
         ).coalesce(n).write.parquet(staging)
         staged_stats, staged_rows = _collect_staged_stats(spark, staging, stats_cols)
+        staged_blooms = _recompute_staged_blooms(
+            spark, staging, _bloom_specs(manifest)
+        )
         new_files: list[str] = []
         new_stats: dict[str, dict] = {}
+        new_blooms: dict[str, dict] = {}
         new_rows: dict[str, int] = {}
         for i, st in enumerate(
             sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())
@@ -713,6 +887,8 @@ def optimize_snapshot(
             new_files.append(rel)
             if name in staged_stats:
                 new_stats[rel] = staged_stats[name]
+            if name in staged_blooms:
+                new_blooms[rel] = staged_blooms[name]
             new_rows[rel] = staged_rows.get(name, 0)
         fs.delete(Path(staging), True)
 
@@ -750,6 +926,18 @@ def optimize_snapshot(
                 new_manifest["stats"] = merged_stats
             if merged_rows:
                 new_manifest["rows"] = merged_rows
+            # untouched files keep their index verbatim; compacted
+            # replacement files get a FRESH bloom at the parent's dial
+            merged_blooms = {
+                **{
+                    k: v
+                    for k, v in cur_man.get("blooms", {}).items()
+                    if k not in small_set
+                },
+                **new_blooms,
+            }
+            if merged_blooms:
+                new_manifest["blooms"] = merged_blooms
             for key in ("schema", "constraints"):
                 if cur_man.get(key):
                     new_manifest[key] = cur_man[key]
@@ -935,11 +1123,13 @@ def delete_where(
                 c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"]), int(r[f"nn__{c}"])]
                 for c in stats_cols
             }
+    staged_blooms = _recompute_staged_blooms(spark, staging, _bloom_specs(manifest))
 
     data_dir = Path(f"{table_dir}/{_DATA}")
     fs.mkdirs(data_dir)
     new_files: list[str] = []
     new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
     new_rows: dict[str, int] = {}
     for i, st in enumerate(
         sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())
@@ -953,6 +1143,8 @@ def delete_where(
         new_files.append(rel)
         if name in staged_stats:
             new_stats[rel] = staged_stats[name]
+        if name in staged_blooms:
+            new_blooms[rel] = staged_blooms[name]
         # a 0-row file forms no group in the count agg: it has zero rows
         new_rows[rel] = staged_rows.get(name, 0)
     fs.delete(Path(staging), True)
@@ -995,6 +1187,20 @@ def delete_where(
             new_manifest["stats"] = merged_stats
         if merged_rows:
             new_manifest["rows"] = merged_rows
+        # untouched files' key sets are unchanged so their index stays
+        # exact; rewritten survivor files get a FRESH bloom at the
+        # parent's dial (deletion shrinks key sets — rebuilt, not
+        # inherited, so the index stays tight)
+        merged_blooms = {
+            **{
+                k: v
+                for k, v in cur_manifest.get("blooms", {}).items()
+                if k not in hit_set
+            },
+            **new_blooms,
+        }
+        if merged_blooms:
+            new_manifest["blooms"] = merged_blooms
         # survivors are a subset of rows that already satisfied every
         # row-level CHECK — carry the constraint set, no re-validation;
         # a DELETE never changes the schema either
@@ -1014,6 +1220,269 @@ def delete_where(
         return _result(version, rows_deleted, len(hit_files))
     raise IOError(
         f"could not commit delete to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )
+
+
+def merge_into(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+) -> dict:
+    """Transactional copy-on-write MERGE INTO (Delta upsert semantics):
+    WHEN MATCHED update every non-key column from the source, WHEN NOT
+    MATCHED insert the source row — rewriting ONLY the target files that
+    actually contain a matched key. Every other file is carried into the
+    new version untouched, which is the property that makes MERGE usable
+    on a 100 TB table: cost scales with the touched files + the source
+    batch, not the table. (The declarative twin,
+    ``operators/scd.merge_upsert``, materializes a whole new table —
+    right for oracle checks and one-shot jobs, wrong for a mutable
+    store.)
+
+    Scan budget: two column-pruned key scans of the target (the matched-
+    file probe and the NOT-MATCHED anti-join read only ``key_cols``) +
+    one full-width scan of just the hit files. The probe and anti-join
+    shuffle on the keys; AQE broadcasts the (typically small) source
+    side at runtime.
+
+    Like Delta MERGE: raises if any key matches MULTIPLE source rows
+    (ambiguous update); staged rows (updates AND inserts) are validated
+    against the table's CHECK constraints and the commit refuses
+    atomically on violation; per-file min/max stats and Bloom indexes
+    are rebuilt for the rewritten/inserted files at the parent's dial.
+    Concurrency follows ``delete_where``: the optimistic commit rebases
+    over concurrent appends, but refuses (RuntimeError) if a concurrent
+    commit removed a hit file or changed the constraint set. A
+    concurrent append may insert a key this merge also inserts — the
+    same write-serializable (not full-serializable) caveat as Delta.
+
+    Returns ``{"version", "rows_updated", "rows_inserted",
+    "files_rewritten", "files_untouched"}``; an all-miss empty source
+    commits nothing.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    all_files = manifest["files"]
+    keys = list(key_cols)
+    tcols = [f["name"] for f in manifest.get("schema", {}).get("fields", [])]
+    if tcols and source.columns != tcols:
+        missing = set(tcols) ^ set(source.columns)
+        raise ValueError(
+            f"merge_into requires the source to match the table schema "
+            f"{tcols}; differ on {sorted(missing) or 'column order'}"
+        )
+    value_cols = [c for c in source.columns if c not in keys]
+
+    # Delta's ambiguity rule: a target row matching >1 source row has no
+    # well-defined update — refuse before touching anything
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_into source has multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)} — ambiguous MERGE refused"
+        )
+
+    tgt_paths = [_data_path(table_dir, rel) for rel in all_files]
+    tgt_keys = spark.read.parquet(*tgt_paths).select(
+        F.input_file_name().alias("__file"), *keys
+    )
+    skeys = source.select(*keys).distinct()
+    # matched-file probe: one key-pruned scan, metadata-scale collect
+    probe = (
+        tgt_keys.join(skeys, on=keys, how="left_semi")
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    hit_names = {r["__file"].rsplit("/", 1)[-1]: int(r["n"]) for r in probe}
+    hit_files = [rel for rel in all_files if rel.rsplit("/", 1)[-1] in hit_names]
+    rows_updated = sum(hit_names.values())
+
+    inserts = source.join(
+        tgt_keys.select(*keys), on=keys, how="left_anti"
+    ).select(*source.columns)
+
+    def _result(version, rewritten=0, inserted=0):
+        return {
+            "version": version,
+            "rows_updated": rows_updated if rewritten else 0,
+            "rows_inserted": inserted,
+            "files_rewritten": rewritten,
+            "files_untouched": len(all_files) - rewritten,
+        }
+
+    # updated hit rows: left join keeps unmatched neighbors in the same
+    # files byte-identical; matched rows take every source column (a NULL
+    # in a matched source column still wins — MERGE's UPDATE SET t.c=s.c)
+    if hit_files:
+        t = spark.read.parquet(
+            *(_data_path(table_dir, rel) for rel in hit_files)
+        ).alias("t")
+        s = source.withColumn("__src", F.lit(1)).alias("s")
+        src_exists = F.col("s.__src").isNotNull()
+        rewritten = t.join(
+            s,
+            on=F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in keys)),
+            how="left",
+        ).select(
+            *[F.col(f"t.{k}").alias(k) for k in keys],
+            *[
+                F.when(src_exists, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in value_cols
+            ],
+        ).select(*source.columns)
+        staged_df = rewritten.unionByName(inserts)
+    else:
+        staged_df = inserts
+
+    tag = uuid.uuid4().hex[:12]
+    staging = f"{table_dir}/staging-{tag}"
+    staged_df.write.parquet(staging)
+
+    # CHECK validation on everything this merge writes (an update can
+    # violate just as an insert can); refusal removes the staging dir
+    # atomically, nothing committed
+    constraints = manifest.get("constraints", {})
+    if constraints:
+        staged = spark.read.parquet(staging)
+        for cname, cexpr in sorted(constraints.items()):
+            bad = staged.filter(~F.coalesce(F.expr(cexpr), F.lit(True))).count()
+            if bad:
+                fs.delete(Path(staging), True)
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                    f"{bad} merged row(s) — MERGE refused, nothing written"
+                )
+
+    stats_cols = sorted({c for st in manifest.get("stats", {}).values() for c in st})
+    staged_stats, staged_rows = _collect_staged_stats(spark, staging, stats_cols)
+    staged_blooms = _recompute_staged_blooms(spark, staging, _bloom_specs(manifest))
+
+    data_dir = Path(f"{table_dir}/{_DATA}")
+    fs.mkdirs(data_dir)
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
+    new_rows: dict[str, int] = {}
+    for i, st in enumerate(
+        sorted(fs.listStatus(Path(staging)), key=lambda s0: s0.getPath().getName())
+    ):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{_DATA}/m{tag}-{i}-{name}"
+        if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
+            raise IOError(f"rename failed for {name} -> {rel}")
+        new_files.append(rel)
+        if name in staged_stats:
+            new_stats[rel] = staged_stats[name]
+        if name in staged_blooms:
+            new_blooms[rel] = staged_blooms[name]
+        new_rows[rel] = staged_rows.get(name, 0)
+    fs.delete(Path(staging), True)
+
+    hit_set = set(hit_files)
+    hit_rows_before = sum(manifest.get("rows", {}).get(rel, 0) for rel in hit_files)
+    rows_inserted = sum(new_rows.values()) - hit_rows_before
+    if not hit_files and rows_inserted == 0:
+        # nothing matched, nothing to insert: drop the empty staged
+        # file(s), commit nothing
+        for rel in new_files:
+            fs.delete(Path(f"{table_dir}/{rel}"), False)
+        return _result(head)
+
+    for _attempt in range(100):
+        cur = current_version(spark, table_dir)
+        cur_manifest = (
+            manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
+        )
+        cur_files = cur_manifest["files"]
+        if not hit_set.issubset(cur_files):
+            for rel in new_files:
+                fs.delete(Path(f"{table_dir}/{rel}"), False)
+            raise RuntimeError(
+                f"concurrent commit removed files this MERGE rewrote "
+                f"({table_dir} v{cur}); rerun the merge against the new head"
+            )
+        if cur_manifest.get("constraints", {}) != constraints:
+            for rel in new_files:
+                fs.delete(Path(f"{table_dir}/{rel}"), False)
+            raise RuntimeError(
+                f"constraint set changed concurrently on {table_dir} "
+                f"(validated against v{head}, head is v{cur}); re-run the merge"
+            )
+        files = [rel for rel in cur_files if rel not in hit_set] + new_files
+        merged_stats = {
+            **{
+                k: v
+                for k, v in cur_manifest.get("stats", {}).items()
+                if k not in hit_set
+            },
+            **new_stats,
+        }
+        merged_blooms = {
+            **{
+                k: v
+                for k, v in cur_manifest.get("blooms", {}).items()
+                if k not in hit_set
+            },
+            **new_blooms,
+        }
+        merged_rows = {
+            **{
+                k: v
+                for k, v in cur_manifest.get("rows", {}).items()
+                if k not in hit_set
+            },
+            **new_rows,
+        }
+        version = cur + 1
+        new_manifest = {
+            "version": version,
+            "parent": cur,
+            "action": "merge",
+            "files": files,
+            "added": new_files,
+            "removed": sorted(hit_set),
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted,
+        }
+        if merged_stats:
+            new_manifest["stats"] = merged_stats
+        if merged_blooms:
+            new_manifest["blooms"] = merged_blooms
+        if merged_rows:
+            new_manifest["rows"] = merged_rows
+        if constraints:
+            new_manifest["constraints"] = constraints
+        if cur_manifest.get("schema"):
+            new_manifest["schema"] = cur_manifest["schema"]
+        mp = _manifest_path(jvm, table_dir, version)
+        try:
+            stream = fs.create(mp, False)
+        except Exception:
+            continue
+        try:
+            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
+        finally:
+            stream.close()
+        return _result(version, len(hit_files), rows_inserted)
+    raise IOError(
+        f"could not commit merge to {table_dir} after 100 attempts — "
         "manifest create keeps failing (permissions/path problem, not contention)"
     )
 
@@ -1242,7 +1711,7 @@ def add_constraint(
             "added": [],
             "constraints": cons,
         }
-        for k in ("stats", "rows", "schema"):
+        for k in ("stats", "rows", "blooms", "schema"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -1270,7 +1739,7 @@ def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
         }
         if cons:
             man["constraints"] = cons
-        for k in ("stats", "rows", "schema"):
+        for k in ("stats", "rows", "blooms", "schema"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -1368,7 +1837,7 @@ def shallow_clone(
         "files": [_abs(rel) for rel in src["files"]],
         "added": [],
     }
-    for key in ("stats", "rows"):
+    for key in ("stats", "rows", "blooms"):
         if src.get(key):
             manifest[key] = {_abs(rel): v for rel, v in src[key].items()}
     if src.get("schema"):

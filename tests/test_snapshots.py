@@ -832,3 +832,210 @@ def test_ivm_derived_time_buckets_retract_into_right_bucket(spark, tmp_path):
     got = {(str(r.day), r.cnt, r.sum_cents)
            for r in sn.read_snapshot(spark, agg).collect()}
     assert got == {("2024-01-01", 1, 100), ("2024-01-02", 1, 400)}
+
+
+# ---------------------------------------------------------------- blooms
+
+
+def _kept_files(spark, tdir, point):
+    """Replicate read_snapshot's point pruning to count surviving files."""
+    man = sn.snapshot_info(spark, tdir, sn.current_version(spark, tdir))
+    stats, blooms = man.get("stats", {}), man.get("blooms", {})
+    types = {f["name"]: f["type"] for f in man["schema"]["fields"]}
+    depth = max(
+        (e[c]["d"] for e in blooms.values() for c in point if c in e), default=0
+    )
+    h = sn._point_hashes(spark, point, types, depth) if depth else {}
+    eq = {c: (v, v) for c, v in point.items()}
+    return [
+        r
+        for r in man["files"]
+        if sn._overlaps(stats.get(r), eq) and sn._bloom_keeps(blooms.get(r), point, h)
+    ]
+
+
+def test_bloom_point_lookup_skips_files_never_rows(spark, tdir):
+    # hash-distribute ids over 4 files: min/max stats span everything
+    # (useless for equality), the per-file bloom still prunes to ~1 file
+    df = _batch(spark, 0, 400).repartition(4, "i")
+    sn.write_snapshot(df, tdir, stats_cols=("i",), bloom_cols=("i",))
+    man = sn.snapshot_info(spark, tdir, 1)
+    assert len(man["files"]) == 4 and set(man["blooms"]) == set(man["files"])
+    for k in (0, 97, 399):
+        got = _ids(sn.read_snapshot(spark, tdir, point={"i": k}).filter(F.col("i") == k))
+        assert got == [k]
+        assert len(_kept_files(spark, tdir, {"i": k})) < 4  # skipped some
+    # absent key: bloom prunes every file (fp ~ (n/w)^d, negligible here)
+    assert _kept_files(spark, tdir, {"i": 10_000_000}) == []
+    assert sn.read_snapshot(spark, tdir, point={"i": 10_000_000}).count() == 0
+
+
+def test_bloom_point_read_without_index_keeps_rows(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 50), tdir)  # no bloom, no stats
+    got = _ids(sn.read_snapshot(spark, tdir, point={"i": 7}).filter(F.col("i") == 7))
+    assert got == [7]  # nothing skippable, nothing lost
+
+
+def test_bloom_string_column_probe_matches_build(spark, tdir):
+    df = _batch(spark, 0, 200).select(
+        "i", F.concat(F.lit("user-"), F.col("i")).alias("name")
+    ).repartition(4, "name")
+    sn.write_snapshot(df, tdir, bloom_cols=("name",))
+    got = sn.read_snapshot(spark, tdir, point={"name": "user-123"}).filter(
+        F.col("name") == "user-123"
+    )
+    assert [r.i for r in got.collect()] == [123]
+    assert len(_kept_files(spark, tdir, {"name": "user-123"})) < 4
+    assert _kept_files(spark, tdir, {"name": "nobody"}) == []
+
+
+def test_bloom_survives_maintenance_rewrites(spark, tdir):
+    sn.write_snapshot(
+        _batch(spark, 0, 300).repartition(4, "i"), tdir, bloom_cols=("i",)
+    )
+    # COW delete rewrites hit files -> their bloom entries are dropped,
+    # untouched files keep theirs; point reads stay exact either way
+    sn.delete_where(spark, tdir, "i % 10 = 3")
+    assert _ids(sn.read_snapshot(spark, tdir, point={"i": 97}).filter(F.col("i") == 97)) == [97]
+    assert sn.read_snapshot(spark, tdir, point={"i": 93}).filter(F.col("i") == 93).count() == 0
+    man = sn.snapshot_info(spark, tdir, sn.current_version(spark, tdir))
+    assert set(man.get("blooms", {})) <= set(man["files"])  # no dangling entries
+    # compaction: replacement file has no bloom (always kept), law holds
+    sn.optimize_snapshot(spark, tdir, target_mb=1024)
+    assert _ids(sn.read_snapshot(spark, tdir, point={"i": 97}).filter(F.col("i") == 97)) == [97]
+    # rollback to v1 restores v1's bloom index verbatim
+    sn.rollback(spark, tdir, to_version=1)
+    man = sn.snapshot_info(spark, tdir, sn.current_version(spark, tdir))
+    assert set(man["blooms"]) == set(man["files"])
+    assert _ids(sn.read_snapshot(spark, tdir, point={"i": 93}).filter(F.col("i") == 93)) == [93]
+
+
+def test_bloom_shallow_clone_carries_index(spark, tdir, tmp_path):
+    sn.write_snapshot(
+        _batch(spark, 0, 200).repartition(4, "i"), tdir, bloom_cols=("i",)
+    )
+    dst = str(tmp_path / "clone")
+    sn.shallow_clone(spark, tdir, dst)
+    assert _ids(sn.read_snapshot(spark, dst, point={"i": 42}).filter(F.col("i") == 42)) == [42]
+    assert len(_kept_files(spark, dst, {"i": 42})) < 4
+
+
+def test_point_lookup_on_nested_column_raises(spark, tdir):
+    df = _batch(spark, 0, 10).select("i", F.struct("i").alias("s"))
+    sn.write_snapshot(df, tdir, bloom_cols=("i",))
+    with pytest.raises(ValueError, match="non-atomic"):
+        sn.read_snapshot(spark, tdir, point={"s": 1})
+
+
+# ---------------------------------------------------------------- merge
+
+
+def _kv(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("i"),
+        F.concat(F.lit(tag + "-"), F.col("id")).alias("v"),
+    )
+
+
+def test_merge_into_updates_and_inserts_touching_only_hit_files(spark, tdir):
+    sn.write_snapshot(
+        _kv(spark, 0, 40).repartition(4, "i"), tdir,
+        stats_cols=("i",), bloom_cols=("i",),
+    )
+    man1 = sn.snapshot_info(spark, tdir, 1)
+    # 38,39 update; 40..43 insert
+    res = sn.merge_into(spark, tdir, _kv(spark, 38, 44, tag="new"), ("i",))
+    assert res["rows_updated"] == 2 and res["rows_inserted"] == 4
+    assert 1 <= res["files_rewritten"] <= 2  # only files containing key 38/39
+    assert res["files_rewritten"] + res["files_untouched"] == 4
+    got = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    expect = {(i, f"a-{i}") for i in range(38)} | {
+        (i, f"new-{i}") for i in range(38, 44)
+    }
+    assert got == expect
+    man2 = sn.snapshot_info(spark, tdir, res["version"])
+    # untouched files carried verbatim, hit files removed
+    untouched = set(man1["files"]) - set(man2["removed"])
+    assert untouched <= set(man2["files"])
+    assert len(untouched) == res["files_untouched"]
+    # stats + bloom index rebuilt for every rewritten/inserted file
+    assert set(man2["blooms"]) == set(man2["files"])
+    assert set(man2["stats"]) == set(man2["files"])
+    # point lookup stays exact through the merge (updated + inserted keys)
+    for k, want in ((39, "new-39"), (41, "new-41"), (7, "a-7")):
+        row = (
+            sn.read_snapshot(spark, tdir, point={"i": k})
+            .filter(F.col("i") == k).collect()
+        )
+        assert [(r.i, r.v) for r in row] == [(k, want)]
+
+
+def test_merge_into_cdf_shows_update_as_delete_insert_pair(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 20).repartition(2, "i"), tdir)
+    src = spark.createDataFrame([(5, "upd-5"), (100, "ins-100")], "i long, v string")
+    sn.merge_into(spark, tdir, src, ("i",))
+    got = {
+        (r.i, r.v, r._change_type)
+        for r in sn.read_changes_cdf(spark, tdir, from_version=1).collect()
+    }
+    # rewrite survivors cancel; only the logical diff remains
+    assert got == {
+        (5, "a-5", "delete"),
+        (5, "upd-5", "insert"),
+        (100, "ins-100", "insert"),
+    }
+
+
+def test_merge_into_ambiguous_source_refused(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 10), tdir)
+    dup = spark.createDataFrame([(3, "x"), (3, "y")], "i long, v string")
+    with pytest.raises(ValueError, match="multiple rows"):
+        sn.merge_into(spark, tdir, dup, ("i",))
+    assert sn.current_version(spark, tdir) == 1
+
+
+def test_merge_into_constraint_violation_refused_atomically(spark, tdir):
+    import os
+
+    sn.write_snapshot(_kv(spark, 0, 10), tdir)
+    sn.add_constraint(spark, tdir, "i_nonneg", "i >= 0")
+    bad = spark.createDataFrame([(-1, "neg"), (3, "upd")], "i long, v string")
+    v = sn.current_version(spark, tdir)
+    with pytest.raises(ValueError, match="i_nonneg"):
+        sn.merge_into(spark, tdir, bad, ("i",))
+    assert sn.current_version(spark, tdir) == v
+    got = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got == {(i, f"a-{i}") for i in range(10)}  # update NOT applied
+    assert not [d for d in os.listdir(tdir) if d.startswith("staging-")]
+
+
+def test_merge_into_empty_and_noop_source_commits_nothing(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 5), tdir)
+    empty = spark.createDataFrame([], "i long, v string")
+    res = sn.merge_into(spark, tdir, empty, ("i",))
+    assert res == {
+        "version": 1,
+        "rows_updated": 0,
+        "rows_inserted": 0,
+        "files_rewritten": 0,
+        "files_untouched": len(sn.snapshot_info(spark, tdir, 1)["files"]),
+    }
+    assert sn.current_version(spark, tdir) == 1
+
+
+def test_merge_into_schema_mismatch_refused(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 5), tdir)
+    with pytest.raises(ValueError, match="match the table schema"):
+        sn.merge_into(
+            spark, tdir, _kv(spark, 0, 3).withColumnRenamed("v", "w"), ("i",)
+        )
+
+
+def test_merge_into_null_source_value_wins(spark, tdir):
+    # MERGE's UPDATE SET t.v = s.v: a NULL source value overwrites
+    sn.write_snapshot(_kv(spark, 0, 5), tdir)
+    src = spark.createDataFrame([(2, None)], "i long, v string")
+    res = sn.merge_into(spark, tdir, src, ("i",))
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+    got = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got == {(0, "a-0"), (1, "a-1"), (2, None), (3, "a-3"), (4, "a-4")}
