@@ -998,6 +998,67 @@ def _orders_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_SNAP_CACHE: dict[str, str] = {}
+
+
+def _orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply loop (sources/snapshots.apply_changes — the DLT APPLY
+    CHANGES INTO shape): a deterministic change batch over the orders
+    snapshot table — every %10==0 order re-statused 'U' with +1.00 (op
+    U), every %10==5 order tombstoned (op D), key-offset copies of every
+    %100==7 order inserted (op I) — is merged in one copy-on-write pass
+    that touches only the hit files; last-op-wins sequencing, equal-seq
+    delete bias, unknown-op refusal, exactly-once batch replay and the
+    streaming foreachBatch sink are pinned in tests/test_snapshots.py.
+    The oracle composes the same changes declaratively (filtered UNION
+    with CASE), so the hash check asserts the applied table row-for-row:
+    deletes gone, updates value-exact, survivors untouched, inserts
+    appended."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _CDC_SNAP_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="cdc_orders_") + "/tbl"
+        sn.write_snapshot(o.repartitionByRange(8, "o_orderkey"), path, mode="overwrite")
+        upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            F.lit("U").alias("_op"),
+        )
+        dels = o.filter(F.col("o_orderkey") % 10 == 5).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("D").alias("_op"),
+        )
+        ins = o.filter(F.col("o_orderkey") % 100 == 7).select(
+            (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit("I").alias("_op"),
+        )
+        changes = (
+            upd.unionByName(dels).unionByName(ins).withColumn("seq", F.lit(1))
+        )
+        sn.apply_changes(spark, path, changes, ("o_orderkey",), seq_col="seq")
+        _CDC_SNAP_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def _orders_cdf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change-data-feed of the snapshot table's DELETE commit
     (sources/snapshots.read_changes_cdf): the logical diff of v3 (the
@@ -1615,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ivm_daily": _events_ivm_daily,
         "orders_point_lookup": _orders_point_lookup,
         "orders_snapshot_merge": _orders_snapshot_merge,
+        "orders_cdc_apply": _orders_cdc_apply,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3468,6 +3530,17 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE o_custkey = 97
+            ORDER BY o_orderkey
+        """,
+        "orders_cdc_apply": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 10 <> 5
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 7
             ORDER BY o_orderkey
         """,
         "orders_snapshot_merge": """

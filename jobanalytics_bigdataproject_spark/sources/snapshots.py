@@ -1229,6 +1229,8 @@ def merge_into(
     table_dir: str,
     source: DataFrame,
     key_cols: list[str] | tuple[str, ...],
+    delete_condition: str | None = None,
+    idempotency_key: str | None = None,
 ) -> dict:
     """Transactional copy-on-write MERGE INTO (Delta upsert semantics):
     WHEN MATCHED update every non-key column from the source, WHEN NOT
@@ -1258,26 +1260,71 @@ def merge_into(
     concurrent append may insert a key this merge also inserts — the
     same write-serializable (not full-serializable) caveat as Delta.
 
-    Returns ``{"version", "rows_updated", "rows_inserted",
-    "files_rewritten", "files_untouched"}``; an all-miss empty source
-    commits nothing.
+    ``delete_condition`` adds Delta's WHEN MATCHED AND <cond> THEN
+    DELETE clause: a SQL boolean over the SOURCE row — matched target
+    rows whose source row satisfies it are dropped instead of updated
+    (NULL condition = not deleted), and such source rows never insert
+    (a delete for an absent key is a no-op, the CDC convention). With a
+    condition the source may carry EXTRA columns beyond the table schema
+    (e.g. an ``_op`` flag) — condition fuel only, never written; without
+    one the source must match the table schema exactly (the stricter
+    rule catches column typos).
+
+    ``idempotency_key`` gives the same exactly-once-under-redelivery
+    contract as ``write_snapshot``: a retry whose key is already in the
+    log no-ops and returns the PRIOR commit's result (reconstructed from
+    its manifest) — this is what makes a ``foreachBatch`` CDC-apply loop
+    safe when Spark re-runs a failed micro-batch.
+
+    Returns ``{"version", "rows_updated", "rows_deleted",
+    "rows_inserted", "files_rewritten", "files_untouched"}``; an
+    all-miss empty source commits nothing.
     """
     fs, _, jvm = _fs(spark, table_dir)
     Path = jvm.org.apache.hadoop.fs.Path
     head = current_version(spark, table_dir)
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+
+    def _replayed(prior: int) -> dict:
+        man = _read_manifest(fs, jvm, table_dir, prior)
+        return {
+            "version": prior,
+            "rows_updated": man.get("rows_updated", 0),
+            "rows_deleted": man.get("rows_deleted", 0),
+            "rows_inserted": man.get("rows_inserted", 0),
+            "files_rewritten": len(man.get("removed", [])),
+            "files_untouched": len(man["files"]) - len(man.get("added", [])),
+        }
+
+    if idempotency_key is not None:
+        prior = _find_idempotent(fs, jvm, table_dir, idempotency_key, head)
+        if prior is not None:
+            return _replayed(prior)
+
     manifest = _read_manifest(fs, jvm, table_dir, head)
     all_files = manifest["files"]
     keys = list(key_cols)
     tcols = [f["name"] for f in manifest.get("schema", {}).get("fields", [])]
-    if tcols and source.columns != tcols:
+    if tcols and delete_condition is None and source.columns != tcols:
         missing = set(tcols) ^ set(source.columns)
         raise ValueError(
             f"merge_into requires the source to match the table schema "
             f"{tcols}; differ on {sorted(missing) or 'column order'}"
         )
-    value_cols = [c for c in source.columns if c not in keys]
+    if tcols and not set(tcols) <= set(source.columns):
+        raise ValueError(
+            f"merge_into source is missing table columns "
+            f"{sorted(set(tcols) - set(source.columns))}"
+        )
+    out_cols = tcols or [c for c in source.columns]
+    value_cols = [c for c in out_cols if c not in keys]
+    src = source.withColumn(
+        "__del",
+        F.coalesce(F.expr(delete_condition), F.lit(False))
+        if delete_condition is not None
+        else F.lit(False),
+    )
 
     # Delta's ambiguity rule: a target row matching >1 source row has no
     # well-defined update — refuse before touching anything
@@ -1298,26 +1345,34 @@ def merge_into(
     tgt_keys = spark.read.parquet(*tgt_paths).select(
         F.input_file_name().alias("__file"), *keys
     )
-    skeys = source.select(*keys).distinct()
+    skeys = src.select(*keys, "__del").distinct()
     # matched-file probe: one key-pruned scan, metadata-scale collect
     probe = (
-        tgt_keys.join(skeys, on=keys, how="left_semi")
+        tgt_keys.join(skeys, on=keys, how="inner")
         .groupBy("__file")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.when(F.col("__del"), 0).otherwise(1)).alias("nu"),
+            F.sum(F.when(F.col("__del"), 1).otherwise(0)).alias("nd"),
+        )
         .collect()
     )
-    hit_names = {r["__file"].rsplit("/", 1)[-1]: int(r["n"]) for r in probe}
+    hit_names = {r["__file"].rsplit("/", 1)[-1] for r in probe}
     hit_files = [rel for rel in all_files if rel.rsplit("/", 1)[-1] in hit_names]
-    rows_updated = sum(hit_names.values())
+    rows_updated = int(sum(r["nu"] for r in probe))
+    rows_deleted = int(sum(r["nd"] for r in probe))
 
-    inserts = source.join(
-        tgt_keys.select(*keys), on=keys, how="left_anti"
-    ).select(*source.columns)
+    # a delete-flagged source row never inserts (absent-key delete = no-op)
+    inserts = (
+        src.filter(~F.col("__del"))
+        .join(tgt_keys.select(*keys), on=keys, how="left_anti")
+        .select(*out_cols)
+    )
 
     def _result(version, rewritten=0, inserted=0):
         return {
             "version": version,
             "rows_updated": rows_updated if rewritten else 0,
+            "rows_deleted": rows_deleted if rewritten else 0,
             "rows_inserted": inserted,
             "files_rewritten": rewritten,
             "files_untouched": len(all_files) - rewritten,
@@ -1325,26 +1380,32 @@ def merge_into(
 
     # updated hit rows: left join keeps unmatched neighbors in the same
     # files byte-identical; matched rows take every source column (a NULL
-    # in a matched source column still wins — MERGE's UPDATE SET t.c=s.c)
+    # in a matched source column still wins — MERGE's UPDATE SET t.c=s.c);
+    # matched rows whose source row is delete-flagged are dropped
     if hit_files:
         t = spark.read.parquet(
             *(_data_path(table_dir, rel) for rel in hit_files)
         ).alias("t")
-        s = source.withColumn("__src", F.lit(1)).alias("s")
+        s = src.withColumn("__src", F.lit(1)).alias("s")
         src_exists = F.col("s.__src").isNotNull()
-        rewritten = t.join(
-            s,
-            on=F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in keys)),
-            how="left",
-        ).select(
-            *[F.col(f"t.{k}").alias(k) for k in keys],
-            *[
-                F.when(src_exists, F.col(f"s.{c}"))
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in value_cols
-            ],
-        ).select(*source.columns)
+        rewritten = (
+            t.join(
+                s,
+                on=F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in keys)),
+                how="left",
+            )
+            .filter(~(src_exists & F.col("s.__del")))
+            .select(
+                *[F.col(f"t.{k}").alias(k) for k in keys],
+                *[
+                    F.when(src_exists, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in value_cols
+                ],
+            )
+            .select(*out_cols)
+        )
         staged_df = rewritten.unionByName(inserts)
     else:
         staged_df = inserts
@@ -1397,7 +1458,7 @@ def merge_into(
 
     hit_set = set(hit_files)
     hit_rows_before = sum(manifest.get("rows", {}).get(rel, 0) for rel in hit_files)
-    rows_inserted = sum(new_rows.values()) - hit_rows_before
+    rows_inserted = sum(new_rows.values()) - hit_rows_before + rows_deleted
     if not hit_files and rows_inserted == 0:
         # nothing matched, nothing to insert: drop the empty staged
         # file(s), commit nothing
@@ -1407,6 +1468,12 @@ def merge_into(
 
     for _attempt in range(100):
         cur = current_version(spark, table_dir)
+        if idempotency_key is not None and cur != head:
+            prior = _find_idempotent(fs, jvm, table_dir, idempotency_key, cur)
+            if prior is not None:
+                for rel in new_files:
+                    fs.delete(Path(f"{table_dir}/{rel}"), False)
+                return _replayed(prior)
         cur_manifest = (
             manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
         )
@@ -1459,6 +1526,7 @@ def merge_into(
             "added": new_files,
             "removed": sorted(hit_set),
             "rows_updated": rows_updated,
+            "rows_deleted": rows_deleted,
             "rows_inserted": rows_inserted,
         }
         if merged_stats:
@@ -1471,6 +1539,8 @@ def merge_into(
             new_manifest["constraints"] = constraints
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
+        if idempotency_key is not None:
+            new_manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
         try:
             stream = fs.create(mp, False)
@@ -1485,6 +1555,94 @@ def merge_into(
         f"could not commit merge to {table_dir} after 100 attempts — "
         "manifest create keeps failing (permissions/path problem, not contention)"
     )
+
+
+def apply_changes(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    seq_col: str,
+    op_col: str = "_op",
+    idempotency_key: str | None = None,
+) -> dict:
+    """CDC apply (the DLT ``APPLY CHANGES INTO … SEQUENCE BY`` shape):
+    ``changes`` carries the table's columns plus an ``op_col`` in
+    {'I','U','D'} and a ``seq_col`` ordering column. Per key, only the
+    LATEST change by ``seq_col`` is applied — an upsert for I/U, a
+    delete for D (absent-key delete is a no-op). One window over the
+    change batch (batch-sized, never table-sized), then one
+    ``merge_into`` whose COW rewrite touches only the hit files.
+
+    Equal-seq ties break toward the DELETE (the conservative read of an
+    ill-sequenced feed), then by op descending — deterministic, but a
+    producer should make ``seq_col`` unique per key. Cross-batch
+    ordering is the producer's contract: batches must be applied in
+    sequence order (this function keeps no high-watermark per key; a
+    later batch carrying an older seq for a key will overwrite).
+    Re-applying the same already-applied batch is content-idempotent
+    even without a key (updates rewrite equal values, inserts match and
+    no-op, deletes miss); pass ``idempotency_key`` to also skip the
+    rewrite entirely on foreachBatch retries.
+    """
+    from pyspark.sql.window import Window
+
+    ops = ("I", "U", "D")
+    bad = changes.filter(~F.col(op_col).isin(*ops)).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"apply_changes: op column {op_col!r} must be one of {ops}, "
+            f"got {bad[0][op_col]!r}"
+        )
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        (F.col(op_col) == "D").desc(),
+        F.col(op_col).desc(),
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return merge_into(
+        spark,
+        table_dir,
+        latest,
+        key_cols,
+        delete_condition=f"{op_col} = 'D'",
+        idempotency_key=idempotency_key,
+    )
+
+
+def cdc_sink(
+    table_dir: str,
+    key_cols: list[str] | tuple[str, ...],
+    seq_col: str,
+    op_col: str = "_op",
+):
+    """Structured Streaming CDC-apply sink:
+    ``changeStream.writeStream.foreachBatch(cdc_sink(dir, keys, seq))``
+    merges each micro-batch of {'I','U','D'} changes into the versioned
+    table via ``apply_changes``. Exactly-once under micro-batch retry:
+    the batch id is the merge's idempotency key (same contract as
+    ``snapshot_sink``), so a re-run batch finds its commit in the log
+    and no-ops. Every applied batch is a time-travelable version whose
+    CDF (``read_changes_cdf``) replays the net row-level effect —
+    streaming in, streaming out."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changes(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            key_cols,
+            seq_col,
+            op_col=op_col,
+            idempotency_key=f"cdc-{batch_id}",
+        )
+
+    return _apply
 
 
 def metadata_agg(

@@ -209,6 +209,12 @@ _op = st.one_of(
     st.tuples(st.just("delete_le"), st.integers(0, 9)),
     st.tuples(st.just("optimize"), st.just(0)),
     st.tuples(st.just("rollback"), st.just(0)),
+    # key-only MERGE: matched keys keep every copy (update with zero
+    # value columns rewrites the hit files in place), absent keys insert
+    st.tuples(
+        st.just("merge"),
+        st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
+    ),
 )
 
 
@@ -251,6 +257,13 @@ def test_snapshot_stack_matches_model(spark, tmp_path_factory, ops):
                 continue
             sn.rollback(spark, tdir, to_version=1)
             states.append(Counter(states[0]))
+        elif kind == "merge":
+            if not states:
+                continue
+            src = spark.createDataFrame([(v,) for v in sorted(arg)], "i long")
+            sn.merge_into(spark, tdir, src, ("i",))
+            prev = states[-1]
+            states.append(prev + Counter(k for k in arg if k not in prev))
 
         if states:
             got = Counter(r.i for r in sn.read_snapshot(spark, tdir).collect())

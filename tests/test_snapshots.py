@@ -1016,6 +1016,7 @@ def test_merge_into_empty_and_noop_source_commits_nothing(spark, tdir):
     assert res == {
         "version": 1,
         "rows_updated": 0,
+        "rows_deleted": 0,
         "rows_inserted": 0,
         "files_rewritten": 0,
         "files_untouched": len(sn.snapshot_info(spark, tdir, 1)["files"]),
@@ -1039,3 +1040,128 @@ def test_merge_into_null_source_value_wins(spark, tdir):
     assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
     got = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
     assert got == {(0, "a-0"), (1, "a-1"), (2, None), (3, "a-3"), (4, "a-4")}
+
+
+# ------------------------------------------------------------------- cdc
+
+
+def test_merge_delete_condition_applies_cdc_semantics(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 20).repartition(2, "i"), tdir)
+    src = spark.createDataFrame(
+        [
+            (1, "upd-1", "U"),   # matched update
+            (2, None, "D"),      # matched delete
+            (3, None, "D"),      # matched delete
+            (100, "ins-100", "I"),  # unmatched insert
+            (200, None, "D"),    # absent-key delete: no-op
+        ],
+        "i long, v string, _op string",
+    )
+    res = sn.merge_into(spark, tdir, src, ("i",), delete_condition="_op = 'D'")
+    assert res["rows_updated"] == 1
+    assert res["rows_deleted"] == 2
+    assert res["rows_inserted"] == 1
+    got = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    expect = {(i, f"a-{i}") for i in range(20) if i not in (1, 2, 3)} | {
+        (1, "upd-1"), (100, "ins-100")
+    }
+    assert got == expect
+    # _op is condition fuel only — never written
+    assert sn.read_snapshot(spark, tdir).columns == ["i", "v"]
+    # without a delete_condition, extra source columns stay refused
+    with pytest.raises(ValueError, match="match the table schema"):
+        sn.merge_into(spark, tdir, src, ("i",))
+
+
+def test_apply_changes_last_op_per_key_wins_by_seq(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 10), tdir)
+    changes = spark.createDataFrame(
+        [
+            (5, "x", "U", 1), (5, None, "D", 2),        # net: delete 5
+            (6, None, "D", 1), (6, "fin-6", "U", 2),     # net: update 6
+            (100, "first", "I", 1), (100, "final", "U", 2),  # net: insert final
+            (7, None, "D", 1),                            # delete 7
+        ],
+        "i long, v string, _op string, seq int",
+    )
+    res = sn.apply_changes(spark, tdir, changes, ("i",), seq_col="seq")
+    assert res["rows_deleted"] == 2 and res["rows_updated"] == 1
+    assert res["rows_inserted"] == 1
+    got = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    expect = {(i, f"a-{i}") for i in range(10) if i not in (5, 6, 7)} | {
+        (6, "fin-6"), (100, "final")
+    }
+    assert got == expect
+
+
+def test_apply_changes_equal_seq_tie_breaks_to_delete(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 5), tdir)
+    tie = spark.createDataFrame(
+        [(2, "upd", "U", 1), (2, None, "D", 1)], "i long, v string, _op string, seq int"
+    )
+    sn.apply_changes(spark, tdir, tie, ("i",), seq_col="seq")
+    assert _ids(sn.read_snapshot(spark, tdir)) == [0, 1, 3, 4]
+
+
+def test_apply_changes_unknown_op_refused(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 5), tdir)
+    bad = spark.createDataFrame(
+        [(1, "x", "UPSERT", 1)], "i long, v string, _op string, seq int"
+    )
+    with pytest.raises(ValueError, match="must be one of"):
+        sn.apply_changes(spark, tdir, bad, ("i",), seq_col="seq")
+    assert sn.current_version(spark, tdir) == 1
+
+
+def test_merge_idempotency_key_replays_without_rewriting(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 10).repartition(2, "i"), tdir)
+    src = spark.createDataFrame([(3, "upd"), (100, "ins")], "i long, v string")
+    r1 = sn.merge_into(spark, tdir, src, ("i",), idempotency_key="batch-7")
+    head = sn.current_version(spark, tdir)
+    # redelivery: same key -> no new version, prior result reconstructed
+    r2 = sn.merge_into(spark, tdir, src, ("i",), idempotency_key="batch-7")
+    assert sn.current_version(spark, tdir) == head
+    assert r2 == r1
+    # a different key applies normally (content-idempotent re-merge)
+    r3 = sn.merge_into(spark, tdir, src, ("i",), idempotency_key="batch-8")
+    assert r3["version"] == head + 1
+    got = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    assert (3, "upd") in got and (100, "ins") in got and len(got) == 11
+
+
+def test_cdc_sink_stream_applies_changes_exactly_once(spark, tdir, tmp_path):
+    sn.write_snapshot(_kv(spark, 0, 10).repartition(2, "i"), tdir)
+    src = str(tmp_path / "changes")
+    b0 = spark.createDataFrame(
+        [(1, "u1", "U", 1), (2, None, "D", 1)], "i long, v string, _op string, seq int"
+    )
+    b1 = spark.createDataFrame(
+        [(100, "new", "I", 2), (7, None, "D", 2)], "i long, v string, _op string, seq int"
+    )
+    b0.coalesce(1).write.parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("i long, v string, _op string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = sn.cdc_sink(tdir, ("i",), seq_col="seq")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    assert sn.current_version(spark, tdir) == 3  # base + 2 applied batches
+    got = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    expect = {(i, f"a-{i}") for i in range(10) if i not in (1, 2, 7)} | {
+        (1, "u1"), (100, "new")
+    }
+    assert got == expect
+    # retry of an already-applied batch id: idempotent no-op
+    sink(b0, 0)
+    assert sn.current_version(spark, tdir) == 3
