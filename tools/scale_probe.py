@@ -71,6 +71,12 @@ PROBES = [
     "orders_snapshot_metadata_agg",
     "orders_cdf_deletes",
     "orders_ivm_agg",
+    # Bloom point lookup: timed run scans only the ~2 kept files, so the
+    # exponent tracks kept-file size (vs 1.0 for the oracle's full scan);
+    # merge/cdc timed runs measure the applied table's scan-after-merge
+    "orders_point_lookup",
+    "orders_snapshot_merge",
+    "orders_cdc_apply",
 ]
 
 
