@@ -998,6 +998,102 @@ def _orders_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETENTION_CACHE: dict[str, str] = {}
+
+
+def _orders_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-expiry DELETE on a date-clustered snapshot table
+    (sources/snapshots.delete_range — the DROP PARTITION fast path):
+    orders lands range-clustered on order day across 8 files, then the
+    1995–1996 cohort is expired in ONE commit that classifies every file
+    by its manifest min/max — files wholly inside the window are dropped
+    with ZERO I/O (manifest arithmetic), only the boundary-straddling
+    file is copy-on-write rewritten, files past the boundary are never
+    read. At 100 TB this is a retention job that costs two file rewrites
+    instead of a table rewrite. The oracle is the anti-filtered base
+    table, so the hash check asserts the row-level law (exactly the
+    expired cohort gone); the zero-I/O drop tier, NULL survival, date
+    stats and drop-only commits are pinned in tests/test_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _RETENTION_CACHE.get(sf_dir)
+    if path is None:
+        import datetime
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"].select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.to_date("o_orderdate").alias("o_day"),
+        )
+        path = tempfile.mkdtemp(prefix="retention_orders_") + "/tbl"
+        sn.write_snapshot(
+            o.repartitionByRange(8, "o_day"),
+            path,
+            mode="overwrite",
+            stats_cols=("o_day",),
+        )
+        sn.delete_range(
+            spark,
+            path,
+            "o_day",
+            datetime.date(1995, 1, 1),
+            datetime.date(1996, 12, 31),
+        )
+        _RETENTION_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_day")
+        .orderBy("o_orderkey")
+    )
+
+
+_REDACTION_CACHE: dict[str, str] = {}
+
+
+def _orders_update_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR pseudonymization via copy-on-write UPDATE
+    (sources/snapshots.update_where — completes the DML triad with
+    delete_where/merge_into): instead of erasing the forgotten cohort
+    (custkey % 100 == 7), one UPDATE commit anonymizes it in place —
+    custkey re-pointed at the tombstone id -1 and the priority text
+    redacted — rewriting ONLY files containing cohort rows; every other
+    file carries into the new version with zero I/O and history stays
+    time-travelable for audit. Assignments evaluate against the OLD row
+    (simultaneous SET), so the oracle is a per-column CASE projection of
+    the base table and the hash check asserts the row-level UPDATE law:
+    exactly the cohort changed, every other row byte-identical.
+    File-level behavior (hit-file-only rewrite, stats/Bloom refresh,
+    CHECK validation, cardinality tripwire, CDF delete+insert pairs) is
+    pinned in tests/test_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _REDACTION_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        path = tempfile.mkdtemp(prefix="redact_orders_") + "/tbl"
+        sn.write_snapshot(t["orders"], path, mode="overwrite")
+        sn.update_where(
+            spark,
+            path,
+            {"o_custkey": "-1", "o_orderpriority": "'5-REDACTED'"},
+            "o_custkey % 100 = 7",
+        )
+        _REDACTION_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 _CDC_SNAP_CACHE: dict[str, str] = {}
 
 
@@ -1677,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_point_lookup": _orders_point_lookup,
         "orders_snapshot_merge": _orders_snapshot_merge,
         "orders_cdc_apply": _orders_cdc_apply,
+        "orders_retention_expiry": _orders_retention_expiry,
+        "orders_update_redaction": _orders_update_redaction,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3530,6 +3628,25 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE o_custkey = 97
+            ORDER BY o_orderkey
+        """,
+        "orders_retention_expiry": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(o_orderdate AS DATE) AS o_day
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE)
+                  NOT BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+            ORDER BY o_orderkey
+        """,
+        "orders_update_redaction": """
+            SELECT o_orderkey,
+                   CASE WHEN o_custkey % 100 = 7 THEN -1
+                        ELSE o_custkey END AS o_custkey,
+                   o_orderstatus,
+                   CASE WHEN o_custkey % 100 = 7 THEN '5-REDACTED'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   o_totalprice
+            FROM orders
             ORDER BY o_orderkey
         """,
         "orders_cdc_apply": """

@@ -1012,6 +1012,7 @@ def delete_where(
     table_dir: str,
     condition: str,
     prune: dict | None = None,
+    _drop: list[str] | None = None,
 ) -> dict:
     """Copy-on-write DELETE (Delta ``DELETE FROM`` semantics) — the
     right-to-be-forgotten propagation primitive: remove every row where
@@ -1044,9 +1045,14 @@ def delete_where(
     ``RuntimeError`` surfaces — serializable behavior, never a lost
     delete or a resurrect.
 
+    ``_drop`` (internal — ``delete_range``'s fast tier) names files whose
+    EVERY row provably matches the condition: they are removed from the
+    manifest without being read, rewritten, or probed — zero I/O.
+
     Returns ``{"version", "rows_deleted", "files_rewritten",
-    "files_untouched", "files_skipped_by_stats"}``; a no-match call
-    commits nothing and returns the current version with zero counts.
+    "files_dropped", "files_untouched", "files_skipped_by_stats"}``; a
+    no-match call commits nothing and returns the current version with
+    zero counts.
     """
     fs, _, jvm = _fs(spark, table_dir)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -1057,36 +1063,52 @@ def delete_where(
     all_files = manifest["files"]
     stats = manifest.get("stats", {})
 
-    candidates = all_files
+    drop = [rel for rel in (_drop or []) if rel in set(all_files)]
+    dropped_rows = sum(
+        int(manifest.get("rows", {}).get(rel, 0)) for rel in drop
+    )
+    candidates = [rel for rel in all_files if rel not in set(drop)]
     if prune:
-        candidates = [rel for rel in all_files if _overlaps(stats.get(rel), prune)]
-    skipped_by_stats = len(all_files) - len(candidates)
+        candidates = [rel for rel in candidates if _overlaps(stats.get(rel), prune)]
+    skipped_by_stats = len(all_files) - len(candidates) - len(drop)
 
     def _result(version, deleted=0, rewritten=0):
+        committed = version != head
         return {
             "version": version,
             "rows_deleted": deleted,
             "files_rewritten": rewritten,
-            "files_untouched": len(all_files) - rewritten,
+            "files_dropped": len(drop) if committed else 0,
+            "files_untouched": len(all_files)
+            - rewritten
+            - (len(drop) if committed else 0),
             "files_skipped_by_stats": skipped_by_stats,
         }
 
-    if not candidates:
+    if not candidates and not drop:
         return _result(head)
 
     cond = F.expr(condition)
-    cand_df = spark.read.parquet(*(_data_path(table_dir, rel) for rel in candidates))
-    probe = (
-        cand_df.filter(cond)
-        .groupBy(F.input_file_name().alias("__file"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    )  # metadata-scale: one row per file containing matches
-    hit_names = {r["__file"].rsplit("/", 1)[-1]: r["n"] for r in probe}
-    hit_files = [rel for rel in candidates if rel.rsplit("/", 1)[-1] in hit_names]
-    rows_deleted = sum(hit_names.values())
-    if not hit_files:
+    hit_files: list[str] = []
+    rows_deleted = 0
+    if candidates:
+        cand_df = spark.read.parquet(
+            *(_data_path(table_dir, rel) for rel in candidates)
+        )
+        probe = (
+            cand_df.filter(cond)
+            .groupBy(F.input_file_name().alias("__file"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )  # metadata-scale: one row per file containing matches
+        hit_names = {r["__file"].rsplit("/", 1)[-1]: r["n"] for r in probe}
+        hit_files = [
+            rel for rel in candidates if rel.rsplit("/", 1)[-1] in hit_names
+        ]
+        rows_deleted = sum(hit_names.values())
+    if not hit_files and not drop:
         return _result(head)
+    rows_deleted += dropped_rows
 
     # rewrite survivors of the hit files only; NULL condition rows kept
     tag = uuid.uuid4().hex[:12]
@@ -1095,35 +1117,42 @@ def delete_where(
     # were ignored"); nothing ever lists the table root, so visibility
     # costs nothing and the stats read is on defined behavior
     staging = f"{table_dir}/staging-{tag}"
-    survivors = spark.read.parquet(
-        *(_data_path(table_dir, rel) for rel in hit_files)
-    ).filter(~cond | cond.isNull())
-    survivors.write.parquet(staging)
+    if hit_files:
+        survivors = spark.read.parquet(
+            *(_data_path(table_dir, rel) for rel in hit_files)
+        ).filter(~cond | cond.isNull())
+        survivors.write.parquet(staging)
+    else:
+        fs.mkdirs(Path(staging))  # drop-only delete: nothing to rewrite
 
     stats_cols = sorted({c for s in stats.values() for c in s})
     staged_stats: dict[str, dict] = {}
     staged_rows: dict[str, int] = {}
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in stats_cols:
-        aggs += [
-            F.min(c).alias(f"min__{c}"),
-            F.max(c).alias(f"max__{c}"),
-            F.count(c).alias(f"nn__{c}"),
-        ]
-    for r in (
-        spark.read.parquet(staging)
-        .groupBy(F.input_file_name().alias("__file"))
-        .agg(*aggs)
-        .collect()
-    ):
-        name = r["__file"].rsplit("/", 1)[-1]
-        staged_rows[name] = int(r["__rows"])
-        if stats_cols:
-            staged_stats[name] = {
-                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"]), int(r[f"nn__{c}"])]
-                for c in stats_cols
-            }
-    staged_blooms = _recompute_staged_blooms(spark, staging, _bloom_specs(manifest))
+    staged_blooms: dict[str, dict] = {}
+    if hit_files:
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in stats_cols:
+            aggs += [
+                F.min(c).alias(f"min__{c}"),
+                F.max(c).alias(f"max__{c}"),
+                F.count(c).alias(f"nn__{c}"),
+            ]
+        for r in (
+            spark.read.parquet(staging)
+            .groupBy(F.input_file_name().alias("__file"))
+            .agg(*aggs)
+            .collect()
+        ):
+            name = r["__file"].rsplit("/", 1)[-1]
+            staged_rows[name] = int(r["__rows"])
+            if stats_cols:
+                staged_stats[name] = {
+                    c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"]), int(r[f"nn__{c}"])]
+                    for c in stats_cols
+                }
+        staged_blooms = _recompute_staged_blooms(
+            spark, staging, _bloom_specs(manifest)
+        )
 
     data_dir = Path(f"{table_dir}/{_DATA}")
     fs.mkdirs(data_dir)
@@ -1149,7 +1178,7 @@ def delete_where(
         new_rows[rel] = staged_rows.get(name, 0)
     fs.delete(Path(staging), True)
 
-    hit_set = set(hit_files)
+    hit_set = set(hit_files) | set(drop)
     for _attempt in range(100):
         cur = current_version(spark, table_dir)
         cur_manifest = manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
@@ -1220,6 +1249,323 @@ def delete_where(
         return _result(version, rows_deleted, len(hit_files))
     raise IOError(
         f"could not commit delete to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )
+
+
+def _sql_lit(v) -> str:
+    """SQL literal for a Python range bound (int/float/str/date/ts)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise TypeError(f"unsupported range bound {v!r} ({type(v).__name__})")
+
+
+def delete_range(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+) -> dict:
+    """Retention-expiry DELETE: remove every row with ``col BETWEEN lo
+    AND hi`` using the same 3-tier file classification as
+    ``count_where`` —
+
+      - files provably DISJOINT from [lo, hi] → untouched, never read;
+      - files provably CONTAINED in [lo, hi] with zero NULLs in ``col``
+        (manifest non-null count == row count — NULL is not BETWEEN
+        anything, so a file with NULLs has survivors) → dropped from the
+        manifest with ZERO I/O, the DROP PARTITION fast path;
+      - boundary-straddling files → the normal copy-on-write rewrite.
+
+    On a table clustered by ``col`` (``optimize_snapshot(cluster_by=…)``
+    or ``repartitionByRange`` at write), expiring an old time range
+    drops whole files and rewrites O(1) boundary files — at 100 TB this
+    is the difference between a retention job that finishes in seconds
+    (manifest arithmetic + two file rewrites) and one that rewrites a
+    third of the table. Files without stats on ``col`` fall to the scan
+    tier — degraded cost, never a wrong answer. Bounds may be
+    int/float/str/date/datetime; date-typed stats compare as ISO strings
+    (lexicographic == chronological).
+
+    Same commit semantics as ``delete_where`` (one atomic version,
+    optimistic rebase over concurrent appends, refusal if a concurrent
+    commit touched a hit or dropped file). Returns ``delete_where``'s
+    dict — ``files_dropped`` counts the zero-I/O tier.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    rows = manifest.get("rows", {})
+    stats = manifest.get("stats", {})
+    slo, shi = _plain(lo), _plain(hi)
+    drop = []
+    for rel in manifest["files"]:
+        rng = stats.get(rel, {}).get(col)
+        n = rows.get(rel)
+        if (
+            rng
+            and n
+            and rng[0] is not None
+            and rng[1] is not None
+            and len(rng) > 2
+            and rng[0] >= slo
+            and rng[1] <= shi
+            and int(rng[2]) == int(n)
+        ):
+            drop.append(rel)
+    return delete_where(
+        spark,
+        table_dir,
+        f"{col} BETWEEN {_sql_lit(lo)} AND {_sql_lit(hi)}",
+        prune={col: (slo, shi)},  # _plain'd: comparable with stored stats
+        _drop=drop,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    assignments: dict[str, str],
+    condition: str,
+    prune: dict | None = None,
+) -> dict:
+    """Copy-on-write UPDATE (Delta ``UPDATE … SET`` semantics),
+    completing the DML triad with ``delete_where`` and ``merge_into``:
+    every row where ``condition`` is TRUE gets each SET column replaced
+    by its expression; rows where the condition is FALSE **or NULL** are
+    carried byte-identical, matching SQL UPDATE.
+
+    ``assignments`` maps existing column names to SQL expression strings
+    evaluated against the OLD row — all assignments are simultaneous
+    (``{"a": "b", "b": "a"}`` swaps), exactly like SQL SET. Each result
+    is cast to the column's current type: UPDATE never changes the
+    schema (new columns are schema evolution — ``write_snapshot``'s
+    job, refused here).
+
+    Cost shape (the 100 TB contract): manifest-stats pruning
+    (``prune={"col": (lo, hi)}``) drops provably-unmatching files
+    unread, a distributed ``input_file_name()`` probe finds which
+    remaining files truly contain matches, and ONLY those are rewritten
+    — every other file is carried into the new version with zero I/O.
+    Rewritten files get fresh min/max/non-null stats and Bloom entries
+    (an update can GROW a value range or change point-lookup keys, so
+    unlike DELETE nothing is inherited); untouched files keep theirs
+    verbatim.
+
+    Staged rows are validated against the table's CHECK constraints
+    before any file lands in ``data/`` (an UPDATE can violate just as an
+    insert can) — a violation removes the staging atomically and raises,
+    nothing committed. A cardinality tripwire asserts the rewrite
+    preserved row counts (an UPDATE must never add or lose rows).
+
+    Concurrency follows ``delete_where``: optimistic manifest commit,
+    rebase over concurrent appends, loud ``RuntimeError`` if a
+    concurrent commit removed a rewritten file or changed the constraint
+    set. ``read_changes_cdf`` of the commit shows exactly the changed
+    rows as delete(old)+insert(new) pairs — unchanged survivors cancel
+    in the multiset diff.
+
+    Returns ``{"version", "rows_updated", "files_rewritten",
+    "files_untouched", "files_skipped_by_stats"}``; a no-match call
+    commits nothing and returns the current version with zero counts.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not assignments:
+        raise ValueError("UPDATE requires at least one SET assignment")
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    all_files = manifest["files"]
+    stats = manifest.get("stats", {})
+
+    candidates = all_files
+    if prune:
+        candidates = [rel for rel in all_files if _overlaps(stats.get(rel), prune)]
+    skipped_by_stats = len(all_files) - len(candidates)
+
+    def _result(version, updated=0, rewritten=0):
+        return {
+            "version": version,
+            "rows_updated": updated,
+            "files_rewritten": rewritten,
+            "files_untouched": len(all_files) - rewritten,
+            "files_skipped_by_stats": skipped_by_stats,
+        }
+
+    if not candidates:
+        return _result(head)
+
+    cond = F.expr(condition)
+    cand_df = spark.read.parquet(*(_data_path(table_dir, rel) for rel in candidates))
+    unknown = sorted(set(assignments) - set(cand_df.columns))
+    if unknown:
+        raise ValueError(
+            f"UPDATE SET targets {unknown} do not exist in {table_dir} — "
+            "UPDATE never adds columns (append with schema evolution instead)"
+        )
+    probe = (
+        cand_df.filter(cond)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )  # metadata-scale: one row per file containing matches
+    hit_names = {r["__file"].rsplit("/", 1)[-1]: r["n"] for r in probe}
+    hit_files = [rel for rel in candidates if rel.rsplit("/", 1)[-1] in hit_names]
+    rows_updated = sum(hit_names.values())
+    if not hit_files:
+        return _result(head)
+
+    # rewrite ONLY the hit files; SET expressions see the OLD row (one
+    # select evaluates every assignment against the input), non-matching
+    # and NULL-condition rows pass through the otherwise() branch
+    hit_df = spark.read.parquet(*(_data_path(table_dir, rel) for rel in hit_files))
+    projected = [
+        (
+            F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in assignments
+            else F.col(f.name)
+        )
+        for f in hit_df.schema.fields
+    ]
+    tag = uuid.uuid4().hex[:12]
+    staging = f"{table_dir}/staging-{tag}"
+    hit_df.select(*projected).write.parquet(staging)
+
+    constraints = manifest.get("constraints", {})
+    if constraints:
+        staged = spark.read.parquet(staging)
+        for cname, cexpr in sorted(constraints.items()):
+            bad = staged.filter(~F.coalesce(F.expr(cexpr), F.lit(True))).count()
+            if bad:
+                fs.delete(Path(staging), True)
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                    f"{bad} updated row(s) — UPDATE refused, nothing written"
+                )
+
+    stats_cols = sorted({c for s in stats.values() for c in s})
+    staged_stats, staged_rows = _collect_staged_stats(spark, staging, stats_cols)
+    staged_blooms = _recompute_staged_blooms(spark, staging, _bloom_specs(manifest))
+
+    hit_rows_before = sum(
+        int(manifest.get("rows", {}).get(rel, 0)) for rel in hit_files
+    )
+    if manifest.get("rows") and sum(staged_rows.values()) != hit_rows_before:
+        fs.delete(Path(staging), True)
+        raise RuntimeError(
+            f"UPDATE cardinality tripwire: rewrote {sum(staged_rows.values())} "
+            f"rows from {hit_rows_before} — an assignment expression changed "
+            "row counts, refusing to commit"
+        )
+
+    data_dir = Path(f"{table_dir}/{_DATA}")
+    fs.mkdirs(data_dir)
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
+    new_rows: dict[str, int] = {}
+    for i, st in enumerate(
+        sorted(fs.listStatus(Path(staging)), key=lambda s0: s0.getPath().getName())
+    ):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{_DATA}/u{tag}-{i}-{name}"
+        if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
+            raise IOError(f"rename failed for {name} -> {rel}")
+        new_files.append(rel)
+        if name in staged_stats:
+            new_stats[rel] = staged_stats[name]
+        if name in staged_blooms:
+            new_blooms[rel] = staged_blooms[name]
+        new_rows[rel] = staged_rows.get(name, 0)
+    fs.delete(Path(staging), True)
+
+    hit_set = set(hit_files)
+    for _attempt in range(100):
+        cur = current_version(spark, table_dir)
+        cur_manifest = (
+            manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
+        )
+        cur_files = cur_manifest["files"]
+        if not hit_set.issubset(cur_files):
+            for rel in new_files:
+                fs.delete(Path(f"{table_dir}/{rel}"), False)
+            raise RuntimeError(
+                f"concurrent commit removed files this UPDATE rewrote "
+                f"({table_dir} v{cur}); rerun the update against the new head"
+            )
+        if cur_manifest.get("constraints", {}) != constraints:
+            for rel in new_files:
+                fs.delete(Path(f"{table_dir}/{rel}"), False)
+            raise RuntimeError(
+                f"constraint set changed concurrently on {table_dir} "
+                f"(validated against v{head}, head is v{cur}); re-run the update"
+            )
+        files = [rel for rel in cur_files if rel not in hit_set] + new_files
+        merged_stats = {
+            **{k: v for k, v in cur_manifest.get("stats", {}).items() if k not in hit_set},
+            **new_stats,
+        }
+        merged_blooms = {
+            **{k: v for k, v in cur_manifest.get("blooms", {}).items() if k not in hit_set},
+            **new_blooms,
+        }
+        merged_rows = {
+            **{k: v for k, v in cur_manifest.get("rows", {}).items() if k not in hit_set},
+            **new_rows,
+        }
+        version = cur + 1
+        new_manifest = {
+            "version": version,
+            "parent": cur,
+            "action": "update",
+            "condition": condition,
+            "set": dict(sorted(assignments.items())),
+            "files": files,
+            "added": new_files,
+            "removed": sorted(hit_set),
+            "rows_updated": rows_updated,
+        }
+        if merged_stats:
+            new_manifest["stats"] = merged_stats
+        if merged_blooms:
+            new_manifest["blooms"] = merged_blooms
+        if merged_rows:
+            new_manifest["rows"] = merged_rows
+        if constraints:
+            new_manifest["constraints"] = constraints
+        if cur_manifest.get("schema"):
+            new_manifest["schema"] = cur_manifest["schema"]
+        mp = _manifest_path(jvm, table_dir, version)
+        try:
+            stream = fs.create(mp, False)
+        except Exception:
+            continue  # lost the race: rebase onto the new head
+        try:
+            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
+        finally:
+            stream.close()
+        return _result(version, rows_updated, len(hit_files))
+    raise IOError(
+        f"could not commit update to {table_dir} after 100 attempts — "
         "manifest create keeps failing (permissions/path problem, not contention)"
     )
 

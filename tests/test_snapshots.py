@@ -348,6 +348,7 @@ def test_delete_where_no_match_commits_nothing(spark, tdir):
         "version": head,
         "rows_deleted": 0,
         "files_rewritten": 0,
+        "files_dropped": 0,
         "files_untouched": len(sn.snapshot_info(spark, tdir, head)["files"]),
         "files_skipped_by_stats": 0,
     }
@@ -1165,3 +1166,192 @@ def test_cdc_sink_stream_applies_changes_exactly_once(spark, tdir, tmp_path):
     # retry of an already-applied batch id: idempotent no-op
     sink(b0, 0)
     assert sn.current_version(spark, tdir) == 3
+
+
+# ---------------------------------------------------------- delete_range
+
+
+def test_delete_range_drops_whole_files_without_reading(spark, tdir):
+    sn.write_snapshot(
+        _batch(spark, 0, 400).repartitionByRange(4, "i"), tdir, stats_cols=("i",)
+    )
+    res = sn.delete_range(spark, tdir, "i", 0, 199)
+    assert res["rows_deleted"] == 200
+    assert res["files_dropped"] >= 1  # contained files: zero-I/O drop
+    assert res["files_dropped"] + res["files_rewritten"] <= 3
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(200, 400))
+    # one atomic commit; CDF of it is exactly the expired rows
+    assert sn.current_version(spark, tdir) == 2
+    cdf = sn.read_changes_cdf(spark, tdir, from_version=1)
+    got = {(r.i, r._change_type) for r in cdf.collect()}
+    assert got == {(i, "delete") for i in range(200)}
+    # manifest row counts stay exact (metadata-only COUNT law)
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 200
+
+
+def test_delete_range_drop_only_commit(spark, tdir):
+    # range fully covers files 1+2 and misses the rest entirely: no
+    # straddler, so the commit is pure manifest arithmetic (no staging)
+    import os
+
+    for lo in (0, 100, 200):
+        sn.write_snapshot(_batch(spark, lo, lo + 100).coalesce(1), tdir,
+                          stats_cols=("i",))
+    res = sn.delete_range(spark, tdir, "i", 0, 199)
+    assert res["files_dropped"] == 2 and res["files_rewritten"] == 0
+    assert res["rows_deleted"] == 200
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(200, 300))
+    assert not [d for d in os.listdir(tdir) if d.startswith("staging-")]
+
+
+def test_delete_range_null_column_rows_survive(spark, tdir):
+    # NULL is not BETWEEN anything: a file inside the range but holding a
+    # NULL has a survivor, so it must take the scan tier, never the drop
+    df = spark.createDataFrame([(0,), (5,), (None,), (9,)], "i long").coalesce(1)
+    sn.write_snapshot(df, tdir, stats_cols=("i",))
+    res = sn.delete_range(spark, tdir, "i", 0, 100)
+    assert res["files_dropped"] == 0 and res["files_rewritten"] == 1
+    assert res["rows_deleted"] == 3
+    got = [r.i for r in sn.read_snapshot(spark, tdir).collect()]
+    assert got == [None]
+
+
+def test_delete_range_on_dates(spark, tdir):
+    import datetime
+
+    df = spark.range(0, 120).select(
+        F.col("id").alias("i"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+    sn.write_snapshot(df.repartitionByRange(4, "d"), tdir, stats_cols=("d",))
+    res = sn.delete_range(
+        spark, tdir, "d", datetime.date(2024, 1, 1), datetime.date(2024, 2, 29)
+    )
+    assert res["rows_deleted"] == 60  # Jan 1 .. Feb 29 inclusive
+    assert res["files_dropped"] >= 1
+    left = sn.read_snapshot(spark, tdir).agg(F.min("d"), F.count("*")).collect()[0]
+    assert str(left[0]) == "2024-03-01" and left[1] == 60
+
+
+def test_delete_range_without_stats_scans_but_stays_exact(spark, tdir):
+    sn.write_snapshot(_batch(spark, 0, 100).repartitionByRange(4, "i"), tdir)
+    res = sn.delete_range(spark, tdir, "i", 0, 49)
+    assert res["files_dropped"] == 0  # no stats -> no provable drop
+    assert res["rows_deleted"] == 50
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(50, 100))
+
+
+# ---------------------------------------------------------- update_where
+
+
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("i"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_update_where_rewrites_only_hit_files(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 50).coalesce(1), tdir, stats_cols=("i",))
+    sn.write_snapshot(_kv(spark, 50, 100).coalesce(1), tdir, stats_cols=("i",))
+    before = set(sn.snapshot_info(spark, tdir, 2)["files"])
+    res = sn.update_where(spark, tdir, {"v": "v + 1"}, "i < 10")
+    assert res == {
+        "version": 3,
+        "rows_updated": 10,
+        "files_rewritten": 1,
+        "files_untouched": 1,
+        "files_skipped_by_stats": 0,
+    }
+    # the file with no matches is carried verbatim (same physical path)
+    after = set(sn.snapshot_info(spark, tdir, 3)["files"])
+    assert len(before & after) == 1
+    got = {r.i: r.v for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got == {i: i * 10 + (1 if i < 10 else 0) for i in range(100)}
+    # time travel still sees the pre-update values
+    old = {r.i: r.v for r in sn.read_snapshot(spark, tdir, version=2).collect()}
+    assert old == {i: i * 10 for i in range(100)}
+
+
+def test_update_where_prune_skips_files_unread(spark, tdir):
+    for lo in (0, 100, 200):
+        sn.write_snapshot(_kv(spark, lo, lo + 100).coalesce(1), tdir,
+                          stats_cols=("i",))
+    res = sn.update_where(
+        spark, tdir, {"v": "0 - v"}, "i BETWEEN 250 AND 260",
+        prune={"i": (250, 260)},
+    )
+    assert res["files_skipped_by_stats"] == 2 and res["files_rewritten"] == 1
+    assert res["rows_updated"] == 11
+    neg = sn.read_snapshot(spark, tdir).filter("v < 0")
+    assert _ids(neg) == list(range(250, 261))
+
+
+def test_update_where_assignments_are_simultaneous_and_null_safe(spark, tdir):
+    # {"i": "v", "v": "i"} must SWAP (both see the OLD row), and a NULL
+    # condition keeps the row unchanged (SQL UPDATE semantics)
+    df = spark.createDataFrame([(1, 10), (2, 20), (None, 99)], "i long, v long")
+    sn.write_snapshot(df.coalesce(1), tdir)
+    res = sn.update_where(spark, tdir, {"i": "v", "v": "i"}, "i >= 2")
+    assert res["rows_updated"] == 1
+    got = sorted(
+        ((r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert got == [(1, 10), (20, 2), (None, 99)]
+
+
+def test_update_where_casts_to_existing_type_and_refuses_new_columns(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 5).coalesce(1), tdir)
+    # expression yields a double; column stays long
+    sn.update_where(spark, tdir, {"v": "v * 1.5"}, "i = 2")
+    [r] = sn.read_snapshot(spark, tdir).filter("i = 2").collect()
+    assert r.v == 30 and isinstance(r.v, int)
+    with pytest.raises(ValueError, match="do not exist"):
+        sn.update_where(spark, tdir, {"nope": "1"}, "i = 0")
+    with pytest.raises(ValueError, match="at least one SET"):
+        sn.update_where(spark, tdir, {}, "i = 0")
+
+
+def test_update_where_no_match_commits_nothing(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 10), tdir)
+    head = sn.current_version(spark, tdir)
+    res = sn.update_where(spark, tdir, {"v": "0"}, "i > 1000")
+    assert res["version"] == head and res["rows_updated"] == 0
+    assert sn.current_version(spark, tdir) == head
+
+
+def test_update_where_validates_check_constraints(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 10).coalesce(1), tdir)
+    sn.add_constraint(spark, tdir, "v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        sn.update_where(spark, tdir, {"v": "0 - 5"}, "i = 3")
+    # refusal staged nothing and committed nothing
+    import os
+
+    assert not [d for d in os.listdir(tdir) if d.startswith("staging-")]
+    got = {r.i: r.v for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got == {i: i * 10 for i in range(10)}
+
+
+def test_update_where_refreshes_stats_and_cdf_shows_pairs(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 20).coalesce(1), tdir, stats_cols=("v",))
+    v = sn.update_where(spark, tdir, {"v": "v + 1000"}, "i = 19")["version"]
+    # rewritten file's max__v stats must reflect the GROWN range
+    info = sn.snapshot_info(spark, tdir, v)
+    [rel] = info["added"]
+    assert info["stats"][rel]["v"][1] == 1190
+    # metadata-only MAX answers from the refreshed manifest
+    assert sn.metadata_agg(spark, tdir, cols=("v",))["max"]["v"] == 1190
+    # CDF of the update commit: exactly one delete+insert pair
+    got = {(r.i, r.v, r._change_type) for r in
+           sn.read_changes_cdf(spark, tdir, from_version=v - 1).collect()}
+    assert got == {(19, 190, "delete"), (19, 1190, "insert")}
+
+
+def test_update_where_cardinality_tripwire(spark, tdir):
+    # an exploding/filtering assignment cannot happen via select, but the
+    # tripwire also guards staging anomalies: simulate by asserting the
+    # committed row counts stay exact after a legitimate update
+    sn.write_snapshot(_kv(spark, 0, 30).repartition(3), tdir)
+    sn.update_where(spark, tdir, {"v": "v"}, "i % 2 = 0")
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 30
