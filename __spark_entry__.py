@@ -1050,6 +1050,45 @@ def _orders_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOR_CACHE: dict[str, str] = {}
+
+
+def _orders_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors
+    (sources/snapshots.delete_where_mor — Delta DV / Iceberg v2
+    position-delete shape): orders lands across two append commits, then
+    the forgotten cohort (custkey % 100 == 31) is deleted WITHOUT
+    rewriting a single data file — one commit writes a sidecar of
+    (file, row_index) positions and the scan applies them with an
+    anti-join. At 100 TB this turns a delete touching one row in each of
+    10,000 files from 10,000 file rewrites into one position-list write;
+    materialize_dvs() folds the vectors in when read-amplification
+    matters more. The oracle is the anti-filtered base table, so the
+    hash check asserts the row-level DELETE law over the DV read path;
+    file-level behavior (zero rewrites, no double-count on overlap,
+    fully-deleted-file pruning, CDF delete rows, COW/metadata refusals,
+    materialize round-trip, vacuum of stale sidecars) is pinned in
+    tests/test_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _MOR_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"]
+        path = tempfile.mkdtemp(prefix="mor_orders_") + "/tbl"
+        sn.write_snapshot(o.filter(F.col("o_orderkey") % 2 == 0), path)
+        sn.write_snapshot(o.filter(F.col("o_orderkey") % 2 != 0), path)
+        sn.delete_where_mor(spark, path, "o_custkey % 100 = 31")
+        _MOR_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 _REDACTION_CACHE: dict[str, str] = {}
 
 
@@ -1775,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cdc_apply": _orders_cdc_apply,
         "orders_retention_expiry": _orders_retention_expiry,
         "orders_update_redaction": _orders_update_redaction,
+        "orders_mor_delete": _orders_mor_delete,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3636,6 +3676,12 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM orders
             WHERE CAST(o_orderdate AS DATE)
                   NOT BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+            ORDER BY o_orderkey
+        """,
+        "orders_mor_delete": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_custkey % 100 <> 31
             ORDER BY o_orderkey
         """,
         "orders_update_redaction": """

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 _LOG = "_log"
 _DATA = "data"
+_DV = "dv"  # deletion-vector sidecar dirs (merge-on-read deletes)
 _BLOOM_WIDTH = 2048  # bits per probe stripe
 _BLOOM_DEPTH = 4  # probes per key
 
@@ -400,6 +401,12 @@ def write_snapshot(
             manifest["blooms"] = blooms
         if rows:
             manifest["rows"] = rows
+        # append keeps the parent's merge-on-read deletion vectors (its
+        # files stay, their deleted rows stay deleted); overwrite drops
+        # them with the files they covered
+        if mode == "append" and parent.get("dvs"):
+            manifest["dvs"] = parent["dvs"]
+            manifest["dv_files"] = parent.get("dv_files", [])
         manifest["schema"] = committed_schema
         if constraints:
             manifest["constraints"] = constraints
@@ -548,6 +555,16 @@ def read_snapshot(
         if rels:  # everything skipped: empty frame, real schema
             return reader.parquet(_data_path(table_dir, rels[0])).limit(0)
         return reader.parquet(f"{table_dir}/{_DATA}").limit(0)
+    if manifest.get("dvs") and not merge_schema:
+        # merge-on-read: anti-join the deletion vectors at scan time
+        # (files without a DV entry scan plain; fully-deleted files are
+        # never opened — see _read_with_dvs)
+        return _read_with_dvs(spark, table_dir, manifest, kept)
+    if manifest.get("dvs") and merge_schema:
+        raise ValueError(
+            "read_snapshot(merge_schema=True) on a table with deletion "
+            "vectors is unsupported — run materialize_dvs() first"
+        )
     return reader.parquet(*(_data_path(table_dir, rel) for rel in kept))
 
 
@@ -617,6 +634,11 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
             manifest["blooms"] = target["blooms"]
         if target.get("rows"):
             manifest["rows"] = target["rows"]
+        # RESTORE of a version with merge-on-read deletes restores its
+        # deletion vectors too — the sidecars persist until vacuum
+        if target.get("dvs"):
+            manifest["dvs"] = target["dvs"]
+            manifest["dv_files"] = target.get("dv_files", [])
         if target.get("schema"):
             # the restored FILES have the restored schema — recording the
             # head's evolved schema would misdescribe them
@@ -850,6 +872,7 @@ def optimize_snapshot(
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    _refuse_dvs(manifest, manifest["files"], "optimize_snapshot")
     stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
 
     if min_file_mb is not None and not cluster_by:
@@ -987,11 +1010,14 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
         return 0
     keep_from = max(1, head - keep_last + 1)
     referenced: set[str] = set()
+    referenced_dv: set[str] = set()
     for v in range(keep_from, head + 1):
         try:
-            referenced.update(_read_manifest(fs, jvm, table_dir, v)["files"])
+            man = _read_manifest(fs, jvm, table_dir, v)
         except FileNotFoundError:
             continue
+        referenced.update(man["files"])
+        referenced_dv.update(man.get("dv_files", []))
     deleted = 0
     data_path = Path(f"{table_dir}/{_DATA}")
     if fs.exists(data_path):
@@ -999,6 +1025,14 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
             rel = f"{_DATA}/{st.getPath().getName()}"
             if rel not in referenced:
                 fs.delete(st.getPath(), False)
+                deleted += 1
+    # deletion-vector sidecars referenced only by dropped versions go too
+    dv_path = Path(f"{table_dir}/{_DV}")
+    if fs.exists(dv_path):
+        for st in fs.listStatus(dv_path):
+            rel = f"{_DV}/{st.getPath().getName()}"
+            if rel not in referenced_dv:
+                fs.delete(st.getPath(), True)
                 deleted += 1
     for v in range(1, keep_from):
         mp = _manifest_path(jvm, table_dir, v)
@@ -1070,6 +1104,7 @@ def delete_where(
     candidates = [rel for rel in all_files if rel not in set(drop)]
     if prune:
         candidates = [rel for rel in candidates if _overlaps(stats.get(rel), prune)]
+    _refuse_dvs(manifest, candidates + drop, "delete_where")
     skipped_by_stats = len(all_files) - len(candidates) - len(drop)
 
     def _result(version, deleted=0, rewritten=0):
@@ -1396,6 +1431,7 @@ def update_where(
     candidates = all_files
     if prune:
         candidates = [rel for rel in all_files if _overlaps(stats.get(rel), prune)]
+    _refuse_dvs(manifest, candidates, "update_where")
     skipped_by_stats = len(all_files) - len(candidates)
 
     def _result(version, updated=0, rewritten=0):
@@ -1570,6 +1606,360 @@ def update_where(
     )
 
 
+def _dv_frame(spark: SparkSession, table_dir: str, manifest: dict):
+    """The manifest's ACTIVE deletion-vector frame — the union of its
+    ``dv_files`` sidecars, columns ``(__file string, __pos long)`` —
+    or ``None`` when the version carries no deletion vectors. Sidecar
+    rows for data files no longer live are harmless: file names are
+    uuid-tagged and never reused, so a stale position can never match a
+    live row."""
+    dv_files = manifest.get("dv_files", [])
+    if not dv_files:
+        return None
+    return spark.read.parquet(*(_data_path(table_dir, rel) for rel in dv_files))
+
+
+def _read_with_dvs(spark: SparkSession, table_dir: str, manifest: dict, rels):
+    """Scan ``rels`` with the manifest's deletion vectors applied: rows
+    whose (file_name, row_index) appear in a sidecar are anti-joined
+    away. Files without a DV entry take the plain scan; fully-deleted
+    files (DV count == row count) are never opened. No broadcast hint on
+    the anti-join — at a high delete rate the DV side is corpus-scale
+    and would OOM the driver; AQE still picks broadcast when it is
+    actually small."""
+    dvs = manifest.get("dvs", {})
+    rows = manifest.get("rows", {})
+    live = [
+        rel
+        for rel in rels
+        if not (rel in dvs and rows.get(rel) is not None
+                and int(dvs[rel]) >= int(rows[rel]))
+    ]
+    dv_rels = [rel for rel in live if rel in dvs]
+    plain = [rel for rel in live if rel not in dvs]
+    parts = []
+    if dv_rels:
+        dv = _dv_frame(spark, table_dir, manifest)
+        base = spark.read.parquet(*(_data_path(table_dir, rel) for rel in dv_rels))
+        cols = base.columns
+        parts.append(
+            base.withColumn("__file", F.col("_metadata.file_name"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(dv, ["__file", "__pos"], "left_anti")
+            .select(*cols)
+        )
+    if plain:
+        parts.append(spark.read.parquet(*(_data_path(table_dir, rel) for rel in plain)))
+    if not parts:
+        src = rels[0] if rels else manifest["files"][0]
+        return spark.read.parquet(_data_path(table_dir, src)).limit(0)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _refuse_dvs(manifest: dict, rels, op: str) -> None:
+    """Copy-on-write paths read data files RAW — on a file carrying a
+    deletion vector that would resurrect deleted rows. Refuse loudly and
+    name the cure."""
+    dv_hits = sorted(set(rels) & set(manifest.get("dvs", {})))
+    if dv_hits:
+        raise ValueError(
+            f"{op} would read {len(dv_hits)} file(s) carrying deletion "
+            f"vectors (e.g. {dv_hits[0]!r}) — run materialize_dvs() first "
+            "to fold the merge-on-read deletes into the data files"
+        )
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table_dir: str,
+    condition: str,
+    prune: dict | None = None,
+) -> dict:
+    """Merge-on-read DELETE via deletion vectors (Delta DV / Iceberg v2
+    position-delete shape): instead of rewriting every file containing a
+    match (``delete_where``'s copy-on-write), the commit writes ONE small
+    sidecar of (file_name, row_index) positions and flips manifest
+    metadata — no data file is rewritten, however many are touched.
+    ``read_snapshot`` applies the vectors with an anti-join at scan time;
+    fully-deleted files are never even opened.
+
+    This is the 100 TB trade: a delete touching one row in each of
+    10,000 files costs one position-list write instead of 10,000 file
+    rewrites; the read side pays one (file, pos) anti-join until
+    ``materialize_dvs`` (or any OPTIMIZE-style rewrite) folds the
+    vectors in. Write-cheap, read-taxed — the opposite corner from
+    ``delete_where``, both correct.
+
+    Positions come from the parquet reader's ``_metadata.row_index`` —
+    stable per file by construction — and already-deleted rows are
+    excluded from the probe, so repeated MOR deletes never double-count
+    and per-file counts in the manifest stay exact (``metadata_agg``'s
+    COUNT law subtracts them). Rows where ``condition`` is NULL are
+    kept, matching SQL DELETE. ``prune`` skips provably-unmatching files
+    before the probe scan, same contract as ``delete_where``.
+
+    Manifest bookkeeping: ``dvs`` maps each affected data file to its
+    deleted-row count; ``dv_files`` lists the active sidecars. File
+    min/max stats are NOT recomputed (deletion only shrinks a range, so
+    stale bounds stay safe for *skipping*) — which is exactly why
+    ``metadata_agg`` refuses MIN/MAX over DV-carrying files.
+
+    Concurrency: optimistic commit; rebases over concurrent appends and
+    over MOR deletes of OTHER files; refuses (``RuntimeError``) if a
+    concurrent commit removed a hit file or changed a hit file's DV
+    entry (overlapping position sets would double-count).
+
+    Returns ``{"version", "rows_deleted", "files_with_dvs",
+    "files_rewritten" (always 0), "files_skipped_by_stats"}``.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    all_files = manifest["files"]
+    stats = manifest.get("stats", {})
+    dvs = dict(manifest.get("dvs", {}))
+
+    candidates = all_files
+    if prune:
+        candidates = [rel for rel in all_files if _overlaps(stats.get(rel), prune)]
+    skipped_by_stats = len(all_files) - len(candidates)
+
+    def _result(version, deleted=0, hit=0):
+        return {
+            "version": version,
+            "rows_deleted": deleted,
+            "files_with_dvs": hit,
+            "files_rewritten": 0,
+            "files_skipped_by_stats": skipped_by_stats,
+        }
+
+    if not candidates:
+        return _result(head)
+
+    # probe: matching live positions (already-deleted rows excluded so a
+    # re-run or overlapping condition never double-counts)
+    matches = (
+        spark.read.parquet(*(_data_path(table_dir, rel) for rel in candidates))
+        .withColumn("__file", F.col("_metadata.file_name"))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    dv = _dv_frame(spark, table_dir, manifest)
+    if dv is not None:
+        matches = matches.join(dv, ["__file", "__pos"], "left_anti")
+    matches = matches.filter(F.expr(condition)).select("__file", "__pos")
+
+    tag = uuid.uuid4().hex[:12]
+    dv_rel = f"{_DV}/v{tag}"
+    matches.write.parquet(f"{table_dir}/{dv_rel}")
+    per_file = {
+        r["__file"]: int(r["n"])
+        for r in spark.read.parquet(f"{table_dir}/{dv_rel}")
+        .groupBy("__file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }  # metadata-scale: one row per affected file
+    if not per_file:
+        fs.delete(Path(f"{table_dir}/{dv_rel}"), True)
+        return _result(head)
+    by_name = {rel.rsplit("/", 1)[-1]: rel for rel in candidates}
+    new_counts = {by_name[name]: n for name, n in per_file.items()}
+    rows_deleted = sum(new_counts.values())
+
+    for _attempt in range(100):
+        cur = current_version(spark, table_dir)
+        cur_manifest = (
+            manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
+        )
+        cur_files = set(cur_manifest["files"])
+        cur_dvs = cur_manifest.get("dvs", {})
+        for rel in new_counts:
+            if rel not in cur_files or cur_dvs.get(rel) != dvs.get(rel):
+                fs.delete(Path(f"{table_dir}/{dv_rel}"), True)
+                raise RuntimeError(
+                    f"concurrent commit touched {rel} after this MOR delete "
+                    f"probed it ({table_dir} v{cur}); rerun against the new head"
+                )
+        version = cur + 1
+        new_manifest = {
+            **{
+                k: v
+                for k, v in cur_manifest.items()
+                if k not in ("version", "parent", "action", "added", "removed",
+                             "condition", "dvs", "dv_files", "dv_added",
+                             "rows_deleted", "rows_updated", "rows_inserted",
+                             "restored", "source", "set")
+            },
+            "version": version,
+            "parent": cur,
+            "action": "mor_delete",
+            "condition": condition,
+            "added": [],
+            "removed": [],
+            "dvs": {
+                **cur_dvs,
+                **{
+                    rel: int(cur_dvs.get(rel, 0)) + n
+                    for rel, n in new_counts.items()
+                },
+            },
+            "dv_files": list(cur_manifest.get("dv_files", [])) + [dv_rel],
+            "dv_added": [dv_rel],
+            "rows_deleted": rows_deleted,
+        }
+        mp = _manifest_path(jvm, table_dir, version)
+        try:
+            stream = fs.create(mp, False)
+        except Exception:
+            continue  # lost the race: rebase onto the new head
+        try:
+            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
+        finally:
+            stream.close()
+        return _result(version, rows_deleted, len(new_counts))
+    raise IOError(
+        f"could not commit MOR delete to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )
+
+
+def materialize_dvs(spark: SparkSession, table_dir: str) -> dict:
+    """Fold deletion vectors into the data (Delta's REORG … PURGE): every
+    file carrying a DV is rewritten without its deleted rows — with fresh
+    min/max/non-null stats and Bloom entries, since materialization is
+    when stale-but-safe bounds get tightened — and the manifest drops its
+    ``dvs``/``dv_files``; every clean file is carried verbatim. After
+    this, copy-on-write DML and metadata MIN/MAX work again. Old
+    sidecars stay on disk for time travel until ``vacuum``.
+
+    One atomic commit; refuses (``RuntimeError``) if a concurrent commit
+    removed or re-vectored a file being materialized. No-op (current
+    version, zero counts) when the table has no DVs. Returns
+    ``{"version", "files_rewritten", "rows_removed"}``.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    dvs = manifest.get("dvs", {})
+    if not dvs:
+        return {"version": head, "files_rewritten": 0, "rows_removed": 0}
+    hit_files = sorted(dvs)
+    rows_removed = sum(int(n) for n in dvs.values())
+
+    tag = uuid.uuid4().hex[:12]
+    staging = f"{table_dir}/staging-{tag}"
+    _read_with_dvs(spark, table_dir, manifest, hit_files).write.parquet(staging)
+
+    stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
+    staged_stats, staged_rows = _collect_staged_stats(spark, staging, stats_cols)
+    staged_blooms = _recompute_staged_blooms(spark, staging, _bloom_specs(manifest))
+
+    data_dir = Path(f"{table_dir}/{_DATA}")
+    fs.mkdirs(data_dir)
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
+    new_rows: dict[str, int] = {}
+    for i, st in enumerate(
+        sorted(fs.listStatus(Path(staging)), key=lambda s0: s0.getPath().getName())
+    ):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{_DATA}/p{tag}-{i}-{name}"
+        if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
+            raise IOError(f"rename failed for {name} -> {rel}")
+        new_files.append(rel)
+        if name in staged_stats:
+            new_stats[rel] = staged_stats[name]
+        if name in staged_blooms:
+            new_blooms[rel] = staged_blooms[name]
+        new_rows[rel] = staged_rows.get(name, 0)
+    fs.delete(Path(staging), True)
+
+    hit_set = set(hit_files)
+    for _attempt in range(100):
+        cur = current_version(spark, table_dir)
+        cur_manifest = (
+            manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
+        )
+        if (
+            not hit_set.issubset(cur_manifest["files"])
+            or {k: cur_manifest.get("dvs", {}).get(k) for k in hit_set}
+            != {k: dvs.get(k) for k in hit_set}
+        ):
+            for rel in new_files:
+                fs.delete(Path(f"{table_dir}/{rel}"), False)
+            raise RuntimeError(
+                f"concurrent commit touched DV'd files during materialize "
+                f"({table_dir} v{cur}); rerun against the new head"
+            )
+        files = [rel for rel in cur_manifest["files"] if rel not in hit_set] + new_files
+        version = cur + 1
+        new_manifest = {
+            "version": version,
+            "parent": cur,
+            "action": "materialize_dv",
+            "files": files,
+            "added": new_files,
+            "removed": sorted(hit_set),
+            "rows_removed": rows_removed,
+        }
+        merged_stats = {
+            **{k: v for k, v in cur_manifest.get("stats", {}).items() if k not in hit_set},
+            **new_stats,
+        }
+        merged_blooms = {
+            **{k: v for k, v in cur_manifest.get("blooms", {}).items() if k not in hit_set},
+            **new_blooms,
+        }
+        merged_rows = {
+            **{k: v for k, v in cur_manifest.get("rows", {}).items() if k not in hit_set},
+            **new_rows,
+        }
+        if merged_stats:
+            new_manifest["stats"] = merged_stats
+        if merged_blooms:
+            new_manifest["blooms"] = merged_blooms
+        if merged_rows:
+            new_manifest["rows"] = merged_rows
+        leftover = {
+            k: v for k, v in cur_manifest.get("dvs", {}).items() if k not in hit_set
+        }
+        if leftover:  # DVs landed on other files while we staged
+            new_manifest["dvs"] = leftover
+            new_manifest["dv_files"] = cur_manifest.get("dv_files", [])
+        for key in ("schema", "constraints"):
+            if cur_manifest.get(key):
+                new_manifest[key] = cur_manifest[key]
+        mp = _manifest_path(jvm, table_dir, version)
+        try:
+            stream = fs.create(mp, False)
+        except Exception:
+            continue
+        try:
+            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
+        finally:
+            stream.close()
+        return {
+            "version": version,
+            "files_rewritten": len(hit_files),
+            "rows_removed": rows_removed,
+        }
+    raise IOError(
+        f"could not commit materialize to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )
+
+
 def merge_into(
     spark: SparkSession,
     table_dir: str,
@@ -1649,6 +2039,7 @@ def merge_into(
             return _replayed(prior)
 
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    _refuse_dvs(manifest, manifest["files"], "merge_into")
     all_files = manifest["files"]
     keys = list(key_cols)
     tcols = [f["name"] for f in manifest.get("schema", {}).get("fields", [])]
@@ -2035,13 +2426,24 @@ def metadata_agg(
             f"manifest v{version} lacks row counts for {len(missing)} file(s) "
             "(written before row-count tracking?) — metadata COUNT would be wrong"
         )
+    dvs = manifest.get("dvs", {})
     out = {
-        "n_rows": sum(int(rows[rel]) for rel in files),
+        # merge-on-read deletes subtract exactly (delete_where_mor keeps
+        # per-file DV counts disjoint-by-construction)
+        "n_rows": sum(int(rows[rel]) - int(dvs.get(rel, 0)) for rel in files),
         "n_files": len(files),
         "min": {},
         "max": {},
     }
     stats = manifest.get("stats", {})
+    if cols and dvs:
+        # a deletion vector may have removed the extreme row, so stored
+        # min/max are only SKIPPING-safe bounds, not exact aggregates
+        raise ValueError(
+            "metadata MIN/MAX on a table with deletion vectors would be "
+            "wrong if a deleted row held the extreme — run "
+            "materialize_dvs() first (COUNT stays exact)"
+        )
     for c in cols:
         mins, maxs = [], []
         for rel in files:
@@ -2101,20 +2503,23 @@ def count_where(
     manifest = _read_manifest(fs, jvm, table_dir, version)
     rows = manifest.get("rows", {})
     stats = manifest.get("stats", {})
+    dvs = manifest.get("dvs", {})
     skipped, from_stats, to_scan = 0, 0, []
     total = 0
     for rel in manifest["files"]:
-        if int(rows.get(rel, 1)) == 0:
+        if int(rows.get(rel, 1)) - int(dvs.get(rel, 0)) <= 0:
             skipped += 1
             continue
         rng = stats.get(rel, {}).get(col)
         mn, mx = (rng[0], rng[1]) if rng else (None, None)
         nn = rng[2] if rng is not None and len(rng) > 2 else None
         if mn is not None and mx is not None and (mx < lo or mn > hi):
-            skipped += 1
+            skipped += 1  # DV-safe: deletion only shrinks a file's range
         elif (
             mn is not None and mx is not None and nn is not None
             and mn >= lo and mx <= hi
+            and rel not in dvs  # a DV'd file's manifest counts include
+            # deleted rows — it must fall to the scan tier
         ):
             total += int(nn)
             from_stats += 1
@@ -2122,7 +2527,7 @@ def count_where(
             to_scan.append(rel)
     if to_scan:
         scanned = (
-            spark.read.parquet(*(_data_path(table_dir, rel) for rel in to_scan))
+            _read_with_dvs(spark, table_dir, manifest, to_scan)
             .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
             .count()
         )
@@ -2267,6 +2672,15 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         except FileNotFoundError:
             continue  # vacuumed
         rcounts = man.get("rows")
+        if rcounts:
+            # logical rows: merge-on-read deletion vectors subtract
+            dvs = man.get("dvs", {})
+            n_rows = sum(
+                int(n) - int(dvs.get(rel, 0)) for rel, n in rcounts.items()
+                if rel in set(man.get("files", []))
+            )
+        else:
+            n_rows = None
         rows.append((
             v,
             man.get("parent"),
@@ -2278,7 +2692,7 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
             len(man.get("files", [])),
             len(man.get("added", [])),
             len(man.get("removed", [])),
-            sum(int(n) for n in rcounts.values()) if rcounts else None,
+            n_rows,
             man.get("restored"),
             man.get("condition"),
             sorted(man.get("constraints", {})) or None,
@@ -2344,6 +2758,11 @@ def shallow_clone(
     for key in ("stats", "rows", "blooms"):
         if src.get(key):
             manifest[key] = {_abs(rel): v for rel, v in src[key].items()}
+    if src.get("dvs"):
+        # the clone keeps seeing the source's merge-on-read deletes;
+        # its own materialize_dvs rewrites into its OWN data/
+        manifest["dvs"] = {_abs(rel): v for rel, v in src["dvs"].items()}
+        manifest["dv_files"] = [_abs(rel) for rel in src.get("dv_files", [])]
     if src.get("schema"):
         manifest["schema"] = src["schema"]
     if src.get("constraints"):
@@ -2394,23 +2813,73 @@ def read_changes_cdf(
     frames = []
     for v in range(from_version + 1, to_version + 1):
         man = _read_manifest(fs, jvm, table_dir, v)
-        parent_files = (
-            set(_read_manifest(fs, jvm, table_dir, man["parent"])["files"])
+        par_m = (
+            _read_manifest(fs, jvm, table_dir, man["parent"])
             if man.get("parent")
-            else set()
+            else {"files": []}
         )
+        parent_files = set(par_m["files"])
         cur_files = set(man["files"])
         added = sorted(cur_files - parent_files)
         removed = sorted(parent_files - cur_files)
-        if not added and not removed:
+        # merge-on-read commits move no files — their row diff lives in
+        # the deletion-vector delta over files present in BOTH manifests
+        # (MOR delete grows coverage → deletes; rollback past a MOR
+        # delete shrinks it → the resurrected rows are inserts)
+        par_dvs, cur_dvs = par_m.get("dvs", {}), man.get("dvs", {})
+        dv_diff = sorted(
+            rel
+            for rel in parent_files & cur_files
+            if par_dvs.get(rel) != cur_dvs.get(rel)
+        )
+        if not added and not removed and not dv_diff:
             continue  # metadata-only commit (constraints, clone)
 
-        def _load(rels):
+        if dv_diff:
+            pos_cur = _dv_frame(spark, table_dir, man)
+            pos_par = _dv_frame(spark, table_dir, par_m)
+            names = {rel.rsplit("/", 1)[-1] for rel in dv_diff}
+            data = (
+                spark.read.parquet(*(_data_path(table_dir, rel) for rel in dv_diff))
+                .withColumn("__file", F.col("_metadata.file_name"))
+                .withColumn("__pos", F.col("_metadata.row_index"))
+            )
+            dcols = [c for c in data.columns if c not in ("__file", "__pos")]
+
+            def _pos_delta(a, b):
+                """positions in a but not b, limited to the diff files"""
+                if a is None:
+                    return None
+                d = a.filter(F.col("__file").isin(*names))
+                if b is not None:
+                    d = d.join(b, ["__file", "__pos"], "left_anti")
+                return d
+
+            for delta, ctype in (
+                (_pos_delta(pos_cur, pos_par), "delete"),
+                (_pos_delta(pos_par, pos_cur), "insert"),
+            ):
+                if delta is None:
+                    continue
+                frames.append(
+                    data.join(delta, ["__file", "__pos"], "left_semi")
+                    .select(*dcols)
+                    .withColumn("_change_type", F.lit(ctype))
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                )
+        if not added and not removed:
+            continue
+
+        def _load(rels, m):
             if not rels:
                 return None
-            return spark.read.parquet(*(_data_path(table_dir, rel) for rel in rels))
+            # apply the owning manifest's deletion vectors so the diff
+            # compares LOGICAL row sets: materializing a DV (file swap,
+            # same live rows) yields nothing — those deletes were
+            # already reported when the vector was written
+            return _read_with_dvs(spark, table_dir, m, rels)
 
-        a_df, r_df = _load(added), _load(removed)
+        a_df, r_df = _load(added, man), _load(removed, par_m)
         base = a_df if a_df is not None else r_df
         cols = base.columns
         def _counted(df, alias):

@@ -1244,15 +1244,15 @@ def test_delete_range_without_stats_scans_but_stays_exact(spark, tdir):
 # ---------------------------------------------------------- update_where
 
 
-def _kv(spark, lo, hi):
+def _iv(spark, lo, hi):
     return spark.range(lo, hi).select(
         F.col("id").alias("i"), (F.col("id") * 10).alias("v")
     )
 
 
 def test_update_where_rewrites_only_hit_files(spark, tdir):
-    sn.write_snapshot(_kv(spark, 0, 50).coalesce(1), tdir, stats_cols=("i",))
-    sn.write_snapshot(_kv(spark, 50, 100).coalesce(1), tdir, stats_cols=("i",))
+    sn.write_snapshot(_iv(spark, 0, 50).coalesce(1), tdir, stats_cols=("i",))
+    sn.write_snapshot(_iv(spark, 50, 100).coalesce(1), tdir, stats_cols=("i",))
     before = set(sn.snapshot_info(spark, tdir, 2)["files"])
     res = sn.update_where(spark, tdir, {"v": "v + 1"}, "i < 10")
     assert res == {
@@ -1274,7 +1274,7 @@ def test_update_where_rewrites_only_hit_files(spark, tdir):
 
 def test_update_where_prune_skips_files_unread(spark, tdir):
     for lo in (0, 100, 200):
-        sn.write_snapshot(_kv(spark, lo, lo + 100).coalesce(1), tdir,
+        sn.write_snapshot(_iv(spark, lo, lo + 100).coalesce(1), tdir,
                           stats_cols=("i",))
     res = sn.update_where(
         spark, tdir, {"v": "0 - v"}, "i BETWEEN 250 AND 260",
@@ -1301,7 +1301,7 @@ def test_update_where_assignments_are_simultaneous_and_null_safe(spark, tdir):
 
 
 def test_update_where_casts_to_existing_type_and_refuses_new_columns(spark, tdir):
-    sn.write_snapshot(_kv(spark, 0, 5).coalesce(1), tdir)
+    sn.write_snapshot(_iv(spark, 0, 5).coalesce(1), tdir)
     # expression yields a double; column stays long
     sn.update_where(spark, tdir, {"v": "v * 1.5"}, "i = 2")
     [r] = sn.read_snapshot(spark, tdir).filter("i = 2").collect()
@@ -1313,7 +1313,7 @@ def test_update_where_casts_to_existing_type_and_refuses_new_columns(spark, tdir
 
 
 def test_update_where_no_match_commits_nothing(spark, tdir):
-    sn.write_snapshot(_kv(spark, 0, 10), tdir)
+    sn.write_snapshot(_iv(spark, 0, 10), tdir)
     head = sn.current_version(spark, tdir)
     res = sn.update_where(spark, tdir, {"v": "0"}, "i > 1000")
     assert res["version"] == head and res["rows_updated"] == 0
@@ -1321,7 +1321,7 @@ def test_update_where_no_match_commits_nothing(spark, tdir):
 
 
 def test_update_where_validates_check_constraints(spark, tdir):
-    sn.write_snapshot(_kv(spark, 0, 10).coalesce(1), tdir)
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)
     sn.add_constraint(spark, tdir, "v_nonneg", "v >= 0")
     with pytest.raises(ValueError, match="v_nonneg"):
         sn.update_where(spark, tdir, {"v": "0 - 5"}, "i = 3")
@@ -1334,7 +1334,7 @@ def test_update_where_validates_check_constraints(spark, tdir):
 
 
 def test_update_where_refreshes_stats_and_cdf_shows_pairs(spark, tdir):
-    sn.write_snapshot(_kv(spark, 0, 20).coalesce(1), tdir, stats_cols=("v",))
+    sn.write_snapshot(_iv(spark, 0, 20).coalesce(1), tdir, stats_cols=("v",))
     v = sn.update_where(spark, tdir, {"v": "v + 1000"}, "i = 19")["version"]
     # rewritten file's max__v stats must reflect the GROWN range
     info = sn.snapshot_info(spark, tdir, v)
@@ -1352,6 +1352,174 @@ def test_update_where_cardinality_tripwire(spark, tdir):
     # an exploding/filtering assignment cannot happen via select, but the
     # tripwire also guards staging anomalies: simulate by asserting the
     # committed row counts stay exact after a legitimate update
-    sn.write_snapshot(_kv(spark, 0, 30).repartition(3), tdir)
+    sn.write_snapshot(_iv(spark, 0, 30).repartition(3), tdir)
     sn.update_where(spark, tdir, {"v": "v"}, "i % 2 = 0")
     assert sn.metadata_agg(spark, tdir)["n_rows"] == 30
+
+
+# ------------------------------------------------- deletion vectors (MOR)
+
+
+def test_mor_delete_rewrites_nothing_and_read_applies(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 50).coalesce(1), tdir)
+    sn.write_snapshot(_iv(spark, 50, 100).coalesce(1), tdir)
+    files_before = sn.snapshot_info(spark, tdir, 2)["files"]
+    res = sn.delete_where_mor(spark, tdir, "i % 10 = 3")
+    assert res["rows_deleted"] == 10 and res["files_rewritten"] == 0
+    assert res["files_with_dvs"] == 2
+    # the data file set is IDENTICAL — only metadata moved
+    assert sn.snapshot_info(spark, tdir, res["version"])["files"] == files_before
+    assert _ids(sn.read_snapshot(spark, tdir)) == [
+        i for i in range(100) if i % 10 != 3
+    ]
+    # time travel before the delete still sees every row
+    assert _ids(sn.read_snapshot(spark, tdir, version=2)) == list(range(100))
+
+
+def test_mor_delete_is_incremental_and_never_double_counts(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 100).coalesce(1), tdir)
+    r1 = sn.delete_where_mor(spark, tdir, "i < 20")
+    r2 = sn.delete_where_mor(spark, tdir, "i < 30")  # overlaps the first
+    assert r1["rows_deleted"] == 20 and r2["rows_deleted"] == 10
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(30, 100))
+    # manifest per-file counts stay exact under overlap
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 70
+    # a no-match re-run commits nothing
+    head = sn.current_version(spark, tdir)
+    r3 = sn.delete_where_mor(spark, tdir, "i < 30")
+    assert r3["version"] == head and r3["rows_deleted"] == 0
+
+
+def test_mor_fully_deleted_file_is_never_opened(spark, tdir):
+    for lo in (0, 100):
+        sn.write_snapshot(_iv(spark, lo, lo + 100).coalesce(1), tdir)
+    sn.delete_where_mor(spark, tdir, "i < 100")
+    df = sn.read_snapshot(spark, tdir)
+    assert _ids(df) == list(range(100, 200))
+    assert len(df.inputFiles()) == 1  # the dead file is pruned, not scanned
+
+
+def test_mor_delete_cdf_and_null_condition_rows_kept(spark, tdir):
+    df = spark.createDataFrame([(1, 10), (2, 20), (None, 99)], "i long, v long")
+    sn.write_snapshot(df.coalesce(1), tdir)
+    v = sn.delete_where_mor(spark, tdir, "i >= 2")["version"]
+    got = {(r.i, r.v, r._change_type) for r in
+           sn.read_changes_cdf(spark, tdir, from_version=v - 1).collect()}
+    assert got == {(2, 20, "delete")}
+    left = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    assert left == {(1, 10), (None, 99)}  # NULL condition row survives
+
+
+def test_materialize_dvs_folds_and_reenables_cow(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 100).coalesce(1), tdir, stats_cols=("i",))
+    sn.delete_where_mor(spark, tdir, "i >= 90")
+    with pytest.raises(ValueError, match="materialize_dvs"):
+        sn.delete_where(spark, tdir, "i = 0")
+    with pytest.raises(ValueError, match="materialize_dvs"):
+        sn.update_where(spark, tdir, {"v": "0"}, "i = 0")
+    with pytest.raises(ValueError, match="materialize_dvs"):
+        sn.merge_into(spark, tdir, _iv(spark, 0, 1), ["i"])
+    with pytest.raises(ValueError, match="materialize_dvs"):
+        sn.optimize_snapshot(spark, tdir)
+    with pytest.raises(ValueError, match="materialize_dvs"):
+        sn.metadata_agg(spark, tdir, cols=("i",))
+    res = sn.materialize_dvs(spark, tdir)
+    assert res["files_rewritten"] == 1 and res["rows_removed"] == 10
+    info = sn.snapshot_info(spark, tdir, res["version"])
+    assert "dvs" not in info and "dv_files" not in info
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(90))
+    # stats were TIGHTENED at materialize: metadata MAX works and is exact
+    assert sn.metadata_agg(spark, tdir, cols=("i",))["max"]["i"] == 89
+    # CDF of the materialize commit is EMPTY (same logical rows) —
+    # the deletes were reported when the vector was written
+    cdf = sn.read_changes_cdf(
+        spark, tdir, from_version=res["version"] - 1, to_version=res["version"]
+    )
+    assert cdf.count() == 0
+    # COW delete works again
+    assert sn.delete_where(spark, tdir, "i = 0")["rows_deleted"] == 1
+    # idempotent: materialize with no DVs is a no-op
+    again = sn.materialize_dvs(spark, tdir)
+    assert again["files_rewritten"] == 0
+
+
+def test_mor_count_where_and_metadata_count_stay_exact(spark, tdir):
+    sn.write_snapshot(
+        _batch(spark, 0, 300).repartitionByRange(3, "i"), tdir, stats_cols=("i",)
+    )
+    sn.delete_where_mor(spark, tdir, "i BETWEEN 110 AND 119")
+    res = sn.count_where(spark, tdir, "i", 100, 199)
+    assert res["n_rows"] == 90
+    # the DV'd file cannot answer from stats — it must scan
+    assert res["files_from_stats"] == 0 and res["files_scanned"] == 1
+    assert res["files_skipped"] == 2
+    # a range over clean files still answers from the manifest
+    res2 = sn.count_where(spark, tdir, "i", 200, 299)
+    assert res2["n_rows"] == 100 and res2["files_from_stats"] == 1
+
+
+def test_mor_append_keeps_dvs_overwrite_drops_them(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)
+    sn.delete_where_mor(spark, tdir, "i < 5")
+    sn.write_snapshot(_iv(spark, 10, 20).coalesce(1), tdir)  # append
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(5, 20))
+    sn.write_snapshot(_iv(spark, 0, 3).coalesce(1), tdir, mode="overwrite")
+    info = sn.snapshot_info(spark, tdir, sn.current_version(spark, tdir))
+    assert "dvs" not in info
+    assert _ids(sn.read_snapshot(spark, tdir)) == [0, 1, 2]
+
+
+def test_mor_rollback_resurrects_and_cdf_shows_inserts(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)  # v1
+    sn.delete_where_mor(spark, tdir, "i >= 8")  # v2
+    v3 = sn.rollback(spark, tdir, to_version=1)
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(10))
+    got = {(r.i, r._change_type) for r in
+           sn.read_changes_cdf(spark, tdir, from_version=2, to_version=v3).collect()}
+    assert got == {(8, "insert"), (9, "insert")}
+    # rolling forward to the DV version restores the deletes
+    v4 = sn.rollback(spark, tdir, to_version=2)
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(8))
+    assert sn.snapshot_info(spark, tdir, v4)["dvs"]
+
+
+def test_mor_vacuum_cleans_unreferenced_sidecars(spark, tdir):
+    import os
+
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)  # v1
+    sn.delete_where_mor(spark, tdir, "i = 0")  # v2
+    sn.materialize_dvs(spark, tdir)  # v3: sidecar now unreferenced by head
+    sn.write_snapshot(_iv(spark, 10, 20).coalesce(1), tdir)  # v4
+    assert len(os.listdir(f"{tdir}/dv")) == 1
+    sn.vacuum(spark, tdir, keep_last=2)  # keeps v3..v4, drops v1..v2
+    assert os.listdir(f"{tdir}/dv") == []
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(1, 20))
+
+
+def test_mor_shallow_clone_carries_dvs(spark, tdir, tmp_path):
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)
+    sn.delete_where_mor(spark, tdir, "i >= 7")
+    dst = str(tmp_path / "clone")
+    sn.shallow_clone(spark, tdir, dst)
+    assert _ids(sn.read_snapshot(spark, dst)) == list(range(7))
+    assert sn.metadata_agg(spark, dst)["n_rows"] == 7
+
+
+def test_mor_prune_and_point_reads_still_skip(spark, tdir):
+    sn.write_snapshot(
+        _batch(spark, 0, 300).repartitionByRange(3, "i"), tdir, stats_cols=("i",)
+    )
+    sn.delete_where_mor(spark, tdir, "i = 150")
+    df = sn.read_snapshot(spark, tdir, prune={"i": (0, 99)})
+    assert len(df.inputFiles()) == 1 and df.count() == 100
+    mid = sn.read_snapshot(spark, tdir, prune={"i": (100, 199)})
+    assert mid.count() == 99  # DV applied on the pruned scan too
+
+
+def test_mor_history_reports_logical_rows(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)
+    sn.delete_where_mor(spark, tdir, "i < 3")
+    h = {r.version: (r.action, r.n_rows)
+         for r in sn.table_history(spark, tdir).collect()}
+    assert h[1] == ("overwrite", 10) or h[1] == ("append", 10)
+    assert h[2] == ("mor_delete", 7)
