@@ -1089,6 +1089,48 @@ def _orders_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOR_UPD_CACHE: dict[str, str] = {}
+
+
+def _orders_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE — deletion vector + reinsert in one commit
+    (sources/snapshots.update_where_mor, how Delta executes UPDATE with
+    DVs enabled): the cohort's old rows are vectored out and exactly the
+    updated rows are appended; NO existing file is rewritten, so cost
+    scales with matched rows, not with how many of a 100 TB table's
+    files they are scattered across (the sparse-update dual of the
+    copy-on-write `orders_update_redaction`). The oracle is the same
+    per-column CASE projection of the base table, so the hash check
+    asserts the row-level UPDATE law over the DV read path; file-level
+    behavior (zero rewrites, CDF delete+insert pairs, updates over
+    already-vectored tables, constraint/cardinality refusals,
+    materialize round-trip) is pinned in tests/test_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _MOR_UPD_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        path = tempfile.mkdtemp(prefix="mor_upd_orders_") + "/tbl"
+        sn.write_snapshot(t["orders"], path, mode="overwrite")
+        sn.update_where_mor(
+            spark,
+            path,
+            {"o_orderstatus": "'R'", "o_orderpriority": "'5-REDACTED'"},
+            "o_custkey % 100 = 57",
+        )
+        _MOR_UPD_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority", "o_totalprice",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 _REDACTION_CACHE: dict[str, str] = {}
 
 
@@ -1815,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_retention_expiry": _orders_retention_expiry,
         "orders_update_redaction": _orders_update_redaction,
         "orders_mor_delete": _orders_mor_delete,
+        "orders_mor_update": _orders_mor_update,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3682,6 +3725,16 @@ def _oracle_sql_literals() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE o_custkey % 100 <> 31
+            ORDER BY o_orderkey
+        """,
+        "orders_mor_update": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_custkey % 100 = 57 THEN 'R'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_custkey % 100 = 57 THEN '5-REDACTED'
+                        ELSE o_orderpriority END AS o_orderpriority,
+                   o_totalprice
+            FROM orders
             ORDER BY o_orderkey
         """,
         "orders_update_redaction": """

@@ -1828,6 +1828,247 @@ def delete_where_mor(
     )
 
 
+def update_where_mor(
+    spark: SparkSession,
+    table_dir: str,
+    assignments: dict[str, str],
+    condition: str,
+    prune: dict | None = None,
+) -> dict:
+    """Merge-on-read UPDATE — deletion vector + reinsert, how Delta
+    executes UPDATE when deletion vectors are enabled: ONE commit marks
+    every matched position deleted in a sidecar AND appends new file(s)
+    holding just the updated rows. No existing data file is rewritten;
+    cost scales with the MATCHED rows, not with how many files they are
+    spread across — the sparse-update dual of ``update_where``'s
+    copy-on-write (which rewrites every hit file in full and stays the
+    right call when updates are dense).
+
+    Same SET semantics as ``update_where``: simultaneous assignments
+    over the OLD row, cast to the column's existing type, new columns
+    refused, FALSE/NULL-condition rows untouched (they are simply never
+    vectored). Updated rows are CHECK-validated before anything lands; a
+    cardinality tripwire asserts reinserted == vectored. Appended files
+    get fresh stats/Bloom entries; untouched files keep theirs.
+
+    ``read_changes_cdf`` of the commit shows exactly delete(old) — from
+    the vector delta — plus insert(new) — from the appended files.
+    ``metadata_agg`` COUNT is unchanged by construction (n added == n
+    vectored). Unlike the COW paths this works fine on a table already
+    carrying deletion vectors: the probe excludes vectored rows, so
+    updates never resurrect or double-apply.
+
+    Concurrency follows ``delete_where_mor``: optimistic commit,
+    rebases over appends and over commits touching OTHER files, refuses
+    if a concurrent commit removed or re-vectored a hit file, or
+    changed the constraint set. Returns ``{"version", "rows_updated",
+    "files_with_dvs", "files_added", "files_rewritten" (always 0),
+    "files_skipped_by_stats"}``.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    if not assignments:
+        raise ValueError("UPDATE requires at least one SET assignment")
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    all_files = manifest["files"]
+    stats = manifest.get("stats", {})
+    dvs = dict(manifest.get("dvs", {}))
+
+    candidates = all_files
+    if prune:
+        candidates = [rel for rel in all_files if _overlaps(stats.get(rel), prune)]
+    skipped_by_stats = len(all_files) - len(candidates)
+
+    def _result(version, updated=0, hit=0, added=0):
+        return {
+            "version": version,
+            "rows_updated": updated,
+            "files_with_dvs": hit,
+            "files_added": added,
+            "files_rewritten": 0,
+            "files_skipped_by_stats": skipped_by_stats,
+        }
+
+    if not candidates:
+        return _result(head)
+
+    cond = F.expr(condition)
+    base = (
+        spark.read.parquet(*(_data_path(table_dir, rel) for rel in candidates))
+        .withColumn("__file", F.col("_metadata.file_name"))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    data_cols = [c for c in base.columns if c not in ("__file", "__pos")]
+    unknown = sorted(set(assignments) - set(data_cols))
+    if unknown:
+        raise ValueError(
+            f"UPDATE SET targets {unknown} do not exist in {table_dir} — "
+            "UPDATE never adds columns (append with schema evolution instead)"
+        )
+    dv = _dv_frame(spark, table_dir, manifest)
+    if dv is not None:
+        base = base.join(dv, ["__file", "__pos"], "left_anti")
+    matched = base.filter(cond).persist()
+    try:
+        tag = uuid.uuid4().hex[:12]
+        dv_rel = f"{_DV}/v{tag}"
+        matched.select("__file", "__pos").write.parquet(f"{table_dir}/{dv_rel}")
+        per_file = {
+            r["__file"]: int(r["n"])
+            for r in spark.read.parquet(f"{table_dir}/{dv_rel}")
+            .groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }  # metadata-scale: one row per affected file
+        if not per_file:
+            fs.delete(Path(f"{table_dir}/{dv_rel}"), True)
+            return _result(head)
+        types = {f.name: f.dataType for f in matched.schema.fields}
+        updated = matched.select(
+            *[
+                (
+                    F.expr(assignments[c]).cast(types[c]).alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in data_cols
+            ]
+        )
+        staging = f"{table_dir}/staging-{tag}"
+        updated.write.parquet(staging)
+    finally:
+        matched.unpersist()
+
+    constraints = manifest.get("constraints", {})
+    staged = spark.read.parquet(staging)
+    if constraints:
+        for cname, cexpr in sorted(constraints.items()):
+            bad = staged.filter(~F.coalesce(F.expr(cexpr), F.lit(True))).count()
+            if bad:
+                fs.delete(Path(staging), True)
+                fs.delete(Path(f"{table_dir}/{dv_rel}"), True)
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                    f"{bad} updated row(s) — UPDATE refused, nothing written"
+                )
+
+    stats_cols = sorted({c for s in stats.values() for c in s})
+    staged_stats, staged_rows = _collect_staged_stats(spark, staging, stats_cols)
+    staged_blooms = _recompute_staged_blooms(spark, staging, _bloom_specs(manifest))
+
+    by_name = {rel.rsplit("/", 1)[-1]: rel for rel in candidates}
+    new_counts = {by_name[name]: n for name, n in per_file.items()}
+    rows_updated = sum(new_counts.values())
+    if sum(staged_rows.values()) != rows_updated:
+        fs.delete(Path(staging), True)
+        fs.delete(Path(f"{table_dir}/{dv_rel}"), True)
+        raise RuntimeError(
+            f"UPDATE cardinality tripwire: reinserted "
+            f"{sum(staged_rows.values())} rows for {rows_updated} vectored — "
+            "an assignment expression changed row counts, refusing to commit"
+        )
+
+    data_dir = Path(f"{table_dir}/{_DATA}")
+    fs.mkdirs(data_dir)
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
+    new_rows: dict[str, int] = {}
+    for i, st in enumerate(
+        sorted(fs.listStatus(Path(staging)), key=lambda s0: s0.getPath().getName())
+    ):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{_DATA}/w{tag}-{i}-{name}"
+        if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
+            raise IOError(f"rename failed for {name} -> {rel}")
+        new_files.append(rel)
+        if name in staged_stats:
+            new_stats[rel] = staged_stats[name]
+        if name in staged_blooms:
+            new_blooms[rel] = staged_blooms[name]
+        new_rows[rel] = staged_rows.get(name, 0)
+    fs.delete(Path(staging), True)
+
+    def _undo():
+        for rel in new_files:
+            fs.delete(Path(f"{table_dir}/{rel}"), False)
+        fs.delete(Path(f"{table_dir}/{dv_rel}"), True)
+
+    for _attempt in range(100):
+        cur = current_version(spark, table_dir)
+        cur_manifest = (
+            manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
+        )
+        cur_files = set(cur_manifest["files"])
+        cur_dvs = cur_manifest.get("dvs", {})
+        for rel in new_counts:
+            if rel not in cur_files or cur_dvs.get(rel) != dvs.get(rel):
+                _undo()
+                raise RuntimeError(
+                    f"concurrent commit touched {rel} after this MOR update "
+                    f"probed it ({table_dir} v{cur}); rerun against the new head"
+                )
+        if cur_manifest.get("constraints", {}) != constraints:
+            _undo()
+            raise RuntimeError(
+                f"constraint set changed concurrently on {table_dir} "
+                f"(validated against v{head}, head is v{cur}); re-run the update"
+            )
+        version = cur + 1
+        new_manifest = {
+            "version": version,
+            "parent": cur,
+            "action": "mor_update",
+            "condition": condition,
+            "set": dict(sorted(assignments.items())),
+            "files": list(cur_manifest["files"]) + new_files,
+            "added": new_files,
+            "removed": [],
+            "dvs": {
+                **cur_dvs,
+                **{
+                    rel: int(cur_dvs.get(rel, 0)) + n
+                    for rel, n in new_counts.items()
+                },
+            },
+            "dv_files": list(cur_manifest.get("dv_files", [])) + [dv_rel],
+            "dv_added": [dv_rel],
+            "rows_updated": rows_updated,
+        }
+        merged_stats = {**cur_manifest.get("stats", {}), **new_stats}
+        merged_blooms = {**cur_manifest.get("blooms", {}), **new_blooms}
+        merged_rows = {**cur_manifest.get("rows", {}), **new_rows}
+        if merged_stats:
+            new_manifest["stats"] = merged_stats
+        if merged_blooms:
+            new_manifest["blooms"] = merged_blooms
+        if merged_rows:
+            new_manifest["rows"] = merged_rows
+        if constraints:
+            new_manifest["constraints"] = constraints
+        if cur_manifest.get("schema"):
+            new_manifest["schema"] = cur_manifest["schema"]
+        mp = _manifest_path(jvm, table_dir, version)
+        try:
+            stream = fs.create(mp, False)
+        except Exception:
+            continue  # lost the race: rebase onto the new head
+        try:
+            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
+        finally:
+            stream.close()
+        return _result(version, rows_updated, len(new_counts), len(new_files))
+    raise IOError(
+        f"could not commit MOR update to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )
+
+
 def materialize_dvs(spark: SparkSession, table_dir: str) -> dict:
     """Fold deletion vectors into the data (Delta's REORG … PURGE): every
     file carrying a DV is rewritten without its deleted rows — with fresh

@@ -1523,3 +1523,78 @@ def test_mor_history_reports_logical_rows(spark, tdir):
          for r in sn.table_history(spark, tdir).collect()}
     assert h[1] == ("overwrite", 10) or h[1] == ("append", 10)
     assert h[2] == ("mor_delete", 7)
+
+
+# ---------------------------------------------------- update_where_mor
+
+
+def test_mor_update_rewrites_nothing_and_applies(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 50).coalesce(1), tdir)
+    sn.write_snapshot(_iv(spark, 50, 100).coalesce(1), tdir)
+    before = set(sn.snapshot_info(spark, tdir, 2)["files"])
+    res = sn.update_where_mor(spark, tdir, {"v": "v + 1"}, "i % 10 = 0")
+    assert res["rows_updated"] == 10 and res["files_rewritten"] == 0
+    assert res["files_with_dvs"] == 2 and res["files_added"] >= 1
+    # every pre-existing file is still in the manifest untouched
+    info = sn.snapshot_info(spark, tdir, res["version"])
+    assert before <= set(info["files"])
+    got = {r.i: r.v for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got == {i: i * 10 + (1 if i % 10 == 0 else 0) for i in range(100)}
+    # time travel sees pre-update values; COUNT is unchanged
+    old = {r.i: r.v for r in sn.read_snapshot(spark, tdir, version=2).collect()}
+    assert old == {i: i * 10 for i in range(100)}
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 100
+
+
+def test_mor_update_cdf_shows_delete_insert_pair(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 20).coalesce(1), tdir)
+    v = sn.update_where_mor(spark, tdir, {"v": "v + 1000"}, "i = 5")["version"]
+    got = {(r.i, r.v, r._change_type) for r in
+           sn.read_changes_cdf(spark, tdir, from_version=v - 1).collect()}
+    assert got == {(5, 50, "delete"), (5, 1050, "insert")}
+
+
+def test_mor_update_works_on_already_vectored_table(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 30).coalesce(1), tdir)
+    sn.delete_where_mor(spark, tdir, "i >= 20")
+    res = sn.update_where_mor(spark, tdir, {"v": "0 - v"}, "i >= 10")
+    assert res["rows_updated"] == 10  # deleted rows are not updated
+    got = {r.i: r.v for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got == {i: (i * 10 if i < 10 else -i * 10) for i in range(20)}
+    # a second overlapping update only touches LIVE rows (no double-apply)
+    res2 = sn.update_where_mor(spark, tdir, {"v": "v - 1"}, "i BETWEEN 9 AND 10")
+    assert res2["rows_updated"] == 2
+    got = {r.i: r.v for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got[9] == 89 and got[10] == -101
+
+
+def test_mor_update_constraints_and_cardinality_guard(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)
+    sn.add_constraint(spark, tdir, "v_nonneg", "v >= 0")
+    head = sn.current_version(spark, tdir)
+    with pytest.raises(ValueError, match="v_nonneg"):
+        sn.update_where_mor(spark, tdir, {"v": "0 - 5"}, "i = 3")
+    import os
+
+    assert sn.current_version(spark, tdir) == head
+    assert not [d for d in os.listdir(tdir) if d.startswith("staging-")]
+    # refused commit left no sidecar behind either
+    assert not os.path.exists(f"{tdir}/dv") or os.listdir(f"{tdir}/dv") == []
+    with pytest.raises(ValueError, match="do not exist"):
+        sn.update_where_mor(spark, tdir, {"nope": "1"}, "i = 0")
+    # no-match: nothing committed
+    res = sn.update_where_mor(spark, tdir, {"v": "1"}, "i > 99")
+    assert res["version"] == head and res["rows_updated"] == 0
+
+
+def test_mor_update_then_materialize_round_trip(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 40).coalesce(1), tdir, stats_cols=("v",))
+    sn.update_where_mor(spark, tdir, {"v": "v * 2"}, "i < 4")
+    res = sn.materialize_dvs(spark, tdir)
+    assert res["files_rewritten"] == 1 and res["rows_removed"] == 4
+    info = sn.snapshot_info(spark, tdir, res["version"])
+    assert "dvs" not in info
+    got = {r.i: r.v for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got == {i: i * 10 * (2 if i < 4 else 1) for i in range(40)}
+    # metadata MIN/MAX exact again after the fold
+    assert sn.metadata_agg(spark, tdir, cols=("v",))["max"]["v"] == 390
