@@ -77,6 +77,15 @@ PROBES = [
     "orders_point_lookup",
     "orders_snapshot_merge",
     "orders_cdc_apply",
+    # DML-triad + deletion-vector family: timed runs measure the read
+    # path over the mutated table — retention expiry and the COW update
+    # scan the rewritten/carried files (linear in survivors), the MOR
+    # pair scans with the position anti-join applied (linear + a small
+    # DV-side join whose build side is the deleted cohort)
+    "orders_retention_expiry",
+    "orders_update_redaction",
+    "orders_mor_delete",
+    "orders_mor_update",
 ]
 
 
