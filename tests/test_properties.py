@@ -215,6 +215,12 @@ _op = st.one_of(
         st.just("merge"),
         st.lists(st.integers(0, 9), min_size=1, max_size=4, unique=True),
     ),
+    # round-4 DML surface: merge-on-read delete/update (deletion
+    # vectors), copy-on-write update (shifts keys by +10), materialize
+    st.tuples(st.just("mor_delete_le"), st.integers(0, 9)),
+    st.tuples(st.just("mor_update_shift"), st.integers(0, 9)),
+    st.tuples(st.just("cow_update_shift"), st.integers(0, 9)),
+    st.tuples(st.just("materialize"), st.just(0)),
 )
 
 
@@ -227,10 +233,13 @@ _op = st.one_of(
 def test_snapshot_stack_matches_model(spark, tmp_path_factory, ops):
     from collections import Counter
 
+    import pytest as _pytest
+
     from jobanalytics_bigdataproject_spark.sources import snapshots as sn
 
     tdir = str(tmp_path_factory.mktemp("prop") / "tbl")
     states: list[Counter] = []  # model: states[v-1] = multiset at version v
+    has_dvs = False  # model: does the head carry deletion vectors?
 
     for kind, arg in ops:
         if kind == "append":
@@ -239,31 +248,88 @@ def test_snapshot_stack_matches_model(spark, tmp_path_factory, ops):
             )
             prev = states[-1] if states else Counter()
             states.append(prev + Counter(arg))
+            # appends carry the parent's deletion vectors: has_dvs holds
         elif kind == "delete_le":
             if not states:
                 continue
-            res = sn.delete_where(spark, tdir, f"i <= {arg}")
-            cur = Counter({k: n for k, n in states[-1].items() if k > arg})
+            if has_dvs:
+                # COW over a vectored table must refuse BEFORE any probe,
+                # even when the condition would match nothing
+                with _pytest.raises(ValueError, match="materialize_dvs"):
+                    sn.delete_where(spark, tdir, f"i <= {arg}")
+            else:
+                res = sn.delete_where(spark, tdir, f"i <= {arg}")
+                cur = Counter({k: n for k, n in states[-1].items() if k > arg})
+                if res["rows_deleted"] > 0:
+                    states.append(cur)  # only a real delete commits
+                # no-match delete: model state unchanged, no new version
+        elif kind == "mor_delete_le":
+            if not states:
+                continue
+            res = sn.delete_where_mor(spark, tdir, f"i <= {arg}")
             if res["rows_deleted"] > 0:
-                states.append(cur)  # only a real delete commits a version
-            # no-match delete: model state unchanged, no new version
+                states.append(
+                    Counter({k: n for k, n in states[-1].items() if k > arg})
+                )
+                has_dvs = True
+        elif kind == "cow_update_shift":
+            if not states:
+                continue
+            if has_dvs:
+                with _pytest.raises(ValueError, match="materialize_dvs"):
+                    sn.update_where(spark, tdir, {"i": "i + 10"}, f"i <= {arg}")
+            else:
+                res = sn.update_where(spark, tdir, {"i": "i + 10"}, f"i <= {arg}")
+                if res["rows_updated"] > 0:
+                    cur = Counter()
+                    for k, n in states[-1].items():
+                        cur[k + 10 if k <= arg else k] += n
+                    states.append(cur)
+        elif kind == "mor_update_shift":
+            if not states:
+                continue
+            res = sn.update_where_mor(spark, tdir, {"i": "i + 10"}, f"i <= {arg}")
+            if res["rows_updated"] > 0:
+                cur = Counter()
+                for k, n in states[-1].items():
+                    cur[k + 10 if k <= arg else k] += n
+                states.append(cur)
+                has_dvs = True
+        elif kind == "materialize":
+            if not states:
+                continue
+            res = sn.materialize_dvs(spark, tdir)
+            assert (res["files_rewritten"] > 0) == has_dvs
+            if has_dvs:
+                states.append(Counter(states[-1]))  # same logical rows
+                has_dvs = False
         elif kind == "optimize":
             if not states:
                 continue
-            sn.optimize_snapshot(spark, tdir)
-            states.append(Counter(states[-1]))
+            if has_dvs:
+                with _pytest.raises(ValueError, match="materialize_dvs"):
+                    sn.optimize_snapshot(spark, tdir)
+            else:
+                sn.optimize_snapshot(spark, tdir)
+                states.append(Counter(states[-1]))
         elif kind == "rollback":
             if len(states) < 2:
                 continue
             sn.rollback(spark, tdir, to_version=1)
             states.append(Counter(states[0]))
+            has_dvs = False  # v1 is always the first append, never vectored
         elif kind == "merge":
             if not states:
                 continue
-            src = spark.createDataFrame([(v,) for v in sorted(arg)], "i long")
-            sn.merge_into(spark, tdir, src, ("i",))
-            prev = states[-1]
-            states.append(prev + Counter(k for k in arg if k not in prev))
+            if has_dvs:
+                src = spark.createDataFrame([(v,) for v in sorted(arg)], "i long")
+                with _pytest.raises(ValueError, match="materialize_dvs"):
+                    sn.merge_into(spark, tdir, src, ("i",))
+            else:
+                src = spark.createDataFrame([(v,) for v in sorted(arg)], "i long")
+                sn.merge_into(spark, tdir, src, ("i",))
+                prev = states[-1]
+                states.append(prev + Counter(k for k in arg if k not in prev))
 
         if states:
             got = Counter(r.i for r in sn.read_snapshot(spark, tdir).collect())
