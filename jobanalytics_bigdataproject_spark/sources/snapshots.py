@@ -30,9 +30,24 @@ Commit protocol (optimistic concurrency, the Delta approach):
 2. create ``_log/v{N}.json`` with create-if-absent. Two writers racing
    for version N: one wins, the loser re-reads the new head and retries
    on N+1 (its data files are already safely named uniquely).
-   Create-if-absent is atomic on HDFS/local; on S3 you'd back this one
+   Create-if-absent is atomic on HDFS; on S3 you'd back this one
    operation with a conditional PUT or a DynamoDB-style lock — the
    standard object-store caveat, isolated to this single call.
+
+Local-filesystem caveat (found by the concurrent-writer stress test,
+tests/test_snapshots.py): Hadoop's ChecksumFileSystem implements
+``create(path, overwrite=False)`` as check-then-create — NOT atomic —
+so two same-process threads racing a commit could both "win" a version
+and silently lose one. ``_create_manifest`` therefore serializes the
+create through a process-wide lock: in-process multi-writer (the
+``local[*]`` reality, Structured Streaming's one-driver reality) is
+fully safe; CROSS-process writers on a bare local filesystem are not
+supported — the same documented stance Delta takes for ``file://``
+(its LogStore requires atomic put-if-absent, which HDFS and
+conditional-PUT object stores provide and a plain local FS does not).
+Readers have their own small race — ``create`` then ``write`` is two
+steps, so a reader listing ``_log/`` can catch a created-but-unwritten
+manifest — handled by a bounded read-retry in ``_read_manifest``.
 
 All filesystem access goes through the Hadoop FileSystem API (driver-side
 metadata ops only — file counts, renames, one small JSON per commit), so
@@ -43,6 +58,8 @@ from __future__ import annotations
 
 import json
 import math
+import threading
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -81,20 +98,62 @@ def _manifest_path(jvm, table_dir: str, version: int):
     return jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{_LOG}/v{version:08d}.json")
 
 
+_COMMIT_LOCK = threading.Lock()  # see module docstring: local-FS create
+# is check-then-create, so in-process writers must serialize the claim
+
+
+def _create_manifest(fs, mp, manifest: dict) -> bool:
+    """The commit protocol's single linearization point: claim version N
+    by creating its manifest if absent. Returns False on a lost race
+    (caller re-reads the head and rebases). The process-wide lock makes
+    the exists+create+write sequence atomic for same-process writers —
+    required on local filesystems where Hadoop ``create(path, False)``
+    is check-then-create; on HDFS the create itself is atomic and the
+    lock is just uncontended overhead."""
+    with _COMMIT_LOCK:
+        if fs.exists(mp):
+            return False
+        try:
+            stream = fs.create(mp, False)
+        except Exception:  # noqa: BLE001 — racing external writer
+            return False
+        try:
+            stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            stream.close()
+        return True
+
+
 def _read_manifest(fs, jvm, table_dir: str, version: int) -> dict:
     p = _manifest_path(jvm, table_dir, version)
     if not fs.exists(p):
         raise FileNotFoundError(
             f"no snapshot v{version} at {table_dir} (vacuumed or never written)"
         )
-    stream = fs.open(p)
-    try:
-        # py4j passes byte[] buffers by copy, so a read(buf) loop can't see
-        # Java-side mutations — drain the stream JVM-side instead
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        return json.loads(text)
-    finally:
-        stream.close()
+    # bounded retry: a reader can list _log/ between a writer's create
+    # and write (or before the checksum sidecar lands) and catch a
+    # partial manifest — it becomes complete within the writer's close,
+    # so retry instead of surfacing a transient EOF/parse error
+    err: Exception | None = None
+    for _attempt in range(50):
+        try:
+            stream = fs.open(p)
+            try:
+                # py4j passes byte[] buffers by copy, so a read(buf) loop
+                # can't see Java-side mutations — drain the stream JVM-side
+                text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+            if text.strip():
+                return json.loads(text)
+            err = IOError("empty manifest")
+        except Exception as e:  # noqa: BLE001 — partial write in flight
+            err = e
+        time.sleep(0.02)
+    raise IOError(
+        f"manifest v{version} at {table_dir} unreadable after retries "
+        f"(a writer died mid-commit? repair by removing the file): {err}"
+    )
 
 
 def current_version(spark: SparkSession, table_dir: str) -> int:
@@ -414,16 +473,8 @@ def write_snapshot(
             manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
         fs.mkdirs(mp.getParent())
-        try:
-            # create(path, overwrite=False): atomic create-if-absent —
-            # the single linearization point of the commit protocol
-            stream = fs.create(mp, False)
-        except Exception:
+        if not _create_manifest(fs, mp, manifest):
             continue  # lost the race: re-read head, retry at head+1
-        try:
-            stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
-        finally:
-            stream.close()
         return version
     raise IOError(
         f"could not commit to {table_dir} after 100 attempts — "
@@ -655,14 +706,8 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
         if head_cons:
             manifest["constraints"] = head_cons
         mp = _manifest_path(jvm, table_dir, version)
-        try:
-            stream = fs.create(mp, False)
-        except Exception:
-            continue
-        try:
-            stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
-        finally:
-            stream.close()
+        if not _create_manifest(fs, mp, manifest):
+            continue  # lost the race: rebase onto the new head
         return version
     raise IOError(
         f"could not commit rollback to {table_dir} after 100 attempts — "
@@ -965,14 +1010,8 @@ def optimize_snapshot(
                 if cur_man.get(key):
                     new_manifest[key] = cur_man[key]
             mp = _manifest_path(jvm, table_dir, cur + 1)
-            try:
-                stream = fs.create(mp, False)
-            except Exception:
-                continue
-            try:
-                stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
-            finally:
-                stream.close()
+            if not _create_manifest(fs, mp, new_manifest):
+                continue  # lost the race: rebase onto the new head
             return cur + 1
         raise IOError(f"could not commit optimize to {table_dir} after 100 attempts")
 
@@ -1273,14 +1312,8 @@ def delete_where(
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
         mp = _manifest_path(jvm, table_dir, version)
-        try:
-            stream = fs.create(mp, False)
-        except Exception:
+        if not _create_manifest(fs, mp, new_manifest):
             continue  # lost the race: rebase onto the new head
-        try:
-            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
-        finally:
-            stream.close()
         return _result(version, rows_deleted, len(hit_files))
     raise IOError(
         f"could not commit delete to {table_dir} after 100 attempts — "
@@ -1591,14 +1624,8 @@ def update_where(
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
         mp = _manifest_path(jvm, table_dir, version)
-        try:
-            stream = fs.create(mp, False)
-        except Exception:
+        if not _create_manifest(fs, mp, new_manifest):
             continue  # lost the race: rebase onto the new head
-        try:
-            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
-        finally:
-            stream.close()
         return _result(version, rows_updated, len(hit_files))
     raise IOError(
         f"could not commit update to {table_dir} after 100 attempts — "
@@ -1813,14 +1840,8 @@ def delete_where_mor(
             "rows_deleted": rows_deleted,
         }
         mp = _manifest_path(jvm, table_dir, version)
-        try:
-            stream = fs.create(mp, False)
-        except Exception:
+        if not _create_manifest(fs, mp, new_manifest):
             continue  # lost the race: rebase onto the new head
-        try:
-            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
-        finally:
-            stream.close()
         return _result(version, rows_deleted, len(new_counts))
     raise IOError(
         f"could not commit MOR delete to {table_dir} after 100 attempts — "
@@ -2054,14 +2075,8 @@ def update_where_mor(
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
         mp = _manifest_path(jvm, table_dir, version)
-        try:
-            stream = fs.create(mp, False)
-        except Exception:
+        if not _create_manifest(fs, mp, new_manifest):
             continue  # lost the race: rebase onto the new head
-        try:
-            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
-        finally:
-            stream.close()
         return _result(version, rows_updated, len(new_counts), len(new_files))
     raise IOError(
         f"could not commit MOR update to {table_dir} after 100 attempts — "
@@ -2182,14 +2197,8 @@ def materialize_dvs(spark: SparkSession, table_dir: str) -> dict:
             if cur_manifest.get(key):
                 new_manifest[key] = cur_manifest[key]
         mp = _manifest_path(jvm, table_dir, version)
-        try:
-            stream = fs.create(mp, False)
-        except Exception:
-            continue
-        try:
-            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
-        finally:
-            stream.close()
+        if not _create_manifest(fs, mp, new_manifest):
+            continue  # lost the race: rebase onto the new head
         return {
             "version": version,
             "files_rewritten": len(hit_files),
@@ -2520,14 +2529,8 @@ def merge_into(
         if idempotency_key is not None:
             new_manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
-        try:
-            stream = fs.create(mp, False)
-        except Exception:
-            continue
-        try:
-            stream.write(bytearray(json.dumps(new_manifest).encode("utf-8")))
-        finally:
-            stream.close()
+        if not _create_manifest(fs, mp, new_manifest):
+            continue  # lost the race: rebase onto the new head
         return _result(version, len(hit_files), rows_inserted)
     raise IOError(
         f"could not commit merge to {table_dir} after 100 attempts — "
@@ -2792,14 +2795,8 @@ def _commit_metadata(fs, jvm, table_dir: str, build) -> int:
         parent = _read_manifest(fs, jvm, table_dir, head)
         manifest = build(parent, head + 1)
         mp = _manifest_path(jvm, table_dir, head + 1)
-        try:
-            stream = fs.create(mp, False)
-        except Exception:
-            continue
-        try:
-            stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
-        finally:
-            stream.close()
+        if not _create_manifest(fs, mp, manifest):
+            continue  # lost the race: rebase onto the new head
         return head + 1
     raise IOError(f"could not commit metadata to {table_dir} after 100 attempts")
 
@@ -3010,14 +3007,8 @@ def shallow_clone(
         manifest["constraints"] = src["constraints"]
     mp = _manifest_path(jvm, dst_dir, 1)
     fs.mkdirs(mp.getParent())
-    try:
-        stream = fs.create(mp, False)
-    except Exception as e:  # a racing clone into the same dst
-        raise FileExistsError(f"{dst_dir} v1 manifest already exists") from e
-    try:
-        stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
-    finally:
-        stream.close()
+    if not _create_manifest(fs, mp, manifest):  # a racing clone into dst
+        raise FileExistsError(f"{dst_dir} v1 manifest already exists")
     return 1
 
 

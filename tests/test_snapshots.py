@@ -1598,3 +1598,77 @@ def test_mor_update_then_materialize_round_trip(spark, tdir):
     assert got == {i: i * 10 * (2 if i < 4 else 1) for i in range(40)}
     # metadata MIN/MAX exact again after the fold
     assert sn.metadata_agg(spark, tdir, cols=("v",))["max"]["v"] == 390
+
+
+# ------------------------------------------- concurrent-writer stress
+
+
+def test_concurrent_writers_serialize(spark, tdir):
+    """Real thread races on one table: 6 appenders (disjoint key ranges)
+    and 2 merge-on-read deleters hammer the optimistic commit loop
+    concurrently. Any interleaving must serialize: every append lands
+    exactly once, deleters may refuse on true conflicts (RuntimeError)
+    but never corrupt, the version chain is contiguous with valid parent
+    pointers, the manifest row-count law holds, and replaying the FULL
+    CDF from v0 reproduces the final table exactly."""
+    import threading
+    from collections import Counter
+
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)  # seed v1
+    errors: list[Exception] = []
+    refused = []
+
+    def appender(lo):
+        try:
+            sn.write_snapshot(_iv(spark, lo, lo + 20).coalesce(1), tdir)
+        except Exception as e:  # appends rebase, they must never refuse
+            errors.append(e)
+
+    def deleter(residue):
+        try:
+            sn.delete_where_mor(spark, tdir, f"i % 20 = {residue}")
+        except RuntimeError as e:  # overlapping-vector conflict: legal
+            refused.append(e)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(lo,))
+        for lo in (100, 200, 300, 400, 500, 600)
+    ] + [threading.Thread(target=deleter, args=(r,)) for r in (5, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+
+    head = sn.current_version(spark, tdir)
+    # every commit landed: 1 seed + 6 appends + (2 - refusals) deletes
+    assert head == 7 + 2 - len(refused)
+
+    got = Counter(r.i for r in sn.read_snapshot(spark, tdir).collect())
+    # no duplicates anywhere, and no non-matching row lost
+    assert all(n == 1 for n in got.values())
+    expected_keys = set(range(10))
+    for lo in (100, 200, 300, 400, 500, 600):
+        expected_keys |= set(range(lo, lo + 20))
+    assert set(got) <= expected_keys
+    survivors_must_exist = {
+        k for k in expected_keys if k % 20 not in (5, 7)
+    }
+    assert survivors_must_exist <= set(got)
+
+    # manifest row-count law under arbitrary interleaving
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == sum(got.values())
+
+    # contiguous version chain with valid parents
+    for v in range(1, head + 1):
+        info = sn.snapshot_info(spark, tdir, v)
+        assert info["version"] == v
+        assert info.get("parent") == v - 1 or (v == 1 and not info.get("parent"))
+
+    # CDF replay law: inserts minus deletes from v0 == final state
+    net = Counter()
+    for r in sn.read_changes_cdf(spark, tdir, from_version=0).collect():
+        net[r.i] += 1 if r._change_type == "insert" else -1
+    assert +net == got
