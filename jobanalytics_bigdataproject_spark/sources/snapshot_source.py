@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -74,8 +75,26 @@ def _read_manifest_local(table_dir: str, version: int) -> dict:
         raise FileNotFoundError(
             f"no snapshot v{version} at {table_dir} (vacuumed or never written)"
         )
-    with open(path) as f:
-        return json.load(f)
+    # a live producer creates the manifest then writes it (two steps):
+    # a consumer whose offset listing caught the gap retries briefly —
+    # same contract as snapshots._read_manifest
+    err: Exception | None = None
+    for _attempt in range(50):
+        try:
+            with open(path) as f:
+                text = f.read()
+            if text.strip():
+                return json.loads(text)
+            err = IOError("empty manifest")
+        except FileNotFoundError:
+            raise
+        except Exception as e:  # noqa: BLE001 — partial write in flight
+            err = e
+        time.sleep(0.02)
+    raise IOError(
+        f"manifest v{version} at {table_dir} unreadable after retries "
+        f"(a producer died mid-commit?): {err}"
+    )
 
 
 def _current_version_local(table_dir: str) -> int:
