@@ -964,7 +964,10 @@ def optimize_snapshot(
         for _attempt in range(100):
             cur = current_version(spark, table_dir)
             cur_man = manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
-            if not small_set.issubset(cur_man["files"]):
+            if not small_set.issubset(cur_man["files"]) or cur_man.get("dvs"):
+                # removed input file, or a concurrent MOR delete vectored
+                # the table after the DV-free probe — raw-read staging
+                # would resurrect; committing would drop the vectors
                 for rel in new_files:
                     fs.delete(Path(f"{table_dir}/{rel}"), False)
                 raise RuntimeError(
@@ -1257,11 +1260,15 @@ def delete_where(
         cur = current_version(spark, table_dir)
         cur_manifest = manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
         cur_files = cur_manifest["files"]
-        if not hit_set.issubset(cur_files):
+        if not hit_set.issubset(cur_files) or any(
+            rel in cur_manifest.get("dvs", {}) for rel in hit_set
+        ):
+            # removed hit file, or a concurrent MOR delete vectored one
+            # AFTER our probe (the staged survivors would resurrect it)
             for rel in new_files:  # staged survivors become debris, not data
                 fs.delete(Path(f"{table_dir}/{rel}"), False)
             raise RuntimeError(
-                f"concurrent commit removed files this DELETE rewrote "
+                f"concurrent commit touched files this DELETE rewrote "
                 f"({table_dir} v{cur}); rerun the delete against the new head"
             )
         cur_stats = cur_manifest.get("stats", {})
@@ -1311,6 +1318,16 @@ def delete_where(
             new_manifest["constraints"] = cur_manifest["constraints"]
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
+        # deletion vectors on files this DELETE never touched (e.g.
+        # pruned out of the candidate set) MUST carry — dropping the
+        # keys would resurrect their deleted rows (hit files are
+        # DV-free: _refuse_dvs at probe time + the loop check above)
+        carried_dvs = {
+            k: v for k, v in cur_manifest.get("dvs", {}).items() if k not in hit_set
+        }
+        if carried_dvs:
+            new_manifest["dvs"] = carried_dvs
+            new_manifest["dv_files"] = cur_manifest.get("dv_files", [])
         mp = _manifest_path(jvm, table_dir, version)
         if not _create_manifest(fs, mp, new_manifest):
             continue  # lost the race: rebase onto the new head
@@ -1574,11 +1591,15 @@ def update_where(
             manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
         )
         cur_files = cur_manifest["files"]
-        if not hit_set.issubset(cur_files):
+        if not hit_set.issubset(cur_files) or any(
+            rel in cur_manifest.get("dvs", {}) for rel in hit_set
+        ):
+            # removed hit file, or a concurrent MOR delete vectored one
+            # AFTER our probe (the staged rewrite would resurrect it)
             for rel in new_files:
                 fs.delete(Path(f"{table_dir}/{rel}"), False)
             raise RuntimeError(
-                f"concurrent commit removed files this UPDATE rewrote "
+                f"concurrent commit touched files this UPDATE rewrote "
                 f"({table_dir} v{cur}); rerun the update against the new head"
             )
         if cur_manifest.get("constraints", {}) != constraints:
@@ -1623,6 +1644,15 @@ def update_where(
             new_manifest["constraints"] = constraints
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
+        # carry deletion vectors on untouched files — dropping the keys
+        # would resurrect their deleted rows (hit files are DV-free:
+        # _refuse_dvs at probe time + the loop check above)
+        carried_dvs = {
+            k: v for k, v in cur_manifest.get("dvs", {}).items() if k not in hit_set
+        }
+        if carried_dvs:
+            new_manifest["dvs"] = carried_dvs
+            new_manifest["dv_files"] = cur_manifest.get("dv_files", [])
         mp = _manifest_path(jvm, table_dir, version)
         if not _create_manifest(fs, mp, new_manifest):
             continue  # lost the race: rebase onto the new head
@@ -2465,11 +2495,14 @@ def merge_into(
             manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
         )
         cur_files = cur_manifest["files"]
-        if not hit_set.issubset(cur_files):
+        if not hit_set.issubset(cur_files) or cur_manifest.get("dvs"):
+            # removed hit file, or a concurrent MOR delete landed after
+            # this merge probed a DV-free table (raw-read staging would
+            # resurrect vectored rows; committing would drop the vectors)
             for rel in new_files:
                 fs.delete(Path(f"{table_dir}/{rel}"), False)
             raise RuntimeError(
-                f"concurrent commit removed files this MERGE rewrote "
+                f"concurrent commit touched files this MERGE rewrote "
                 f"({table_dir} v{cur}); rerun the merge against the new head"
             )
         if cur_manifest.get("constraints", {}) != constraints:

@@ -1672,3 +1672,26 @@ def test_concurrent_writers_serialize(spark, tdir):
     for r in sn.read_changes_cdf(spark, tdir, from_version=0).collect():
         net[r.i] += 1 if r._change_type == "insert" else -1
     assert +net == got
+
+
+def test_cow_dml_carries_dvs_on_untouched_files(spark, tdir):
+    """Regression: a COW DELETE/UPDATE whose prune excludes a DV-carrying
+    file must CARRY the vectors through its commit — dropping the dvs
+    keys would silently resurrect the deleted rows."""
+    for lo in (0, 100):
+        sn.write_snapshot(_iv(spark, lo, lo + 100).coalesce(1), tdir,
+                          stats_cols=("i",))
+    sn.delete_where_mor(spark, tdir, "i = 5")  # DV on the first file
+    res = sn.delete_where(spark, tdir, "i = 150", prune={"i": (100, 199)})
+    assert res["rows_deleted"] == 1
+    ids = _ids(sn.read_snapshot(spark, tdir))
+    assert 5 not in ids and 150 not in ids and len(ids) == 198
+    info = sn.snapshot_info(spark, tdir, sn.current_version(spark, tdir))
+    assert info["dvs"] and info["dv_files"]
+    # and the COW update carries them too
+    res = sn.update_where(spark, tdir, {"v": "v + 1"}, "i = 160",
+                          prune={"i": (100, 199)})
+    assert res["rows_updated"] == 1
+    ids = _ids(sn.read_snapshot(spark, tdir))
+    assert 5 not in ids and len(ids) == 198
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 198
