@@ -1695,3 +1695,41 @@ def test_cow_dml_carries_dvs_on_untouched_files(spark, tdir):
     ids = _ids(sn.read_snapshot(spark, tdir))
     assert 5 not in ids and len(ids) == 198
     assert sn.metadata_agg(spark, tdir)["n_rows"] == 198
+
+
+def test_ivm_tracks_merge_on_read_commits(spark, tmp_path):
+    """IVM consumes the CDF, and the CDF is DV-aware — so an aggregate
+    table must stay exactly synced through MOR deletes, MOR updates,
+    and the materialize fold (which must contribute NOTHING)."""
+    from jobanalytics_bigdataproject_spark.operators import ivm
+
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0), ("c", 5.0)],
+        "k string, v double",
+    )
+    sn.write_snapshot(df.coalesce(1), src)
+
+    def check():
+        ivm.maintain_sum_agg(spark, src, agg, ("k",), "v")
+        got = {(r.k, r.cnt, r.sum_cents)
+               for r in sn.read_snapshot(spark, agg).collect()}
+        want = {(r.k, r.cnt, r.sum_cents)
+                for r in sn.read_snapshot(spark, src).groupBy("k").agg(
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.sum(F.round(F.col("v") * 100).cast("long")).alias("sum_cents"),
+                ).collect()}
+        assert got == want
+
+    check()
+    sn.delete_where_mor(spark, src, "v <= 1.5")  # retracts one 'a'
+    check()
+    sn.update_where_mor(spark, src, {"v": "v + 10"}, "k = 'b'")
+    check()
+    sn.materialize_dvs(spark, src)  # same logical rows: delta is empty
+    v_before = sn.current_version(spark, agg)
+    check()
+    # materialize advanced the source head; the aggregate absorbed the
+    # empty delta as one bookkeeping commit with zero row changes
+    assert sn.current_version(spark, agg) <= v_before + 1
