@@ -1089,6 +1089,45 @@ def _orders_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEDUP_MOR_CACHE: dict[str, str] = {}
+
+
+def _docs_dedup_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus hygiene as one lakehouse commit
+    (sources/snapshots.delete_keys_mor — MOR DELETE by key SET): the
+    documents table lands in a versioned snapshot, the exact-dedup
+    operator (operators/dedup.dedup_exact) computes the loser doc_ids,
+    and ONE deletion-vector commit folds them out — no data file
+    rewritten, so deduping a 100 TB corpus costs the dedup pass plus a
+    position-sidecar write, and the pre-dedup corpus stays
+    time-travelable for audit. The loser set is a frame (semi-join,
+    never collected), the shape a SQL condition can't express when the
+    list is millions of ids. The oracle is the declarative dedup
+    (min-doc_id-per-fingerprint QUALIFY), so the hash check asserts the
+    composition end-to-end over the DV read path."""
+    from jobanalytics_bigdataproject_spark.operators import dedup as dd
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _DEDUP_MOR_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("documents",))
+        docs = t["documents"]
+        path = tempfile.mkdtemp(prefix="dedup_mor_docs_") + "/tbl"
+        sn.write_snapshot(docs, path, mode="overwrite")
+        losers = docs.join(
+            dd.dedup_exact(docs).select("doc_id"), "doc_id", "left_anti"
+        )
+        sn.delete_keys_mor(spark, path, losers.select("doc_id"), "doc_id")
+        _DEDUP_MOR_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 _MOR_UPD_CACHE: dict[str, str] = {}
 
 
@@ -1858,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_update_redaction": _orders_update_redaction,
         "orders_mor_delete": _orders_mor_delete,
         "orders_mor_update": _orders_mor_update,
+        "docs_dedup_mor_delete": _docs_dedup_mor_delete,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3726,6 +3766,14 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM orders
             WHERE o_custkey % 100 <> 31
             ORDER BY o_orderkey
+        """,
+        "docs_dedup_mor_delete": """
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                ORDER BY doc_id) = 1
+            ORDER BY doc_id
         """,
         "orders_mor_update": """
             SELECT o_orderkey, o_custkey,

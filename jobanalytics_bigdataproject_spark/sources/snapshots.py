@@ -1772,6 +1772,24 @@ def delete_where_mor(
     Returns ``{"version", "rows_deleted", "files_with_dvs",
     "files_rewritten" (always 0), "files_skipped_by_stats"}``.
     """
+    return _mor_delete(
+        spark, table_dir, lambda live: live.filter(F.expr(condition)),
+        condition, prune,
+    )
+
+
+def _mor_delete(
+    spark: SparkSession,
+    table_dir: str,
+    select_matches,
+    condition_desc: str,
+    prune: dict | None = None,
+) -> dict:
+    """Shared merge-on-read DELETE machinery: ``select_matches(live)``
+    narrows the live-row frame (existing DVs already excluded, data
+    columns plus __file/__pos present) to the rows to vector out; the
+    sidecar write, per-file count probe, and optimistic commit follow
+    ``delete_where_mor``'s documented contract."""
     fs, _, jvm = _fs(spark, table_dir)
     Path = jvm.org.apache.hadoop.fs.Path
     head = current_version(spark, table_dir)
@@ -1801,15 +1819,15 @@ def delete_where_mor(
 
     # probe: matching live positions (already-deleted rows excluded so a
     # re-run or overlapping condition never double-counts)
-    matches = (
+    live = (
         spark.read.parquet(*(_data_path(table_dir, rel) for rel in candidates))
         .withColumn("__file", F.col("_metadata.file_name"))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
     dv = _dv_frame(spark, table_dir, manifest)
     if dv is not None:
-        matches = matches.join(dv, ["__file", "__pos"], "left_anti")
-    matches = matches.filter(F.expr(condition)).select("__file", "__pos")
+        live = live.join(dv, ["__file", "__pos"], "left_anti")
+    matches = select_matches(live).select("__file", "__pos")
 
     tag = uuid.uuid4().hex[:12]
     dv_rel = f"{_DV}/v{tag}"
@@ -1855,7 +1873,7 @@ def delete_where_mor(
             "version": version,
             "parent": cur,
             "action": "mor_delete",
-            "condition": condition,
+            "condition": condition_desc,
             "added": [],
             "removed": [],
             "dvs": {
@@ -1876,6 +1894,44 @@ def delete_where_mor(
     raise IOError(
         f"could not commit MOR delete to {table_dir} after 100 attempts — "
         "manifest create keeps failing (permissions/path problem, not contention)"
+    )
+
+
+def delete_keys_mor(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    key_col: str,
+    prune: dict | None = None,
+) -> dict:
+    """Merge-on-read DELETE by KEY SET: vector out every live row whose
+    ``key_col`` appears in the ``keys`` frame — the bulk-erasure shape a
+    SQL condition can't express at scale (a GDPR user-id list, a dedup
+    pass's loser set, a contamination blocklist of document ids). One
+    semi-join against the key frame finds the positions; the commit is
+    the same single-sidecar, zero-rewrite ``delete_where_mor`` contract.
+
+    This is the corpus-hygiene primitive: near-dup detection emits
+    millions of loser doc_ids, and folding them into a 100 TB documents
+    table costs one position-sidecar write instead of rewriting every
+    file that holds a duplicate. The key frame may be arbitrarily large
+    — it shuffles in the semi-join, never collects; AQE broadcasts it
+    when it is actually small. Keys absent from the table are no-ops;
+    NULL keys never match (semi-join equality), matching SQL
+    ``IN``-list semantics; duplicate keys in the frame are harmless
+    (semi-join, not multiset).
+
+    Same concurrency, bookkeeping, and result dict as
+    ``delete_where_mor``; the manifest records the delete as
+    ``key IN <key_col list>``.
+    """
+    keyed = keys.select(F.col(key_col)).where(F.col(key_col).isNotNull())
+    return _mor_delete(
+        spark,
+        table_dir,
+        lambda live: live.join(keyed, on=key_col, how="left_semi"),
+        f"{key_col} IN (<keys frame>)",
+        prune,
     )
 
 

@@ -1733,3 +1733,43 @@ def test_ivm_tracks_merge_on_read_commits(spark, tmp_path):
     # materialize advanced the source head; the aggregate absorbed the
     # empty delta as one bookkeeping commit with zero row changes
     assert sn.current_version(spark, agg) <= v_before + 1
+
+
+# ---------------------------------------------------- delete_keys_mor
+
+
+def test_delete_keys_mor_vectored_by_key_set(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 50).coalesce(1), tdir)
+    sn.write_snapshot(_iv(spark, 50, 100).coalesce(1), tdir)
+    keys = spark.createDataFrame(
+        [(3,), (47,), (51,), (999,), (None,)], "i long"  # 999 absent, NULL no-op
+    )
+    res = sn.delete_keys_mor(spark, tdir, keys, "i")
+    assert res["rows_deleted"] == 3 and res["files_rewritten"] == 0
+    assert res["files_with_dvs"] == 2
+    assert _ids(sn.read_snapshot(spark, tdir)) == [
+        i for i in range(100) if i not in (3, 47, 51)
+    ]
+    # re-running the same key set is a no-op (rows already vectored)
+    head = sn.current_version(spark, tdir)
+    res2 = sn.delete_keys_mor(spark, tdir, keys, "i")
+    assert res2["rows_deleted"] == 0 and res2["version"] == head
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 97
+
+
+def test_delete_keys_mor_composes_with_dedup(spark, tdir):
+    """The corpus-hygiene composition: exact-dup losers from the dedup
+    operator fold into the snapshot table as one MOR commit."""
+    from jobanalytics_bigdataproject_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "bb"), (6, "aa")],
+        "doc_id long, text string",
+    )
+    sn.write_snapshot(df.coalesce(1), tdir)
+    survivors = dedup.dedup_exact(df, text_col="text")
+    losers = df.join(survivors.select("doc_id"), "doc_id", "left_anti")
+    res = sn.delete_keys_mor(spark, tdir, losers.select("doc_id"), "doc_id")
+    assert res["rows_deleted"] == 3  # docs 3, 5, 6
+    got = sorted(r.doc_id for r in sn.read_snapshot(spark, tdir).collect())
+    assert got == sorted(r.doc_id for r in survivors.collect()) == [1, 2, 4]
