@@ -1477,6 +1477,12 @@ _PRIORITY = [
     # competing for 50 slots the flagship GDPR delete-propagation query
     # outranks a nice-to-have truncation audit; both are locally
     # gate-green and the loser tops r5's never-checked rotation.
+    # ROUND 5 NOTE: the window is exactly full (21 priority + 29 r1-stale
+    # mandate). These locally-gate-green queries queue at slots 51+ and
+    # MUST seed r5's _PRIORITY: docs_bigram_logprob, embeddings_matryoshka,
+    # events_ewma_daily, events_holt_forecast, orders_cdc_apply,
+    # orders_retention_expiry, orders_update_redaction, orders_mor_delete,
+    # orders_mor_update, docs_dedup_mor_delete, scd2_feed_apply.
     "orders_delete_propagation",
     "part_supplier_share",
     # late round 4: Q9/Q11 adaptations complete the TPC-H family coverage;

@@ -86,6 +86,9 @@ PROBES = [
     "orders_update_redaction",
     "orders_mor_delete",
     "orders_mor_update",
+    # ingest prime runs the exact-dedup pass + the key-set MOR commit;
+    # timed runs measure the deduped corpus scan with vectors applied
+    "docs_dedup_mor_delete",
 ]
 
 
