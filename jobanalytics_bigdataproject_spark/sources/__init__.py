@@ -7,8 +7,16 @@ from jobanalytics_bigdataproject_spark.sources.readers import (
 )
 from jobanalytics_bigdataproject_spark.sources.writers import write_parquet
 from jobanalytics_bigdataproject_spark.sources.snapshots import (
+    delete_keys_mor,
+    delete_range,
+    delete_where,
+    delete_where_mor,
+    materialize_dvs,
+    merge_into,
     read_snapshot,
     rollback,
+    update_where,
+    update_where_mor,
     vacuum,
     write_snapshot,
 )
@@ -24,4 +32,12 @@ __all__ = [
     "rollback",
     "vacuum",
     "write_snapshot",
+    "delete_where",
+    "delete_range",
+    "delete_where_mor",
+    "delete_keys_mor",
+    "update_where",
+    "update_where_mor",
+    "merge_into",
+    "materialize_dvs",
 ]

@@ -1773,3 +1773,25 @@ def test_delete_keys_mor_composes_with_dedup(spark, tdir):
     assert res["rows_deleted"] == 3  # docs 3, 5, 6
     got = sorted(r.doc_id for r in sn.read_snapshot(spark, tdir).collect())
     assert got == sorted(r.doc_id for r in survivors.collect()) == [1, 2, 4]
+
+
+def test_mor_time_travel_after_materialize(spark, tdir):
+    """Old versions keep their deletion vectors after the fold: the MOR
+    version still reads deletes-applied, the pre-delete version reads
+    complete, and vacuum retention governs the sidecar's lifetime."""
+    import os
+
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)   # v1
+    sn.delete_where_mor(spark, tdir, "i >= 7")               # v2 (DV)
+    sn.materialize_dvs(spark, tdir)                          # v3 (folded)
+    assert _ids(sn.read_snapshot(spark, tdir, version=1)) == list(range(10))
+    assert _ids(sn.read_snapshot(spark, tdir, version=2)) == list(range(7))
+    assert _ids(sn.read_snapshot(spark, tdir, version=3)) == list(range(7))
+    # retention keeping v2 keeps its sidecar on disk
+    sn.vacuum(spark, tdir, keep_last=2)  # keeps v2..v3
+    assert len(os.listdir(f"{tdir}/dv")) == 1
+    assert _ids(sn.read_snapshot(spark, tdir, version=2)) == list(range(7))
+    # dropping v2 reaps the sidecar
+    sn.write_snapshot(_iv(spark, 10, 12).coalesce(1), tdir)  # v4
+    sn.vacuum(spark, tdir, keep_last=2)  # keeps v3..v4
+    assert os.listdir(f"{tdir}/dv") == []
