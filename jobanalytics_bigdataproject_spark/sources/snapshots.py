@@ -910,6 +910,15 @@ def optimize_snapshot(
     when ``cluster_by`` is set (clustering is global by nature). A
     no-op (0 or 1 small file) returns the current head without
     committing.
+
+    Deletion vectors: the full rewrite and ``cluster_by`` paths read
+    through ``read_snapshot`` — DV-aware — so on a vectored table they
+    double as a MATERIALIZING optimize (vectors folded in, dvs cleared
+    by the overwrite), Delta's OPTIMIZE-purges-DVs behavior. The
+    selective path compacts only CLEAN small files: DV-carrying files
+    keep their vectors and are carried verbatim (use
+    ``materialize_dvs`` to fold them; compacting a vectored file raw
+    would resurrect its deleted rows).
     """
     fs, _, jvm = _fs(spark, table_dir)
     Path = jvm.org.apache.hadoop.fs.Path
@@ -917,15 +926,19 @@ def optimize_snapshot(
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
-    _refuse_dvs(manifest, manifest["files"], "optimize_snapshot")
     stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
 
     if min_file_mb is not None and not cluster_by:
+        dv_set = set(manifest.get("dvs", {}))
         sizes = {
             rel: fs.getFileStatus(Path(_data_path(table_dir, rel))).getLen()
             for rel in manifest["files"]
         }
-        small = [r for r in manifest["files"] if sizes[r] < min_file_mb * 1024 * 1024]
+        small = [
+            r
+            for r in manifest["files"]
+            if sizes[r] < min_file_mb * 1024 * 1024 and r not in dv_set
+        ]
         large = [r for r in manifest["files"] if r not in set(small)]
         if len(small) <= 1:
             return head  # nothing worth compacting
@@ -964,10 +977,12 @@ def optimize_snapshot(
         for _attempt in range(100):
             cur = current_version(spark, table_dir)
             cur_man = manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
-            if not small_set.issubset(cur_man["files"]) or cur_man.get("dvs"):
+            if not small_set.issubset(cur_man["files"]) or any(
+                rel in cur_man.get("dvs", {}) for rel in small_set
+            ):
                 # removed input file, or a concurrent MOR delete vectored
-                # the table after the DV-free probe — raw-read staging
-                # would resurrect; committing would drop the vectors
+                # a file this compaction read raw — staging would
+                # resurrect its deleted rows
                 for rel in new_files:
                     fs.delete(Path(f"{table_dir}/{rel}"), False)
                 raise RuntimeError(
@@ -1012,6 +1027,16 @@ def optimize_snapshot(
             for key in ("schema", "constraints"):
                 if cur_man.get(key):
                     new_manifest[key] = cur_man[key]
+            # DV-carrying files were excluded from compaction — carry
+            # their vectors (dropping the keys would resurrect rows)
+            carried_dvs = {
+                k: v
+                for k, v in cur_man.get("dvs", {}).items()
+                if k not in small_set
+            }
+            if carried_dvs:
+                new_manifest["dvs"] = carried_dvs
+                new_manifest["dv_files"] = cur_man.get("dv_files", [])
             mp = _manifest_path(jvm, table_dir, cur + 1)
             if not _create_manifest(fs, mp, new_manifest):
                 continue  # lost the race: rebase onto the new head

@@ -306,12 +306,11 @@ def test_snapshot_stack_matches_model(spark, tmp_path_factory, ops):
         elif kind == "optimize":
             if not states:
                 continue
-            if has_dvs:
-                with _pytest.raises(ValueError, match="materialize_dvs"):
-                    sn.optimize_snapshot(spark, tdir)
-            else:
-                sn.optimize_snapshot(spark, tdir)
-                states.append(Counter(states[-1]))
+            # the full rewrite reads DV-aware and overwrites: on a
+            # vectored table it doubles as materialize (dvs cleared)
+            sn.optimize_snapshot(spark, tdir)
+            states.append(Counter(states[-1]))
+            has_dvs = False
         elif kind == "rollback":
             if len(states) < 2:
                 continue

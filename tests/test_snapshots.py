@@ -1420,8 +1420,6 @@ def test_materialize_dvs_folds_and_reenables_cow(spark, tdir):
     with pytest.raises(ValueError, match="materialize_dvs"):
         sn.merge_into(spark, tdir, _iv(spark, 0, 1), ["i"])
     with pytest.raises(ValueError, match="materialize_dvs"):
-        sn.optimize_snapshot(spark, tdir)
-    with pytest.raises(ValueError, match="materialize_dvs"):
         sn.metadata_agg(spark, tdir, cols=("i",))
     res = sn.materialize_dvs(spark, tdir)
     assert res["files_rewritten"] == 1 and res["rows_removed"] == 10
@@ -1795,3 +1793,39 @@ def test_mor_time_travel_after_materialize(spark, tdir):
     sn.write_snapshot(_iv(spark, 10, 12).coalesce(1), tdir)  # v4
     sn.vacuum(spark, tdir, keep_last=2)  # keeps v3..v4
     assert os.listdir(f"{tdir}/dv") == []
+
+
+def test_optimize_materializes_dvs_on_full_rewrite(spark, tdir):
+    """Plain OPTIMIZE (and cluster_by) read through the DV-aware scan
+    and overwrite — they double as a materializing optimize, Delta's
+    OPTIMIZE-purges-DVs behavior."""
+    for lo in (0, 50):
+        sn.write_snapshot(_iv(spark, lo, lo + 50).coalesce(1), tdir,
+                          stats_cols=("i",))
+    sn.delete_where_mor(spark, tdir, "i % 2 = 1")
+    v = sn.optimize_snapshot(spark, tdir)
+    info = sn.snapshot_info(spark, tdir, v)
+    assert "dvs" not in info
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(0, 100, 2))
+    # metadata MIN/MAX exact again after the fold
+    assert sn.metadata_agg(spark, tdir, cols=("i",))["max"]["i"] == 98
+    # COW DML re-enabled
+    assert sn.delete_where(spark, tdir, "i = 0")["rows_deleted"] == 1
+
+
+def test_optimize_selective_skips_vectored_files(spark, tdir):
+    """Selective compaction compacts only CLEAN small files; a
+    DV-carrying small file keeps its vectors and is carried verbatim."""
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)    # tiny A
+    sn.write_snapshot(_iv(spark, 10, 20).coalesce(1), tdir)   # tiny B
+    sn.write_snapshot(_iv(spark, 20, 30).coalesce(1), tdir)   # tiny C
+    sn.delete_where_mor(spark, tdir, "i = 5")                 # DV on A
+    [dv_file] = sn.snapshot_info(spark, tdir, 4)["dvs"].keys()
+    v = sn.optimize_snapshot(spark, tdir, min_file_mb=1)      # compacts B+C
+    info = sn.snapshot_info(spark, tdir, v)
+    assert info["dvs"] == {dv_file: 1} and dv_file in info["files"]
+    assert len(info["removed"]) == 2  # only the clean tinies compacted
+    assert _ids(sn.read_snapshot(spark, tdir)) == [
+        i for i in range(30) if i != 5
+    ]
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 29
