@@ -1275,6 +1275,69 @@ def _orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_MOR_CACHE: dict[str, str] = {}
+
+
+def _orders_cdc_apply_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CDC batch as `orders_cdc_apply`, applied MERGE-ON-READ
+    (sources/snapshots.apply_changes(mode='mor') → merge_into_mor):
+    matched rows are vectored out in a position sidecar and the upserts
+    appended — ZERO data files rewritten, so a steady CDC trickle whose
+    keys scatter across a 100 TB table costs O(batch) per apply instead
+    of rewriting every hit file; materialize_dvs/OPTIMIZE is the
+    compaction half of the pair. Sharing `orders_cdc_apply`'s oracle
+    makes the hash check assert COW/MOR semantic equivalence end-to-end
+    over the DV read path; the streaming sink twin, exactly-once
+    replay, and the zero-rewrite law are pinned in
+    tests/test_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _CDC_MOR_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="cdc_mor_orders_") + "/tbl"
+        sn.write_snapshot(o.repartitionByRange(8, "o_orderkey"), path, mode="overwrite")
+        upd = o.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            F.lit("U").alias("_op"),
+        )
+        dels = o.filter(F.col("o_orderkey") % 10 == 5).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("double").alias("o_totalprice"),
+            F.lit("D").alias("_op"),
+        )
+        ins = o.filter(F.col("o_orderkey") % 100 == 7).select(
+            (F.col("o_orderkey") + F.lit(100_000_000)).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("N").alias("o_orderstatus"),
+            "o_totalprice",
+            F.lit("I").alias("_op"),
+        )
+        changes = (
+            upd.unionByName(dels).unionByName(ins).withColumn("seq", F.lit(1))
+        )
+        res = sn.apply_changes(
+            spark, path, changes, ("o_orderkey",), seq_col="seq", mode="mor"
+        )
+        assert res["files_rewritten"] == 0  # the whole point of the path
+        _CDC_MOR_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def _orders_cdf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level change-data-feed of the snapshot table's DELETE commit
     (sources/snapshots.read_changes_cdf): the logical diff of v3 (the
@@ -1904,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_mor_delete": _orders_mor_delete,
         "orders_mor_update": _orders_mor_update,
         "docs_dedup_mor_delete": _docs_dedup_mor_delete,
+        "orders_cdc_apply_mor": _orders_cdc_apply_mor,
         "orders_drift_report": _orders_drift_report,
         "scd2_change_feed": _q(
             ("events",),
@@ -3803,6 +3867,17 @@ def _oracle_sql_literals() -> dict[str, str]:
             ORDER BY o_orderkey
         """,
         "orders_cdc_apply": """
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE o_orderkey % 10 <> 5
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice
+            FROM orders WHERE o_orderkey % 100 = 7
+            ORDER BY o_orderkey
+        """,
+        "orders_cdc_apply_mor": """
             SELECT o_orderkey, o_custkey,
                    CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
                    CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice

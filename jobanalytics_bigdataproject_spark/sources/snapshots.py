@@ -2195,6 +2195,306 @@ def update_where_mor(
     )
 
 
+def merge_into_mor(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str] | tuple[str, ...],
+    delete_condition: str | None = None,
+    idempotency_key: str | None = None,
+) -> dict:
+    """Merge-on-read MERGE INTO — vector + append, how Delta executes
+    MERGE with deletion vectors enabled: ONE commit marks every matched
+    target row deleted in a position sidecar and appends new file(s)
+    holding the updated rows plus the NOT-MATCHED inserts. No existing
+    file is rewritten: cost scales with |matched| + |source|, however
+    many files the matched keys are scattered across — the sparse-upsert
+    dual of ``merge_into``'s copy-on-write (dense upserts still favor
+    COW, which leaves no read-side anti-join behind).
+
+    Semantics mirror ``merge_into`` exactly: WHEN MATCHED every non-key
+    column takes the source value (a NULL source value still wins), a
+    duplicated target key keeps its multiplicity (each copy updates),
+    WHEN NOT MATCHED the source row inserts, a key matching >1 source
+    row refuses as ambiguous, ``delete_condition`` drops matched rows
+    whose source row satisfies it (absent-key delete is a no-op, extra
+    source columns are condition fuel only), staged rows are
+    CHECK-validated atomically, and ``idempotency_key`` replays a
+    retried commit as a no-op. Unlike the COW paths this composes with
+    existing deletion vectors: the probe excludes already-vectored rows.
+
+    ``read_changes_cdf`` of the commit shows delete(old) for every
+    matched row + insert(new/inserted) from the appended files.
+    Concurrency follows ``update_where_mor``: refuses if a concurrent
+    commit removed or re-vectored a matched file, or changed the
+    constraint set.
+
+    Returns ``{"version", "rows_updated", "rows_deleted",
+    "rows_inserted", "files_with_dvs", "files_added",
+    "files_rewritten" (always 0)}``.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+
+    def _replayed(prior: int) -> dict:
+        man = _read_manifest(fs, jvm, table_dir, prior)
+        return {
+            "version": prior,
+            "rows_updated": man.get("rows_updated", 0),
+            "rows_deleted": man.get("rows_deleted", 0),
+            "rows_inserted": man.get("rows_inserted", 0),
+            "files_with_dvs": man.get("mor_files_with_dvs", 0),
+            "files_added": len(man.get("added", [])),
+            "files_rewritten": 0,
+        }
+
+    if idempotency_key is not None:
+        prior = _find_idempotent(fs, jvm, table_dir, idempotency_key, head)
+        if prior is not None:
+            return _replayed(prior)
+
+    manifest = _read_manifest(fs, jvm, table_dir, head)
+    all_files = manifest["files"]
+    dvs = dict(manifest.get("dvs", {}))
+    keys = list(key_cols)
+    tcols = [f["name"] for f in manifest.get("schema", {}).get("fields", [])]
+    if tcols and delete_condition is None and source.columns != tcols:
+        missing = set(tcols) ^ set(source.columns)
+        raise ValueError(
+            f"merge_into_mor requires the source to match the table schema "
+            f"{tcols}; differ on {sorted(missing) or 'column order'}"
+        )
+    if tcols and not set(tcols) <= set(source.columns):
+        raise ValueError(
+            f"merge_into_mor source is missing table columns "
+            f"{sorted(set(tcols) - set(source.columns))}"
+        )
+    out_cols = tcols or list(source.columns)
+    value_cols = [c for c in out_cols if c not in keys]
+    src = source.withColumn(
+        "__del",
+        F.coalesce(F.expr(delete_condition), F.lit(False))
+        if delete_condition is not None
+        else F.lit(False),
+    )
+    dup = (
+        source.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_into_mor source has multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)} — ambiguous MERGE refused"
+        )
+
+    live = (
+        spark.read.parquet(*(_data_path(table_dir, rel) for rel in all_files))
+        .withColumn("__file", F.col("_metadata.file_name"))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    dv = _dv_frame(spark, table_dir, manifest)
+    if dv is not None:
+        live = live.join(dv, ["__file", "__pos"], "left_anti")
+
+    t = live.alias("t")
+    s = src.alias("s")
+    joined = t.join(
+        s, on=F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in keys)), how="inner"
+    ).persist()
+    tag = uuid.uuid4().hex[:12]
+    dv_rel = f"{_DV}/v{tag}"
+    staging = f"{table_dir}/staging-{tag}"
+    try:
+        joined.select(
+            F.col("t.__file").alias("__file"), F.col("t.__pos").alias("__pos")
+        ).write.parquet(f"{table_dir}/{dv_rel}")
+        per_file = {
+            r["__file"]: int(r["n"])
+            for r in spark.read.parquet(f"{table_dir}/{dv_rel}")
+            .groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }  # metadata-scale: one row per matched file
+        rows_matched = sum(per_file.values())
+        rows_deleted = joined.filter(F.col("s.__del")).count() if rows_matched else 0
+        rows_updated = rows_matched - rows_deleted
+        # matched copies re-append with source values (multiplicity kept);
+        # unmatched non-delete source rows insert
+        updated = (
+            joined.filter(~F.col("s.__del"))
+            .select(
+                *[F.col(f"t.{k}").alias(k) for k in keys],
+                *[F.col(f"s.{c}").alias(c) for c in value_cols],
+            )
+            .select(*out_cols)
+        )
+        inserts = (
+            src.filter(~F.col("__del"))
+            .join(live.select(*keys), on=keys, how="left_anti")
+            .select(*out_cols)
+        )
+        updated.unionByName(inserts).write.parquet(staging)
+    finally:
+        joined.unpersist()
+
+    def _undo():
+        fs.delete(Path(staging), True)
+        fs.delete(Path(f"{table_dir}/{dv_rel}"), True)
+
+    constraints = manifest.get("constraints", {})
+    staged = spark.read.parquet(staging)
+    if constraints:
+        for cname, cexpr in sorted(constraints.items()):
+            bad = staged.filter(~F.coalesce(F.expr(cexpr), F.lit(True))).count()
+            if bad:
+                _undo()
+                raise ValueError(
+                    f"CHECK constraint {cname!r} ({cexpr}) violated by "
+                    f"{bad} merged row(s) — MERGE refused, nothing written"
+                )
+
+    stats_cols = sorted({c for st in manifest.get("stats", {}).values() for c in st})
+    staged_stats, staged_rows = _collect_staged_stats(spark, staging, stats_cols)
+    staged_blooms = _recompute_staged_blooms(spark, staging, _bloom_specs(manifest))
+    rows_inserted = sum(staged_rows.values()) - rows_updated
+
+    by_name = {rel.rsplit("/", 1)[-1]: rel for rel in all_files}
+    new_counts = {by_name[name]: n for name, n in per_file.items()}
+    if not new_counts and rows_inserted == 0:
+        _undo()  # all-miss empty source: nothing committed
+        return {
+            "version": head,
+            "rows_updated": 0,
+            "rows_deleted": 0,
+            "rows_inserted": 0,
+            "files_with_dvs": 0,
+            "files_added": 0,
+            "files_rewritten": 0,
+        }
+
+    data_dir = Path(f"{table_dir}/{_DATA}")
+    fs.mkdirs(data_dir)
+    new_files: list[str] = []
+    new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
+    new_rows: dict[str, int] = {}
+    for i, st in enumerate(
+        sorted(fs.listStatus(Path(staging)), key=lambda s0: s0.getPath().getName())
+    ):
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"{_DATA}/g{tag}-{i}-{name}"
+        if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
+            raise IOError(f"rename failed for {name} -> {rel}")
+        new_files.append(rel)
+        if name in staged_stats:
+            new_stats[rel] = staged_stats[name]
+        if name in staged_blooms:
+            new_blooms[rel] = staged_blooms[name]
+        new_rows[rel] = staged_rows.get(name, 0)
+    fs.delete(Path(staging), True)
+    if not new_counts:
+        fs.delete(Path(f"{table_dir}/{dv_rel}"), True)  # pure-insert merge
+
+    def _undo_files():
+        for rel in new_files:
+            fs.delete(Path(f"{table_dir}/{rel}"), False)
+        if new_counts:
+            fs.delete(Path(f"{table_dir}/{dv_rel}"), True)
+
+    for _attempt in range(100):
+        cur = current_version(spark, table_dir)
+        if idempotency_key is not None and cur != head:
+            prior = _find_idempotent(fs, jvm, table_dir, idempotency_key, cur)
+            if prior is not None:
+                _undo_files()
+                return _replayed(prior)
+        cur_manifest = (
+            manifest if cur == head else _read_manifest(fs, jvm, table_dir, cur)
+        )
+        cur_files = set(cur_manifest["files"])
+        cur_dvs = cur_manifest.get("dvs", {})
+        for rel in new_counts:
+            if rel not in cur_files or cur_dvs.get(rel) != dvs.get(rel):
+                _undo_files()
+                raise RuntimeError(
+                    f"concurrent commit touched {rel} after this MOR merge "
+                    f"probed it ({table_dir} v{cur}); rerun against the new head"
+                )
+        if cur_manifest.get("constraints", {}) != constraints:
+            _undo_files()
+            raise RuntimeError(
+                f"constraint set changed concurrently on {table_dir} "
+                f"(validated against v{head}, head is v{cur}); re-run the merge"
+            )
+        version = cur + 1
+        new_manifest = {
+            "version": version,
+            "parent": cur,
+            "action": "mor_merge",
+            "files": list(cur_manifest["files"]) + new_files,
+            "added": new_files,
+            "removed": [],
+            "rows_updated": rows_updated,
+            "rows_deleted": rows_deleted,
+            "rows_inserted": rows_inserted,
+            "mor_files_with_dvs": len(new_counts),
+        }
+        if new_counts:
+            new_manifest["dvs"] = {
+                **cur_dvs,
+                **{
+                    rel: int(cur_dvs.get(rel, 0)) + n
+                    for rel, n in new_counts.items()
+                },
+            }
+            new_manifest["dv_files"] = (
+                list(cur_manifest.get("dv_files", [])) + [dv_rel]
+            )
+            new_manifest["dv_added"] = [dv_rel]
+        elif cur_manifest.get("dvs"):
+            new_manifest["dvs"] = cur_manifest["dvs"]
+            new_manifest["dv_files"] = cur_manifest.get("dv_files", [])
+        merged_stats = {**cur_manifest.get("stats", {}), **new_stats}
+        merged_blooms = {**cur_manifest.get("blooms", {}), **new_blooms}
+        merged_rows = {**cur_manifest.get("rows", {}), **new_rows}
+        if merged_stats:
+            new_manifest["stats"] = merged_stats
+        if merged_blooms:
+            new_manifest["blooms"] = merged_blooms
+        if merged_rows:
+            new_manifest["rows"] = merged_rows
+        if constraints:
+            new_manifest["constraints"] = constraints
+        if cur_manifest.get("schema"):
+            new_manifest["schema"] = cur_manifest["schema"]
+        if idempotency_key is not None:
+            new_manifest["idempotency_key"] = idempotency_key
+        mp = _manifest_path(jvm, table_dir, version)
+        if not _create_manifest(fs, mp, new_manifest):
+            continue  # lost the race: rebase onto the new head
+        return {
+            "version": version,
+            "rows_updated": rows_updated,
+            "rows_deleted": rows_deleted,
+            "rows_inserted": rows_inserted,
+            "files_with_dvs": len(new_counts),
+            "files_added": len(new_files),
+            "files_rewritten": 0,
+        }
+    raise IOError(
+        f"could not commit MOR merge to {table_dir} after 100 attempts — "
+        "manifest create keeps failing (permissions/path problem, not contention)"
+    )
+
+
 def materialize_dvs(spark: SparkSession, table_dir: str) -> dict:
     """Fold deletion vectors into the data (Delta's REORG … PURGE): every
     file carrying a DV is rewritten without its deleted rows — with fresh
@@ -2660,6 +2960,7 @@ def apply_changes(
     seq_col: str,
     op_col: str = "_op",
     idempotency_key: str | None = None,
+    mode: str = "cow",
 ) -> dict:
     """CDC apply (the DLT ``APPLY CHANGES INTO … SEQUENCE BY`` shape):
     ``changes`` carries the table's columns plus an ``op_col`` in
@@ -2668,6 +2969,14 @@ def apply_changes(
     delete for D (absent-key delete is a no-op). One window over the
     change batch (batch-sized, never table-sized), then one
     ``merge_into`` whose COW rewrite touches only the hit files.
+
+    ``mode="mor"`` routes the merge through ``merge_into_mor`` instead:
+    matched rows are vectored + reinserted and nothing is rewritten, so
+    a steady CDC trickle whose keys scatter across the whole table
+    costs O(batch) per apply instead of O(files hit) rewrites — the
+    100 TB streaming-CDC shape. The read side pays the DV anti-join
+    until ``materialize_dvs``/OPTIMIZE folds; same applied semantics
+    either way (equivalence-tested).
 
     Equal-seq ties break toward the DELETE (the conservative read of an
     ill-sequenced feed), then by op descending — deterministic, but a
@@ -2700,7 +3009,10 @@ def apply_changes(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return merge_into(
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"apply_changes mode must be 'cow' or 'mor', got {mode!r}")
+    merge = merge_into if mode == "cow" else merge_into_mor
+    return merge(
         spark,
         table_dir,
         latest,
@@ -2715,6 +3027,7 @@ def cdc_sink(
     key_cols: list[str] | tuple[str, ...],
     seq_col: str,
     op_col: str = "_op",
+    mode: str = "cow",
 ):
     """Structured Streaming CDC-apply sink:
     ``changeStream.writeStream.foreachBatch(cdc_sink(dir, keys, seq))``
@@ -2724,7 +3037,11 @@ def cdc_sink(
     ``snapshot_sink``), so a re-run batch finds its commit in the log
     and no-ops. Every applied batch is a time-travelable version whose
     CDF (``read_changes_cdf``) replays the net row-level effect —
-    streaming in, streaming out."""
+    streaming in, streaming out. ``mode="mor"`` applies each batch as a
+    deletion-vector merge (``merge_into_mor``): per-batch cost stays
+    O(batch) however widely the keys scatter, the shape a long-running
+    CDC stream needs — schedule ``materialize_dvs``/OPTIMIZE as the
+    compaction half of the pair."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_changes(
@@ -2735,6 +3052,7 @@ def cdc_sink(
             seq_col,
             op_col=op_col,
             idempotency_key=f"cdc-{batch_id}",
+            mode=mode,
         )
 
     return _apply

@@ -1829,3 +1829,148 @@ def test_optimize_selective_skips_vectored_files(spark, tdir):
         i for i in range(30) if i != 5
     ]
     assert sn.metadata_agg(spark, tdir)["n_rows"] == 29
+
+
+# ------------------------------------------------------ merge_into_mor
+
+
+def test_merge_into_mor_vector_plus_append(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 50).coalesce(1), tdir)
+    sn.write_snapshot(_kv(spark, 50, 100).coalesce(1), tdir)
+    before = set(sn.snapshot_info(spark, tdir, 2)["files"])
+    src = _kv(spark, 48, 52, tag="b").unionByName(_kv(spark, 200, 202, tag="b"))
+    res = sn.merge_into_mor(spark, tdir, src, ("i",))
+    assert res["rows_updated"] == 4 and res["rows_inserted"] == 2
+    assert res["files_rewritten"] == 0 and res["files_with_dvs"] == 2
+    # every pre-existing file carried verbatim
+    info = sn.snapshot_info(spark, tdir, res["version"])
+    assert before <= set(info["files"])
+    got = {r.i: r.v for r in sn.read_snapshot(spark, tdir).collect()}
+    want = {i: f"a-{i}" for i in range(100)}
+    want.update({i: f"b-{i}" for i in (48, 49, 50, 51, 200, 201)})
+    assert got == want
+    assert sn.metadata_agg(spark, tdir)["n_rows"] == 102
+
+
+def test_merge_into_mor_semantics_match_cow_twin(spark, tdir, tmp_path):
+    """MOR and COW merges must produce identical logical tables on the
+    same inputs — duplicated target keys keep multiplicity, NULL source
+    values win, delete_condition drops matched + skips absent."""
+    cow = str(tmp_path / "cow")
+    dup = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, None)], "i long, v string"
+    ).coalesce(1)
+    for d in (tdir, cow):
+        sn.write_snapshot(dup, d)
+    src = spark.createDataFrame(
+        [(1, None, "U"), (3, "w", "D"), (9, "ins", "U"), (8, "nop", "D")],
+        "i long, v string, _op string",
+    )
+    r_mor = sn.merge_into_mor(spark, tdir, src, ("i",),
+                              delete_condition="_op = 'D'")
+    r_cow = sn.merge_into(spark, cow, src, ("i",),
+                          delete_condition="_op = 'D'")
+    for k in ("rows_updated", "rows_deleted", "rows_inserted"):
+        assert r_mor[k] == r_cow[k], k
+    m = sorted(((r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()),
+               key=lambda t: (t[0], t[1] or ""))
+    c = sorted(((r.i, r.v) for r in sn.read_snapshot(spark, cow).collect()),
+               key=lambda t: (t[0], t[1] or ""))
+    assert m == c == [(1, None), (1, None), (2, "z"), (9, "ins")]
+
+
+def test_merge_into_mor_cdf_and_ambiguity(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 10).coalesce(1), tdir)
+    src = _kv(spark, 5, 6, tag="n")
+    v = sn.merge_into_mor(spark, tdir, src, ("i",))["version"]
+    got = {(r.i, r.v, r._change_type) for r in
+           sn.read_changes_cdf(spark, tdir, from_version=v - 1).collect()}
+    assert got == {(5, "a-5", "delete"), (5, "n-5", "insert")}
+    with pytest.raises(ValueError, match="ambiguous"):
+        sn.merge_into_mor(
+            spark, tdir, _kv(spark, 1, 2).unionByName(_kv(spark, 1, 2)), ("i",)
+        )
+
+
+def test_merge_into_mor_composes_with_existing_dvs_and_replays(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 20).coalesce(1), tdir)
+    sn.delete_where_mor(spark, tdir, "i >= 15")
+    # a merge touching a vectored row's key: the dead copy is NOT matched
+    src = _kv(spark, 14, 16, tag="m")
+    res = sn.merge_into_mor(spark, tdir, src, ("i",), idempotency_key="b7")
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1  # 15 dead -> insert
+    got = {r.i: r.v for r in sn.read_snapshot(spark, tdir).collect()}
+    assert got[14] == "m-14" and got[15] == "m-15" and len(got) == 16
+    # retried batch no-ops
+    again = sn.merge_into_mor(spark, tdir, src, ("i",), idempotency_key="b7")
+    assert again["version"] == res["version"]
+    assert sn.current_version(spark, tdir) == res["version"]
+
+
+def test_merge_into_mor_check_and_empty_source(spark, tdir):
+    sn.write_snapshot(_iv(spark, 0, 10).coalesce(1), tdir)
+    sn.add_constraint(spark, tdir, "v_nonneg", "v >= 0")
+    head = sn.current_version(spark, tdir)
+    bad = spark.createDataFrame([(3, -1)], "i long, v long")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        sn.merge_into_mor(spark, tdir, bad, ("i",))
+    import os
+
+    assert sn.current_version(spark, tdir) == head
+    assert not [d for d in os.listdir(tdir) if d.startswith("staging-")]
+    assert not os.path.exists(f"{tdir}/dv") or os.listdir(f"{tdir}/dv") == []
+    # empty source: nothing committed
+    res = sn.merge_into_mor(spark, tdir, _iv(spark, 0, 0), ("i",))
+    assert res["version"] == head and res["rows_inserted"] == 0
+
+
+def test_apply_changes_mor_equivalent_to_cow(spark, tdir, tmp_path):
+    """The MOR CDC apply must produce the same logical table as the COW
+    apply on the same change batch — zero rewrites on the MOR side."""
+    cow = str(tmp_path / "cow")
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], "k long, v string, seq long"
+    ).coalesce(1)
+    for d in (tdir, cow):
+        sn.write_snapshot(base, d)
+    changes = spark.createDataFrame(
+        [
+            (2, "b1", 1, "U"), (2, "b2", 2, "U"),      # last-by-seq wins
+            (3, None, 1, "D"),                          # delete
+            (4, "new", 1, "I"),                         # insert
+            (9, None, 1, "D"),                          # absent-key no-op
+        ],
+        "k long, v string, seq long, _op string",
+    )
+    r_mor = sn.apply_changes(spark, tdir, changes, ("k",), "seq", mode="mor")
+    r_cow = sn.apply_changes(spark, cow, changes, ("k",), "seq", mode="cow")
+    assert r_mor["files_rewritten"] == 0
+    for key in ("rows_updated", "rows_deleted", "rows_inserted"):
+        assert r_mor[key] == r_cow[key], key
+    m = sorted((r.k, r.v, r.seq) for r in sn.read_snapshot(spark, tdir).collect())
+    c = sorted((r.k, r.v, r.seq) for r in sn.read_snapshot(spark, cow).collect())
+    assert m == c == [(1, "a", 0), (2, "b2", 2), (4, "new", 1)]
+
+
+def test_cdc_sink_mor_stream_exactly_once(spark, tdir, tmp_path):
+    """Streaming CDC into deletion vectors: each micro-batch is one MOR
+    merge commit, retried batches no-op, and the final table equals the
+    net of the feed with zero rewrites along the way."""
+    base = spark.createDataFrame([(1, "a", 0), (2, "b", 0)],
+                                 "k long, v string, seq long").coalesce(1)
+    sn.write_snapshot(base, tdir)
+    sink = sn.cdc_sink(tdir, ("k",), "seq", mode="mor")
+    b0 = spark.createDataFrame([(1, "a1", 1, "U"), (3, "c", 1, "I")],
+                               "k long, v string, seq long, _op string")
+    b1 = spark.createDataFrame([(2, None, 2, "D")],
+                               "k long, v string, seq long, _op string")
+    sink(b0, 0)
+    sink(b1, 1)
+    v = sn.current_version(spark, tdir)
+    sink(b0, 0)  # retry of an applied batch: idempotent no-op
+    assert sn.current_version(spark, tdir) == v
+    got = sorted((r.k, r.v) for r in sn.read_snapshot(spark, tdir).collect())
+    assert got == [(1, "a1"), (3, "c")]
+    # no data file was ever rewritten: every version only ADDS files
+    for ver in range(2, v + 1):
+        assert sn.snapshot_info(spark, tdir, ver)["removed"] == []
