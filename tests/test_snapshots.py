@@ -1630,10 +1630,27 @@ def test_concurrent_writers_serialize(spark, tdir):
         except Exception as e:
             errors.append(e)
 
+    def merger(lo):
+        # upserts: keys lo..lo+4 are fresh inserts (disjoint from every
+        # appender range), keys 0..2 update the seed
+        try:
+            src = _iv(spark, lo, lo + 5).unionByName(
+                spark.range(0, 3).select(
+                    F.col("id").alias("i"), (F.col("id") * 10).alias("v")
+                )
+            )
+            sn.merge_into_mor(spark, tdir, src, ("i",))
+        except RuntimeError as e:  # vector conflict with a deleter: legal
+            refused.append(e)
+        except Exception as e:
+            errors.append(e)
+
     threads = [
         threading.Thread(target=appender, args=(lo,))
         for lo in (100, 200, 300, 400, 500, 600)
-    ] + [threading.Thread(target=deleter, args=(r,)) for r in (5, 7)]
+    ] + [threading.Thread(target=deleter, args=(r,)) for r in (5, 7)] + [
+        threading.Thread(target=merger, args=(700,))
+    ]
     for t in threads:
         t.start()
     for t in threads:
@@ -1641,8 +1658,9 @@ def test_concurrent_writers_serialize(spark, tdir):
     assert errors == []
 
     head = sn.current_version(spark, tdir)
-    # every commit landed: 1 seed + 6 appends + (2 - refusals) deletes
-    assert head == 7 + 2 - len(refused)
+    # every commit landed: 1 seed + 6 appends + 1 merge + 2 deletes,
+    # minus loudly-refused conflicts
+    assert head == 7 + 3 - len(refused)
 
     got = Counter(r.i for r in sn.read_snapshot(spark, tdir).collect())
     # no duplicates anywhere, and no non-matching row lost
@@ -1650,9 +1668,11 @@ def test_concurrent_writers_serialize(spark, tdir):
     expected_keys = set(range(10))
     for lo in (100, 200, 300, 400, 500, 600):
         expected_keys |= set(range(lo, lo + 20))
+    expected_keys |= set(range(700, 705))  # merger inserts (if it won)
     assert set(got) <= expected_keys
     survivors_must_exist = {
-        k for k in expected_keys if k % 20 not in (5, 7)
+        k for k in expected_keys - set(range(700, 705))
+        if k % 20 not in (5, 7)
     }
     assert survivors_must_exist <= set(got)
 

@@ -89,6 +89,9 @@ PROBES = [
     # ingest prime runs the exact-dedup pass + the key-set MOR commit;
     # timed runs measure the deduped corpus scan with vectors applied
     "docs_dedup_mor_delete",
+    # MOR CDC apply: timed runs scan the applied table with the
+    # vector anti-join (same oracle as the COW twin)
+    "orders_cdc_apply_mor",
 ]
 
 
