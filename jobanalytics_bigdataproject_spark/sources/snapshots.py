@@ -874,9 +874,10 @@ def _bloom_keeps(file_blooms: dict | None, point: dict, hashes: dict) -> bool:
 def optimize_snapshot(
     spark: SparkSession,
     table_dir: str,
-    target_mb: int = 128,
+    target_mb: float = 128,
     cluster_by: tuple[str, ...] | list[str] = (),
     min_file_mb: float | None = None,
+    zorder_by: tuple[str, str] | list[str] = (),
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot's files into ~target-sized
     ones and commit the rewrite as a new version — same rows, fewer
@@ -911,15 +912,28 @@ def optimize_snapshot(
     no-op (0 or 1 small file) returns the current head without
     committing.
 
-    Deletion vectors: the full rewrite and ``cluster_by`` paths read
-    through ``read_snapshot`` — DV-aware — so on a vectored table they
-    double as a MATERIALIZING optimize (vectors folded in, dvs cleared
-    by the overwrite), Delta's OPTIMIZE-purges-DVs behavior. The
-    selective path compacts only CLEAN small files: DV-carrying files
-    keep their vectors and are carried verbatim (use
-    ``materialize_dvs`` to fold them; compacting a vectored file raw
-    would resurrect its deleted rows).
+    ``zorder_by=(colA, colB)`` rewrites in Morton (Z-order) layout
+    instead — Delta ``OPTIMIZE … ZORDER BY`` for TWO-dimensional
+    locality: both columns min-max-scale to 16 bits, rows range-cluster
+    on the interleaved key (``writers.zorder_key``, pure shift/and/or —
+    codegen, no UDF), and the recomputed manifest stats give every file
+    a compact RECTANGLE in (colA, colB) space, so ``read_snapshot``'s
+    ``prune`` skips files for predicates on EITHER column — the
+    property ``cluster_by``'s linear sort gives only its leading
+    column. Stats for both columns are recorded even if the parent
+    tracked neither. Mutually exclusive with ``cluster_by``.
+
+    Deletion vectors: the full rewrite, ``cluster_by``, and
+    ``zorder_by`` paths read through ``read_snapshot`` — DV-aware — so
+    on a vectored table they double as a MATERIALIZING optimize
+    (vectors folded in, dvs cleared by the overwrite), Delta's
+    OPTIMIZE-purges-DVs behavior. The selective path compacts only
+    CLEAN small files: DV-carrying files keep their vectors and are
+    carried verbatim (use ``materialize_dvs`` to fold them; compacting
+    a vectored file raw would resurrect its deleted rows).
     """
+    if cluster_by and zorder_by:
+        raise ValueError("pass either cluster_by or zorder_by, not both")
     fs, _, jvm = _fs(spark, table_dir)
     Path = jvm.org.apache.hadoop.fs.Path
     head = current_version(spark, table_dir)
@@ -928,7 +942,7 @@ def optimize_snapshot(
     manifest = _read_manifest(fs, jvm, table_dir, head)
     stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
 
-    if min_file_mb is not None and not cluster_by:
+    if min_file_mb is not None and not cluster_by and not zorder_by:
         dv_set = set(manifest.get("dvs", {}))
         sizes = {
             rel: fs.getFileStatus(Path(_data_path(table_dir, rel))).getLen()
@@ -1053,6 +1067,32 @@ def optimize_snapshot(
         current = current.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
+    elif zorder_by:
+        from jobanalytics_bigdataproject_spark.sources.writers import zorder_key
+
+        a, b = (F.col(str(c)).cast("double") for c in zorder_by[:2])
+        bounds = current.agg(
+            F.min(a).alias("__amin"), F.max(a).alias("__amax"),
+            F.min(b).alias("__bmin"), F.max(b).alias("__bmax"),
+        )
+        top = (1 << 16) - 1
+        scaled = current.crossJoin(F.broadcast(bounds))
+        ax = F.when(
+            F.col("__amax") > F.col("__amin"),
+            (a - F.col("__amin")) / (F.col("__amax") - F.col("__amin")) * top,
+        ).otherwise(F.lit(0)).cast("long")
+        by = F.when(
+            F.col("__bmax") > F.col("__bmin"),
+            (b - F.col("__bmin")) / (F.col("__bmax") - F.col("__bmin")) * top,
+        ).otherwise(F.lit(0)).cast("long")
+        current = (
+            scaled.withColumn("__zkey", zorder_key(ax, by, 16))
+            .drop("__amin", "__amax", "__bmin", "__bmax")
+            .repartitionByRange(n, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+        stats_cols = sorted(set(stats_cols) | set(map(str, zorder_by[:2])))
     else:
         current = current.coalesce(n)
     return write_snapshot(
@@ -3324,6 +3364,54 @@ def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
         return man
 
     return _commit_metadata(fs, jvm, table_dir, build)
+
+
+def describe_detail(spark: SparkSession, table_dir: str) -> dict:
+    """DESCRIBE DETAIL: one metadata-only dict snapshotting the table's
+    operational health — the numbers an OPTIMIZE/materialize scheduler
+    reads to decide what maintenance is due. Zero data files opened:
+    sizes come from file status, everything else from the head manifest.
+
+    Returns ``{"version", "n_files", "size_bytes", "avg_file_mb",
+    "n_rows" (logical, DV-subtracted; None without row counts),
+    "n_dv_files" (files carrying deletion vectors), "dv_rows" (rows
+    awaiting materialize), "stats_cols", "bloom_cols", "constraints",
+    "schema_fields"}``.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    head = current_version(spark, table_dir)
+    if head == 0:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    man = _read_manifest(fs, jvm, table_dir, head)
+    files = man["files"]
+    rows = man.get("rows")
+    dvs = man.get("dvs", {})
+    sizes = [
+        fs.getFileStatus(Path(_data_path(table_dir, rel))).getLen()
+        for rel in files
+    ]
+    stats_cols = sorted({c for s in man.get("stats", {}).values() for c in s})
+    bloom_cols = sorted({c for e in man.get("blooms", {}).values() for c in e})
+    return {
+        "version": head,
+        "n_files": len(files),
+        "size_bytes": int(sum(sizes)),
+        "avg_file_mb": round(sum(sizes) / len(sizes) / 1048576, 3) if sizes else 0.0,
+        "n_rows": (
+            sum(int(rows[rel]) - int(dvs.get(rel, 0)) for rel in files)
+            if rows is not None and all(rel in rows for rel in files)
+            else None
+        ),
+        "n_dv_files": len(dvs),
+        "dv_rows": int(sum(dvs.values())),
+        "stats_cols": stats_cols,
+        "bloom_cols": bloom_cols,
+        "constraints": sorted(man.get("constraints", {})),
+        "schema_fields": [
+            f["name"] for f in man.get("schema", {}).get("fields", [])
+        ],
+    }
 
 
 def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
