@@ -11,8 +11,11 @@ notion of table versions; this module is pure [EXT] scale surface.
 Layout::
 
     table_dir/
-      data/  v{N}-{i}-part-....parquet   immutable once committed
+      data/  {a,c,d,m,u,w,g,p}{tag}-{i}-part-....parquet  immutable once committed
       _log/  v00000001.json …            one manifest per version
+      dv/    v{tag}/*.parquet            deletion-vector sidecars
+                                         ((file_name, row_index) position
+                                         lists for merge-on-read DML)
 
 Each manifest holds the COMPLETE file list of its snapshot (Iceberg-style
 full manifests, not Delta-style deltas): a reader resolves any version
