@@ -1515,56 +1515,23 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
-    # Round 4: the new-query wave is over, so the order is strictly
-    # least-recently-checked-first (VERDICT r3 #1) — the 29 queries whose
-    # only green row is from round 1 (clean_*/derive_*/events windows/
-    # pivot/subqueries/...) sort ahead automatically via _last_checked_round.
-    # _PRIORITY holds ONLY the oracle-backed queries whose implementation
-    # CHANGED this round and therefore needs fresh verification:
-    # timestamp-preserving INTERVAL lateness in TPC-H Q4/Q21 (ADVICE r3),
-    # and the rebuilt per-day clamp expression in session_time_per_day.
-    "tpch_q4_order_priority",
-    "tpch_q21_waiting_supplier",
-    # events_session_time_per_day's r4 change was a semantics-preserving
-    # dead-code cleanup (ADVICE r3) verified by the local 183/183 gate and
-    # its r3 row is within the <=2-round policy — its slot instead keeps
-    # the LAST of the 29 r1-stale queries (window_running_totals) inside
-    # the driver's 50-query check window (VERDICT r3 #1).
-    # new this round: value-tier curriculum sharding + integer-exact YoY
-    # growth + MERGE-INTO upsert (all oracle-backed, need first green rows)
-    "docs_curriculum_shards",
-    "lineitem_yoy_growth",
-    "orders_merge_upsert",
-    "events_attribution",
-    # embeddings_matryoshka yields its slot this round: with 52 names
-    # competing for 50 slots the flagship GDPR delete-propagation query
-    # outranks a nice-to-have truncation audit; both are locally
-    # gate-green and the loser tops r5's never-checked rotation.
-    # ROUND 5 NOTE: the window is exactly full (21 priority + 29 r1-stale
-    # mandate). These locally-gate-green queries queue at slots 51+ and
-    # MUST seed r5's _PRIORITY: docs_bigram_logprob, embeddings_matryoshka,
-    # events_ewma_daily, events_holt_forecast, orders_cdc_apply,
-    # orders_retention_expiry, orders_update_redaction, orders_mor_delete,
-    # orders_mor_update, docs_dedup_mor_delete, scd2_feed_apply.
-    "orders_delete_propagation",
-    "part_supplier_share",
-    # late round 4: Q9/Q11 adaptations complete the TPC-H family coverage;
-    # components upgrades star-CC from equivalence-tested to oracle-green
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "fuzzy_graph_components",
-    # metadata-only snapshot aggregation + distribution-drift report
-    # (new oracle-backed queries, need first green rows)
-    "orders_snapshot_metadata_agg",
-    "orders_drift_report",
-    "events_contingency_audit",
-    "events_quantile_store_drift",
-    "orders_snapshot_count_where",
-    "orders_cdf_deletes",
-    "orders_ivm_agg",
-    "events_ivm_daily",
-    "orders_point_lookup",
-    "orders_snapshot_merge",
+    # Round 5 (VERDICT r4 #1): the 12 oracle-backed queries that have never
+    # received a driver CORRECTNESS row — the round-4 lakehouse MOR DML wave
+    # plus the queries that yielded their slots to it.  All 21 round-4
+    # priority names are r4-fresh, so they leave the block and rotate via
+    # _last_checked_round; the remaining ~38 slots drain the r2-stale set.
+    "docs_bigram_logprob",
+    "docs_dedup_mor_delete",
+    "embeddings_matryoshka",
+    "events_ewma_daily",
+    "events_holt_forecast",
+    "orders_cdc_apply",
+    "orders_cdc_apply_mor",
+    "orders_mor_delete",
+    "orders_mor_update",
+    "orders_retention_expiry",
+    "orders_update_redaction",
+    "scd2_feed_apply",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
