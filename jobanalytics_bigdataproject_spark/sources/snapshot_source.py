@@ -45,6 +45,17 @@ each micro-batch of the producer is one version.
 `.option("startingVersion", N)` skips history ≤ N (default 0 = replay
 everything still retained; vacuumed versions raise rather than silently
 skip, matching `read_changes`).
+
+Exactly-once holds over APPEND commits only. A rewrite commit (COW
+delete/update/merge, OPTIMIZE, materialize_dvs, rollback) adds files whose
+rows are mostly survivors already delivered from earlier versions, so
+emitting them would duplicate — the source therefore FAILS on such commits
+by default, exactly like the Delta streaming source. Options, mirroring
+Delta's: `.option("skipChangeCommits", "true")` silently skips rewrite
+commits' files (deletes/updates are NOT propagated downstream);
+`.option("ignoreChanges", "true")` emits them anyway (downstream must
+tolerate re-delivered rows). Metadata-only commits (constraints, MOR
+deletes that add no files) pass through harmlessly in every mode.
 """
 
 from __future__ import annotations
@@ -118,9 +129,15 @@ class _FilePartition(InputPartition):
 
 
 class SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, table_dir: str, starting_version: int):
+    def __init__(
+        self,
+        table_dir: str,
+        starting_version: int,
+        on_change: str = "error",
+    ):
         self._table_dir = table_dir
         self._starting = starting_version
+        self._on_change = on_change
 
     def initialOffset(self) -> dict:
         return {"version": self._starting}
@@ -131,7 +148,34 @@ class SnapshotStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         out: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            for rel in _read_manifest_local(self._table_dir, v)["added"]:
+            man = _read_manifest_local(self._table_dir, v)
+            added = man.get("added", [])
+            # Exactly-once holds only for APPEND commits: a rewrite commit
+            # (COW delete/update/merge, OPTIMIZE, materialize_dvs, rollback)
+            # adds files whose rows are mostly SURVIVORS already delivered
+            # from earlier versions — emitting them re-delivers. Delta's
+            # streaming-source contract, mirrored: fail loudly by default;
+            # skipChangeCommits drops them; ignoreChanges emits anyway
+            # (caller owns downstream dedup). An overwrite with no parent
+            # is the initial load — nothing was ever delivered before it.
+            action = man.get("action", "append")
+            is_append = action == "append" or (
+                action == "overwrite" and man.get("parent", 0) == 0
+            )
+            if added and not is_append:
+                if self._on_change == "skip":
+                    continue
+                if self._on_change != "ignore":
+                    raise ValueError(
+                        f"snapshotlog: version {v} of {self._table_dir} is a "
+                        f"{action!r} commit — its added files contain rewritten "
+                        "rows already delivered from earlier versions, so "
+                        "streaming them would duplicate. Pass "
+                        ".option('skipChangeCommits','true') to skip such "
+                        "commits or .option('ignoreChanges','true') to emit "
+                        "them anyway (downstream must tolerate duplicates)."
+                    )
+            for rel in added:
                 out.append(
                     _FilePartition(os.path.join(self._table_dir, rel), v)
                 )
@@ -188,6 +232,23 @@ class SnapshotDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> SnapshotStreamReader:
+        def _flag(name: str) -> bool:
+            return str(self.options.get(name, "false")).lower() == "true"
+
+        if _flag("skipChangeCommits") and _flag("ignoreChanges"):
+            raise ValueError(
+                "snapshotlog: skipChangeCommits and ignoreChanges are "
+                "mutually exclusive"
+            )
+        on_change = (
+            "skip"
+            if _flag("skipChangeCommits")
+            else "ignore"
+            if _flag("ignoreChanges")
+            else "error"
+        )
         return SnapshotStreamReader(
-            self._table_dir(), int(self.options.get("startingVersion", 0))
+            self._table_dir(),
+            int(self.options.get("startingVersion", 0)),
+            on_change,
         )

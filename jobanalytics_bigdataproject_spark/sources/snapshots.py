@@ -59,6 +59,7 @@ the same code runs on local disk, HDFS, or object stores.
 
 from __future__ import annotations
 
+import functools
 import json
 import math
 import threading
@@ -211,6 +212,7 @@ def write_snapshot(
     bloom_cols: list[str] | tuple[str, ...] = (),
     bloom_width: int = _BLOOM_WIDTH,
     bloom_depth: int = _BLOOM_DEPTH,
+    _rewrite_of: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -246,6 +248,13 @@ def write_snapshot(
     manifest alone — zero file I/O at query time, the Iceberg/Delta
     metadata-only-query shape that matters when the table is 100 TB and
     the question is one number.
+
+    ``_rewrite_of`` (internal, used by ``optimize_snapshot``'s full-
+    rewrite paths) declares this overwrite a REWRITE of version N's file
+    set: the commit loop refuses (RuntimeError) if the head's files or
+    deletion vectors no longer match version N's — otherwise a concurrent
+    append/delete landing between the rewrite's read and its overwrite
+    commit would be silently discarded (lost update).
 
     ``bloom_cols`` additionally records a per-file BLOOM FILTER for the
     named columns (Iceberg-Puffin-style point-lookup index): min/max
@@ -424,6 +433,22 @@ def write_snapshot(
                 raise RuntimeError(
                     f"table schema changed concurrently on {table_dir} "
                     f"(validated against v{head0}, head is v{head}); re-run"
+                )
+        if _rewrite_of is not None and head != _rewrite_of:
+            # this overwrite rewrites version N's rows; if any commit since
+            # changed the file set or the deletion vectors, overwriting
+            # would silently discard it — no serial order of {that commit,
+            # this rewrite} produces the overwritten state
+            base = _read_manifest(fs, jvm, table_dir, _rewrite_of)
+            if parent.get("files") != base.get("files") or parent.get(
+                "dvs", {}
+            ) != base.get("dvs", {}):
+                for rel in new_files:
+                    fs.delete(Path(f"{table_dir}/{rel}"), False)
+                raise RuntimeError(
+                    f"concurrent commit changed {table_dir} since this "
+                    f"rewrite read v{_rewrite_of} (head is v{head}); rerun "
+                    "the optimize against the new head"
                 )
         constraints = parent.get("constraints", {})
         if constraints != validated:
@@ -1098,8 +1123,13 @@ def optimize_snapshot(
         stats_cols = sorted(set(stats_cols) | set(map(str, zorder_by[:2])))
     else:
         current = current.coalesce(n)
+    # _rewrite_of: refuse if a concurrent commit (append, MOR delete, …)
+    # lands between the read above and the overwrite commit — otherwise
+    # its rows would be silently dropped by the rewrite (lost update),
+    # unlike the selective path which verifies its inputs in the loop
     return write_snapshot(
-        current, table_dir, mode="overwrite", stats_cols=stats_cols
+        current, table_dir, mode="overwrite", stats_cols=stats_cols,
+        _rewrite_of=head,
     )
 
 
@@ -1108,6 +1138,19 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
     ``keep_last`` — those versions stop being time-travelable (their
     manifests are removed too, so a stale read fails loudly instead of
     listing missing files). Returns the number of data files deleted.
+
+    In-flight-commit safety (Delta's retention-window idea): a concurrent
+    writer renames its staged files into ``data/`` BEFORE creating its
+    manifest, so an unreferenced file is not necessarily debris — it may
+    be a commit about to land. Vacuum therefore only deletes unreferenced
+    files whose mtime STRICTLY PREDATES the oldest retained manifest:
+    every file a real version references was renamed before that
+    version's manifest was created, so genuine debris always qualifies,
+    while an in-flight commit's files (renamed after the retained history
+    was written) never do. Remaining caveat, same as Delta's: a writer
+    that staged its files before the oldest retained manifest landed and
+    commits only after vacuum ran can still lose them — don't run vacuum
+    concurrently with writers stalled longer than ``keep_last`` commits.
 
     Driver-side metadata work is O(retained manifests + data files) name
     operations; at object-store scale you'd batch the deletes, but the
@@ -1121,11 +1164,16 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
     keep_from = max(1, head - keep_last + 1)
     referenced: set[str] = set()
     referenced_dv: set[str] = set()
+    cutoff: int | None = None  # oldest retained manifest's mtime (ms)
     for v in range(keep_from, head + 1):
         try:
             man = _read_manifest(fs, jvm, table_dir, v)
         except FileNotFoundError:
             continue
+        if cutoff is None:
+            cutoff = fs.getFileStatus(
+                _manifest_path(jvm, table_dir, v)
+            ).getModificationTime()
         referenced.update(man["files"])
         referenced_dv.update(man.get("dv_files", []))
     deleted = 0
@@ -1133,7 +1181,9 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
     if fs.exists(data_path):
         for st in fs.listStatus(data_path):
             rel = f"{_DATA}/{st.getPath().getName()}"
-            if rel not in referenced:
+            if rel not in referenced and (
+                cutoff is None or st.getModificationTime() < cutoff
+            ):
                 fs.delete(st.getPath(), False)
                 deleted += 1
     # deletion-vector sidecars referenced only by dropped versions go too
@@ -1141,7 +1191,9 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
     if fs.exists(dv_path):
         for st in fs.listStatus(dv_path):
             rel = f"{_DV}/{st.getPath().getName()}"
-            if rel not in referenced_dv:
+            if rel not in referenced_dv and (
+                cutoff is None or st.getModificationTime() < cutoff
+            ):
                 fs.delete(st.getPath(), True)
                 deleted += 1
     for v in range(1, keep_from):
@@ -1797,6 +1849,25 @@ def _refuse_dvs(manifest: dict, rels, op: str) -> None:
         )
 
 
+def _refuse_null_merge_keys(source: DataFrame, keys: list[str], op: str) -> None:
+    """MERGE joins would mix semantics on NULL merge keys: the matched-file
+    probe and the NOT-MATCHED anti-join use plain equality (NULL never
+    matches) while the rewrite/vector join is null-safe ``<=>`` — a NULL-key
+    source row against a NULL-key target row would update the target IN
+    PLACE and insert the source as a duplicate. Delta's stance: merge keys
+    must be non-NULL. One key-pruned limit-1 scan of the (small) source."""
+    null_pred = functools.reduce(
+        lambda a, b: a | b, (F.col(k).isNull() for k in keys)
+    )
+    if source.filter(null_pred).limit(1).collect():
+        raise ValueError(
+            f"{op} source has NULL value(s) in merge key column(s) {keys} — "
+            "NULL merge keys are refused (they never equi-match, so the row "
+            "could both update a NULL-key target row and insert a duplicate); "
+            "filter or impute the key column first"
+        )
+
+
 def delete_where_mor(
     spark: SparkSession,
     table_dir: str,
@@ -2259,7 +2330,8 @@ def merge_into_mor(
     column takes the source value (a NULL source value still wins), a
     duplicated target key keeps its multiplicity (each copy updates),
     WHEN NOT MATCHED the source row inserts, a key matching >1 source
-    row refuses as ambiguous, ``delete_condition`` drops matched rows
+    row refuses as ambiguous, a NULL source merge key refuses (as in
+    ``merge_into``), ``delete_condition`` drops matched rows
     whose source row satisfies it (absent-key delete is a no-op, extra
     source columns are condition fuel only), staged rows are
     CHECK-validated atomically, and ``idempotency_key`` replays a
@@ -2323,6 +2395,7 @@ def merge_into_mor(
         if delete_condition is not None
         else F.lit(False),
     )
+    _refuse_null_merge_keys(source, keys, "merge_into_mor")
     dup = (
         source.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -2690,7 +2763,10 @@ def merge_into(
     side at runtime.
 
     Like Delta MERGE: raises if any key matches MULTIPLE source rows
-    (ambiguous update); staged rows (updates AND inserts) are validated
+    (ambiguous update) or if any source merge key is NULL (NULL keys
+    never equi-match, so one semantics cannot hold — see
+    ``_refuse_null_merge_keys``; NULL-key TARGET rows are fine: they are
+    simply never matched); staged rows (updates AND inserts) are validated
     against the table's CHECK constraints and the commit refuses
     atomically on violation; per-file min/max stats and Bloom indexes
     are rebuilt for the rewritten/inserted files at the parent's dial.
@@ -2767,6 +2843,7 @@ def merge_into(
         else F.lit(False),
     )
 
+    _refuse_null_merge_keys(source, keys, "merge_into")
     # Delta's ambiguity rule: a target row matching >1 source row has no
     # well-defined update — refuse before touching anything
     dup = (
@@ -3225,6 +3302,13 @@ def count_where(
     dvs = manifest.get("dvs", {})
     skipped, from_stats, to_scan = 0, 0, []
     total = 0
+    # manifest stats are _plain()'d (dates/timestamps stored as ISO
+    # strings) — normalize the caller's bounds the same way for the
+    # stats-tier comparisons, else datetime.date bounds raise TypeError
+    # against the string mins/maxes (delete_range already does this).
+    # The scan-tier filter below keeps the RAW lo/hi: F.lit gets the
+    # typed literal so the pushed-down predicate compares natively.
+    slo, shi = _plain(lo), _plain(hi)
     for rel in manifest["files"]:
         if int(rows.get(rel, 1)) - int(dvs.get(rel, 0)) <= 0:
             skipped += 1
@@ -3232,11 +3316,11 @@ def count_where(
         rng = stats.get(rel, {}).get(col)
         mn, mx = (rng[0], rng[1]) if rng else (None, None)
         nn = rng[2] if rng is not None and len(rng) > 2 else None
-        if mn is not None and mx is not None and (mx < lo or mn > hi):
+        if mn is not None and mx is not None and (mx < slo or mn > shi):
             skipped += 1  # DV-safe: deletion only shrinks a file's range
         elif (
             mn is not None and mx is not None and nn is not None
-            and mn >= lo and mx <= hi
+            and mn >= slo and mx <= shi
             and rel not in dvs  # a DV'd file's manifest counts include
             # deleted rows — it must fall to the scan tier
         ):

@@ -1,0 +1,279 @@
+"""Round-5 hardening of the versioned-table layer (ADVICE r4): NULL
+merge-key refusal, full-rewrite OPTIMIZE conflict detection, vacuum's
+in-flight-commit age guard, count_where with date bounds, and the
+streaming source's change-commit contract."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _kv(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("i"),
+        F.concat(F.lit(tag + "-"), F.col("id")).alias("v"),
+    )
+
+
+def _ids(df):
+    return sorted(r.i for r in df.collect())
+
+
+# ---------------------------------------------------------------- NULL keys
+
+
+def test_merge_into_null_source_key_refused(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 5), tdir)
+    bad = spark.createDataFrame([(None, "x")], "i long, v string")
+    with pytest.raises(ValueError, match="NULL.*merge key"):
+        sn.merge_into(spark, tdir, bad, ("i",))
+    assert sn.current_version(spark, tdir) == 1  # nothing committed
+
+
+def test_merge_into_mor_null_source_key_refused(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 5), tdir)
+    bad = spark.createDataFrame([(1, "x"), (None, "y")], "i long, v string")
+    with pytest.raises(ValueError, match="NULL.*merge key"):
+        sn.merge_into_mor(spark, tdir, bad, ("i",))
+    assert sn.current_version(spark, tdir) == 1
+
+
+def test_merge_into_null_target_key_never_matches(spark, tdir):
+    # a NULL-key TARGET row is legal: it is unmatched under every join the
+    # merge runs, so it must survive byte-identical and never duplicate
+    base = spark.createDataFrame(
+        [(0, "a-0"), (1, "a-1"), (None, "orphan")], "i long, v string"
+    )
+    sn.write_snapshot(base, tdir)
+    src = spark.createDataFrame([(1, "new-1"), (2, "new-2")], "i long, v string")
+    res = sn.merge_into(spark, tdir, src, ("i",))
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 1
+    rows = {
+        (r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()
+    }
+    assert rows == {(0, "a-0"), (1, "new-1"), (2, "new-2"), (None, "orphan")}
+
+
+def test_merge_into_mor_null_target_key_never_matches(spark, tdir):
+    base = spark.createDataFrame(
+        [(0, "a-0"), (None, "orphan")], "i long, v string"
+    )
+    sn.write_snapshot(base, tdir)
+    src = spark.createDataFrame([(0, "new-0")], "i long, v string")
+    res = sn.merge_into_mor(spark, tdir, src, ("i",))
+    assert res["rows_updated"] == 1 and res["rows_inserted"] == 0
+    rows = {(r.i, r.v) for r in sn.read_snapshot(spark, tdir).collect()}
+    assert rows == {(0, "new-0"), (None, "orphan")}
+
+
+# ------------------------------------------------- optimize rewrite guard
+
+
+def test_full_rewrite_refuses_concurrent_append(spark, tdir, monkeypatch):
+    """A commit landing between OPTIMIZE's snapshot read and its overwrite
+    commit must refuse, not silently discard the commit (ADVICE r4: no
+    serial order of {append, optimize} produced the overwritten state)."""
+    sn.write_snapshot(_kv(spark, 0, 10).repartition(4, "i"), tdir)
+
+    orig = sn.write_snapshot
+
+    def racing(df, table_dir, **kw):
+        # the "concurrent" append lands after optimize read v1 but before
+        # its overwrite commit (optimize delegates the commit to
+        # write_snapshot, which this wrapper intercepts exactly once)
+        monkeypatch.setattr(sn, "write_snapshot", orig)
+        orig(_kv(spark, 100, 103, tag="late"), table_dir, mode="append")
+        return orig(df, table_dir, **kw)
+
+    monkeypatch.setattr(sn, "write_snapshot", racing)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        sn.optimize_snapshot(spark, tdir, target_mb=1)
+    # the concurrent append survives; no lost update
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(10)) + [100, 101, 102]
+
+
+def test_zorder_rewrite_refuses_concurrent_delete(spark, tdir, monkeypatch):
+    sn.write_snapshot(
+        _kv(spark, 0, 40).repartition(4, "i"), tdir, stats_cols=("i",)
+    )
+    orig = sn.write_snapshot
+
+    def racing(df, table_dir, **kw):
+        monkeypatch.setattr(sn, "write_snapshot", orig)
+        sn.delete_where_mor(spark, table_dir, "i < 5")
+        return orig(df, table_dir, **kw)
+
+    monkeypatch.setattr(sn, "write_snapshot", racing)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        sn.optimize_snapshot(spark, tdir, zorder_by=("i", "i"))
+    # the MOR delete survives (an unguarded overwrite would resurrect 0..4)
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(5, 40))
+
+
+def test_full_rewrite_still_commits_unraced(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 20).repartition(4, "i"), tdir)
+    v = sn.optimize_snapshot(spark, tdir, target_mb=128)
+    assert v == 2
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(20))
+
+
+# ------------------------------------------------------- vacuum age guard
+
+
+def test_vacuum_spares_unreferenced_young_files(spark, tdir):
+    """An unreferenced file YOUNGER than the oldest retained manifest may
+    be an in-flight commit's rename (writers move files into data/ before
+    creating their manifest) — vacuum must not delete it."""
+    sn.write_snapshot(_kv(spark, 0, 5), tdir)
+    sn.write_snapshot(_kv(spark, 0, 8), tdir, mode="overwrite")
+    v3 = sn.write_snapshot(_kv(spark, 8, 10), tdir)
+    assert v3 == 3
+    # simulate a concurrent writer mid-commit: staged file already renamed
+    # into data/, manifest not yet created
+    inflight = os.path.join(tdir, "data", "c9inflight-0-part-00000.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1 pending commit")
+    deleted = sn.vacuum(spark, tdir, keep_last=2)
+    # v1-only files are genuine debris (renamed before v2's manifest);
+    # the in-flight file is younger than every retained manifest → spared
+    assert deleted >= 1
+    assert os.path.exists(inflight)
+    # retained history still reads
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(10))
+    assert _ids(sn.read_snapshot(spark, tdir, version=2)) == list(range(8))
+
+
+def test_vacuum_still_collects_old_debris(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 5).coalesce(1), tdir)
+    sn.write_snapshot(_kv(spark, 5, 8).coalesce(1), tdir, mode="overwrite")
+    sn.write_snapshot(_kv(spark, 8, 9).coalesce(1), tdir)
+    # keep_last=2 retains v2+v3; v1's single file is unreferenced debris
+    assert sn.vacuum(spark, tdir, keep_last=2) == 1
+    with pytest.raises(FileNotFoundError):
+        sn.read_snapshot(spark, tdir, version=1)
+
+
+# -------------------------------------------------- count_where date bounds
+
+
+def test_count_where_accepts_date_bounds(spark, tdir):
+    df = spark.range(0, 30).select(
+        F.col("id").alias("i"),
+        F.date_add(F.lit("2026-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+    sn.write_snapshot(df.repartitionByRange(3, "d"), tdir, stats_cols=("d",))
+    lo, hi = datetime.date(2026, 1, 5), datetime.date(2026, 1, 14)
+    res = sn.count_where(spark, tdir, "d", lo, hi)
+    assert res["n_rows"] == 10
+    # the stats tier participated (bounds compared as ISO strings, not
+    # TypeError): at least one file is disjoint from the 10-day band
+    assert res["files_skipped"] >= 1
+    # string bounds behave identically
+    res2 = sn.count_where(spark, tdir, "d", "2026-01-05", "2026-01-14")
+    assert res2["n_rows"] == 10
+
+
+# ------------------------------------------ streaming source change commits
+
+
+def _run_stream(spark, tdir, ckpt, sink, **options):
+    reader = spark.readStream.format("snapshotlog").option("path", tdir)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+
+_ROWS: list = []
+
+
+def _sink(batch_df, batch_id):
+    _ROWS.extend((r.i, r._commit_version) for r in batch_df.collect())
+
+
+def test_stream_source_fails_on_rewrite_commit_by_default(spark, tdir, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources.snapshot_source import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    sn.write_snapshot(_kv(spark, 0, 6).repartition(2, "i"), tdir)
+    sn.delete_where(spark, tdir, "i = 0")  # COW rewrite commit (v2)
+    _ROWS.clear()
+    with pytest.raises(Exception, match="skipChangeCommits|delete"):
+        _run_stream(spark, tdir, str(tmp_path / "c1"), _sink)
+
+
+def test_stream_source_skip_change_commits(spark, tdir, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources.snapshot_source import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    sn.write_snapshot(_kv(spark, 0, 6).repartition(2, "i"), tdir)
+    sn.delete_where(spark, tdir, "i = 0")
+    sn.write_snapshot(_kv(spark, 6, 8), tdir)  # append after the rewrite
+    _ROWS.clear()
+    _run_stream(
+        spark, tdir, str(tmp_path / "c2"), _sink, skipChangeCommits="true"
+    )
+    # v1's six rows + v3's two appended rows; the v2 rewrite emitted nothing
+    assert sorted(_ROWS) == [(i, 1) for i in range(6)] + [(6, 3), (7, 3)]
+
+
+def test_stream_source_ignore_changes_redelivers(spark, tdir, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources.snapshot_source import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    sn.write_snapshot(_kv(spark, 0, 6).repartition(2, "i"), tdir)
+    sn.delete_where(spark, tdir, "i = 0")
+    _ROWS.clear()
+    _run_stream(
+        spark, tdir, str(tmp_path / "c3"), _sink, ignoreChanges="true"
+    )
+    # v1 delivered all six; v2 re-delivers the rewritten file's survivors
+    v1 = [(i, 1) for i in range(6)]
+    assert sorted(r for r in _ROWS if r[1] == 1) == v1
+    redelivered = [r for r in _ROWS if r[1] == 2]
+    assert redelivered and all(i != 0 for i, _ in redelivered)
+
+
+def test_stream_source_option_conflict_refused(spark, tdir, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources.snapshot_source import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    sn.write_snapshot(_kv(spark, 0, 2), tdir)
+    _ROWS.clear()
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _run_stream(
+            spark,
+            tdir,
+            str(tmp_path / "c4"),
+            _sink,
+            skipChangeCommits="true",
+            ignoreChanges="true",
+        )
