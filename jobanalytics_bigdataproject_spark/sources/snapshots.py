@@ -40,17 +40,23 @@ Commit protocol (optimistic concurrency, the Delta approach):
 Local-filesystem caveat (found by the concurrent-writer stress test,
 tests/test_snapshots.py): Hadoop's ChecksumFileSystem implements
 ``create(path, overwrite=False)`` as check-then-create — NOT atomic —
-so two same-process threads racing a commit could both "win" a version
-and silently lose one. ``_create_manifest`` therefore serializes the
-create through a process-wide lock: in-process multi-writer (the
-``local[*]`` reality, Structured Streaming's one-driver reality) is
-fully safe; CROSS-process writers on a bare local filesystem are not
-supported — the same documented stance Delta takes for ``file://``
-(its LogStore requires atomic put-if-absent, which HDFS and
-conditional-PUT object stores provide and a plain local FS does not).
-Readers have their own small race — ``create`` then ``write`` is two
-steps, so a reader listing ``_log/`` can catch a created-but-unwritten
-manifest — handled by a bounded read-retry in ``_read_manifest``.
+so two writers racing a commit could both "win" a version and silently
+lose one. ``_create_manifest`` therefore layers two claims: a
+process-wide lock serializes same-process threads (the ``local[*]``
+reality, Structured Streaming's one-driver reality), and for ``file://``
+paths a PID+mtime lock file (``vN.json.claim``, created with POSIX-atomic
+``O_CREAT|O_EXCL``) extends the claim across PROCESSES on one machine —
+a second driver process rebases onto the next version instead of
+silently overwriting the winner (two-process stress test in
+tests/test_snapshots_hardening.py). Claims from writers that died
+mid-commit are broken by pid-liveness/age (``_claim_version``). On HDFS
+or conditional-PUT object stores the create itself is atomic and both
+claims are uncontended overhead; NFS-shared "local" paths are NOT
+covered (pid checks and O_EXCL don't cross machines) — Delta's
+``file://`` stance applies there. Readers have their own small race —
+``create`` then ``write`` is two steps, so a reader listing ``_log/``
+can catch a created-but-unwritten manifest — handled by a bounded
+read-retry in ``_read_manifest``.
 
 All filesystem access goes through the Hadoop FileSystem API (driver-side
 metadata ops only — file counts, renames, one small JSON per commit), so
@@ -62,6 +68,7 @@ from __future__ import annotations
 import functools
 import json
 import math
+import os
 import threading
 import time
 import uuid
@@ -105,6 +112,63 @@ def _manifest_path(jvm, table_dir: str, version: int):
 _COMMIT_LOCK = threading.Lock()  # see module docstring: local-FS create
 # is check-then-create, so in-process writers must serialize the claim
 
+_CLAIM_STALE_S = 300.0  # a claim this old with no manifest = dead writer
+
+
+def _claim_version(local_manifest_path: str) -> bool:
+    """Cross-PROCESS linearization for local filesystems: atomically claim
+    version N by ``O_CREAT|O_EXCL``-creating ``vN.json.claim`` next to the
+    manifest (POSIX-atomic across processes — Hadoop's ChecksumFileSystem
+    ``create(path, False)`` is check-then-create and is NOT). The claim
+    records ``pid mtime``; a claim whose pid is dead (same machine — the
+    only domain file:// multi-process makes sense in) or whose age exceeds
+    ``_CLAIM_STALE_S`` with the manifest still absent is a writer that died
+    mid-commit: it is broken by an atomic rename (only one breaker wins).
+    Returns True if this process holds the claim."""
+    claim = local_manifest_path + ".claim"
+    os.makedirs(os.path.dirname(claim), exist_ok=True)
+    for _ in range(2):  # second pass after breaking a stale claim
+        try:
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            return True
+        except FileExistsError:
+            try:
+                st = os.stat(claim)
+                pid_s = open(claim).read().split()[0]
+                holder_alive = True
+                if pid_s.isdigit():
+                    try:
+                        os.kill(int(pid_s), 0)
+                    except ProcessLookupError:
+                        holder_alive = False
+                    except PermissionError:
+                        pass  # alive, other user
+                stale = (not holder_alive) or (
+                    time.time() - st.st_mtime > _CLAIM_STALE_S
+                )
+            except OSError:
+                return False  # claim vanished mid-inspection: holder won
+            if stale and not os.path.exists(local_manifest_path):
+                try:  # atomic: exactly one breaker succeeds
+                    os.rename(claim, f"{claim}.broken-{uuid.uuid4().hex[:8]}")
+                except OSError:
+                    return False
+                continue
+            # live foreign writer mid-commit: give it a beat to land its
+            # manifest so the caller's rebase loop doesn't spin dry
+            time.sleep(0.02)
+            return False
+    return False
+
+
+def _release_claim(local_manifest_path: str) -> None:
+    try:
+        os.unlink(local_manifest_path + ".claim")
+    except OSError:
+        pass
+
 
 def _create_manifest(fs, mp, manifest: dict) -> bool:
     """The commit protocol's single linearization point: claim version N
@@ -113,19 +177,31 @@ def _create_manifest(fs, mp, manifest: dict) -> bool:
     the exists+create+write sequence atomic for same-process writers —
     required on local filesystems where Hadoop ``create(path, False)``
     is check-then-create; on HDFS the create itself is atomic and the
-    lock is just uncontended overhead."""
+    lock is just uncontended overhead. For local (file://) paths a
+    PID+mtime claim file extends the same atomicity across PROCESSES on
+    one machine (see ``_claim_version``) — a second driver process
+    rebases instead of silently overwriting the winner's manifest."""
     with _COMMIT_LOCK:
         if fs.exists(mp):
             return False
-        try:
-            stream = fs.create(mp, False)
-        except Exception:  # noqa: BLE001 — racing external writer
+        uri = mp.toUri()
+        local = uri.getScheme() in (None, "file")
+        lpath = uri.getPath() if local else None
+        if local and not _claim_version(lpath):
             return False
         try:
-            stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+            try:
+                stream = fs.create(mp, False)
+            except Exception:  # noqa: BLE001 — racing external writer
+                return False
+            try:
+                stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+            finally:
+                stream.close()
+            return True
         finally:
-            stream.close()
-        return True
+            if local:
+                _release_claim(lpath)
 
 
 def _read_manifest(fs, jvm, table_dir: str, version: int) -> dict:
@@ -427,13 +503,20 @@ def write_snapshot(
         if mode == "append" and head != head0:
             now = _schema_fields(loop_schema) if loop_schema else None
             then = _schema_fields(parent_schema) if parent_schema else None
-            if now != then:
+            staged_fields = _schema_fields(staged_schema)
+            if now != then and now != staged_fields:
                 for rel in new_files:
                     fs.delete(Path(f"{table_dir}/{rel}"), False)
                 raise RuntimeError(
                     f"table schema changed concurrently on {table_dir} "
                     f"(validated against v{head0}, head is v{head}); re-run"
                 )
+            if now == staged_fields and loop_schema is not None:
+                # the head evolved to exactly our staged shape (e.g. two
+                # writers bootstrapping an empty table with the same
+                # schema): our files are valid against it — adopt the
+                # head's recorded schema instead of refusing
+                committed_schema = loop_schema
         if _rewrite_of is not None and head != _rewrite_of:
             # this overwrite rewrites version N's rows; if any commit since
             # changed the file set or the deletion vectors, overwriting

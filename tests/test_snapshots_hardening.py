@@ -277,3 +277,99 @@ def test_stream_source_option_conflict_refused(spark, tdir, tmp_path):
             skipChangeCommits="true",
             ignoreChanges="true",
         )
+
+
+# --------------------------------------------- cross-process commit safety
+
+
+def test_two_process_writers_serialize(spark, tdir):
+    """VERDICT r4 #2: two DRIVER PROCESSES (separate JVMs) appending to the
+    same local-FS table must serialize — every batch lands in exactly one
+    version, none silently lost. The per-version PID+mtime claim file makes
+    Hadoop's check-then-create manifest claim atomic across processes; a
+    loud refusal (non-zero worker exit) would also be acceptable, silent
+    row loss is the bug."""
+    import subprocess
+    import sys
+
+    tdir2 = tdir + "-xproc"  # workers bootstrap the table themselves
+    worker = os.path.join(os.path.dirname(__file__), "_xproc_append_worker.py")
+    n_commits = 5
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, tdir2, str(w), str(n_commits)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in (1, 2)
+    ]
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker refused/crashed: {err[-2000:]}"
+    import json as _json
+
+    results = [_json.loads(out.strip().splitlines()[-1]) for out, _ in outs]
+    all_versions = [v for r in results for v in r["versions"]]
+    # serializable: 10 commits → 10 DISTINCT versions 1..10, no overwrite
+    assert sorted(all_versions) == list(range(1, 2 * n_commits + 1))
+    # and no batch lost: every (worker, j) pair present exactly once
+    df = sn.read_snapshot(spark, tdir2)
+    counts = {
+        (r.w, r.j): r.n
+        for r in df.groupBy("w", "j").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    expected = {(w, j): 10 for w in (1, 2) for j in range(n_commits)}
+    assert counts == expected
+    # no stray claim files left behind
+    leftover = [
+        f for f in os.listdir(os.path.join(tdir2, "_log")) if f.endswith(".claim")
+    ]
+    assert leftover == []
+
+
+def test_stale_claim_from_dead_writer_is_broken(spark, tdir):
+    sn.write_snapshot(_kv(spark, 0, 3), tdir)
+    # a writer that died mid-commit left its claim for v2 (pid long dead)
+    claim = os.path.join(tdir, "_log", "v00000002.json.claim")
+    with open(claim, "w") as f:
+        f.write("999999999 0.0")
+    v = sn.write_snapshot(_kv(spark, 3, 5), tdir)  # must break through
+    assert v == 2
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(5))
+
+
+def test_foreign_live_claim_defers_commit(spark, tdir):
+    """A LIVE foreign process's claim on version N makes this process lose
+    the race for N (rebase), not corrupt it — simulated with our own pid
+    (alive by construction) and a fresh mtime."""
+    sn.write_snapshot(_kv(spark, 0, 3), tdir)
+    claim = os.path.join(tdir, "_log", "v00000002.json.claim")
+    with open(claim, "w") as f:
+        f.write(f"{os.getpid()} {__import__('time').time()}")
+    import threading
+
+    def land_v2():
+        # the foreign writer finishes: its manifest for v2 appears
+        __import__("time").sleep(0.3)
+        v1 = sn.snapshot_info(spark, tdir, 1)
+        man = {
+            "version": 2,
+            "parent": 1,
+            "action": "append",
+            "files": v1["files"],
+            "added": [],
+            "schema": v1["schema"],
+        }
+        with open(os.path.join(tdir, "_log", "v00000002.json"), "w") as f:
+            f.write(__import__("json").dumps(man))
+        os.unlink(claim)
+
+    t = threading.Thread(target=land_v2)
+    t.start()
+    try:
+        v = sn.write_snapshot(_kv(spark, 3, 5), tdir)
+    finally:
+        t.join()
+    assert v == 3  # rebased past the foreign v2, nothing overwritten
+    assert sn.snapshot_info(spark, tdir, 2)["added"] == []
