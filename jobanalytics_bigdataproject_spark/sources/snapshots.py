@@ -988,7 +988,7 @@ def optimize_snapshot(
     target_mb: float = 128,
     cluster_by: tuple[str, ...] | list[str] = (),
     min_file_mb: float | None = None,
-    zorder_by: tuple[str, str] | list[str] = (),
+    zorder_by: tuple[str, ...] | list[str] = (),
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot's files into ~target-sized
     ones and commit the rewrite as a new version — same rows, fewer
@@ -1023,16 +1023,18 @@ def optimize_snapshot(
     no-op (0 or 1 small file) returns the current head without
     committing.
 
-    ``zorder_by=(colA, colB)`` rewrites in Morton (Z-order) layout
-    instead — Delta ``OPTIMIZE … ZORDER BY`` for TWO-dimensional
-    locality: both columns min-max-scale to 16 bits, rows range-cluster
-    on the interleaved key (``writers.zorder_key``, pure shift/and/or —
-    codegen, no UDF), and the recomputed manifest stats give every file
-    a compact RECTANGLE in (colA, colB) space, so ``read_snapshot``'s
-    ``prune`` skips files for predicates on EITHER column — the
-    property ``cluster_by``'s linear sort gives only its leading
-    column. Stats for both columns are recorded even if the parent
-    tracked neither. Mutually exclusive with ``cluster_by``.
+    ``zorder_by=(colA, colB, …)`` rewrites in Morton (Z-order) layout
+    instead — Delta ``OPTIMIZE … ZORDER BY`` for k-dimensional locality
+    (k ≥ 2; real layouts cluster 3–4 columns, e.g. date × key ×
+    category): each column min-max-scales to ``min(16, 63//k)`` bits,
+    rows range-cluster on the interleaved key (``writers.zorder_key_n``,
+    pure shift/and/or — codegen, no UDF), and the recomputed manifest
+    stats give every file a compact HYPER-RECTANGLE in the clustered
+    space, so ``read_snapshot``'s ``prune`` skips files for predicates
+    on ANY clustered column — the property ``cluster_by``'s linear sort
+    gives only its leading column. Stats for every clustered column are
+    recorded even if the parent tracked none. Mutually exclusive with
+    ``cluster_by``.
 
     Deletion vectors: the full rewrite, ``cluster_by``, and
     ``zorder_by`` paths read through ``read_snapshot`` — DV-aware — so
@@ -1179,31 +1181,17 @@ def optimize_snapshot(
             *cluster_by
         )
     elif zorder_by:
-        from jobanalytics_bigdataproject_spark.sources.writers import zorder_key
-
-        a, b = (F.col(str(c)).cast("double") for c in zorder_by[:2])
-        bounds = current.agg(
-            F.min(a).alias("__amin"), F.max(a).alias("__amax"),
-            F.min(b).alias("__bmin"), F.max(b).alias("__bmax"),
+        from jobanalytics_bigdataproject_spark.sources.writers import (
+            zorder_scaled_key,
         )
-        top = (1 << 16) - 1
-        scaled = current.crossJoin(F.broadcast(bounds))
-        ax = F.when(
-            F.col("__amax") > F.col("__amin"),
-            (a - F.col("__amin")) / (F.col("__amax") - F.col("__amin")) * top,
-        ).otherwise(F.lit(0)).cast("long")
-        by = F.when(
-            F.col("__bmax") > F.col("__bmin"),
-            (b - F.col("__bmin")) / (F.col("__bmax") - F.col("__bmin")) * top,
-        ).otherwise(F.lit(0)).cast("long")
+
+        keyed, _ = zorder_scaled_key(current, zorder_by)
         current = (
-            scaled.withColumn("__zkey", zorder_key(ax, by, 16))
-            .drop("__amin", "__amax", "__bmin", "__bmax")
-            .repartitionByRange(n, "__zkey")
+            keyed.repartitionByRange(n, "__zkey")
             .sortWithinPartitions("__zkey")
             .drop("__zkey")
         )
-        stats_cols = sorted(set(stats_cols) | set(map(str, zorder_by[:2])))
+        stats_cols = sorted(set(stats_cols) | set(map(str, zorder_by)))
     else:
         current = current.coalesce(n)
     # _rewrite_of: refuse if a concurrent commit (append, MOR delete, …)

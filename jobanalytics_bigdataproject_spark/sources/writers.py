@@ -67,65 +67,101 @@ def write_sorted_parquet(
     writer.parquet(path)
 
 
-def zorder_key(x, y, bits: int = 16):
-    """[EXT] Morton (Z-order) key: interleave the low ``bits`` bits of two
-    non-negative integer columns (x → even positions, y → odd). Built from
-    shift/and/or expressions only — whole-stage codegen, no UDF — and the
-    same bit math is expressible in any SQL engine (the oracle replays it).
-    Callers normalize inputs to [0, 2^bits) first (``pmod`` for hash-like
-    keys, min-max scaling for value clustering — see
-    ``write_zorder_parquet``)."""
+def zorder_key_n(xs, bits: int = 16):
+    """[EXT] k-dimensional Morton (Z-order) key: interleave the low
+    ``bits`` bits of k non-negative integer columns (column j takes bit
+    positions ``i*k + j``). Built from shift/and/or expressions only —
+    whole-stage codegen, no UDF — and the same bit math is expressible in
+    any SQL engine (the oracle replays it). ``k * bits`` must fit a signed
+    long (≤ 63); callers normalize inputs to [0, 2^bits) first (``pmod``
+    for hash-like keys, min-max scaling for value clustering — see
+    ``write_zorder_parquet``). Real layouts cluster 3–4 columns
+    (date × key × category); past ~4 the per-dimension resolution
+    (63/k bits) stops buying pruning — the usual Z-order guidance."""
     from pyspark.sql import functions as F
 
+    xs = list(xs)
+    k = len(xs)
+    if k < 1:
+        raise ValueError("zorder_key_n needs at least one column")
+    if k * int(bits) > 63:
+        raise ValueError(
+            f"{k} columns x {bits} bits = {k * int(bits)} key bits > 63 "
+            f"(a signed long); lower bits to <= {63 // k}"
+        )
     z = None
     for i in range(int(bits)):
-        xe = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ye = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        z = xe.bitwiseOR(ye) if z is None else z.bitwiseOR(xe).bitwiseOR(ye)
+        for j, x in enumerate(xs):
+            e = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), i * k + j)
+            z = e if z is None else z.bitwiseOR(e)
     return z
+
+
+def zorder_key(x, y, bits: int = 16):
+    """[EXT] Two-dimensional Morton key (x → even bit positions, y → odd);
+    the k=2 case of ``zorder_key_n``, kept as the common-shape entry."""
+    return zorder_key_n((x, y), bits)
+
+
+def zorder_scaled_key(df: DataFrame, cols: Sequence[str], bits: int | None = None):
+    """[EXT] Min-max-scale ``cols`` to ``bits`` bits each (ONE tiny bounds
+    aggregation, broadcast back — metadata-cheap at any scale) and return
+    ``(df_with___zkey, bits_used)``. A constant column scales to 0 (no
+    information, no key contribution). Shared by ``write_zorder_parquet``
+    and ``optimize_snapshot(zorder_by=…)``; bits defaults to the finest
+    per-dimension resolution that fits a long: ``min(16, 63 // k)``."""
+    from pyspark.sql import functions as F
+
+    cols = [str(c) for c in cols]
+    k = len(cols)
+    if bits is None:
+        bits = min(16, 63 // k)
+    exprs = [F.col(c).cast("double") for c in cols]
+    bounds = df.agg(
+        *[
+            agg
+            for j, e in enumerate(exprs)
+            for agg in (F.min(e).alias(f"__min{j}"), F.max(e).alias(f"__max{j}"))
+        ]
+    )
+    top = (1 << int(bits)) - 1
+    scaled = df.crossJoin(F.broadcast(bounds))
+    axes = []
+    drop = []
+    for j, e in enumerate(exprs):
+        lo, hi = F.col(f"__min{j}"), F.col(f"__max{j}")
+        axes.append(
+            F.when(hi > lo, (e - lo) / (hi - lo) * top)
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        drop += [f"__min{j}", f"__max{j}"]
+    return (
+        scaled.withColumn("__zkey", zorder_key_n(axes, bits)).drop(*drop),
+        int(bits),
+    )
 
 
 def write_zorder_parquet(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
-    bits: int = 16,
+    bits: int | None = None,
     mode: str = "overwrite",
     num_partitions: int | None = None,
 ) -> None:
-    """[EXT] Z-order-clustered parquet sink for TWO-dimensional locality:
-    each column is min-max-scaled to ``bits`` bits (one tiny extra
-    aggregation pass for the bounds, broadcast back), rows are
-    range-partitioned and sorted by the interleaved Morton key, then the
-    key is dropped before writing. Result: every file covers a compact
-    RECTANGLE in (colA, colB) space, so parquet min/max footer stats prune
-    files for predicates on EITHER column — the property a single-column
+    """[EXT] Z-order-clustered parquet sink for k-dimensional locality:
+    each column is min-max-scaled (one tiny extra aggregation pass for the
+    bounds, broadcast back), rows are range-partitioned and sorted by the
+    interleaved Morton key, then the key is dropped before writing.
+    Result: every file covers a compact HYPER-RECTANGLE in the clustered
+    columns' space, so parquet min/max footer stats prune files for
+    predicates on ANY clustered column — the property a single-column
     sort can only give to its leading column. This is the standard
     lakehouse OPTIMIZE ZORDER BY layout, paid once at ingest.
     (Linear-scan clustering; at 100 TB the bounds pass is metadata-cheap
     and the single range exchange is the same cost as any sorted write.)"""
-    from pyspark.sql import functions as F
-
-    a, b = (F.col(str(c)).cast("double") for c in cols[:2])
-    bounds = df.agg(
-        F.min(a).alias("__amin"),
-        F.max(a).alias("__amax"),
-        F.min(b).alias("__bmin"),
-        F.max(b).alias("__bmax"),
-    )
-    top = (1 << int(bits)) - 1
-    scaled = df.crossJoin(F.broadcast(bounds))
-    ax = F.when(
-        F.col("__amax") > F.col("__amin"),
-        ((a - F.col("__amin")) / (F.col("__amax") - F.col("__amin")) * top),
-    ).otherwise(F.lit(0)).cast("long")
-    by = F.when(
-        F.col("__bmax") > F.col("__bmin"),
-        ((b - F.col("__bmin")) / (F.col("__bmax") - F.col("__bmin")) * top),
-    ).otherwise(F.lit(0)).cast("long")
-    keyed = scaled.withColumn("__zkey", zorder_key(ax, by, bits)).drop(
-        "__amin", "__amax", "__bmin", "__bmax"
-    )
+    keyed, _ = zorder_scaled_key(df, cols, bits)
     keyed = (
         keyed.repartitionByRange(num_partitions, "__zkey")
         if num_partitions
