@@ -998,6 +998,65 @@ def _orders_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARTITIONED_SNAP_CACHE: dict[str, str] = {}
+
+
+def _orders_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned snapshot table (sources/snapshots.write_snapshot
+    ``partition_by`` — VERDICT r4 #6): orders commits with an Iceberg-style
+    identity partition spec on o_orderpriority, so every data file holds
+    exactly ONE priority (the spec is manifest-recorded and the partition
+    column's min==max stats make pruning FILE-EXACT — directory-pruning
+    economics without directory layout). The build then DROPs the 5-LOW
+    partition via delete_range's zero-I/O tier (every hit file is wholly
+    inside the equality range — pure manifest arithmetic; the builder
+    refuses if any file was rewritten, pinning the DROP PARTITION
+    property at oracle time). The query unions two reads: the pruned
+    1-URGENT partition (one-partition scan) and the full post-drop table,
+    each aggregated per priority — the oracle recomputes both from the
+    base rows, so the hash asserts partition pruning loses nothing and
+    the dropped partition is gone. File-exactness of the prune is pinned
+    in tests/test_partitioned_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _PARTITIONED_SNAP_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"].select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice",
+        )
+        path = tempfile.mkdtemp(prefix="part_orders_") + "/tbl"
+        sn.write_snapshot(
+            o.repartition(4), path, partition_by=("o_orderpriority",)
+        )
+        res = sn.delete_range(spark, path, "o_orderpriority", "5-LOW", "5-LOW")
+        if res["files_rewritten"] != 0:  # the zero-I/O DROP tier is the point
+            raise AssertionError(
+                f"DROP PARTITION rewrote {res['files_rewritten']} file(s)"
+            )
+        _PARTITIONED_SNAP_CACHE[sf_dir] = path
+
+    def _agg(df, src):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum("o_totalprice").alias("sum_cents"),
+        ).withColumn("src", F.lit(src))
+
+    urgent = sn.read_snapshot(
+        spark, path, prune={"o_orderpriority": ("1-URGENT", "1-URGENT")}
+    ).filter(F.col("o_orderpriority") == "1-URGENT")  # prune is file-granular
+    full = sn.read_snapshot(spark, path)
+    return (
+        _agg(urgent, "pruned")
+        .unionByName(_agg(full, "all"))
+        .orderBy("src", "o_orderpriority")
+    )
+
+
 _RETENTION_CACHE: dict[str, str] = {}
 
 
@@ -1532,6 +1591,10 @@ _PRIORITY = [
     "orders_retention_expiry",
     "orders_update_redaction",
     "scd2_feed_apply",
+    # new in round 5 (needs its first green row; displaces one r2-stale
+    # name — a twice-green stale row beats a never-checked new query losing
+    # its slot): partitioned snapshot + DROP PARTITION + file-exact prune
+    "orders_partitioned_prune",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1928,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ivm_daily": _events_ivm_daily,
         "orders_point_lookup": _orders_point_lookup,
         "orders_snapshot_merge": _orders_snapshot_merge,
+        "orders_partitioned_prune": _orders_partitioned_prune,
         "orders_cdc_apply": _orders_cdc_apply,
         "orders_retention_expiry": _orders_retention_expiry,
         "orders_update_redaction": _orders_update_redaction,
@@ -3896,6 +3960,30 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM orders
             WHERE o_custkey % 100 = 7
             ORDER BY o_orderkey
+        """,
+        "orders_partitioned_prune": """
+            WITH pruned AS (
+                SELECT o_orderpriority,
+                       COUNT(*) AS cnt,
+                       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents,
+                       'pruned' AS src
+                FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+                GROUP BY o_orderpriority
+            ),
+            full_tbl AS (
+                SELECT o_orderpriority,
+                       COUNT(*) AS cnt,
+                       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents,
+                       'all' AS src
+                FROM orders
+                WHERE o_orderpriority <> '5-LOW'
+                GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, cnt, sum_cents, src FROM pruned
+            UNION ALL
+            SELECT o_orderpriority, cnt, sum_cents, src FROM full_tbl
+            ORDER BY src, o_orderpriority
         """,
         "orders_snapshot_count_where": """
             SELECT COUNT(*) AS n_rows

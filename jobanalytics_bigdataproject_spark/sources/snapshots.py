@@ -288,9 +288,27 @@ def write_snapshot(
     bloom_cols: list[str] | tuple[str, ...] = (),
     bloom_width: int = _BLOOM_WIDTH,
     bloom_depth: int = _BLOOM_DEPTH,
+    partition_by: list[str] | tuple[str, ...] = (),
     _rewrite_of: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
+
+    ``partition_by`` declares a PARTITION SPEC (Iceberg-style identity
+    partitioning, metadata-tracked): the commit's data files are split so
+    each holds exactly one value combination of the named columns, the
+    spec is recorded in the manifest, and the partition columns join
+    ``stats_cols`` automatically — a single-valued file's min==max stats
+    make ``read_snapshot``'s ``prune`` and ``delete_range``'s zero-I/O
+    drop tier EXACT on partition predicates (directory-pruning economics
+    without directory layout: the file list stays flat, every raw-read
+    commit path keeps working, and partition values live in the files
+    themselves, not in paths). Appends to a partitioned table inherit the
+    head's spec automatically and refuse a conflicting one; overwrite
+    resets the spec like it resets the schema. DML rewrites (COW
+    delete/update/merge) may produce files straddling partition values —
+    correctness holds via ordinary min/max stats, pruning just coarsens
+    until ``optimize_snapshot`` (which regroups by the spec) restores the
+    split.
 
     ``mode='append'`` adds the new files to the parent snapshot's set;
     ``mode='overwrite'`` makes them the whole snapshot. Either way the
@@ -354,6 +372,40 @@ def write_snapshot(
         if prior is not None:
             return prior
 
+    head0 = current_version(spark, table_dir)
+    head0_manifest = (
+        _read_manifest(fs, jvm, table_dir, head0) if head0 > 0 else {}
+    )
+    # CHECK-constraint validation (Delta semantics: a row violates when
+    # the expression is FALSE; NULL passes). Validated against the head's
+    # constraint set BEFORE any file lands in data/ — a violating commit
+    # is refused atomically with the staging dir removed. The commit loop
+    # re-checks that the constraint set hasn't changed underneath us.
+    validated = head0_manifest.get("constraints", {})
+
+    # partition-spec resolution: appends inherit the table's spec (and
+    # refuse a conflicting one); overwrite resets it like the schema
+    spec = [str(c) for c in partition_by]
+    parent_spec = head0_manifest.get("partition_spec")
+    if mode == "append" and parent_spec:
+        if not spec:
+            spec = list(parent_spec)
+        elif spec != list(parent_spec):
+            raise ValueError(
+                f"append partition spec {spec} conflicts with the table's "
+                f"{list(parent_spec)} — overwrite to re-partition"
+            )
+    elif mode == "append" and head0 > 0 and spec:
+        raise ValueError(
+            f"cannot introduce partition spec {spec} by appending to an "
+            "unpartitioned table — overwrite to re-partition"
+        )
+    if spec:
+        missing = [c for c in spec if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns not in data: {missing}")
+        stats_cols = sorted(set(map(str, stats_cols)) | set(spec))
+
     # 1. write data files to a staging dir, then move under data/ with
     #    commit-unique names (uuid, not version: a racing writer may end
     #    up committing these files at a later version than it aimed for)
@@ -363,18 +415,7 @@ def write_snapshot(
     # were ignored"); nothing ever lists the table root, so visibility
     # costs nothing and the stats read is on defined behavior
     staging = f"{table_dir}/staging-{tag}"
-    df.write.parquet(staging)
-
-    # CHECK-constraint validation (Delta semantics: a row violates when
-    # the expression is FALSE; NULL passes). Validated against the head's
-    # constraint set BEFORE any file lands in data/ — a violating commit
-    # is refused atomically with the staging dir removed. The commit loop
-    # re-checks that the constraint set hasn't changed underneath us.
-    head0 = current_version(spark, table_dir)
-    head0_manifest = (
-        _read_manifest(fs, jvm, table_dir, head0) if head0 > 0 else {}
-    )
-    validated = head0_manifest.get("constraints", {})
+    _stage_df(df, staging, spec)
 
     # Schema-on-write enforcement (Delta semantics): an append must match
     # the table schema recorded in the head manifest — a renamed column
@@ -448,7 +489,7 @@ def write_snapshot(
         .collect()
     )
     for r in stat_rows:
-        name = r["__file"].rsplit("/", 1)[-1]
+        name = _staged_key(r["__file"], staging)
         staged_rows[name] = int(r["__rows"])
         if stats_cols:
             staged_stats[name] = {
@@ -466,11 +507,12 @@ def write_snapshot(
     new_stats: dict[str, dict] = {}
     new_blooms: dict[str, dict] = {}
     new_rows: dict[str, int] = {}
-    for i, st in enumerate(sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())):
-        name = st.getPath().getName()
-        if not name.endswith(".parquet"):
-            continue
-        rel = f"{_DATA}/c{tag}-{i}-{name}"
+    # recursive walk: a partitioned staging tree nests files one hive
+    # level per spec column; names flatten into data/ (part numbers can
+    # repeat across partition dirs, the i-counter disambiguates)
+    for i, st in enumerate(_walk_staged(fs, jvm, staging)):
+        name = _staged_key(st.getPath().toString(), staging)
+        rel = f"{_DATA}/c{tag}-{i}-{name.rsplit('/', 1)[-1]}"
         if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
             raise IOError(f"rename failed for {name} -> {rel}")
         new_files.append(rel)
@@ -571,6 +613,16 @@ def write_snapshot(
             manifest["blooms"] = blooms
         if rows:
             manifest["rows"] = rows
+        # partition spec: appends carry the head's (fresh in the loop —
+        # a concurrent overwrite may have re-declared it); overwrite and
+        # first-write record the caller's
+        loop_spec = (
+            parent.get("partition_spec")
+            if mode == "append" and head > 0
+            else (spec or None)
+        )
+        if loop_spec:
+            manifest["partition_spec"] = list(loop_spec)
         # append keeps the parent's merge-on-read deletion vectors (its
         # files stay, their deleted rows stay deleted); overwrite drops
         # them with the files they covered
@@ -805,6 +857,9 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
             # the restored FILES have the restored schema — recording the
             # head's evolved schema would misdescribe them
             manifest["schema"] = target["schema"]
+        if target.get("partition_spec"):
+            # likewise the restored files' layout
+            manifest["partition_spec"] = target["partition_spec"]
         # RESTORE restores DATA; table metadata (constraints) stays at
         # the head's set, Delta-style. Note: the restored rows predate
         # any constraint added after to_version and were never validated
@@ -849,6 +904,45 @@ def snapshot_sink(table_dir: str, mode: str = "append"):
     return _write
 
 
+def _staged_key(uri: str, staging: str) -> str:
+    """Key a staged file by its path RELATIVE to the staging root. For the
+    flat staging dirs every commit path writes, this is just the file name;
+    for a hive-partitioned staging tree (``write_snapshot(partition_by=…)``)
+    it keeps the ``__p_c=v/`` segments, because Spark reuses part numbers
+    across partition directories and bare names collide."""
+    marker = staging.rstrip("/").rsplit("/", 1)[-1] + "/"
+    return uri.split(marker, 1)[1] if marker in uri else uri.rsplit("/", 1)[-1]
+
+
+def _stage_df(df: DataFrame, staging: str, spec) -> None:
+    """Write ``df`` to a staging dir — flat, or hive-split by the partition
+    spec. The split uses ``__p_*`` COPIES of the partition columns so the
+    real columns stay in the file contents (every raw-read commit path —
+    merge probes, DV reads, CDF — keeps working untouched); the copies live
+    only in the staging directory names and die at the rename."""
+    if spec:
+        out = df
+        for c in spec:
+            out = out.withColumn(f"__p_{c}", F.col(c))
+        out.write.partitionBy(*[f"__p_{c}" for c in spec]).parquet(staging)
+    else:
+        df.write.parquet(staging)
+
+
+def _walk_staged(fs, jvm, staging: str):
+    """All .parquet file statuses under a staging dir (recursive — a
+    partitioned staging tree nests them), sorted by path for deterministic
+    rename order."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    it = fs.listFiles(Path(staging), True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            out.append(st)
+    return sorted(out, key=lambda s: s.getPath().toString())
+
+
 def _collect_staged_stats(spark, staging: str, stats_cols: list[str]):
     """One grouped agg over a staging dir: per-file row counts (always)
     and [min, max, nonnull] per stats column. Shared by the commit
@@ -868,7 +962,7 @@ def _collect_staged_stats(spark, staging: str, stats_cols: list[str]):
         .agg(*aggs)
         .collect()
     ):
-        name = r["__file"].rsplit("/", 1)[-1]
+        name = _staged_key(r["__file"], staging)
         staged_rows[name] = int(r["__rows"])
         if stats_cols:
             staged_stats[name] = {
@@ -911,7 +1005,7 @@ def _collect_staged_blooms(
             .collect()
         )
         for r in rows:
-            name = r["__file"].rsplit("/", 1)[-1]
+            name = _staged_key(r["__file"], staging)
             entry = out.setdefault(name, {}).setdefault(
                 c, {"w": width, "d": depth, "words": {}}
             )
@@ -1072,9 +1166,13 @@ def optimize_snapshot(
         n = max(1, math.ceil(sum(sizes[r] for r in small) / (target_mb * 1024 * 1024)))
         tag = uuid.uuid4().hex[:12]
         staging = f"{table_dir}/staging-{tag}"
-        spark.read.parquet(
+        small_df = spark.read.parquet(
             *(_data_path(table_dir, rel) for rel in small)
-        ).coalesce(n).write.parquet(staging)
+        ).coalesce(n)
+        # a partitioned table's compaction regroups by the spec (the hive
+        # split in staging restores one-value-per-file, so the recomputed
+        # min==max stats keep partition pruning exact)
+        _stage_df(small_df, staging, manifest.get("partition_spec") or ())
         staged_stats, staged_rows = _collect_staged_stats(spark, staging, stats_cols)
         staged_blooms = _recompute_staged_blooms(
             spark, staging, _bloom_specs(manifest)
@@ -1083,13 +1181,9 @@ def optimize_snapshot(
         new_stats: dict[str, dict] = {}
         new_blooms: dict[str, dict] = {}
         new_rows: dict[str, int] = {}
-        for i, st in enumerate(
-            sorted(fs.listStatus(Path(staging)), key=lambda s: s.getPath().getName())
-        ):
-            name = st.getPath().getName()
-            if not name.endswith(".parquet"):
-                continue
-            rel = f"{_DATA}/o{tag}-{i}-{name}"
+        for i, st in enumerate(_walk_staged(fs, jvm, staging)):
+            name = _staged_key(st.getPath().toString(), staging)
+            rel = f"{_DATA}/o{tag}-{i}-{name.rsplit('/', 1)[-1]}"
             if not fs.rename(st.getPath(), Path(f"{table_dir}/{rel}")):
                 raise IOError(f"rename failed for {name} -> {rel}")
             new_files.append(rel)
@@ -1151,7 +1245,7 @@ def optimize_snapshot(
             }
             if merged_blooms:
                 new_manifest["blooms"] = merged_blooms
-            for key in ("schema", "constraints"):
+            for key in ("schema", "constraints", "partition_spec"):
                 if cur_man.get(key):
                     new_manifest[key] = cur_man[key]
             # DV-carrying files were excluded from compaction — carry
@@ -1197,9 +1291,12 @@ def optimize_snapshot(
     # _rewrite_of: refuse if a concurrent commit (append, MOR delete, …)
     # lands between the read above and the overwrite commit — otherwise
     # its rows would be silently dropped by the rewrite (lost update),
-    # unlike the selective path which verifies its inputs in the loop
+    # unlike the selective path which verifies its inputs in the loop.
+    # partition_by re-applies the table's spec (overwrite would otherwise
+    # reset it, and DML-straddled files get re-split here).
     return write_snapshot(
         current, table_dir, mode="overwrite", stats_cols=stats_cols,
+        partition_by=manifest.get("partition_spec") or (),
         _rewrite_of=head,
     )
 
@@ -1509,6 +1606,8 @@ def delete_where(
             new_manifest["constraints"] = cur_manifest["constraints"]
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
+        if cur_manifest.get("partition_spec"):
+            new_manifest["partition_spec"] = cur_manifest["partition_spec"]
         # deletion vectors on files this DELETE never touched (e.g.
         # pruned out of the candidate set) MUST carry — dropping the
         # keys would resurrect their deleted rows (hit files are
@@ -1835,6 +1934,8 @@ def update_where(
             new_manifest["constraints"] = constraints
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
+        if cur_manifest.get("partition_spec"):
+            new_manifest["partition_spec"] = cur_manifest["partition_spec"]
         # carry deletion vectors on untouched files — dropping the keys
         # would resurrect their deleted rows (hit files are DV-free:
         # _refuse_dvs at probe time + the loop check above)
@@ -2370,6 +2471,8 @@ def update_where_mor(
             new_manifest["constraints"] = constraints
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
+        if cur_manifest.get("partition_spec"):
+            new_manifest["partition_spec"] = cur_manifest["partition_spec"]
         mp = _manifest_path(jvm, table_dir, version)
         if not _create_manifest(fs, mp, new_manifest):
             continue  # lost the race: rebase onto the new head
@@ -2662,6 +2765,8 @@ def merge_into_mor(
             new_manifest["constraints"] = constraints
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
+        if cur_manifest.get("partition_spec"):
+            new_manifest["partition_spec"] = cur_manifest["partition_spec"]
         if idempotency_key is not None:
             new_manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
@@ -3131,6 +3236,8 @@ def merge_into(
             new_manifest["constraints"] = constraints
         if cur_manifest.get("schema"):
             new_manifest["schema"] = cur_manifest["schema"]
+        if cur_manifest.get("partition_spec"):
+            new_manifest["partition_spec"] = cur_manifest["partition_spec"]
         if idempotency_key is not None:
             new_manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
@@ -3488,7 +3595,10 @@ def add_constraint(
             "added": [],
             "constraints": cons,
         }
-        for k in ("stats", "rows", "blooms", "schema"):
+        # dvs/dv_files MUST carry (the DV-carry invariant: a metadata
+        # commit that drops them resurrects merge-on-read-deleted rows)
+        for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
+                  "partition_spec"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -3516,7 +3626,8 @@ def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
         }
         if cons:
             man["constraints"] = cons
-        for k in ("stats", "rows", "blooms", "schema"):
+        for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
+                  "partition_spec"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -3565,6 +3676,7 @@ def describe_detail(spark: SparkSession, table_dir: str) -> dict:
         "dv_rows": int(sum(dvs.values())),
         "stats_cols": stats_cols,
         "bloom_cols": bloom_cols,
+        "partition_spec": list(man.get("partition_spec", [])),
         "constraints": sorted(man.get("constraints", {})),
         "schema_fields": [
             f["name"] for f in man.get("schema", {}).get("fields", [])
@@ -3683,6 +3795,8 @@ def shallow_clone(
         manifest["schema"] = src["schema"]
     if src.get("constraints"):
         manifest["constraints"] = src["constraints"]
+    if src.get("partition_spec"):
+        manifest["partition_spec"] = src["partition_spec"]
     mp = _manifest_path(jvm, dst_dir, 1)
     fs.mkdirs(mp.getParent())
     if not _create_manifest(fs, mp, manifest):  # a racing clone into dst

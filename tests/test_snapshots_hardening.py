@@ -414,3 +414,21 @@ def test_optimize_zorder_three_columns_prunes_on_any(spark, tdir):
     for col in ("y", "w"):
         kept = len(sn.read_snapshot(spark, lin, prune={col: (0, 7)}).inputFiles())
         assert kept >= 0.9 * m, col
+
+
+# ------------------------------------- DV carry through metadata commits
+
+
+def test_constraint_commits_carry_deletion_vectors(spark, tdir):
+    """Found in round 5: add_constraint/drop_constraint built their
+    manifests without the dvs/dv_files keys, so a metadata-only commit on
+    a table with merge-on-read deletes RESURRECTED the deleted rows (the
+    DV-carry invariant violated by the two commit paths the r4 property
+    test didn't cover)."""
+    sn.write_snapshot(_kv(spark, 0, 10), tdir)
+    sn.delete_where_mor(spark, tdir, "i < 3")
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(3, 10))
+    sn.add_constraint(spark, tdir, "nonneg", "i >= 0")
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(3, 10))
+    sn.drop_constraint(spark, tdir, "nonneg")
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(3, 10))
