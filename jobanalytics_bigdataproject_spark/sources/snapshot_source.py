@@ -158,6 +158,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
             # skipChangeCommits drops them; ignoreChanges emits anyway
             # (caller owns downstream dedup). An overwrite with no parent
             # is the initial load — nothing was ever delivered before it.
+            if man.get("column_mapping") is not None:
+                raise ValueError(
+                    f"snapshotlog: {self._table_dir} has renamed/dropped "
+                    "columns (column mapping) — the stream reads raw files "
+                    "whose physical names would not match the logical "
+                    "schema; materialize the mapping first"
+                )
             action = man.get("action", "append")
             is_append = action == "append" or (
                 action == "overwrite" and man.get("parent", 0) == 0

@@ -415,7 +415,20 @@ def write_snapshot(
     # were ignored"); nothing ever lists the table root, so visibility
     # costs nothing and the stats read is on defined behavior
     staging = f"{table_dir}/staging-{tag}"
-    _stage_df(df, staging, spec)
+    # column mapping (renamed columns): the caller's frame speaks LOGICAL
+    # names, but data files must stay uniform in PHYSICAL names so one
+    # read resolves them all — translate before staging; stats/bloom
+    # collection and the hive partition split follow the physical names
+    parent_mapping = head0_manifest.get("column_mapping")
+    stage_frame, stage_spec = df, spec
+    if mode == "append" and parent_mapping:
+        for lg, ph in parent_mapping.items():
+            if lg != ph and lg in stage_frame.columns:
+                stage_frame = stage_frame.withColumnRenamed(lg, ph)
+        stage_spec = _to_physical(head0_manifest, spec)
+        stats_cols = _to_physical(head0_manifest, stats_cols)
+        bloom_cols = _to_physical(head0_manifest, bloom_cols)
+    _stage_df(stage_frame, staging, stage_spec)
 
     # Schema-on-write enforcement (Delta semantics): an append must match
     # the table schema recorded in the head manifest — a renamed column
@@ -441,6 +454,11 @@ def write_snapshot(
             problems.append(
                 f"new columns: {sorted(extra)} (pass allow_schema_evolution=True)"
             )
+        elif extra and head0_manifest.get("column_mapping") is not None:
+            problems.append(
+                f"new columns {sorted(extra)} on a column-mapped table "
+                "(renamed/dropped columns) — materialize the mapping first"
+            )
         if problems:
             fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
             raise ValueError(
@@ -458,6 +476,12 @@ def write_snapshot(
 
     if validated:
         staged = spark.read.parquet(staging)
+        if mode == "append" and parent_mapping:
+            # constraint expressions speak LOGICAL names; the staged
+            # files carry physical ones — alias back for validation
+            for lg, ph in parent_mapping.items():
+                if lg != ph and ph in staged.columns:
+                    staged = staged.withColumnRenamed(ph, lg)
         for cname, cexpr in sorted(validated.items()):
             bad = staged.filter(~F.coalesce(F.expr(cexpr), F.lit(True))).count()
             if bad:
@@ -623,6 +647,14 @@ def write_snapshot(
         )
         if loop_spec:
             manifest["partition_spec"] = list(loop_spec)
+        # column mapping rides along on appends (the staged files were
+        # translated to physical names); overwrite rewrites everything
+        # with logical names — the mapping materializes away
+        if mode == "append":
+            if parent.get("column_mapping") is not None:
+                manifest["column_mapping"] = parent["column_mapping"]
+            if parent.get("dropped_physical"):
+                manifest["dropped_physical"] = parent["dropped_physical"]
         # append keeps the parent's merge-on-read deletion vectors (its
         # files stay, their deleted rows stay deleted); overwrite drops
         # them with the files they covered
@@ -732,6 +764,14 @@ def read_snapshot(
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, version)
     rels = manifest["files"]
+    # column mapping: callers speak LOGICAL names; stats/bloom manifest
+    # entries are keyed by the PHYSICAL names the files carry
+    cmap = _mapping(manifest)
+    if cmap:
+        if prune:
+            prune = {cmap.get(c, c): b for c, b in prune.items()}
+        if point:
+            point = {cmap.get(c, c): v for c, v in point.items()}
     kept = rels
     if prune:
         stats = manifest.get("stats", {})
@@ -740,7 +780,7 @@ def read_snapshot(
         stats = manifest.get("stats", {})
         blooms = manifest.get("blooms", {})
         types = {
-            f["name"]: f["type"]
+            (cmap or {}).get(f["name"], f["name"]): f["type"]
             for f in manifest.get("schema", {}).get("fields", [])
         }
         for c in point:
@@ -767,19 +807,25 @@ def read_snapshot(
         reader = reader.option("mergeSchema", "true")
     if not kept:
         if rels:  # everything skipped: empty frame, real schema
-            return reader.parquet(_data_path(table_dir, rels[0])).limit(0)
+            return _apply_mapping(
+                reader.parquet(_data_path(table_dir, rels[0])).limit(0), manifest
+            )
         return reader.parquet(f"{table_dir}/{_DATA}").limit(0)
     if manifest.get("dvs") and not merge_schema:
         # merge-on-read: anti-join the deletion vectors at scan time
         # (files without a DV entry scan plain; fully-deleted files are
         # never opened — see _read_with_dvs)
-        return _read_with_dvs(spark, table_dir, manifest, kept)
+        return _apply_mapping(
+            _read_with_dvs(spark, table_dir, manifest, kept), manifest
+        )
     if manifest.get("dvs") and merge_schema:
         raise ValueError(
             "read_snapshot(merge_schema=True) on a table with deletion "
             "vectors is unsupported — run materialize_dvs() first"
         )
-    return reader.parquet(*(_data_path(table_dir, rel) for rel in kept))
+    return _apply_mapping(
+        reader.parquet(*(_data_path(table_dir, rel) for rel in kept)), manifest
+    )
 
 
 def read_changes(
@@ -806,11 +852,15 @@ def read_changes(
         to_version = current_version(spark, table_dir)
     frames = []
     for v in range(from_version + 1, to_version + 1):
-        added = _read_manifest(fs, jvm, table_dir, v)["added"]
-        if added:
+        man = _read_manifest(fs, jvm, table_dir, v)
+        if man["added"]:
             frames.append(
-                spark.read.parquet(*(_data_path(table_dir, rel) for rel in added))
-                .withColumn("_commit_version", F.lit(v).cast("long"))
+                _apply_mapping(
+                    spark.read.parquet(
+                        *(_data_path(table_dir, rel) for rel in man["added"])
+                    ),
+                    man,  # each version resolves its OWN logical names
+                ).withColumn("_commit_version", F.lit(v).cast("long"))
             )
     if not frames:
         head = current_version(spark, table_dir)
@@ -860,6 +910,12 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
         if target.get("partition_spec"):
             # likewise the restored files' layout
             manifest["partition_spec"] = target["partition_spec"]
+        # likewise the restored files' column mapping (their bytes carry
+        # the physical names the TARGET's schema resolved)
+        if target.get("column_mapping") is not None:
+            manifest["column_mapping"] = target["column_mapping"]
+        if target.get("dropped_physical"):
+            manifest["dropped_physical"] = target["dropped_physical"]
         # RESTORE restores DATA; table metadata (constraints) stays at
         # the head's set, Delta-style. Note: the restored rows predate
         # any constraint added after to_version and were never validated
@@ -1147,6 +1203,7 @@ def optimize_snapshot(
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    _refuse_mapping(manifest, "optimize_snapshot")
     stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
 
     if min_file_mb is not None and not cluster_by and not zorder_by:
@@ -1435,6 +1492,7 @@ def delete_where(
     if prune:
         candidates = [rel for rel in candidates if _overlaps(stats.get(rel), prune)]
     _refuse_dvs(manifest, candidates + drop, "delete_where")
+    _refuse_mapping(manifest, "delete_where")
     skipped_by_stats = len(all_files) - len(candidates) - len(drop)
 
     def _result(version, deleted=0, rewritten=0):
@@ -1683,6 +1741,7 @@ def delete_range(
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    _refuse_mapping(manifest, "delete_range")
     rows = manifest.get("rows", {})
     stats = manifest.get("stats", {})
     slo, shi = _plain(lo), _plain(hi)
@@ -1772,6 +1831,7 @@ def update_where(
     if prune:
         candidates = [rel for rel in all_files if _overlaps(stats.get(rel), prune)]
     _refuse_dvs(manifest, candidates, "update_where")
+    _refuse_mapping(manifest, "update_where")
     skipped_by_stats = len(all_files) - len(candidates)
 
     def _result(version, updated=0, rewritten=0):
@@ -2021,6 +2081,53 @@ def _refuse_dvs(manifest: dict, rels, op: str) -> None:
         )
 
 
+def _mapping(manifest: dict) -> dict | None:
+    """The manifest's logical→physical column mapping, or None when the
+    table has never been renamed/dropped (identity; zero read overhead)."""
+    return manifest.get("column_mapping")
+
+
+def _to_physical(manifest: dict, cols) -> list[str]:
+    m = _mapping(manifest) or {}
+    return [m.get(str(c), str(c)) for c in cols]
+
+
+def _apply_mapping(df: DataFrame, manifest: dict) -> DataFrame:
+    """Resolve PHYSICAL file columns to the manifest schema's LOGICAL
+    names (Iceberg-style column mapping): select exactly the schema's
+    fields, aliasing each from its mapped physical name — which also
+    projects away dropped columns (their physical data stays in the
+    files for older versions' reads). Identity tables pass through
+    untouched."""
+    if _mapping(manifest) is None:
+        return df
+    m = _mapping(manifest)
+    cols = []
+    for f in manifest.get("schema", {}).get("fields", []):
+        lg = f["name"]
+        ph = m.get(lg, lg)
+        if ph in df.columns:
+            cols.append(F.col(ph).alias(lg))
+        else:  # absent in every sampled file: typed NULLs
+            cols.append(F.lit(None).cast(f["type"]).alias(lg))
+    return df.select(*cols)
+
+
+def _refuse_mapping(manifest: dict, op: str) -> None:
+    """DML/maintenance paths take SQL condition strings and write staged
+    files keyed by manifest stats — both are defined over physical names,
+    which diverge from the user's logical names once a rename/drop
+    landed. Refuse loudly and name the cure (a full-rewrite overwrite
+    materializes the mapping: files rewritten with logical names, the
+    mapping reset)."""
+    if _mapping(manifest) is not None:
+        raise ValueError(
+            f"{op} on a column-mapped table (renamed/dropped columns) is "
+            "unsupported — materialize the mapping first: "
+            "write_snapshot(read_snapshot(...), mode='overwrite')"
+        )
+
+
 def _refuse_null_merge_keys(source: DataFrame, keys: list[str], op: str) -> None:
     """MERGE joins would mix semantics on NULL merge keys: the matched-file
     probe and the NOT-MATCHED anti-join use plain equality (NULL never
@@ -2107,6 +2214,7 @@ def _mor_delete(
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    _refuse_mapping(manifest, "delete_where_mor")
     all_files = manifest["files"]
     stats = manifest.get("stats", {})
     dvs = dict(manifest.get("dvs", {}))
@@ -2291,6 +2399,8 @@ def update_where_mor(
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    _refuse_mapping(manifest, "update_where_mor")
+    _refuse_mapping(manifest, "delete_keys_mor")
     all_files = manifest["files"]
     stats = manifest.get("stats", {})
     dvs = dict(manifest.get("dvs", {}))
@@ -2546,6 +2656,7 @@ def merge_into_mor(
             return _replayed(prior)
 
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    _refuse_mapping(manifest, "merge_into_mor")
     all_files = manifest["files"]
     dvs = dict(manifest.get("dvs", {}))
     keys = list(key_cols)
@@ -2807,6 +2918,7 @@ def materialize_dvs(spark: SparkSession, table_dir: str) -> dict:
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
+    _refuse_mapping(manifest, "materialize_dvs")
     dvs = manifest.get("dvs", {})
     if not dvs:
         return {"version": head, "files_rewritten": 0, "rows_removed": 0}
@@ -2996,6 +3108,7 @@ def merge_into(
 
     manifest = _read_manifest(fs, jvm, table_dir, head)
     _refuse_dvs(manifest, manifest["files"], "merge_into")
+    _refuse_mapping(manifest, "merge_into")
     all_files = manifest["files"]
     keys = list(key_cols)
     tcols = [f["name"] for f in manifest.get("schema", {}).get("fields", [])]
@@ -3418,12 +3531,14 @@ def metadata_agg(
             "wrong if a deleted row held the extreme — run "
             "materialize_dvs() first (COUNT stays exact)"
         )
+    cmap = _mapping(manifest) or {}
     for c in cols:
+        ph = cmap.get(c, c)  # stats are keyed by PHYSICAL column names
         mins, maxs = [], []
         for rel in files:
             if int(rows[rel]) == 0:
                 continue  # empty file: no stats needed, contributes nothing
-            rng = stats.get(rel, {}).get(c)
+            rng = stats.get(rel, {}).get(ph)
             if rng is None:
                 raise ValueError(
                     f"manifest v{version} lacks {c!r} stats for {rel} — "
@@ -3487,6 +3602,9 @@ def count_where(
     # The scan-tier filter below keeps the RAW lo/hi: F.lit gets the
     # typed literal so the pushed-down predicate compares natively.
     slo, shi = _plain(lo), _plain(hi)
+    # a renamed column: the caller's logical name → the physical name the
+    # stats entries and the raw file scan both speak
+    col = (_mapping(manifest) or {}).get(col, col)
     for rel in manifest["files"]:
         if int(rows.get(rel, 1)) - int(dvs.get(rel, 0)) <= 0:
             skipped += 1
@@ -3599,6 +3717,129 @@ def add_constraint(
         # commit that drops them resurrects merge-on-read-deleted rows)
         for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
                   "partition_spec"):
+            if parent.get(k):
+                man[k] = parent[k]
+        return man
+
+    return _commit_metadata(fs, jvm, table_dir, build)
+
+
+def _constraint_mentions(constraints: dict, col: str) -> list[str]:
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    return sorted(n for n, e in constraints.items() if pat.search(e))
+
+
+def rename_column(spark: SparkSession, table_dir: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a METADATA-ONLY commit (Iceberg-style column
+    mapping, VERDICT r4 #5): no data file is rewritten — the manifest
+    schema renames the field and records ``column_mapping[new] ->
+    physical``, where physical is the name the bytes actually carry
+    (the original name, or an earlier mapping's target). Reads resolve
+    physical→logical per version, so time travel to a pre-rename version
+    still shows the old name over the SAME files. Appends translate
+    their logical columns back to physical before staging, keeping every
+    data file uniform. Stats/bloom manifest entries stay keyed physical;
+    ``read_snapshot``'s prune/point and ``metadata_agg``/``count_where``
+    translate. Refuses: unknown column, name collision, or a column
+    referenced by a CHECK constraint (its expression text can't be
+    rewritten reliably). DML on a mapped table refuses until a
+    full-rewrite overwrite materializes the mapping."""
+    fs, _, jvm = _fs(spark, table_dir)
+
+    def build(parent: dict, version: int) -> dict:
+        fields = parent.get("schema", {}).get("fields")
+        if not fields:
+            raise ValueError(f"{table_dir} has no tracked schema to rename in")
+        names = [f["name"] for f in fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        hit = _constraint_mentions(parent.get("constraints", {}), old)
+        if hit:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) {hit} "
+                "— drop them first (their expressions cannot be rewritten)"
+            )
+        mapping = dict(parent.get("column_mapping", {}))
+        physical = mapping.pop(old, old)
+        mapping[new] = physical
+        man = {
+            "version": version,
+            "parent": parent["version"],
+            "action": "rename_column",
+            "renamed": {"from": old, "to": new},
+            "files": parent["files"],
+            "added": [],
+            "column_mapping": mapping,
+            "schema": dict(
+                parent["schema"],
+                fields=[
+                    dict(f, name=new) if f["name"] == old else f for f in fields
+                ],
+            ),
+        }
+        spec = parent.get("partition_spec")
+        if spec:
+            man["partition_spec"] = [new if c == old else c for c in spec]
+        for k in ("stats", "rows", "blooms", "constraints", "dvs",
+                  "dv_files", "dropped_physical"):
+            if parent.get(k):
+                man[k] = parent[k]
+        return man
+
+    return _commit_metadata(fs, jvm, table_dir, build)
+
+
+def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
+    """DROP COLUMN as a METADATA-ONLY commit: the field leaves the
+    manifest schema and reads project it away; the bytes stay in the
+    files (old versions still read them — time travel shows the column).
+    The physical name is remembered in ``dropped_physical`` so a future
+    re-add can never silently resurrect old values. Refuses: unknown or
+    last column, a partition-spec column, or one referenced by a CHECK
+    constraint."""
+    fs, _, jvm = _fs(spark, table_dir)
+
+    def build(parent: dict, version: int) -> dict:
+        fields = parent.get("schema", {}).get("fields")
+        if not fields:
+            raise ValueError(f"{table_dir} has no tracked schema to drop from")
+        names = [f["name"] for f in fields]
+        if name not in names:
+            raise ValueError(f"no column {name!r} in {names}")
+        if len(fields) == 1:
+            raise ValueError("cannot drop the table's last column")
+        if name in (parent.get("partition_spec") or []):
+            raise ValueError(f"column {name!r} is in the partition spec")
+        hit = _constraint_mentions(parent.get("constraints", {}), name)
+        if hit:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint(s) {hit}"
+            )
+        mapping = dict(parent.get("column_mapping", {}))
+        physical = mapping.pop(name, name)
+        man = {
+            "version": version,
+            "parent": parent["version"],
+            "action": "drop_column",
+            "dropped": name,
+            "files": parent["files"],
+            "added": [],
+            # mapping key present (even if empty) = schema-projected reads
+            "column_mapping": mapping,
+            "dropped_physical": sorted(
+                set(parent.get("dropped_physical", [])) | {physical}
+            ),
+            "schema": dict(
+                parent["schema"],
+                fields=[f for f in fields if f["name"] != name],
+            ),
+        }
+        for k in ("stats", "rows", "blooms", "constraints", "dvs",
+                  "dv_files", "partition_spec"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -3797,6 +4038,10 @@ def shallow_clone(
         manifest["constraints"] = src["constraints"]
     if src.get("partition_spec"):
         manifest["partition_spec"] = src["partition_spec"]
+    if src.get("column_mapping") is not None:
+        manifest["column_mapping"] = src["column_mapping"]
+    if src.get("dropped_physical"):
+        manifest["dropped_physical"] = src["dropped_physical"]
     mp = _manifest_path(jvm, dst_dir, 1)
     fs.mkdirs(mp.getParent())
     if not _create_manifest(fs, mp, manifest):  # a racing clone into dst
@@ -3837,6 +4082,10 @@ def read_changes_cdf(
     frames = []
     for v in range(from_version + 1, to_version + 1):
         man = _read_manifest(fs, jvm, table_dir, v)
+        # CDF unions raw file reads across versions whose logical names
+        # may differ (a rename mid-range) — refuse rather than emit a
+        # frankenschema; materializing the mapping re-enables CDF
+        _refuse_mapping(man, "read_changes_cdf")
         par_m = (
             _read_manifest(fs, jvm, table_dir, man["parent"])
             if man.get("parent")
