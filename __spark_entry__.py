@@ -1591,10 +1591,12 @@ _PRIORITY = [
     "orders_retention_expiry",
     "orders_update_redaction",
     "scd2_feed_apply",
-    # new in round 5 (needs its first green row; displaces one r2-stale
-    # name — a twice-green stale row beats a never-checked new query losing
-    # its slot): partitioned snapshot + DROP PARTITION + file-exact prune
+    # new in round 5 (need their first green rows; each displaces one
+    # r2-stale name — a twice-green stale row beats a never-checked new
+    # query losing its slot): partitioned snapshot + DROP PARTITION +
+    # file-exact prune; left-outer stream-stream interval join
     "orders_partitioned_prune",
+    "events_interval_join_outer",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1975,6 +1977,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": _q(
             ("events",),
             lambda t: stream_joins.click_purchase_attribution(t["events"]),
+        ),
+        # left-outer variant (VERDICT r4 #9): unconverted clicks kept with
+        # NULL purchase columns — streaming form emits them at watermark
+        # expiry (equivalence test in tests/test_streaming_join.py)
+        "events_interval_join_outer": _q(
+            ("events",),
+            lambda t: stream_joins.click_purchase_attribution(
+                t["events"], how="left_outer"
+            ),
         ),
         "scd2_user_state": _q(("events",), lambda t: scd.scd2_dim(t["events"])),
         # horizon compaction preserves the presentation view exactly, so this
@@ -3749,6 +3760,17 @@ def _oracle_sql_literals() -> dict[str, str]:
                    p.value AS purchase_value
             FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
             JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL '10 minutes'
+        """,
+        "events_interval_join_outer": """
+            SELECT c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   p.value AS purchase_value
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL '10 minutes'

@@ -29,11 +29,22 @@ def interval_join(
     key: str = "user_id",
     ts_col: str = "ts",
     upper: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Join rows of *right* to rows of *left* with the same *key* whose
     timestamp falls in ``[left.ts, left.ts + upper]`` — the standard
     event-attribution interval join. Equality on *key* keeps the join a
-    hash join (the range is a residual filter, never a cartesian)."""
+    hash join (the range is a residual filter, never a cartesian).
+
+    ``how='left_outer'`` (VERDICT r4 #9) keeps unmatched LEFT rows: in
+    streaming, Spark buffers them in state and emits the null-padded row
+    only once the watermark passes the interval's upper bound — i.e. when
+    no matching right row can still arrive. Until the watermark advances
+    past a row's expiry, the row sits in state unemitted (a final
+    micro-batch after further watermark movement flushes it — see the
+    equivalence test, which forces a second batch with a sentinel file).
+    Both sides still need watermarks; the interval condition is exactly
+    the event-time bound outer state expiry requires."""
     lf = left.alias("l")
     rf = right.alias("r")
     lts, rts = F.col(f"l.{ts_col}"), F.col(f"r.{ts_col}")
@@ -42,7 +53,7 @@ def interval_join(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {upper}"))
     )
-    return lf.join(rf, cond)
+    return lf.join(rf, cond, how)
 
 
 def enrich_stream(
@@ -72,18 +83,24 @@ def enrich_stream(
 
 
 def click_purchase_attribution(
-    events: DataFrame, upper: str = "10 minutes"
+    events: DataFrame, upper: str = "10 minutes", how: str = "inner"
 ) -> DataFrame:
     """Attribute each purchase to the clicks of the same user in the
     preceding ``upper`` interval. Emits formatted timestamps + the raw
     value so the batch form hash-checks against the oracle; the identical
     function over two watermarked ``readStream`` frames is the streaming
-    form (tests/test_streaming_join.py)."""
+    form (tests/test_streaming_join.py).
+
+    ``how='left_outer'`` keeps unconverted clicks with NULL purchase
+    columns — the funnel-drop view; in streaming those rows emit at
+    watermark expiry instead of being silently dropped."""
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
-    joined = interval_join(clicks, purchases, key="user_id", ts_col="ts", upper=upper)
+    joined = interval_join(
+        clicks, purchases, key="user_id", ts_col="ts", upper=upper, how=how
+    )
     return joined.select(
         F.col("l.user_id").alias("user_id"),
         F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
