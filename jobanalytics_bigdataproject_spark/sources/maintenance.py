@@ -65,3 +65,122 @@ def analyze_table(
     spark.sql(base)
     if columns:
         spark.sql(base + " FOR COLUMNS " + ", ".join(columns))
+
+
+def clustering_overlap(manifest: dict, cols: Sequence[str]) -> float:
+    """Metadata-only clustering-drift signal: the fraction of data-file
+    PAIRS whose manifest min/max ranges overlap on EVERY given column.
+    A freshly Z-ordered table is near 0 (each file owns a compact box);
+    DML rewrites and unclustered appends push it toward 1 (every file
+    spans everything, so pruning skips nothing). O(files²) driver
+    arithmetic over numbers already in the manifest — the per-file count
+    is bounded by OPTIMIZE itself, and no data file is opened."""
+    stats = manifest.get("stats", {})
+    ranges = []
+    for rel in manifest.get("files", []):
+        st = stats.get(rel)
+        if not st or any(
+            c not in st or st[c][0] is None or st[c][1] is None for c in cols
+        ):
+            return 1.0  # a file with no stats overlaps everything
+        ranges.append([(st[c][0], st[c][1]) for c in cols])
+    n = len(ranges)
+    if n < 2:
+        return 0.0
+    overlapping = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if all(
+            ranges[i][k][0] <= ranges[j][k][1] and ranges[j][k][0] <= ranges[i][k][1]
+            for k in range(len(cols))
+        )
+    )
+    return overlapping / (n * (n - 1) / 2)
+
+
+def maintain(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_mb: float = 128,
+    small_file_mb: float | None = None,
+    max_small_files: int = 8,
+    max_dv_rows_pct: float = 0.05,
+    zorder_by: Sequence[str] = (),
+    max_overlap: float = 0.3,
+    vacuum_keep_last: int | None = None,
+) -> dict:
+    """VERDICT r4 #10 — the nightly table service: read ``describe_detail``'s
+    operational signals and close the loop, deciding maintenance instead of
+    leaving the knobs to a human. Decision order (each step re-reads the
+    head it created):
+
+    1. **Deletion-vector debt**: ``dv_rows / n_rows > max_dv_rows_pct`` →
+       ``materialize_dvs`` (read-side anti-join tax is paid once, bounds
+       tighten, COW DML and metadata MIN/MAX re-enable).
+    2. **Small-file debt**: more than ``max_small_files`` files under
+       ``small_file_mb`` (default ``target_file_mb / 2``) → selective
+       compaction (only the small files rewrite; partitioned tables
+       regroup by their spec).
+    3. **Clustering drift** (only when ``zorder_by`` names the read
+       pattern): ``clustering_overlap > max_overlap`` → full
+       ``OPTIMIZE ZORDER BY`` rewrite — the expensive tier, gated by a
+       metadata-only signal so a well-clustered table never pays it.
+    4. **Retention**: ``vacuum_keep_last`` set → vacuum old versions.
+
+    Idempotent by construction: on a converged table every signal is
+    below threshold and the call is a metadata-only no-op. Returns
+    ``{"materialized", "compacted", "zordered", "vacuumed_files",
+    "version", "signals"}``.
+    """
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    small_file_mb = small_file_mb if small_file_mb is not None else target_file_mb / 2
+    out = {
+        "materialized": False,
+        "compacted": False,
+        "zordered": False,
+        "vacuumed_files": 0,
+    }
+    d = sn.describe_detail(spark, table_dir)
+    signals = {"dv_rows": d["dv_rows"], "n_files": d["n_files"]}
+
+    if d["dv_rows"] and d["n_rows"] and d["dv_rows"] / max(d["n_rows"], 1) > max_dv_rows_pct:
+        sn.materialize_dvs(spark, table_dir)
+        out["materialized"] = True
+        d = sn.describe_detail(spark, table_dir)
+
+    # count the small files from file status (describe_detail's avg hides
+    # a bimodal mix of compacted history + streaming drips)
+    fs, _, jvm = sn._fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    man = sn._read_manifest(fs, jvm, table_dir, d["version"])
+    sizes = [
+        fs.getFileStatus(Path(sn._data_path(table_dir, rel))).getLen()
+        for rel in man["files"]
+    ]
+    n_small = sum(1 for b in sizes if b < small_file_mb * 1024 * 1024)
+    signals["n_small_files"] = n_small
+    if n_small > max_small_files:
+        v = sn.optimize_snapshot(
+            spark, table_dir, target_mb=target_file_mb, min_file_mb=small_file_mb
+        )
+        out["compacted"] = v != d["version"]
+        d = sn.describe_detail(spark, table_dir)
+
+    if zorder_by:
+        man = sn._read_manifest(fs, jvm, table_dir, d["version"])
+        overlap = clustering_overlap(man, [str(c) for c in zorder_by])
+        signals["clustering_overlap"] = round(overlap, 4)
+        if overlap > max_overlap:
+            sn.optimize_snapshot(
+                spark, table_dir, target_mb=target_file_mb, zorder_by=tuple(zorder_by)
+            )
+            out["zordered"] = True
+
+    if vacuum_keep_last is not None:
+        out["vacuumed_files"] = sn.vacuum(spark, table_dir, keep_last=vacuum_keep_last)
+
+    out["version"] = sn.current_version(spark, table_dir)
+    out["signals"] = signals
+    return out

@@ -54,3 +54,85 @@ def test_analyze_table_feeds_optimizer_stats(spark, tables, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", "false")
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_demo")
+
+
+# ------------------------------------------- maintain() policy (VERDICT r4 #10)
+
+
+def test_maintain_converges_churned_table(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+    from jobanalytics_bigdataproject_spark.sources.maintenance import maintain
+
+    tdir = str(tmp_path / "churned")
+    # churn: 12 drip commits (streaming-sink shape) + a MOR delete
+    for lo in range(0, 120, 10):
+        sn.write_snapshot(
+            spark.range(lo, lo + 10).select(
+                F.col("id").alias("i"), (F.col("id") % 5).alias("g")
+            ),
+            tdir,
+            stats_cols=("i",),
+        )
+    sn.delete_where_mor(spark, tdir, "i % 3 = 0")
+    before = sn.describe_detail(spark, tdir)
+    assert before["n_files"] >= 12 and before["dv_rows"] > 0
+
+    res = maintain(
+        spark, tdir, target_file_mb=128, small_file_mb=1,
+        max_small_files=2, max_dv_rows_pct=0.01,
+    )
+    assert res["materialized"] and res["compacted"]
+    after = sn.describe_detail(spark, tdir)
+    assert after["dv_rows"] == 0  # DV debt gone
+    assert after["n_files"] < before["n_files"]  # small-file debt gone
+    assert sn.read_snapshot(spark, tdir).count() == 120 - 40  # rows intact
+
+    # converged: a second run decides nothing (idempotent no-op)
+    res2 = maintain(
+        spark, tdir, target_file_mb=128, small_file_mb=1,
+        max_small_files=2, max_dv_rows_pct=0.01,
+    )
+    assert not (res2["materialized"] or res2["compacted"] or res2["zordered"])
+    assert res2["version"] == res["version"]
+
+
+def test_maintain_zorders_only_on_drift(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+    from jobanalytics_bigdataproject_spark.sources.maintenance import (
+        clustering_overlap,
+        maintain,
+    )
+
+    tdir = str(tmp_path / "drifty")
+    # unclustered commits: every file spans the full (x, y) space
+    for _ in range(4):
+        sn.write_snapshot(
+            spark.range(0, 1024).select(
+                (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+            ).repartition(2),
+            tdir,
+            stats_cols=("x", "y"),
+        )
+    man = sn.snapshot_info(spark, tdir, sn.current_version(spark, tdir))
+    assert clustering_overlap(man, ["x", "y"]) > 0.9  # fully drifted
+
+    res = maintain(
+        spark, tdir, target_file_mb=0.001, max_small_files=10_000,
+        zorder_by=("x", "y"), max_overlap=0.5,
+    )
+    assert res["zordered"]
+    man2 = sn.snapshot_info(spark, tdir, res["version"])
+    drift = clustering_overlap(man2, ["x", "y"])
+    assert drift < 0.5  # re-clustered below threshold
+
+    # and now the signal gates the expensive tier OFF
+    res2 = maintain(
+        spark, tdir, target_file_mb=0.001, max_small_files=10_000,
+        zorder_by=("x", "y"), max_overlap=0.5,
+    )
+    assert not res2["zordered"]
+    assert sn.read_snapshot(spark, tdir).count() == 4096
