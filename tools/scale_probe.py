@@ -92,6 +92,13 @@ PROBES = [
     # MOR CDC apply: timed runs scan the applied table with the
     # vector anti-join (same oracle as the COW twin)
     "orders_cdc_apply_mor",
+    # index-backed ANN SERVING paths (VERDICT r4 #3): the per-(process,
+    # sf_dir) index builds in the untimed prime (cluster-at-ingest,
+    # measured separately like the lakehouse ingests); the timed runs
+    # measure the query path — partition-pruned probed-cell scans, so the
+    # exponent should sit well below 1 (the whole point of the index)
+    "ann_cosine_ivf_indexed",
+    "ann_cosine_ivfpq",
 ]
 
 
