@@ -172,3 +172,42 @@ def test_multi_column_spec(spark, tdir):
         if man["stats"][rel]["a"][0] == 1 and man["stats"][rel]["b"][0] == 0
     )
     assert got.filter("a = 1 and b = 0").count() == 20
+
+
+def test_streaming_sink_inherits_partition_spec(spark, tdir, tmp_path):
+    """A foreachBatch snapshot_sink appending to a partitioned table
+    inherits the spec automatically (write_snapshot append adopts the
+    head's partition_spec) — each micro-batch commit stays split
+    one-partition-value-per-file without the sink knowing about specs."""
+    import shutil
+
+    from jobanalytics_bigdataproject_spark.streaming.windows import (
+        stream_from_directory,
+    )
+
+    sn.write_snapshot(_pdf(spark, 0, 40), tdir, partition_by=("p",))
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    _pdf(spark, 40, 80).coalesce(1).write.parquet(str(tmp_path / "stage"))
+    stage = next((tmp_path / "stage").glob("*.parquet"))
+    shutil.move(str(stage), src_dir / "b0.parquet")
+    src = stream_from_directory(
+        spark, str(src_dir), sn.read_snapshot(spark, tdir).schema
+    )
+    q = (
+        src.writeStream.foreachBatch(sn.snapshot_sink(tdir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    head = sn.current_version(spark, tdir)
+    man = sn.snapshot_info(spark, tdir, head)
+    assert man["partition_spec"] == ["p"]
+    for rel in man["added"]:
+        st = man["stats"][rel]["p"]
+        assert st[0] == st[1]  # streamed commit split by the spec too
+    assert sn.read_snapshot(spark, tdir).count() == 80
