@@ -1057,6 +1057,52 @@ def _orders_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAILY_PART_CACHE: dict[str, str] = {}
+
+
+def _events_partitioned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partition transform (Iceberg ``days(ts)`` — round-5
+    extension of the identity partition spec): events commits with
+    ``partition_by=("days(ts)",)``, so every data file holds exactly one
+    DAY although the partition value is computed, not stored — the
+    transform's per-file min==max stats live under the label
+    ``days(ts)`` in the manifest, making day pruning file-exact and
+    retention a zero-I/O DROP PARTITION (the build expires the first
+    week via ``delete_range("days(ts)", …)`` and refuses if any file
+    was rewritten). The query aggregates the surviving table per day;
+    the oracle recomputes from the base rows with the mirrored date
+    filter, hash-asserting the drop hit exactly the derived window.
+    File-exactness and transform refusals are pinned in
+    tests/test_partitioned_snapshots.py."""
+    from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _DAILY_PART_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("events",))
+        e = t["events"].select("event_id", "ts", "event_type", "value")
+        path = tempfile.mkdtemp(prefix="daily_events_") + "/tbl"
+        sn.write_snapshot(e.repartition(2), path, partition_by=("days(ts)",))
+        res = sn.delete_range(spark, path, "days(ts)", "2024-01-01", "2024-01-07")
+        if res["files_rewritten"] != 0:  # the DROP PARTITION tier is the point
+            raise AssertionError(
+                f"derived-day DROP rewrote {res['files_rewritten']} file(s)"
+            )
+        _DAILY_PART_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum("value").alias("sum_cents"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "cnt", "sum_cents")
+        .orderBy("day")
+    )
+
+
 _RETENTION_CACHE: dict[str, str] = {}
 
 
@@ -1597,6 +1643,8 @@ _PRIORITY = [
     # file-exact prune; left-outer stream-stream interval join
     "orders_partitioned_prune",
     "events_interval_join_outer",
+    # derived partition transform (days(ts)): zero-I/O day-window DROP
+    "events_partitioned_daily",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2003,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_point_lookup": _orders_point_lookup,
         "orders_snapshot_merge": _orders_snapshot_merge,
         "orders_partitioned_prune": _orders_partitioned_prune,
+        "events_partitioned_daily": _events_partitioned_daily,
         "orders_cdc_apply": _orders_cdc_apply,
         "orders_retention_expiry": _orders_retention_expiry,
         "orders_update_redaction": _orders_update_redaction,
@@ -3982,6 +4031,15 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM orders
             WHERE o_custkey % 100 = 7
             ORDER BY o_orderkey
+        """,
+        "events_partitioned_daily": """
+            SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM events
+            WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+            GROUP BY 1
+            ORDER BY day
         """,
         "orders_partitioned_prune": """
             WITH pruned AS (

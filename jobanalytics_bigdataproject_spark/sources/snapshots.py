@@ -69,6 +69,7 @@ import functools
 import json
 import math
 import os
+import re as _re_mod
 import threading
 import time
 import uuid
@@ -401,9 +402,12 @@ def write_snapshot(
             "unpartitioned table — overwrite to re-partition"
         )
     if spec:
-        missing = [c for c in spec if c not in df.columns]
+        missing = [c for c in spec if _spec_source_col(c) not in df.columns]
         if missing:
             raise ValueError(f"partition_by columns not in data: {missing}")
+        # spec entries join the stats under their LABEL (identity: the
+        # column name; derived: e.g. "days(ts)") — one-valued per file,
+        # so min==max stats make pruning/DROP PARTITION exact either way
         stats_cols = sorted(set(map(str, stats_cols)) | set(spec))
 
     # 1. write data files to a staging dir, then move under data/ with
@@ -498,13 +502,14 @@ def write_snapshot(
     staged_rows: dict[str, int] = {}
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
+        e = _stats_expr(c)  # derived-transform labels compute here
         aggs += [
-            F.min(c).alias(f"min__{c}"),
-            F.max(c).alias(f"max__{c}"),
+            F.min(e).alias(f"min__{c}"),
+            F.max(e).alias(f"max__{c}"),
             # non-null count: what makes stats-only COUNT-WHERE exact for
             # fully-contained files (min/max ignore NULLs, so row count
             # alone would overcount rows the predicate excludes)
-            F.count(c).alias(f"nn__{c}"),
+            F.count(e).alias(f"nn__{c}"),
         ]
     stat_rows = (
         spark.read.parquet(staging)
@@ -960,6 +965,40 @@ def snapshot_sink(table_dir: str, mode: str = "append"):
     return _write
 
 
+_TRANSFORM_RE = _re_mod.compile(r"^(years|months|days|hours)\((\w+)\)$")
+_TRANSFORM_SQL = {
+    "years": "year({c})",
+    "months": "date_format({c}, 'yyyy-MM')",
+    "days": "to_date({c})",
+    "hours": "date_format({c}, 'yyyy-MM-dd HH')",
+}
+
+
+def _spec_source_col(entry: str) -> str:
+    """The data column a partition-spec entry derives from (identity
+    entries are their own source)."""
+    m = _TRANSFORM_RE.match(entry)
+    return m.group(2) if m else entry
+
+
+def _spec_sql(entry: str) -> str:
+    """Spark-SQL expression computing a spec entry's partition value —
+    Iceberg-style derived transforms (``years/months/days/hours(col)``)
+    map to engine-agnostic date functions whose string/int forms order
+    lexicographically == chronologically, so the stored per-file
+    min==max values prune with plain comparisons; identity entries pass
+    through as the column itself."""
+    m = _TRANSFORM_RE.match(entry)
+    return _TRANSFORM_SQL[m.group(1)].format(c=m.group(2)) if m else entry
+
+
+def _stats_expr(c: str):
+    """Column expression for a stats entry: a derived-transform label
+    computes its transform; a plain column name is itself."""
+    s = _spec_sql(c)
+    return F.expr(s) if s != c else F.col(c)
+
+
 def _staged_key(uri: str, staging: str) -> str:
     """Key a staged file by its path RELATIVE to the staging root. For the
     flat staging dirs every commit path writes, this is just the file name;
@@ -978,9 +1017,13 @@ def _stage_df(df: DataFrame, staging: str, spec) -> None:
     only in the staging directory names and die at the rename."""
     if spec:
         out = df
-        for c in spec:
-            out = out.withColumn(f"__p_{c}", F.col(c))
-        out.write.partitionBy(*[f"__p_{c}" for c in spec]).parquet(staging)
+        for i, c in enumerate(spec):
+            # positional names: a derived label like days(ts) is not a
+            # valid hive directory column name
+            out = out.withColumn(f"__p_{i}", _stats_expr(c))
+        out.write.partitionBy(*[f"__p_{i}" for i in range(len(spec))]).parquet(
+            staging
+        )
     else:
         df.write.parquet(staging)
 
@@ -1007,10 +1050,11 @@ def _collect_staged_stats(spark, staging: str, stats_cols: list[str]):
     staged_rows: dict[str, int] = {}
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in stats_cols:
+        e = _stats_expr(c)  # derived-transform labels compute here
         aggs += [
-            F.min(c).alias(f"min__{c}"),
-            F.max(c).alias(f"max__{c}"),
-            F.count(c).alias(f"nn__{c}"),
+            F.min(e).alias(f"min__{c}"),
+            F.max(e).alias(f"max__{c}"),
+            F.count(e).alias(f"nn__{c}"),
         ]
     for r in (
         spark.read.parquet(staging)
@@ -1763,7 +1807,9 @@ def delete_range(
     return delete_where(
         spark,
         table_dir,
-        f"{col} BETWEEN {_sql_lit(lo)} AND {_sql_lit(hi)}",
+        # a derived-transform label (days(ts), …) translates to its SQL
+        # for the straddler rewrite; identity columns pass through
+        f"{_spec_sql(col)} BETWEEN {_sql_lit(lo)} AND {_sql_lit(hi)}",
         prune={col: (slo, shi)},  # _plain'd: comparable with stored stats
         _drop=drop,
     )
@@ -3627,7 +3673,7 @@ def count_where(
     if to_scan:
         scanned = (
             _read_with_dvs(spark, table_dir, manifest, to_scan)
-            .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+            .filter(_stats_expr(col).between(F.lit(lo), F.lit(hi)))
             .count()
         )
         total += int(scanned)
@@ -3783,6 +3829,14 @@ def rename_column(spark: SparkSession, table_dir: str, old: str, new: str) -> in
         }
         spec = parent.get("partition_spec")
         if spec:
+            if any(
+                c != old and _spec_source_col(c) == old for c in spec
+            ):
+                raise ValueError(
+                    f"column {old!r} is the source of a derived partition "
+                    f"transform in {list(spec)} — the transform label "
+                    "cannot be rewritten; re-partition via overwrite first"
+                )
             man["partition_spec"] = [new if c == old else c for c in spec]
         for k in ("stats", "rows", "blooms", "constraints", "dvs",
                   "dv_files", "dropped_physical"):
@@ -3812,7 +3866,10 @@ def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
             raise ValueError(f"no column {name!r} in {names}")
         if len(fields) == 1:
             raise ValueError("cannot drop the table's last column")
-        if name in (parent.get("partition_spec") or []):
+        if any(
+            _spec_source_col(c) == name
+            for c in (parent.get("partition_spec") or [])
+        ):
             raise ValueError(f"column {name!r} is in the partition spec")
         hit = _constraint_mentions(parent.get("constraints", {}), name)
         if hit:

@@ -184,3 +184,32 @@ def test_read_changes_resolves_per_version_names(spark, tdir):
     ch = sn.read_changes(spark, tdir, 2)  # only the post-rename append
     assert set(ch.columns) == {"i", "label", "_commit_version"}
     assert ch.count() == 2
+
+
+def test_rename_partition_column_keeps_split_and_prune(spark, tdir):
+    """Renaming a partition-spec column updates the spec to the new
+    logical name; appends still split by it (translated back to the
+    physical name at staging) and pruning on the new name stays
+    file-exact."""
+    df = spark.range(0, 40).select(
+        F.col("id").alias("i"), (F.col("id") % 4).alias("p")
+    )
+    sn.write_snapshot(df, tdir, partition_by=("p",))
+    sn.rename_column(spark, tdir, "p", "bucket")
+    man = sn.snapshot_info(spark, tdir, 2)
+    assert man["partition_spec"] == ["bucket"]
+    # append speaks the NEW logical name; files stay split one-value-each
+    batch = spark.range(40, 60).select(
+        F.col("id").alias("i"), (F.col("id") % 4).alias("bucket")
+    )
+    v3 = sn.write_snapshot(batch, tdir)
+    man3 = sn.snapshot_info(spark, tdir, v3)
+    assert man3["partition_spec"] == ["bucket"]
+    for rel in man3["added"]:
+        st = man3["stats"][rel]["p"]  # stats stay keyed PHYSICAL
+        assert st[0] == st[1]
+    pruned = sn.read_snapshot(spark, tdir, prune={"bucket": (2, 2)})
+    assert pruned.columns == ["i", "bucket"]
+    assert pruned.filter("bucket = 2").count() == 15
+    exp = [r for r in man3["files"] if man3["stats"][r]["p"][0] == 2]
+    assert len(pruned.inputFiles()) == len(exp)

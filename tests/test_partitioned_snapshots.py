@@ -211,3 +211,89 @@ def test_streaming_sink_inherits_partition_spec(spark, tdir, tmp_path):
         st = man["stats"][rel]["p"]
         assert st[0] == st[1]  # streamed commit split by the spec too
     assert sn.read_snapshot(spark, tdir).count() == 80
+
+
+# ---------------------------------------- derived partition transforms
+
+
+def _tsdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("i"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + (F.col("id") * F.expr("INTERVAL 7 HOURS"))
+        ).alias("ts"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+
+
+def test_days_transform_splits_and_prunes(spark, tdir):
+    sn.write_snapshot(_tsdf(spark, 0, 96).repartition(2), tdir,
+                      partition_by=("days(ts)",))
+    man = sn.snapshot_info(spark, tdir, 1)
+    assert man["partition_spec"] == ["days(ts)"]
+    days = set()
+    for rel in man["files"]:
+        st = man["stats"][rel]["days(ts)"]
+        assert st[0] == st[1]  # one day per file
+        days.add(st[0])
+    assert len(days) == 28  # 96 * 7h = 28 days
+    pruned = sn.read_snapshot(
+        spark, tdir, prune={"days(ts)": ("2024-01-03", "2024-01-04")}
+    )
+    exp = [r for r in man["files"]
+           if "2024-01-03" <= man["stats"][r]["days(ts)"][0] <= "2024-01-04"]
+    assert len(pruned.inputFiles()) == len(exp)
+    assert pruned.filter(
+        "to_date(ts) between '2024-01-03' and '2024-01-04'"
+    ).count() == 7  # 24h*2/7h rounding: ids 7..13
+
+
+def test_days_transform_drop_partition_zero_io(spark, tdir):
+    sn.write_snapshot(_tsdf(spark, 0, 96).repartition(2), tdir,
+                      partition_by=("days(ts)",))
+    res = sn.delete_range(spark, tdir, "days(ts)", "2024-01-01", "2024-01-07")
+    assert res["files_rewritten"] == 0  # pure manifest arithmetic
+    assert res["files_dropped"] >= 7
+    got = sn.read_snapshot(spark, tdir)
+    assert got.filter("to_date(ts) <= '2024-01-07'").count() == 0
+    assert got.count() == 96 - res["rows_deleted"]
+    # appended data re-splits by the derived spec
+    v = sn.write_snapshot(_tsdf(spark, 96, 120), tdir)
+    man = sn.snapshot_info(spark, tdir, v)
+    for rel in man["added"]:
+        st = man["stats"][rel]["days(ts)"]
+        assert st[0] == st[1]
+
+
+def test_months_transform(spark, tdir):
+    df = _tsdf(spark, 0, 300)  # ~87 days -> 3-4 months
+    sn.write_snapshot(df.repartition(2), tdir, partition_by=("months(ts)",))
+    man = sn.snapshot_info(spark, tdir, 1)
+    months = {man["stats"][r]["months(ts)"][0] for r in man["files"]}
+    assert "2024-01" in months and len(months) >= 3
+    pruned = sn.read_snapshot(
+        spark, tdir, prune={"months(ts)": ("2024-02", "2024-02")}
+    )
+    assert 0 < len(pruned.inputFiles()) < len(man["files"])
+    want = df.filter("date_format(ts, 'yyyy-MM') = '2024-02'").count()
+    assert pruned.filter("date_format(ts, 'yyyy-MM') = '2024-02'").count() == want > 0
+
+
+def test_transform_source_rename_and_drop_refused(spark, tdir):
+    sn.write_snapshot(_tsdf(spark, 0, 20), tdir, partition_by=("days(ts)",))
+    with pytest.raises(ValueError, match="derived partition transform"):
+        sn.rename_column(spark, tdir, "ts", "event_time")
+    with pytest.raises(ValueError, match="partition spec"):
+        sn.drop_column(spark, tdir, "ts")
+    # non-source columns still rename freely
+    sn.rename_column(spark, tdir, "value", "amount")
+    assert sn.read_snapshot(spark, tdir).columns == ["i", "ts", "amount"]
+
+
+def test_transform_missing_source_refused(spark, tdir):
+    with pytest.raises(ValueError, match="not in data"):
+        sn.write_snapshot(
+            spark.range(3).select(F.col("id").alias("i")), tdir,
+            partition_by=("days(ts)",),
+        )
