@@ -99,6 +99,11 @@ PROBES = [
     # exponent should sit well below 1 (the whole point of the index)
     "ann_cosine_ivf_indexed",
     "ann_cosine_ivfpq",
+    # partitioned snapshot tables (round 5): the untimed prime builds the
+    # partitioned table + the zero-I/O partition drop; timed runs measure
+    # the pruned/aggregate read paths over the partition-split files
+    "orders_partitioned_prune",
+    "events_partitioned_daily",
 ]
 
 
