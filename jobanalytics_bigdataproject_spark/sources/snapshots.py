@@ -807,6 +807,30 @@ def read_snapshot(
             if _overlaps(stats.get(rel), eq)
             and _bloom_keeps(blooms.get(rel), point, hashes)
         ]
+        # transform-aware pruning: a point on a derived transform's SOURCE
+        # column also prunes by the computed partition value — on a
+        # bucket(N, key)-partitioned table a key lookup opens ~1/N of the
+        # files with no Bloom index at all (the Iceberg bucket-pruning
+        # shape). The transform of the literal is computed BY SPARK in a
+        # 1-row job cast to the column's manifest type, so it is
+        # bit-identical to the staged values.
+        derived = [
+            e
+            for e in (manifest.get("partition_spec") or [])
+            if _spec_source_col(e) != e and _spec_source_col(e) in point
+        ]
+        for e in derived:
+            src = _spec_source_col(e)
+            t = types.get(src)
+            lit = F.lit(point[src]) if t is None else F.lit(point[src]).cast(t)
+            val = _plain(
+                spark.range(1)
+                .select(lit.alias(src))
+                .selectExpr(_spec_sql(e))
+                .first()[0]
+            )
+            eqp = {e: (val, val)}
+            kept = [rel for rel in kept if _overlaps(stats.get(rel), eqp)]
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -966,6 +990,7 @@ def snapshot_sink(table_dir: str, mode: str = "append"):
 
 
 _TRANSFORM_RE = _re_mod.compile(r"^(years|months|days|hours)\((\w+)\)$")
+_BUCKET_RE = _re_mod.compile(r"^bucket\((\d+),\s*(\w+)\)$")
 _TRANSFORM_SQL = {
     "years": "year({c})",
     "months": "date_format({c}, 'yyyy-MM')",
@@ -978,7 +1003,10 @@ def _spec_source_col(entry: str) -> str:
     """The data column a partition-spec entry derives from (identity
     entries are their own source)."""
     m = _TRANSFORM_RE.match(entry)
-    return m.group(2) if m else entry
+    if m:
+        return m.group(2)
+    b = _BUCKET_RE.match(entry)
+    return b.group(2) if b else entry
 
 
 def _spec_sql(entry: str) -> str:
@@ -986,10 +1014,17 @@ def _spec_sql(entry: str) -> str:
     Iceberg-style derived transforms (``years/months/days/hours(col)``)
     map to engine-agnostic date functions whose string/int forms order
     lexicographically == chronologically, so the stored per-file
-    min==max values prune with plain comparisons; identity entries pass
-    through as the column itself."""
+    min==max values prune with plain comparisons; ``bucket(N, col)``
+    hash-buckets a high-cardinality key into N groups (pmod of
+    xxhash64 — the same hash family the Bloom index probes with, JVM
+    codegen); identity entries pass through as the column itself."""
     m = _TRANSFORM_RE.match(entry)
-    return _TRANSFORM_SQL[m.group(1)].format(c=m.group(2)) if m else entry
+    if m:
+        return _TRANSFORM_SQL[m.group(1)].format(c=m.group(2))
+    b = _BUCKET_RE.match(entry)
+    if b:
+        return f"pmod(xxhash64({b.group(2)}), {b.group(1)}L)"
+    return entry
 
 
 def _stats_expr(c: str):

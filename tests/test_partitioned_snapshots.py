@@ -297,3 +297,53 @@ def test_transform_missing_source_refused(spark, tdir):
             spark.range(3).select(F.col("id").alias("i")), tdir,
             partition_by=("days(ts)",),
         )
+
+
+def test_bucket_transform_point_lookup_prunes(spark, tdir):
+    """bucket(N, key) partitioning: a point lookup on the SOURCE key
+    prunes to the one bucket's files with no Bloom index at all — the
+    Iceberg bucket-pruning shape for high-cardinality keys."""
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u-"), F.col("id")).alias("u"),
+    )
+    sn.write_snapshot(df.repartition(2), tdir, partition_by=("bucket(8, k)",))
+    man = sn.snapshot_info(spark, tdir, 1)
+    assert man["partition_spec"] == ["bucket(8, k)"]
+    buckets = set()
+    for rel in man["files"]:
+        st = man["stats"][rel]["bucket(8, k)"]
+        assert st[0] == st[1]
+        buckets.add(st[0])
+    assert buckets == set(range(8))
+    looked = sn.read_snapshot(spark, tdir, point={"k": 1234})
+    # one bucket of eight → at most 1/4 of the files kept (2 writers x 8)
+    assert len(looked.inputFiles()) <= len(man["files"]) // 4
+    assert looked.filter("k = 1234").count() == 1
+    # a value that does NOT exist still resolves to one bucket, not all
+    missed = sn.read_snapshot(spark, tdir, point={"k": 999_999})
+    assert len(missed.inputFiles()) <= len(man["files"]) // 4
+    assert missed.filter("k = 999999").count() == 0
+
+
+def test_days_transform_point_lookup_prunes(spark, tdir):
+    import datetime
+
+    sn.write_snapshot(_tsdf(spark, 0, 96).repartition(2), tdir,
+                      partition_by=("days(ts)",))
+    man = sn.snapshot_info(spark, tdir, 1)
+    ts = datetime.datetime(2024, 1, 3, 13, 0, 0)
+    looked = sn.read_snapshot(spark, tdir, point={"ts": ts})
+    exp = [r for r in man["files"]
+           if man["stats"][r]["days(ts)"][0] == "2024-01-03"]
+    assert len(looked.inputFiles()) == len(exp) > 0
+
+
+def test_bucket_delete_and_count_by_bucket_label(spark, tdir):
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    sn.write_snapshot(df.repartition(2), tdir, partition_by=("bucket(4, k)",))
+    cw = sn.count_where(spark, tdir, "bucket(4, k)", 2, 2)
+    assert cw["files_scanned"] == 0  # answered from per-file stats alone
+    res = sn.delete_range(spark, tdir, "bucket(4, k)", 2, 2)
+    assert res["files_rewritten"] == 0 and res["rows_deleted"] == cw["n_rows"]
+    assert sn.read_snapshot(spark, tdir).count() == 2000 - cw["n_rows"]
