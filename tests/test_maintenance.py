@@ -136,3 +136,38 @@ def test_maintain_zorders_only_on_drift(spark, tmp_path):
     )
     assert not res2["zordered"]
     assert sn.read_snapshot(spark, tdir).count() == 4096
+
+
+def test_maintain_composes_with_derived_partitions(spark, tmp_path):
+    """maintain() on a days(ts)-partitioned table: selective compaction
+    regroups by the DERIVED spec (the per-file single-day property
+    survives the small-file sweep)."""
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+    from jobanalytics_bigdataproject_spark.sources.maintenance import maintain
+
+    tdir = str(tmp_path / "daily")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("i"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + (F.col("id") % 48) * F.expr("INTERVAL 1 HOUR")
+            ).alias("ts"),
+        )
+
+    sn.write_snapshot(batch(0, 50), tdir, partition_by=("days(ts)",))
+    for lo in range(50, 250, 50):
+        sn.write_snapshot(batch(lo, lo + 50), tdir)
+    before = sn.describe_detail(spark, tdir)
+    res = maintain(spark, tdir, target_file_mb=128, small_file_mb=1,
+                   max_small_files=2)
+    assert res["compacted"]
+    man = sn.snapshot_info(spark, tdir, res["version"])
+    assert len(man["files"]) < before["n_files"]
+    for rel in man["files"]:  # one day per file survived the compaction
+        st = man["stats"][rel]["days(ts)"]
+        assert st[0] == st[1]
+    assert sn.read_snapshot(spark, tdir).count() == 250
