@@ -347,3 +347,30 @@ def test_bucket_delete_and_count_by_bucket_label(spark, tdir):
     res = sn.delete_range(spark, tdir, "bucket(4, k)", 2, 2)
     assert res["files_rewritten"] == 0 and res["rows_deleted"] == cw["n_rows"]
     assert sn.read_snapshot(spark, tdir).count() == 2000 - cw["n_rows"]
+
+
+def test_null_partition_values_are_safe(spark, tdir):
+    """NULL partition values land in the hive default partition; their
+    file's transform stats are NULL (min/max skip nulls), which the
+    pruning predicate treats as always-keep — a NULL-key row can never
+    be skipped away."""
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 06:00:00"), (1, "2024-01-02 06:00:00"), (2, None)],
+        "i long, raw string",
+    ).select("i", F.col("raw").cast("timestamp").alias("ts"))
+    sn.write_snapshot(df, tdir, partition_by=("days(ts)",))
+    got = sn.read_snapshot(spark, tdir)
+    assert got.count() == 3
+    assert got.filter("ts is null").count() == 1
+    # pruning keeps the NULL-day file (its stats are NULL → always kept)
+    pruned = sn.read_snapshot(
+        spark, tdir, prune={"days(ts)": ("2024-01-01", "2024-01-01")}
+    )
+    assert pruned.filter("ts is null").count() == 1
+    assert pruned.filter("to_date(ts) = '2024-01-01'").count() == 1
+    # the zero-I/O drop tier never drops the NULL file (BETWEEN is false
+    # for NULL, so it has survivors)
+    res = sn.delete_range(spark, tdir, "days(ts)", "2024-01-01", "2024-01-02")
+    final = sn.read_snapshot(spark, tdir)
+    assert final.count() == 1
+    assert final.first().i == 2  # only the NULL-ts row survives
