@@ -374,3 +374,30 @@ def test_null_partition_values_are_safe(spark, tdir):
     final = sn.read_snapshot(spark, tdir)
     assert final.count() == 1
     assert final.first().i == 2  # only the NULL-ts row survives
+
+
+def test_zorder_optimize_on_partitioned_table(spark, tdir):
+    """OPTIMIZE ZORDER BY on a partitioned table composes: the rewrite
+    range-clusters on the Morton key, the partitioned staging re-splits
+    by the spec, and both the spec and the one-value-per-file property
+    survive — clustering WITHIN partitions, the standard lakehouse
+    layout (PARTITIONED BY date, ZORDER BY keys)."""
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") % 50).alias("x"),
+        F.floor(F.col("id") / 50).alias("y"),
+    )
+    sn.write_snapshot(df.repartition(4), tdir, partition_by=("p",))
+    v = sn.optimize_snapshot(spark, tdir, target_mb=0.01, zorder_by=("x", "y"))
+    man = sn.snapshot_info(spark, tdir, v)
+    assert man["partition_spec"] == ["p"]
+    for rel in man["files"]:
+        st = man["stats"][rel]["p"]
+        assert st[0] == st[1]  # partition split survived the zorder
+        assert "x" in man["stats"][rel] and "y" in man["stats"][rel]
+    assert sn.read_snapshot(spark, tdir).count() == 2000
+    # pruning works on the partition AND the clustered columns
+    got = sn.read_snapshot(spark, tdir, prune={"p": (2, 2), "x": (0, 9)})
+    assert len(got.inputFiles()) < len(man["files"])
+    assert got.filter("p = 2 and x <= 9").count() == 100
