@@ -137,7 +137,12 @@ def _claim_version(local_manifest_path: str) -> bool:
         except FileExistsError:
             try:
                 st = os.stat(claim)
-                pid_s = open(claim).read().split()[0]
+                # a racing writer may have created the claim but not yet
+                # written "pid mtime" — an empty read means the holder is
+                # mid-write, i.e. very much alive: treat unparseable as
+                # live and fall through to the age check only
+                parts = open(claim).read().split()
+                pid_s = parts[0] if parts else ""
                 holder_alive = True
                 if pid_s.isdigit():
                     try:
@@ -165,8 +170,18 @@ def _claim_version(local_manifest_path: str) -> bool:
 
 
 def _release_claim(local_manifest_path: str) -> None:
+    """Release OUR claim only: if this writer stalled past
+    ``_CLAIM_STALE_S``, a second writer may have broken the claim and
+    re-created it with its own pid — unlinking unconditionally here would
+    delete the live writer's claim and reopen the cross-process race for
+    a third writer. Re-read and delete only if the recorded pid is ours
+    (an empty/unparseable claim is never ours: our write is atomic with
+    the O_EXCL create under the same fd)."""
+    claim = local_manifest_path + ".claim"
     try:
-        os.unlink(local_manifest_path + ".claim")
+        parts = open(claim).read().split()
+        if parts and parts[0] == str(os.getpid()):
+            os.unlink(claim)
     except OSError:
         pass
 
@@ -1437,7 +1452,15 @@ def optimize_snapshot(
     )
 
 
-def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
+_VACUUM_GRACE_S = 600.0  # wall-clock safety margin for in-flight commits
+
+
+def vacuum(
+    spark: SparkSession,
+    table_dir: str,
+    keep_last: int = 2,
+    grace_seconds: float = _VACUUM_GRACE_S,
+) -> int:
     """Delete data files referenced ONLY by versions older than the last
     ``keep_last`` — those versions stop being time-travelable (their
     manifests are removed too, so a stale read fails loudly instead of
@@ -1451,10 +1474,17 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
     every file a real version references was renamed before that
     version's manifest was created, so genuine debris always qualifies,
     while an in-flight commit's files (renamed after the retained history
-    was written) never do. Remaining caveat, same as Delta's: a writer
-    that staged its files before the oldest retained manifest landed and
-    commits only after vacuum ran can still lose them — don't run vacuum
-    concurrently with writers stalled longer than ``keep_last`` commits.
+    was written) never do. The manifest-mtime test alone is commit-count
+    based, though: on a busy table, ``keep_last`` commits can land within
+    seconds — inside the window between a slow writer's rename and its
+    commit (rename preserves mtime, so a data file's mtime is its
+    STAGING-write time, which precedes stats collection + constraint
+    validation + the commit loop). ``grace_seconds`` closes that hole the
+    way Delta's ``deletedFileRetentionDuration`` does: a candidate must
+    ALSO be older than ``now - grace_seconds`` wall-clock (default 10
+    min) to be reaped, so only a writer stalled longer than the grace
+    between rename and commit can lose files. Pass ``grace_seconds=0``
+    only in tests or when no writers can be live.
 
     Driver-side metadata work is O(retained manifests + data files) name
     operations; at object-store scale you'd batch the deletes, but the
@@ -1481,13 +1511,16 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
         referenced.update(man["files"])
         referenced_dv.update(man.get("dv_files", []))
     deleted = 0
+    # wall-clock grace: reap only files old enough that any writer which
+    # staged them has had grace_seconds to finish its commit (ms clock)
+    wall_cutoff = (time.time() - grace_seconds) * 1000.0
     data_path = Path(f"{table_dir}/{_DATA}")
     if fs.exists(data_path):
         for st in fs.listStatus(data_path):
             rel = f"{_DATA}/{st.getPath().getName()}"
             if rel not in referenced and (
                 cutoff is None or st.getModificationTime() < cutoff
-            ):
+            ) and st.getModificationTime() < wall_cutoff:
                 fs.delete(st.getPath(), False)
                 deleted += 1
     # deletion-vector sidecars referenced only by dropped versions go too
@@ -1497,7 +1530,7 @@ def vacuum(spark: SparkSession, table_dir: str, keep_last: int = 2) -> int:
             rel = f"{_DV}/{st.getPath().getName()}"
             if rel not in referenced_dv and (
                 cutoff is None or st.getModificationTime() < cutoff
-            ):
+            ) and st.getModificationTime() < wall_cutoff:
                 fs.delete(st.getPath(), True)
                 deleted += 1
     for v in range(1, keep_from):
@@ -2283,6 +2316,7 @@ def _mor_delete(
     select_matches,
     condition_desc: str,
     prune: dict | None = None,
+    op_name: str = "delete_where_mor",
 ) -> dict:
     """Shared merge-on-read DELETE machinery: ``select_matches(live)``
     narrows the live-row frame (existing DVs already excluded, data
@@ -2295,7 +2329,7 @@ def _mor_delete(
     if head == 0:
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
-    _refuse_mapping(manifest, "delete_where_mor")
+    _refuse_mapping(manifest, op_name)
     all_files = manifest["files"]
     stats = manifest.get("stats", {})
     dvs = dict(manifest.get("dvs", {}))
@@ -2432,6 +2466,7 @@ def delete_keys_mor(
         lambda live: live.join(keyed, on=key_col, how="left_semi"),
         f"{key_col} IN (<keys frame>)",
         prune,
+        op_name="delete_keys_mor",
     )
 
 
@@ -2481,7 +2516,6 @@ def update_where_mor(
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     manifest = _read_manifest(fs, jvm, table_dir, head)
     _refuse_mapping(manifest, "update_where_mor")
-    _refuse_mapping(manifest, "delete_keys_mor")
     all_files = manifest["files"]
     stats = manifest.get("stats", {})
     dvs = dict(manifest.get("dvs", {}))

@@ -60,7 +60,7 @@ def test_vacuum_drops_old_versions_keeps_recent(spark, tdir):
     sn.write_snapshot(_batch(spark, 0, 5), tdir)
     sn.write_snapshot(_batch(spark, 100, 103), tdir, mode="overwrite")
     sn.write_snapshot(_batch(spark, 200, 202), tdir)  # append onto v2
-    deleted = sn.vacuum(spark, tdir, keep_last=2)
+    deleted = sn.vacuum(spark, tdir, keep_last=2, grace_seconds=0)
     # v1's files are referenced by no retained version -> physically gone
     assert deleted > 0
     assert _ids(sn.read_snapshot(spark, tdir)) == [100, 101, 102, 200, 201]
@@ -72,7 +72,7 @@ def test_vacuum_drops_old_versions_keeps_recent(spark, tdir):
 def test_vacuum_noop_when_all_referenced(spark, tdir):
     sn.write_snapshot(_batch(spark, 0, 5), tdir)
     sn.write_snapshot(_batch(spark, 5, 8), tdir)  # append: v2 references v1's files
-    assert sn.vacuum(spark, tdir, keep_last=1) == 0
+    assert sn.vacuum(spark, tdir, keep_last=1, grace_seconds=0) == 0
     assert _ids(sn.read_snapshot(spark, tdir)) == list(range(8))
 
 
@@ -105,7 +105,7 @@ def test_optimize_rewrites_small_files_same_rows(spark, tdir):
     assert _ids(opt) == list(range(10))  # same rows
     # pre-optimize versions still time-travel until vacuum
     assert _ids(sn.read_snapshot(spark, tdir, version=5)) == list(range(10))
-    assert sn.vacuum(spark, tdir, keep_last=1) == 5  # the five small files
+    assert sn.vacuum(spark, tdir, keep_last=1, grace_seconds=0) == 5  # the five small files
 
 
 _SOURCE_ROWS: list = []
@@ -256,7 +256,7 @@ def test_read_changes_incremental_consumption(spark, tdir):
     assert empty.count() == 0 and "_commit_version" in empty.columns
     # vacuumed-away range must fail loudly, not silently skip
     sn.write_snapshot(_batch(spark, 100, 101), tdir, mode="overwrite")  # v4
-    sn.vacuum(spark, tdir, keep_last=1)
+    sn.vacuum(spark, tdir, keep_last=1, grace_seconds=0)
     with pytest.raises(FileNotFoundError):
         sn.read_changes(spark, tdir, from_version=0).collect()
 
@@ -635,7 +635,7 @@ def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
     assert _ids(sn.read_snapshot(spark, dst)) == list(range(5, 20)) + [100]
     assert _ids(sn.read_snapshot(spark, src)) == list(range(20))  # untouched
     # clone's vacuum never deletes source files
-    sn.vacuum(spark, dst, keep_last=1)
+    sn.vacuum(spark, dst, keep_last=1, grace_seconds=0)
     assert _ids(sn.read_snapshot(spark, src)) == list(range(20))
     # second clone into the same dst refused
     with pytest.raises(FileExistsError):
@@ -1489,7 +1489,7 @@ def test_mor_vacuum_cleans_unreferenced_sidecars(spark, tdir):
     sn.materialize_dvs(spark, tdir)  # v3: sidecar now unreferenced by head
     sn.write_snapshot(_iv(spark, 10, 20).coalesce(1), tdir)  # v4
     assert len(os.listdir(f"{tdir}/dv")) == 1
-    sn.vacuum(spark, tdir, keep_last=2)  # keeps v3..v4, drops v1..v2
+    sn.vacuum(spark, tdir, keep_last=2, grace_seconds=0)  # keeps v3..v4, drops v1..v2
     assert os.listdir(f"{tdir}/dv") == []
     assert _ids(sn.read_snapshot(spark, tdir)) == list(range(1, 20))
 
@@ -1806,12 +1806,12 @@ def test_mor_time_travel_after_materialize(spark, tdir):
     assert _ids(sn.read_snapshot(spark, tdir, version=2)) == list(range(7))
     assert _ids(sn.read_snapshot(spark, tdir, version=3)) == list(range(7))
     # retention keeping v2 keeps its sidecar on disk
-    sn.vacuum(spark, tdir, keep_last=2)  # keeps v2..v3
+    sn.vacuum(spark, tdir, keep_last=2, grace_seconds=0)  # keeps v2..v3
     assert len(os.listdir(f"{tdir}/dv")) == 1
     assert _ids(sn.read_snapshot(spark, tdir, version=2)) == list(range(7))
     # dropping v2 reaps the sidecar
     sn.write_snapshot(_iv(spark, 10, 12).coalesce(1), tdir)  # v4
-    sn.vacuum(spark, tdir, keep_last=2)  # keeps v3..v4
+    sn.vacuum(spark, tdir, keep_last=2, grace_seconds=0)  # keeps v3..v4
     assert os.listdir(f"{tdir}/dv") == []
 
 
