@@ -3,6 +3,8 @@ relationship, near-dup blocking."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from jobanalytics_bigdataproject_spark.operators import similarity
@@ -299,3 +301,25 @@ def test_semantic_dedup_keeps_one_per_cluster(spark):
     assert collapsed >= 5
     assert all(4 * c in out for c in range(6))
     assert {v for v in out if v >= first_bg} == set(range(first_bg, vid))
+
+
+def test_embedding_near_dups_oversized_block_refused(spark):
+    """A block larger than max_block_rows must fail loudly naming the LSH
+    path — the gram matrix is O(block^2) and a silent executor OOM at
+    corpus scale is the failure mode under test (VERDICT r5 caveat)."""
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.operators import similarity
+
+    emb = spark.range(0, 64).select(
+        F.lit(0).alias("label"),
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=int(i)) for i in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(Exception, match="embedding_near_dups_lsh"):
+        similarity.embedding_near_dups(emb, threshold=0.2, max_block_rows=32).collect()
+    # under the cap the same frame computes fine
+    assert (
+        similarity.embedding_near_dups(emb, threshold=-1.0, max_block_rows=64)
+        .count() == 64 * 63 / 2
+    )
