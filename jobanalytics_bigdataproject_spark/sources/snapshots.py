@@ -1490,12 +1490,31 @@ def vacuum(
     operations; at object-store scale you'd batch the deletes, but the
     set arithmetic is the same.
     """
-    fs, _, jvm = _fs(spark, table_dir)
-    Path = jvm.org.apache.hadoop.fs.Path
     head = current_version(spark, table_dir)
     if head == 0:
         return 0
     keep_from = max(1, head - keep_last + 1)
+    res = _reap_before(spark, table_dir, keep_from, head, grace_seconds, False)
+    return len(res["data_files"]) + len(res["dv_files"])
+
+
+def _reap_before(
+    spark: SparkSession,
+    table_dir: str,
+    keep_from: int,
+    head: int,
+    grace_seconds: float,
+    dry_run: bool,
+) -> dict:
+    """Shared retention machinery for ``vacuum`` (count-based) and
+    ``expire_snapshots`` (time-based): retain versions ``keep_from..head``,
+    remove every older manifest, and delete data/DV files referenced by NO
+    retained version — subject to BOTH in-flight-commit guards (mtime
+    strictly before the oldest retained manifest AND older than
+    ``grace_seconds`` wall-clock). ``dry_run=True`` mutates nothing and
+    returns exactly what a real run would remove."""
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
     referenced: set[str] = set()
     referenced_dv: set[str] = set()
     cutoff: int | None = None  # oldest retained manifest's mtime (ms)
@@ -1510,7 +1529,7 @@ def vacuum(
             ).getModificationTime()
         referenced.update(man["files"])
         referenced_dv.update(man.get("dv_files", []))
-    deleted = 0
+    out: dict = {"data_files": [], "dv_files": [], "manifests": []}
     # wall-clock grace: reap only files old enough that any writer which
     # staged them has had grace_seconds to finish its commit (ms clock)
     wall_cutoff = (time.time() - grace_seconds) * 1000.0
@@ -1521,8 +1540,9 @@ def vacuum(
             if rel not in referenced and (
                 cutoff is None or st.getModificationTime() < cutoff
             ) and st.getModificationTime() < wall_cutoff:
-                fs.delete(st.getPath(), False)
-                deleted += 1
+                out["data_files"].append(rel)
+                if not dry_run:
+                    fs.delete(st.getPath(), False)
     # deletion-vector sidecars referenced only by dropped versions go too
     dv_path = Path(f"{table_dir}/{_DV}")
     if fs.exists(dv_path):
@@ -1531,13 +1551,77 @@ def vacuum(
             if rel not in referenced_dv and (
                 cutoff is None or st.getModificationTime() < cutoff
             ) and st.getModificationTime() < wall_cutoff:
-                fs.delete(st.getPath(), True)
-                deleted += 1
+                out["dv_files"].append(rel)
+                if not dry_run:
+                    fs.delete(st.getPath(), True)
     for v in range(1, keep_from):
         mp = _manifest_path(jvm, table_dir, v)
         if fs.exists(mp):
-            fs.delete(mp, False)
-    return deleted
+            out["manifests"].append(f"{_LOG}/v{v:08d}.json")
+            if not dry_run:
+                fs.delete(mp, False)
+    return out
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    table_dir: str,
+    older_than_ts: float,
+    keep_last: int = 1,
+    grace_seconds: float = _VACUUM_GRACE_S,
+    dry_run: bool = False,
+) -> dict:
+    """Time-based retention (Iceberg ``expireSnapshots(olderThan=…)``):
+    stop retaining every version whose COMMIT time (the manifest file's
+    mtime — the same clock ``version_as_of`` resolves against) is
+    strictly before epoch-seconds ``older_than_ts``, then reap data/DV
+    files no retained version references, under the same
+    in-flight-commit protections as ``vacuum`` (oldest-retained-manifest
+    mtime guard + ``grace_seconds`` wall-clock guard).
+
+    ``keep_last`` (min 1) versions are ALWAYS retained regardless of
+    age — the table head can never expire. Retention is a contiguous
+    suffix: the expiry boundary is the newest version committed before
+    ``older_than_ts``; every earlier version goes, every later version
+    stays (manifests are totally ordered by commit time, so there is no
+    interleaving to worry about).
+
+    ``dry_run=True`` lists exactly what a real run would remove and
+    mutates NOTHING. Returns ``{"expired_versions": [...], "data_files":
+    [...], "dv_files": [...], "manifests": [...], "dry_run": bool}``.
+    """
+    head = current_version(spark, table_dir)
+    empty = {
+        "expired_versions": [],
+        "data_files": [],
+        "dv_files": [],
+        "manifests": [],
+        "dry_run": dry_run,
+    }
+    if head == 0:
+        return empty
+    fs, _, jvm = _fs(spark, table_dir)
+    keep_floor = max(1, head - max(1, keep_last) + 1)
+    keep_from = 1
+    for v in range(1, keep_floor + 1):
+        mp = _manifest_path(jvm, table_dir, v)
+        if not fs.exists(mp):
+            keep_from = v + 1  # already expired/vacuumed earlier
+            continue
+        if fs.getFileStatus(mp).getModificationTime() / 1000.0 < older_than_ts:
+            keep_from = v + 1
+        else:
+            break  # commit times are monotone: nothing newer can qualify
+    keep_from = min(keep_from, keep_floor)
+    if keep_from <= 1:
+        return empty
+    res = _reap_before(spark, table_dir, keep_from, head, grace_seconds, dry_run)
+    res["expired_versions"] = [
+        v for v in range(1, keep_from)
+        if f"{_LOG}/v{v:08d}.json" in set(res["manifests"])
+    ]
+    res["dry_run"] = dry_run
+    return res
 
 
 def delete_where(

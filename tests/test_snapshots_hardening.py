@@ -559,3 +559,79 @@ def test_delete_keys_mor_refusal_names_itself(spark, tdir):
     keys = spark.createDataFrame([(1,)], "i long")
     with pytest.raises(ValueError, match="delete_keys_mor"):
         sn.delete_keys_mor(spark, tdir, keys, "i")
+
+
+# ----------------------------------- expire_snapshots (VERDICT r5 #7)
+
+
+def test_expire_snapshots_boundary_and_dry_run(spark, tdir):
+    """Time-based retention: versions committed strictly before the cut
+    expire; the boundary version (committed exactly at / after the cut)
+    and everything newer stay readable; dry_run lists the same removal
+    set and mutates nothing."""
+    import time as _t
+
+    for lo in (0, 3, 6):
+        sn.write_snapshot(_kv(spark, lo, lo + 3), tdir)
+    # commit times: v1 <= v2 <= v3. Cut strictly between v2 and v3.
+    mp = lambda v: os.path.join(tdir, "_log", f"v0000000{v}.json")  # noqa: E731
+    now = _t.time()
+    os.utime(mp(1), (now - 1000, now - 1000))
+    os.utime(mp(2), (now - 800, now - 800))
+    cut = now - 500
+
+    dry = sn.expire_snapshots(spark, tdir, cut, dry_run=True, grace_seconds=0)
+    assert dry["dry_run"] and dry["expired_versions"] == [1, 2]
+    assert len(dry["manifests"]) == 2
+    # no-mutation law: everything still present and readable
+    assert os.path.exists(mp(1)) and os.path.exists(mp(2))
+    assert _ids(sn.read_snapshot(spark, tdir, version=1)) == [0, 1, 2]
+
+    real = sn.expire_snapshots(spark, tdir, cut, grace_seconds=0)
+    assert real["expired_versions"] == dry["expired_versions"]
+    assert sorted(real["data_files"]) == sorted(dry["data_files"])
+    assert not os.path.exists(mp(1)) and not os.path.exists(mp(2))
+    # boundary version v3 (committed after the cut) remains the head
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(9))
+    with pytest.raises(FileNotFoundError):
+        sn.read_snapshot(spark, tdir, version=1).collect()
+
+
+def test_expire_snapshots_never_expires_head(spark, tdir):
+    """keep_last floor: even if EVERY commit predates the cut, the head
+    (and keep_last-1 before it) survive."""
+    import time as _t
+
+    for lo in (0, 3, 6):
+        sn.write_snapshot(_kv(spark, lo, lo + 3), tdir)
+    res = sn.expire_snapshots(
+        spark, tdir, _t.time() + 3600, keep_last=2, grace_seconds=0
+    )
+    assert res["expired_versions"] == [1]
+    assert _ids(sn.read_snapshot(spark, tdir, version=2)) == list(range(6))
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(9))
+    # head alone with keep_last=1
+    res2 = sn.expire_snapshots(
+        spark, tdir, _t.time() + 3600, keep_last=1, grace_seconds=0
+    )
+    assert res2["expired_versions"] == [2]
+    assert _ids(sn.read_snapshot(spark, tdir)) == list(range(9))
+    # nothing left to expire: idempotent empty result
+    res3 = sn.expire_snapshots(spark, tdir, _t.time() + 3600, grace_seconds=0)
+    assert res3["expired_versions"] == []
+
+
+def test_expire_snapshots_grace_spares_fresh_debris(spark, tdir):
+    """The wall-clock grace applies to expire_snapshots exactly as to
+    vacuum: freshly staged unreferenced files survive a default-grace
+    expiry even when their version is expired."""
+    import time as _t
+
+    sn.write_snapshot(_kv(spark, 0, 3), tdir)
+    debris = os.path.join(tdir, "data", "part-inflight-expire.parquet")
+    with open(debris, "wb") as f:
+        f.write(b"staged")
+    sn.write_snapshot(_kv(spark, 3, 6), tdir)
+    res = sn.expire_snapshots(spark, tdir, _t.time() + 3600)  # default grace
+    assert res["expired_versions"] == [1]
+    assert os.path.exists(debris)  # fresh: spared by the grace
