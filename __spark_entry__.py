@@ -1103,6 +1103,68 @@ def _events_partitioned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPEC_EVOLUTION_CACHE: dict[str, str] = {}
+
+
+def _orders_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION (Iceberg v2 — sources/snapshots.
+    evolve_partition_spec, VERDICT r5 #2): half the orders commit under
+    ``partition_by=("o_orderstatus",)``, the spec then evolves to
+    ``("o_orderpriority",)`` as a METADATA-ONLY commit (zero files
+    rewritten — the build refuses otherwise), and the second half
+    appends under the new spec. The table now holds files laid out under
+    TWO specs; reads prune each file by the stats its own spec wrote
+    (spec_history keeps old transforms pruning). The query reads across
+    the boundary twice — pruned on the OLD spec column and on the NEW
+    one — and aggregates each arm; the oracle recomputes both from the
+    base rows, so the hash asserts mixed-spec pruning loses nothing.
+    Mixed-spec prune file-exactness, history carry on every commit path,
+    and refusals are pinned in tests/test_spec_evolution.py."""
+    from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _SPEC_EVOLUTION_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        o = t["orders"].select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+        )
+        path = tempfile.mkdtemp(prefix="spec_evo_orders_") + "/tbl"
+        first = o.filter(F.col("o_orderkey") % 2 == 0)
+        second = o.filter(F.col("o_orderkey") % 2 == 1)
+        v1 = sn.write_snapshot(
+            first.repartition(2), path, partition_by=("o_orderstatus",)
+        )
+        v2 = sn.evolve_partition_spec(spark, path, ("o_orderpriority",))
+        man1 = sn.snapshot_info(spark, path, v1)
+        man2 = sn.snapshot_info(spark, path, v2)
+        if man2["files"] != man1["files"]:  # metadata-only is the point
+            raise AssertionError("spec evolution rewrote data files")
+        sn.write_snapshot(second.repartition(2), path)
+        _SPEC_EVOLUTION_CACHE[sf_dir] = path
+
+    def _agg(df, src):
+        return df.groupBy().agg(
+            F.count(F.lit(1)).alias("cnt"),
+            money_sum("o_totalprice").alias("sum_cents"),
+        ).withColumn("src", F.lit(src))
+
+    old_arm = sn.read_snapshot(
+        spark, path, prune={"o_orderstatus": ("F", "F")}
+    ).filter(F.col("o_orderstatus") == "F")  # prune is file-granular
+    new_arm = sn.read_snapshot(
+        spark, path, prune={"o_orderpriority": ("1-URGENT", "1-URGENT")}
+    ).filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        _agg(old_arm, "old_spec_status_F")
+        .unionByName(_agg(new_arm, "new_spec_prio_1"))
+        .select("src", "cnt", "sum_cents")
+        .orderBy("src")
+    )
+
+
 _RETENTION_CACHE: dict[str, str] = {}
 
 
@@ -1620,31 +1682,14 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
-    # Round 5 (VERDICT r4 #1): the 12 oracle-backed queries that have never
-    # received a driver CORRECTNESS row — the round-4 lakehouse MOR DML wave
-    # plus the queries that yielded their slots to it.  All 21 round-4
-    # priority names are r4-fresh, so they leave the block and rotate via
-    # _last_checked_round; the remaining ~38 slots drain the r2-stale set.
-    "docs_bigram_logprob",
-    "docs_dedup_mor_delete",
-    "embeddings_matryoshka",
-    "events_ewma_daily",
-    "events_holt_forecast",
-    "orders_cdc_apply",
-    "orders_cdc_apply_mor",
-    "orders_mor_delete",
-    "orders_mor_update",
-    "orders_retention_expiry",
-    "orders_update_redaction",
-    "scd2_feed_apply",
-    # new in round 5 (need their first green rows; each displaces one
-    # r2-stale name — a twice-green stale row beats a never-checked new
-    # query losing its slot): partitioned snapshot + DROP PARTITION +
-    # file-exact prune; left-outer stream-stream interval join
-    "orders_partitioned_prune",
-    "events_interval_join_outer",
-    # derived partition transform (days(ts)): zero-I/O day-window DROP
-    "events_partitioned_daily",
+    # Round 6: all 15 round-5 priority names got green r5 rows and rotate
+    # out via _last_checked_round. The block now holds only this round's
+    # NEW oracle-backed queries; the 11 r2-stale names (T1-T5 family,
+    # tpch q3/q5/q14, unpivot_customer_metrics — VERDICT r5 #1) auto-sort
+    # directly after it as the least-recently-checked.
+    # partition-spec evolution: metadata-only spec change, mixed-spec
+    # pruning across the boundary (VERDICT r5 #2)
+    "orders_spec_evolution",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2052,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_merge": _orders_snapshot_merge,
         "orders_partitioned_prune": _orders_partitioned_prune,
         "events_partitioned_daily": _events_partitioned_daily,
+        "orders_spec_evolution": _orders_spec_evolution,
         "orders_cdc_apply": _orders_cdc_apply,
         "orders_retention_expiry": _orders_retention_expiry,
         "orders_update_redaction": _orders_update_redaction,
@@ -4040,6 +4086,20 @@ def _oracle_sql_literals() -> dict[str, str]:
             WHERE CAST(ts AS DATE) NOT BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
             GROUP BY 1
             ORDER BY day
+        """,
+        "orders_spec_evolution": """
+            SELECT 'new_spec_prio_1' AS src,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            UNION ALL
+            SELECT 'old_spec_status_F' AS src,
+                   COUNT(*) AS cnt,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM orders
+            WHERE o_orderstatus = 'F'
+            ORDER BY src
         """,
         "orders_partitioned_prune": """
             WITH pruned AS (

@@ -409,12 +409,15 @@ def write_snapshot(
         elif spec != list(parent_spec):
             raise ValueError(
                 f"append partition spec {spec} conflicts with the table's "
-                f"{list(parent_spec)} — overwrite to re-partition"
+                f"{list(parent_spec)} — evolve_partition_spec() changes the "
+                "spec without rewriting (old files keep their old layout), "
+                "or overwrite to re-partition everything"
             )
     elif mode == "append" and head0 > 0 and spec:
         raise ValueError(
             f"cannot introduce partition spec {spec} by appending to an "
-            "unpartitioned table — overwrite to re-partition"
+            "unpartitioned table — evolve_partition_spec() first, or "
+            "overwrite to re-partition"
         )
     if spec:
         missing = [c for c in spec if _spec_source_col(c) not in df.columns]
@@ -667,6 +670,11 @@ def write_snapshot(
         )
         if loop_spec:
             manifest["partition_spec"] = list(loop_spec)
+        # spec lineage rides along on appends (historical specs keep
+        # pruning the files they wrote); overwrite resets it — every
+        # file is now laid out under the caller's spec
+        if mode == "append" and head > 0 and parent.get("spec_history"):
+            manifest["spec_history"] = parent["spec_history"]
         # column mapping rides along on appends (the staged files were
         # translated to physical names); overwrite rewrites everything
         # with logical names — the mapping materializes away
@@ -829,9 +837,21 @@ def read_snapshot(
         # shape). The transform of the literal is computed BY SPARK in a
         # 1-row job cast to the column's manifest type, so it is
         # bit-identical to the staged values.
+        # historical specs prune too (spec evolution): files written
+        # under an OLD spec carry stats under the old labels, and a
+        # label encodes its transform fully, so applying every retained
+        # spec's transforms is sound — files lacking a label's stats are
+        # kept. Skipped on column-mapped tables, where a historical
+        # label's source name may no longer mean the same column.
+        spec_entries = list(manifest.get("partition_spec") or [])
+        if manifest.get("column_mapping") is None:
+            for h in manifest.get("spec_history") or []:
+                for e in h.get("spec", []):
+                    if e not in spec_entries:
+                        spec_entries.append(e)
         derived = [
             e
-            for e in (manifest.get("partition_spec") or [])
+            for e in spec_entries
             if _spec_source_col(e) != e and _spec_source_col(e) in point
         ]
         for e in derived:
@@ -954,6 +974,8 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
         if target.get("partition_spec"):
             # likewise the restored files' layout
             manifest["partition_spec"] = target["partition_spec"]
+        if target.get("spec_history"):
+            manifest["spec_history"] = target["spec_history"]
         # likewise the restored files' column mapping (their bytes carry
         # the physical names the TARGET's schema resolved)
         if target.get("column_mapping") is not None:
@@ -1396,7 +1418,7 @@ def optimize_snapshot(
             }
             if merged_blooms:
                 new_manifest["blooms"] = merged_blooms
-            for key in ("schema", "constraints", "partition_spec"):
+            for key in ("schema", "constraints", "partition_spec", "spec_history"):
                 if cur_man.get(key):
                     new_manifest[key] = cur_man[key]
             # DV-carrying files were excluded from compaction — carry
@@ -1862,6 +1884,8 @@ def delete_where(
             new_manifest["schema"] = cur_manifest["schema"]
         if cur_manifest.get("partition_spec"):
             new_manifest["partition_spec"] = cur_manifest["partition_spec"]
+        if cur_manifest.get("spec_history"):
+            new_manifest["spec_history"] = cur_manifest["spec_history"]
         # deletion vectors on files this DELETE never touched (e.g.
         # pruned out of the candidate set) MUST carry — dropping the
         # keys would resurrect their deleted rows (hit files are
@@ -2194,6 +2218,8 @@ def update_where(
             new_manifest["schema"] = cur_manifest["schema"]
         if cur_manifest.get("partition_spec"):
             new_manifest["partition_spec"] = cur_manifest["partition_spec"]
+        if cur_manifest.get("spec_history"):
+            new_manifest["spec_history"] = cur_manifest["spec_history"]
         # carry deletion vectors on untouched files — dropping the keys
         # would resurrect their deleted rows (hit files are DV-free:
         # _refuse_dvs at probe time + the loop check above)
@@ -2782,6 +2808,8 @@ def update_where_mor(
             new_manifest["schema"] = cur_manifest["schema"]
         if cur_manifest.get("partition_spec"):
             new_manifest["partition_spec"] = cur_manifest["partition_spec"]
+        if cur_manifest.get("spec_history"):
+            new_manifest["spec_history"] = cur_manifest["spec_history"]
         mp = _manifest_path(jvm, table_dir, version)
         if not _create_manifest(fs, mp, new_manifest):
             continue  # lost the race: rebase onto the new head
@@ -3077,6 +3105,8 @@ def merge_into_mor(
             new_manifest["schema"] = cur_manifest["schema"]
         if cur_manifest.get("partition_spec"):
             new_manifest["partition_spec"] = cur_manifest["partition_spec"]
+        if cur_manifest.get("spec_history"):
+            new_manifest["spec_history"] = cur_manifest["spec_history"]
         if idempotency_key is not None:
             new_manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
@@ -3207,7 +3237,11 @@ def materialize_dvs(spark: SparkSession, table_dir: str) -> dict:
         if leftover:  # DVs landed on other files while we staged
             new_manifest["dvs"] = leftover
             new_manifest["dv_files"] = cur_manifest.get("dv_files", [])
-        for key in ("schema", "constraints"):
+        # table-level keys MUST carry (r6 fix: materialize dropped the
+        # partition spec, demoting the table to unpartitioned metadata —
+        # rewritten files may straddle partition values, which pruning
+        # tolerates via stats, but the SPEC itself governs future appends)
+        for key in ("schema", "constraints", "partition_spec", "spec_history"):
             if cur_manifest.get(key):
                 new_manifest[key] = cur_manifest[key]
         mp = _manifest_path(jvm, table_dir, version)
@@ -3550,6 +3584,8 @@ def merge_into(
             new_manifest["schema"] = cur_manifest["schema"]
         if cur_manifest.get("partition_spec"):
             new_manifest["partition_spec"] = cur_manifest["partition_spec"]
+        if cur_manifest.get("spec_history"):
+            new_manifest["spec_history"] = cur_manifest["spec_history"]
         if idempotency_key is not None:
             new_manifest["idempotency_key"] = idempotency_key
         mp = _manifest_path(jvm, table_dir, version)
@@ -3915,7 +3951,7 @@ def add_constraint(
         # dvs/dv_files MUST carry (the DV-carry invariant: a metadata
         # commit that drops them resurrects merge-on-read-deleted rows)
         for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
-                  "partition_spec"):
+                  "partition_spec", "spec_history"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -3992,7 +4028,7 @@ def rename_column(spark: SparkSession, table_dir: str, old: str, new: str) -> in
                 )
             man["partition_spec"] = [new if c == old else c for c in spec]
         for k in ("stats", "rows", "blooms", "constraints", "dvs",
-                  "dv_files", "dropped_physical"):
+                  "dv_files", "dropped_physical", "spec_history"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -4049,7 +4085,87 @@ def drop_column(spark: SparkSession, table_dir: str, name: str) -> int:
             ),
         }
         for k in ("stats", "rows", "blooms", "constraints", "dvs",
-                  "dv_files", "partition_spec"):
+                  "dv_files", "partition_spec", "spec_history"):
+            if parent.get(k):
+                man[k] = parent[k]
+        return man
+
+    return _commit_metadata(fs, jvm, table_dir, build)
+
+
+def evolve_partition_spec(
+    spark: SparkSession,
+    table_dir: str,
+    new_spec: list[str] | tuple[str, ...],
+) -> int:
+    """PARTITION-SPEC EVOLUTION as a metadata-only commit (Iceberg v2
+    semantics, VERDICT r5 #2): change a live table's partition spec —
+    identity columns and/or derived transforms (``days(ts)``,
+    ``bucket(N, col)``, …) — WITHOUT rewriting a single data file.
+
+    What changes and what doesn't:
+
+    - Files written so far keep their old layout AND their old pruning:
+      their manifest stats are keyed by the OLD spec's labels, and
+      ``read_snapshot``'s transform-aware point pruning consults the
+      retained ``spec_history`` alongside the current spec, so a point
+      lookup on an old transform's source column still skips old files
+      (files lacking a label's stats are always kept — pruning can
+      coarsen, never lose rows).
+    - Future appends split and stat by the NEW spec automatically (the
+      spec is inherited from the head like before).
+    - ``optimize_snapshot`` / ``maintain()`` regroup to the CURRENT spec
+      lazily: a full rewrite re-partitions everything under the new
+      layout and resets the history (no old-layout files remain).
+    - ``delete_range``'s zero-I/O DROP-PARTITION tier is stats-based
+      (full containment + non-null counts), so it keeps working across
+      the boundary regardless of which spec wrote each file.
+
+    ``new_spec=()`` evolves to unpartitioned (future appends stop
+    splitting). Refuses: a no-op spec (same as current), an unknown
+    source column, or a column-mapped table (renamed/dropped columns —
+    historical labels would dangle; materialize the mapping first).
+
+    Returns the new version. Reference shape: Iceberg
+    ``Table.updateSpec().addField/removeField().commit()``.
+    """
+    fs, _, jvm = _fs(spark, table_dir)
+    spec = [str(c) for c in new_spec]
+
+    def build(parent: dict, version: int) -> dict:
+        _refuse_mapping(parent, "evolve_partition_spec")
+        old = list(parent.get("partition_spec") or [])
+        if spec == old:
+            raise ValueError(
+                f"evolve_partition_spec: {spec} is already the spec of "
+                f"{table_dir}"
+            )
+        fields = parent.get("schema", {}).get("fields")
+        if fields:
+            names = {f["name"] for f in fields}
+            missing = [c for c in spec if _spec_source_col(c) not in names]
+            if missing:
+                raise ValueError(
+                    f"partition spec sources not in table schema: {missing}"
+                )
+        man = {
+            "version": version,
+            "parent": parent["version"],
+            "action": "evolve_spec",
+            "spec_from": old,
+            "spec_to": spec,
+            "files": parent["files"],
+            "added": [],
+        }
+        if spec:
+            man["partition_spec"] = spec
+        hist = list(parent.get("spec_history", []))
+        if old:
+            hist = hist + [{"spec": old, "until_version": version}]
+        if hist:
+            man["spec_history"] = hist
+        for k in ("stats", "rows", "blooms", "schema", "constraints",
+                  "dvs", "dv_files"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -4078,7 +4194,7 @@ def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
         if cons:
             man["constraints"] = cons
         for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
-                  "partition_spec"):
+                  "partition_spec", "spec_history"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -4128,6 +4244,11 @@ def describe_detail(spark: SparkSession, table_dir: str) -> dict:
         "stats_cols": stats_cols,
         "bloom_cols": bloom_cols,
         "partition_spec": list(man.get("partition_spec", [])),
+        "spec_history": [
+            {"spec": list(h.get("spec", [])),
+             "until_version": h.get("until_version")}
+            for h in man.get("spec_history", [])
+        ],
         "constraints": sorted(man.get("constraints", {})),
         "schema_fields": [
             f["name"] for f in man.get("schema", {}).get("fields", [])
@@ -4248,6 +4369,8 @@ def shallow_clone(
         manifest["constraints"] = src["constraints"]
     if src.get("partition_spec"):
         manifest["partition_spec"] = src["partition_spec"]
+    if src.get("spec_history"):
+        manifest["spec_history"] = src["spec_history"]
     if src.get("column_mapping") is not None:
         manifest["column_mapping"] = src["column_mapping"]
     if src.get("dropped_physical"):

@@ -1,0 +1,231 @@
+"""Partition-spec evolution (VERDICT r5 #2): Iceberg-v2-style spec change
+on a live table as a metadata-only commit — old files keep their layout
+and their pruning (via spec_history), new appends split by the new spec,
+OPTIMIZE regroups lazily, and every manifest builder carries the lineage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _pdf(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("i"),
+        (F.col("id") % 4).alias("p"),
+        (F.col("id") % 3).alias("q"),
+        F.concat(F.lit("v-"), F.col("id")).alias("v"),
+    )
+
+
+def test_evolve_is_metadata_only_and_appends_follow(spark, tdir):
+    sn.write_snapshot(_pdf(spark, 0, 200).repartition(2), tdir,
+                      partition_by=("p",))
+    man1 = sn.snapshot_info(spark, tdir, 1)
+    v = sn.evolve_partition_spec(spark, tdir, ("q",))
+    man2 = sn.snapshot_info(spark, tdir, v)
+    # metadata-only: identical file set, nothing rewritten
+    assert man2["files"] == man1["files"]
+    assert man2["partition_spec"] == ["q"]
+    assert man2["spec_history"] == [{"spec": ["p"], "until_version": v}]
+    # reads are unchanged across the boundary
+    assert sn.read_snapshot(spark, tdir).count() == 200
+    # the next append splits by the NEW spec (q single-valued per file)
+    v3 = sn.write_snapshot(_pdf(spark, 200, 320).repartition(2), tdir)
+    man3 = sn.snapshot_info(spark, tdir, v3)
+    for rel in man3["added"]:
+        st = man3["stats"][rel]["q"]
+        assert st[0] == st[1]
+    # history rode along on the data commit
+    assert man3["spec_history"] == man2["spec_history"]
+    assert sn.read_snapshot(spark, tdir).count() == 320
+
+
+def test_mixed_spec_prune_correctness(spark, tdir):
+    """Pruning across the evolution boundary: old files prune by the old
+    spec's stats, new files by the new spec's — and a filtered read is
+    always row-complete (pruning may coarsen, never lose)."""
+    sn.write_snapshot(_pdf(spark, 0, 200).repartition(2), tdir,
+                      partition_by=("p",))
+    sn.evolve_partition_spec(spark, tdir, ("q",))
+    sn.write_snapshot(_pdf(spark, 200, 400).repartition(2), tdir)
+    man = sn.snapshot_info(spark, tdir, sn.current_version(spark, tdir))
+
+    # prune on the OLD spec column: every old file outside p=2 skipped,
+    # new files kept only when their q-split contents overlap
+    got = sn.read_snapshot(spark, tdir, prune={"p": (2, 2)})
+    rows = got.filter("p = 2")
+    assert rows.count() == 100  # complete
+    old_files = [r for r in man["files"] if r in man["stats"]
+                 and man["stats"][r].get("p") and man["stats"][r]["p"][0] == man["stats"][r]["p"][1]]
+    kept = {f.rsplit("/", 1)[-1] for f in got.inputFiles()}
+    # no old file with p-stats provably outside (2,2) was opened
+    for rel in man["files"]:
+        st = man["stats"].get(rel, {}).get("p")
+        if st and st[0] is not None and (st[1] < 2 or st[0] > 2):
+            assert rel.rsplit("/", 1)[-1] not in kept
+
+    # prune on the NEW spec column is file-exact for the new files
+    got_q = sn.read_snapshot(spark, tdir, prune={"q": (1, 1)})
+    assert got_q.filter("q = 1").count() == 400 // 3 + (1 if 400 % 3 > 1 else 0)
+
+
+def test_evolve_to_derived_transform_and_point_prune_history(spark, tdir):
+    """Evolution to/from derived transforms: a point lookup on the OLD
+    transform's source column still prunes the old files via
+    spec_history."""
+    days = sn.write_snapshot  # alias for line length
+    df = spark.range(0, 240).select(
+        F.col("id").alias("i"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id % 6 AS INT),0,0,0)").alias("ts"),
+        (F.col("id") % 4).alias("p"),
+    )
+    days(df.repartition(2), tdir, partition_by=("days(ts)",))
+    v = sn.evolve_partition_spec(spark, tdir, ("bucket(4, i)",))
+    df2 = spark.range(240, 480).select(
+        F.col("id").alias("i"),
+        F.expr("timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,CAST(id % 6 AS INT),0,0,0)").alias("ts"),
+        (F.col("id") % 4).alias("p"),
+    )
+    sn.write_snapshot(df2.repartition(2), tdir)
+    man = sn.snapshot_info(spark, tdir, sn.current_version(spark, tdir))
+    assert man["partition_spec"] == ["bucket(4, i)"]
+    assert man["spec_history"][0]["spec"] == ["days(ts)"]
+
+    # point on ts: old files (stats under days(ts)) prune via history —
+    # only the single matching day's files among the OLD files open
+    import datetime
+
+    got = sn.read_snapshot(
+        spark, tdir, point={"ts": datetime.datetime(2024, 1, 3, 0, 0, 0)}
+    )
+    kept = {f.rsplit("/", 1)[-1] for f in got.inputFiles()}
+    for rel in man["files"]:
+        st = man["stats"].get(rel, {}).get("days(ts)")
+        if st and st[0] is not None and not (st[0] <= "2024-01-03" <= st[1]):
+            assert rel.rsplit("/", 1)[-1] not in kept, rel
+    # and the read is row-complete
+    assert got.filter("to_date(ts) = date'2024-01-03'").count() == 40
+
+    # point on i: new files prune via the current bucket transform
+    got_i = sn.read_snapshot(spark, tdir, point={"i": 250})
+    assert got_i.filter("i = 250").count() == 1
+
+
+def test_evolve_refusals(spark, tdir):
+    sn.write_snapshot(_pdf(spark, 0, 40), tdir, partition_by=("p",))
+    with pytest.raises(ValueError, match="already the spec"):
+        sn.evolve_partition_spec(spark, tdir, ("p",))
+    with pytest.raises(ValueError, match="not in table schema"):
+        sn.evolve_partition_spec(spark, tdir, ("nope",))
+    with pytest.raises(ValueError, match="not in table schema"):
+        sn.evolve_partition_spec(spark, tdir, ("days(nope)",))
+    # column-mapped tables refuse (historical labels would dangle)
+    sn.rename_column(spark, tdir, "v", "val")
+    with pytest.raises(ValueError, match="evolve_partition_spec"):
+        sn.evolve_partition_spec(spark, tdir, ("q",))
+    # a conflicting append names the cure
+    clean = tdir + "-clean"
+    sn.write_snapshot(_pdf(spark, 0, 40), clean, partition_by=("p",))
+    with pytest.raises(ValueError, match="evolve_partition_spec"):
+        sn.write_snapshot(_pdf(spark, 40, 80), clean, partition_by=("q",))
+
+
+def test_evolve_to_unpartitioned_and_back(spark, tdir):
+    sn.write_snapshot(_pdf(spark, 0, 40), tdir, partition_by=("p",))
+    v = sn.evolve_partition_spec(spark, tdir, ())
+    assert sn.snapshot_info(spark, tdir, v).get("partition_spec") is None
+    # appends stop splitting; no spec conflict for plain appends
+    sn.write_snapshot(_pdf(spark, 40, 80), tdir)
+    # evolve back on: introducing a spec by evolution (not overwrite)
+    v3 = sn.evolve_partition_spec(spark, tdir, ("q",))
+    man = sn.snapshot_info(spark, tdir, v3)
+    assert man["partition_spec"] == ["q"]
+    assert [h["spec"] for h in man["spec_history"]] == [["p"]]
+    assert sn.read_snapshot(spark, tdir).count() == 80
+
+
+def test_optimize_regroups_to_current_spec_and_resets_history(spark, tdir):
+    sn.write_snapshot(_pdf(spark, 0, 120).repartition(2), tdir,
+                      partition_by=("p",))
+    sn.evolve_partition_spec(spark, tdir, ("q",))
+    sn.write_snapshot(_pdf(spark, 120, 240).repartition(2), tdir)
+    v = sn.optimize_snapshot(spark, tdir, target_mb=128, min_file_mb=1)
+    man = sn.snapshot_info(spark, tdir, v)
+    # every file now single-valued on the CURRENT spec column
+    for rel in man["files"]:
+        st = man["stats"][rel]["q"]
+        assert st[0] == st[1]
+    assert man["partition_spec"] == ["q"]
+    assert sn.read_snapshot(spark, tdir).count() == 240
+
+
+def test_dml_and_metadata_ops_carry_history(spark, tdir):
+    sn.write_snapshot(_pdf(spark, 0, 120).repartition(2), tdir,
+                      partition_by=("p",))
+    sn.evolve_partition_spec(spark, tdir, ("q",))
+    hist = sn.snapshot_info(spark, tdir, 2)["spec_history"]
+    sn.delete_where(spark, tdir, "i = 5")
+    sn.delete_where_mor(spark, tdir, "i = 6")
+    sn.add_constraint(spark, tdir, "pos", "i >= 0")
+    sn.drop_constraint(spark, tdir, "pos")
+    head = sn.current_version(spark, tdir)
+    man = sn.snapshot_info(spark, tdir, head)
+    assert man["spec_history"] == hist
+    assert man["partition_spec"] == ["q"]
+    assert sn.read_snapshot(spark, tdir).count() == 118
+    d = sn.describe_detail(spark, tdir)
+    assert d["spec_history"] == [{"spec": ["p"], "until_version": 2}]
+
+
+def test_materialize_dvs_keeps_partition_spec(spark, tdir):
+    """Regression (r6): materialize_dvs dropped the partition spec,
+    demoting the table to unpartitioned metadata."""
+    sn.write_snapshot(_pdf(spark, 0, 120).repartition(2), tdir,
+                      partition_by=("p",))
+    sn.delete_where_mor(spark, tdir, "i % 5 = 0")
+    sn.materialize_dvs(spark, tdir)
+    d = sn.describe_detail(spark, tdir)
+    assert d["partition_spec"] == ["p"]
+    assert sn.read_snapshot(spark, tdir).count() == 96
+    # and the next plain append still splits by the spec
+    v = sn.write_snapshot(_pdf(spark, 120, 160), tdir)
+    man = sn.snapshot_info(spark, tdir, v)
+    for rel in man["added"]:
+        st = man["stats"][rel]["p"]
+        assert st[0] == st[1]
+
+
+def test_evolve_streaming_source_treats_as_noop(spark, tdir, tmp_path):
+    """An evolve_spec commit adds no files — the snapshotlog source must
+    pass over it without raising the change-commit error."""
+    from jobanalytics_bigdataproject_spark.sources.snapshot_source import (
+        SnapshotDataSource,
+    )
+
+    spark.dataSource.register(SnapshotDataSource)
+    sn.write_snapshot(_pdf(spark, 0, 30), tdir)
+    sn.evolve_partition_spec(spark, tdir, ("p",))
+    sn.write_snapshot(_pdf(spark, 30, 60), tdir)
+    out = (
+        spark.readStream.format("snapshotlog")
+        .option("path", tdir)
+        .load()
+    )
+    qdir = str(tmp_path / "chk")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("spec_evolution_stream")
+        .option("checkpointLocation", qdir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("select count(*) c from spec_evolution_stream").first().c == 60
