@@ -305,6 +305,7 @@ def write_snapshot(
     bloom_width: int = _BLOOM_WIDTH,
     bloom_depth: int = _BLOOM_DEPTH,
     partition_by: list[str] | tuple[str, ...] = (),
+    bucket_by: tuple[str, int] | None = None,
     _rewrite_of: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
@@ -428,6 +429,38 @@ def write_snapshot(
         # so min==max stats make pruning/DROP PARTITION exact either way
         stats_cols = sorted(set(map(str, stats_cols)) | set(spec))
 
+    # bucket-layout resolution (Spark-native bucketing for shuffle-free
+    # joins via read_snapshot_bucketed): appends inherit the table's
+    # layout and refuse a conflicting one, like the partition spec
+    bb = (
+        {"col": str(bucket_by[0]), "n": int(bucket_by[1])}
+        if bucket_by is not None
+        else None
+    )
+    parent_bb = head0_manifest.get("bucket_by")
+    if mode == "append" and parent_bb:
+        if bb is None:
+            bb = dict(parent_bb)
+        elif bb != {"col": parent_bb["col"], "n": parent_bb["n"]}:
+            raise ValueError(
+                f"append bucket layout {bb} conflicts with the table's "
+                f"{parent_bb} — overwrite to re-bucket"
+            )
+    elif mode == "append" and head0 > 0 and bb:
+        raise ValueError(
+            f"cannot introduce bucket layout {bb} by appending to an "
+            "unbucketed table — overwrite to re-bucket"
+        )
+    if bb:
+        if spec:
+            raise ValueError(
+                "bucket_by and partition_by are mutually exclusive — "
+                "use partition_by=('bucket(N, col)',) for the stats-pruned "
+                "form, bucket_by for the Spark-native shuffle-free-join form"
+            )
+        if bb["col"] not in df.columns:
+            raise ValueError(f"bucket_by column {bb['col']!r} not in data")
+
     # 1. write data files to a staging dir, then move under data/ with
     #    commit-unique names (uuid, not version: a racing writer may end
     #    up committing these files at a later version than it aimed for)
@@ -450,7 +483,10 @@ def write_snapshot(
         stage_spec = _to_physical(head0_manifest, spec)
         stats_cols = _to_physical(head0_manifest, stats_cols)
         bloom_cols = _to_physical(head0_manifest, bloom_cols)
-    _stage_df(stage_frame, staging, stage_spec)
+    if bb:
+        _stage_df_bucketed(stage_frame, staging, bb)
+    else:
+        _stage_df(stage_frame, staging, stage_spec)
 
     # Schema-on-write enforcement (Delta semantics): an append must match
     # the table schema recorded in the head manifest — a renamed column
@@ -675,6 +711,26 @@ def write_snapshot(
         # file is now laid out under the caller's spec
         if mode == "append" and head > 0 and parent.get("spec_history"):
             manifest["spec_history"] = parent["spec_history"]
+        # bucket layout: appends must match the head's layout (our files
+        # were STAGED under head0's — a concurrent re-bucket invalidates
+        # them); overwrite/first-write record the caller's. Deliberately
+        # NOT carried by DML/optimize/metadata paths: one rewritten file
+        # without bucket naming breaks the all-files-bucketed property,
+        # so those commits drop the key and read_snapshot_bucketed
+        # refuses until an overwrite re-buckets.
+        if mode == "append" and head > 0:
+            if parent.get("bucket_by") != parent_bb:
+                for rel in new_files:
+                    fs.delete(Path(f"{table_dir}/{rel}"), False)
+                raise RuntimeError(
+                    f"bucket layout changed concurrently on {table_dir} "
+                    f"(staged under {parent_bb}, head has "
+                    f"{parent.get('bucket_by')}); re-run"
+                )
+            if parent.get("bucket_by"):
+                manifest["bucket_by"] = dict(parent["bucket_by"])
+        elif bb:
+            manifest["bucket_by"] = dict(bb)
         # column mapping rides along on appends (the staged files were
         # translated to physical names); overwrite rewrites everything
         # with logical names — the mapping materializes away
@@ -892,6 +948,84 @@ def read_snapshot(
     )
 
 
+def read_snapshot_bucketed(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    version: int | None = None,
+) -> DataFrame:
+    """The table AS OF ``version`` as a Spark BUCKETED catalog table —
+    the shuffle-free-join read path for snapshot tables written with
+    ``write_snapshot(bucket_by=(col, N))`` (VERDICT r5 #5): two snapshot
+    tables bucketed by the same key and N join with ZERO Exchange below
+    the join (Spark's bucketed scan reports HashPartitioning, so the
+    SortMergeJoin's distribution requirement is already satisfied by
+    storage layout).
+
+    Mechanics: the version's exact file set is exposed to the catalog as
+    an EXTERNAL bucketed table over a per-version view directory of
+    HARDLINKS (the files carry Spark's native ``_NNNNN`` bucket-id
+    naming from the bucketed staging writer, which survives the
+    commit rename as a basename suffix). Hardlinks pin the version: a
+    later vacuum unlinks the data/ name but the inode lives until the
+    view is removed. Local filesystems only — at object-store scale
+    this read path is a DSv2 storage-partitioned-join (Iceberg SPJ)
+    concern, not a hardlink trick; the manifest layout is ready for it
+    (``bucket_by`` key + per-file bucket naming).
+
+    Refuses: a table whose head (or requested version) lacks the
+    ``bucket_by`` key — DML/optimize/metadata commits deliberately drop
+    it, because one rewritten file without bucket naming silently breaks
+    the co-partitioning contract (wrong join results, not just a slow
+    plan). The cure is an overwrite with the same ``bucket_by``.
+    """
+    fs, hpath, jvm = _fs(spark, table_dir)
+    uri = hpath.toUri()
+    if uri.getScheme() not in (None, "file"):
+        raise ValueError(
+            "read_snapshot_bucketed needs a local (file://) table — on "
+            "HDFS/object stores use a DSv2 storage-partitioned join"
+        )
+    head = version if version is not None else current_version(spark, table_dir)
+    man = _read_manifest(fs, jvm, table_dir, head)
+    bb = man.get("bucket_by")
+    if not bb:
+        raise ValueError(
+            f"{table_dir} v{head} has no bucket layout — write it with "
+            "write_snapshot(bucket_by=(col, N)); note DML/OPTIMIZE/"
+            "metadata commits drop the layout (a rewritten file breaks "
+            "the co-partitioning contract) — overwrite to re-bucket"
+        )
+    local_root = uri.getPath()
+    view = os.path.join(local_root, "_bucketview", f"v{head:08d}")
+    os.makedirs(view, exist_ok=True)
+    want = {rel.rsplit("/", 1)[-1]: rel for rel in man["files"]}
+    have = set(os.listdir(view))
+    for base in have - set(want):
+        os.unlink(os.path.join(view, base))
+    for base, rel in want.items():
+        dst = os.path.join(view, base)
+        if not os.path.exists(dst):
+            os.link(os.path.join(local_root, rel), dst)
+
+    from pyspark.sql import types as T
+
+    schema = man.get("schema")
+    if not schema:
+        raise ValueError(f"{table_dir} v{head} has no tracked schema")
+    struct = T.StructType.fromJson(schema)
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in struct.fields
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    spark.sql(
+        f"CREATE TABLE `{name}` ({ddl}) USING PARQUET "
+        f"CLUSTERED BY (`{bb['col']}`) INTO {int(bb['n'])} BUCKETS "
+        f"LOCATION '{view}'"
+    )
+    return spark.table(name)
+
+
 def read_changes(
     spark: SparkSession,
     table_dir: str,
@@ -1098,6 +1232,28 @@ def _stage_df(df: DataFrame, staging: str, spec) -> None:
         )
     else:
         df.write.parquet(staging)
+
+
+def _stage_df_bucketed(df: DataFrame, staging: str, bb: dict) -> None:
+    """Stage ``df`` through Spark's NATIVE bucketed writer (Murmur3 bucket
+    hash + ``_NNNNN`` bucket-id file naming — the only layout Spark's
+    bucketed scan understands), via a throwaway EXTERNAL table whose
+    LOCATION is the staging dir: dropping the table drops only catalog
+    metadata, the bucket-named files stay for the rename-commit. The
+    pre-repartition on the bucket column uses the same HashPartitioning
+    as the bucket spec, so each bucket lands in one task → one file per
+    bucket per commit."""
+    spark = df.sparkSession
+    tmp = f"__snap_bucket_stage_{uuid.uuid4().hex[:8]}"
+    (
+        df.repartition(int(bb["n"]), F.col(bb["col"]))
+        .write.format("parquet")
+        .bucketBy(int(bb["n"]), bb["col"])
+        .option("path", staging)
+        .mode("overwrite")
+        .saveAsTable(tmp)
+    )
+    spark.sql(f"DROP TABLE `{tmp}`")  # external: metadata only, files stay
 
 
 def _walk_staged(fs, jvm, staging: str):

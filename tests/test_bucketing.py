@@ -45,3 +45,107 @@ def test_bucketed_join_is_shuffle_free(spark, tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+# ------- snapshot-layer bucketed storage (VERDICT r5 #5): versioned tables
+# written with write_snapshot(bucket_by=(col, N)) join shuffle-free via
+# read_snapshot_bucketed
+
+
+def test_snapshot_bucketed_join_is_shuffle_free(spark, tables, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    od = str(tmp_path / "orders_t")
+    cd = str(tmp_path / "cust_t")
+    sn.write_snapshot(
+        tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice"),
+        od, bucket_by=("o_custkey", 8),
+    )
+    # appends inherit the bucket layout and stay joinable
+    sn.write_snapshot(
+        tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000),
+        od,
+    )
+    sn.write_snapshot(
+        tables["customer"].select("c_custkey", "c_mktsegment"),
+        cd, bucket_by=("c_custkey", 8),
+    )
+    o = sn.read_snapshot_bucketed(spark, od, "orders_snap_b")
+    c = sn.read_snapshot_bucketed(spark, cd, "cust_snap_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment").count()
+        )
+        plan = inspect.formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert inspect.count_exchanges(joined) <= 1  # only the post-agg
+        got = {r.c_mktsegment: r["count"] for r in joined.collect()}
+        base = tables["orders"].select("o_custkey")
+        expected = {
+            r.c_mktsegment: r["count"]
+            for r in base.unionByName(base)
+            .join(tables["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment").count().collect()
+        }
+        assert got == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_snap_b")
+        spark.sql("DROP TABLE IF EXISTS cust_snap_b")
+
+
+def test_snapshot_bucket_layout_rules(spark, tmp_path):
+    import pytest
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    td = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sn.write_snapshot(df, td, bucket_by=("k", 4), partition_by=("g",))
+    sn.write_snapshot(df, td, bucket_by=("k", 4))
+    # conflicting append layout refused
+    with pytest.raises(ValueError, match="conflicts"):
+        sn.write_snapshot(df, td, bucket_by=("k", 8))
+    with pytest.raises(ValueError, match="conflicts"):
+        sn.write_snapshot(df, td, bucket_by=("g", 4))
+    # introducing a layout by append refused
+    flat = str(tmp_path / "flat")
+    sn.write_snapshot(df, flat)
+    with pytest.raises(ValueError, match="unbucketed"):
+        sn.write_snapshot(df, flat, bucket_by=("k", 4))
+    # unknown bucket column refused
+    with pytest.raises(ValueError, match="not in data"):
+        sn.write_snapshot(df, str(tmp_path / "x"), bucket_by=("nope", 4))
+
+
+def test_dml_drops_bucket_layout_and_read_refuses(spark, tmp_path):
+    """One DML-rewritten file breaks the all-files-bucket-named property
+    — the commit drops bucket_by and the bucketed read refuses loudly
+    (wrong join results would be silent otherwise)."""
+    import pytest
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    td = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    sn.write_snapshot(df, td, bucket_by=("k", 4))
+    v1 = sn.current_version(spark, td)
+    sn.delete_where(spark, td, "k = 5")
+    assert sn.snapshot_info(spark, td, sn.current_version(spark, td)).get(
+        "bucket_by") is None
+    with pytest.raises(ValueError, match="no bucket layout"):
+        sn.read_snapshot_bucketed(spark, td, "t_b")
+    # the PRE-DML version still reads bucketed (layout is per-version)
+    got = sn.read_snapshot_bucketed(spark, td, "t_b_v1", version=v1)
+    assert got.count() == 100
+    spark.sql("DROP TABLE IF EXISTS t_b_v1")
+    # plain read_snapshot of the head is unaffected
+    assert sn.read_snapshot(spark, td).count() == 99
