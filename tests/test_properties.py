@@ -337,3 +337,157 @@ def test_snapshot_stack_matches_model(spark, tmp_path_factory, ops):
                 states[-1].values()
             )
             assert sn.current_version(spark, tdir) == len(states)
+
+
+# --- three-way composition model: column mapping × partition spec × DVs
+# (VERDICT r5 #10). The table is PARTITIONED (identity p + derived
+# bucket(2, i)); ops mix MOR deletes (deletion vectors), renames (column
+# mapping), rollback and materialization. The model tracks the multiset
+# of i, plus three booleans (mapped / has_dvs / spec_live); after every
+# op the real read, the metadata COUNT, time travel to v1, and every
+# refusal must match the model.
+
+_op3 = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=4)),
+    st.tuples(st.just("mor_delete_le"), st.integers(0, 9)),
+    st.tuples(st.just("cow_delete_le"), st.integers(0, 9)),
+    st.tuples(st.just("rename_v"), st.just(0)),
+    st.tuples(st.just("rename_bucket_src"), st.just(0)),
+    st.tuples(st.just("materialize_mapping"), st.just(0)),
+    st.tuples(st.just("materialize_dvs"), st.just(0)),
+    st.tuples(st.just("rollback"), st.just(0)),
+)
+
+
+@given(ops=st.lists(_op3, min_size=2, max_size=6))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mapping_spec_dv_composition_matches_model(spark, tmp_path_factory, ops):
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    tdir = str(tmp_path_factory.mktemp("prop3") / "tbl")
+
+    def frame(keys, vname):
+        return spark.createDataFrame(
+            [(k, k % 3, f"s{k}") for k in keys],
+            f"i long, p long, {vname} string",
+        )
+
+    states: list[Counter] = []
+    mapped = False     # column_mapping present on the head
+    has_dvs = False    # head carries deletion vectors
+    spec_live = True   # head still has the v1 partition spec
+    vname = "v"        # current logical name of the renameable column
+
+    for kind, arg in ops:
+        if kind == "append":
+            if not states:
+                sn.write_snapshot(
+                    frame(arg, vname), tdir,
+                    partition_by=("p", "bucket(2, i)"),
+                )
+            else:
+                sn.write_snapshot(frame(arg, vname), tdir)
+            prev = states[-1] if states else Counter()
+            states.append(prev + Counter(arg))
+        elif kind == "mor_delete_le":
+            if not states:
+                continue
+            if mapped:
+                with _pytest.raises(ValueError, match="column-mapped"):
+                    sn.delete_where_mor(spark, tdir, f"i <= {arg}")
+            else:
+                res = sn.delete_where_mor(spark, tdir, f"i <= {arg}")
+                if res["rows_deleted"] > 0:
+                    states.append(
+                        Counter({k: n for k, n in states[-1].items() if k > arg})
+                    )
+                    has_dvs = True
+        elif kind == "cow_delete_le":
+            if not states:
+                continue
+            if mapped:
+                with _pytest.raises(ValueError, match="column-mapped"):
+                    sn.delete_where(spark, tdir, f"i <= {arg}")
+            elif has_dvs:
+                with _pytest.raises(ValueError, match="materialize_dvs"):
+                    sn.delete_where(spark, tdir, f"i <= {arg}")
+            else:
+                res = sn.delete_where(spark, tdir, f"i <= {arg}")
+                if res["rows_deleted"] > 0:
+                    states.append(
+                        Counter({k: n for k, n in states[-1].items() if k > arg})
+                    )
+        elif kind == "rename_v":
+            # renaming a NON-partition column is always a legal
+            # metadata-only commit, even on a DV-carrying partitioned
+            # table — reads keep excluding vectored rows afterwards
+            if not states or vname != "v":
+                continue
+            sn.rename_column(spark, tdir, "v", "w")
+            states.append(Counter(states[-1]))
+            mapped, vname = True, "w"
+        elif kind == "rename_bucket_src":
+            # i is the SOURCE of the derived bucket(2, i) entry: rename
+            # must refuse while the spec is live (the label cannot be
+            # rewritten), and commit nothing
+            if not states or not spec_live:
+                continue
+            with _pytest.raises(ValueError, match="derived partition"):
+                sn.rename_column(spark, tdir, "i", "j")
+        elif kind == "materialize_mapping":
+            # full-rewrite overwrite: logical names become physical,
+            # mapping/DVs/spec all reset (overwrite semantics)
+            if not states or not mapped:
+                continue
+            sn.write_snapshot(
+                sn.read_snapshot(spark, tdir), tdir, mode="overwrite"
+            )
+            states.append(Counter(states[-1]))
+            mapped, has_dvs, spec_live = False, False, False
+        elif kind == "materialize_dvs":
+            if not states:
+                continue
+            if mapped:
+                with _pytest.raises(ValueError, match="column-mapped"):
+                    sn.materialize_dvs(spark, tdir)
+            else:
+                res = sn.materialize_dvs(spark, tdir)
+                assert (res["files_rewritten"] > 0) == has_dvs
+                if has_dvs:
+                    states.append(Counter(states[-1]))
+                    has_dvs = False
+        elif kind == "rollback":
+            if len(states) < 2:
+                continue
+            sn.rollback(spark, tdir, to_version=1)
+            states.append(Counter(states[0]))
+            # v1: partitioned first append — unmapped, no DVs, spec live
+            mapped, has_dvs, spec_live, vname = False, False, True, "v"
+
+        if states:
+            got = Counter(r.i for r in sn.read_snapshot(spark, tdir).collect())
+            assert got == states[-1]
+            assert sn.metadata_agg(spark, tdir)["n_rows"] == sum(
+                states[-1].values()
+            )
+            assert sn.current_version(spark, tdir) == len(states)
+            # the head's table-level keys match the model's booleans
+            man = sn.snapshot_info(
+                spark, tdir, sn.current_version(spark, tdir)
+            )
+            assert (man.get("column_mapping") is not None) == mapped
+            assert bool(man.get("dvs")) == has_dvs
+            assert bool(man.get("partition_spec")) == spec_live
+
+    # time travel to v1 still shows the first append, whatever happened
+    if states:
+        v1 = Counter(r.i for r in sn.read_snapshot(spark, tdir, version=1).collect())
+        assert v1 == states[0]
