@@ -104,6 +104,16 @@ PROBES = [
     # the pruned/aggregate read paths over the partition-split files
     "orders_partitioned_prune",
     "events_partitioned_daily",
+    # round 6: stream-stream interval-join batch twin (left-outer) — the
+    # state-path probe VERDICT r5 #9 asked for: wall-time should be linear
+    # in events (one range-join per click within the horizon); the
+    # streaming form's state is bounded by rows inside the watermark
+    # horizon (see SCALE.md)
+    "events_interval_join_outer",
+    # round 6: spec-evolution read across the boundary (prune both specs)
+    # and the bucketed shuffle-free snapshot join (prime builds tables)
+    "orders_spec_evolution",
+    "orders_bucketed_join",
 ]
 
 
