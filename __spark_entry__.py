@@ -43,6 +43,7 @@ from jobanalytics_bigdataproject_spark.operators import (
     text,
     tpch,
 )
+from jobanalytics_bigdataproject_spark.ml import language as mll
 from jobanalytics_bigdataproject_spark.ml import quality as mlq
 from jobanalytics_bigdataproject_spark.sources.readers import load_star, register_views
 from jobanalytics_bigdataproject_spark.streaming import joins as stream_joins
@@ -1761,6 +1762,7 @@ _PRIORITY = [
 _ROWS_ONLY = {
     "ann_recall_report",
     "docs_quality_classifier",
+    "docs_language_model",
     "docs_lda_topics",
     "docs_fuzzy_contamination",
     "docs_bpe_merges",
@@ -2409,6 +2411,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_classifier": _q(
             ("documents",),
             lambda t: mlq.doc_quality_classifier(t["documents"]),
+        ),
+        # model-based language ID (ml/language.py — VERDICT r5 #6): the
+        # fastText shape, hashed char-trigram features + multinomial LR
+        # distilled from labels (the driver fixture's text carries no
+        # language signal, so this exercises the supervised label_col
+        # path; heuristic-confident distillation + the >=0.9 fixture
+        # accuracy live in tests/test_language_model.py). Rows-only:
+        # float model probabilities. Heuristic docs_language_id stays
+        # the oracle-backed fallback.
+        "docs_language_model": _q(
+            ("documents",),
+            lambda t: mll.doc_language_classifier(t["documents"], label_col="lang"),
         ),
         # corpus-mix audit: MLlib LDA-EM topic discovery (ml/quality.py:
         # lda_topics; rows-only: iterative float posterior weights)

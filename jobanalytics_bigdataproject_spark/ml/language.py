@@ -1,0 +1,176 @@
+"""[EXT] Model-based language identification — the fastText shape
+(hashed character n-grams -> linear classifier), distilled exactly the
+way ``ml/quality.py`` distills the quality heuristic (VERDICT r5 #6):
+the cheap marker-lexicon heuristic (``operators/text.language_id``)
+labels the documents it is CONFIDENT about, a multinomial logistic
+regression over stateless hashed char-trigram features learns those
+labels, and the model then scores every document — including ones whose
+text contains none of the ~4 marker words per language, which the
+heuristic must call ``und``.
+
+Why this scales where a vocabulary model doesn't: HashingTF over char
+n-grams is a PER-ROW map into a fixed-width sparse vector — no fitted
+vocabulary, no broadcast, nothing grows with the corpus (the reason
+fastText ships hashed n-gram buckets). The char n-grams themselves come
+from JVM-side transformers (RegexTokenizer -> NGram), so the whole
+featurize path is codegen/Arrow-free-of-Python. The LR fit iterates
+over the confident-labeled subset only, cached as feature vectors.
+
+The heuristic stays as the FALLBACK: rows where the model's top
+probability is below ``min_prob`` keep the heuristic's answer (or
+``und``), so a degenerate training corpus can never make the model
+overrule signal it doesn't have. A corpus whose confident labels
+collapse to <2 classes skips the fit entirely and returns the heuristic
+(degenerate-by-construction corpora, e.g. single-language fixtures).
+
+No counterpart in the reference (its 4 Scala phases have no text
+classifier); composes this repo's own text + MLlib surfaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jobanalytics_bigdataproject_spark.operators.text import LANG_MARKERS, language_id
+
+
+def doc_language_classifier(
+    documents: DataFrame,
+    text_col: str = "text",
+    label_col: str | None = None,
+    n_features: int = 1 << 12,
+    ngram: int = 3,
+    min_hits: int = 2,
+    min_prob: float = 0.5,
+    train_bp: int = 8000,
+    salt: str = "langsplit:v1",
+) -> DataFrame:
+    """Distill language ID into a hashed char-n-gram classifier and score
+    every document.
+
+    Labels: the heuristic's prediction where it scored at least
+    ``min_hits`` marker words (confident band) — or, when ``label_col``
+    is given, that column (supervised distillation from an already-
+    labeled corpus). Split: deterministic md5 bucket on doc_id
+    (``train_bp``/10000 to train), the same device as
+    ``quality.doc_quality_classifier`` so membership is stable across
+    runs and engines. Output: ``doc_id, split, heuristic_lang,
+    model_lang, model_prob, predicted_lang`` where ``predicted_lang`` is
+    the model's answer when ``model_prob >= min_prob`` and the heuristic
+    fallback otherwise.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    # language_id echoes the corpus' labeled `lang` column; tolerate
+    # unlabeled corpora (the common production case)
+    docs_for_heur = (
+        documents
+        if "lang" in documents.columns
+        else documents.withColumn("lang", F.lit(None).cast("string"))
+    )
+    heur = language_id(docs_for_heur, text_col=text_col).select(
+        "doc_id",
+        F.col("predicted_lang").alias("heuristic_lang"),
+        "best_score",
+    )
+    base = documents.select("doc_id", text_col).join(heur, "doc_id")
+    if label_col is not None:
+        base = base.join(
+            documents.select("doc_id", F.col(label_col).alias("__label_lang")),
+            "doc_id",
+        )
+        label_lang = F.col("__label_lang")
+    else:
+        label_lang = F.when(
+            (F.col("heuristic_lang") != "und")
+            & (F.col("best_score") >= min_hits),
+            F.col("heuristic_lang"),
+        )
+
+    langs = sorted(LANG_MARKERS)
+    idx = F.lit(None).cast("double")
+    for i, lg in enumerate(langs):
+        idx = F.when(label_lang == lg, F.lit(float(i))).otherwise(idx)
+    bucket = F.substring(
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 4
+    )
+    t_train = f"{(train_bp * 65536) // 10000:04x}"
+    base = base.select(
+        "doc_id",
+        F.lower(F.col(text_col)).alias("__txt"),
+        "heuristic_lang",
+        idx.alias("label"),
+        F.when(bucket < t_train, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+
+    def _fallback():
+        return base.select(
+            "doc_id",
+            "split",
+            "heuristic_lang",
+            F.lit(None).cast("string").alias("model_lang"),
+            F.lit(None).cast("double").alias("model_prob"),
+            F.col("heuristic_lang").alias("predicted_lang"),
+        )
+
+    # degenerate corpus: fewer than 2 confident classes — no decision
+    # boundary to learn; the heuristic IS the answer (documented fallback)
+    n_classes = base.filter("label IS NOT NULL").select("label").distinct().count()
+    if n_classes < 2:
+        return _fallback()
+
+    chars = RegexTokenizer(
+        inputCol="__txt", outputCol="__chars", pattern=".", gaps=False,
+        toLowercase=False, minTokenLength=1,
+    )
+    grams = NGram(n=ngram, inputCol="__chars", outputCol="__grams")
+    tf = HashingTF(inputCol="__grams", outputCol="features", numFeatures=n_features)
+    feat = tf.transform(grams.transform(chars.transform(base))).select(
+        "doc_id", "split", "heuristic_lang", "label", "features"
+    )
+    train = feat.filter("split = 'train' AND label IS NOT NULL").select(
+        "features", "label"
+    )
+    train.cache().count()  # materialize before the iterative fit
+    try:
+        model = LogisticRegression(
+            maxIter=30, regParam=0.01, family="multinomial",
+            featuresCol="features", labelCol="label",
+        ).fit(train)
+    finally:
+        train.unpersist()
+
+    # shed the training summary before scoring (same session-pinning
+    # hazard quality.py documents): write/load round-trips a KB-scale
+    # coefficient matrix
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = tempfile.mkdtemp(prefix="doc_lang_lr_")
+    model.write().overwrite().save(path)
+    model = LogisticRegressionModel.load(path)
+
+    probs = vector_to_array("probability")
+    model_lang = F.lit(None).cast("string")
+    for i, lg in enumerate(langs):
+        model_lang = F.when(
+            F.col("prediction") == float(i), F.lit(lg)
+        ).otherwise(model_lang)
+    top_prob = F.round(F.array_max(probs), 6)
+    return model.transform(feat).select(
+        "doc_id",
+        "split",
+        "heuristic_lang",
+        model_lang.alias("model_lang"),
+        top_prob.alias("model_prob"),
+        F.when(top_prob >= min_prob, model_lang)
+        .otherwise(F.col("heuristic_lang"))
+        .alias("predicted_lang"),
+    )
+    # no presentation sort: D-sized output; rows-only (float model scores)
