@@ -109,6 +109,7 @@ def maintain(
     zorder_by: Sequence[str] = (),
     max_overlap: float = 0.3,
     vacuum_keep_last: int | None = None,
+    expire_older_than: float | None = None,
 ) -> dict:
     """VERDICT r4 #10 — the nightly table service: read ``describe_detail``'s
     operational signals and close the loop, deciding maintenance instead of
@@ -126,7 +127,11 @@ def maintain(
        pattern): ``clustering_overlap > max_overlap`` → full
        ``OPTIMIZE ZORDER BY`` rewrite — the expensive tier, gated by a
        metadata-only signal so a well-clustered table never pays it.
-    4. **Retention**: ``vacuum_keep_last`` set → vacuum old versions.
+    4. **Retention**: ``vacuum_keep_last`` set → count-based vacuum;
+       ``expire_older_than`` (epoch seconds) set → time-based
+       ``expire_snapshots`` first (Iceberg-style retention horizon; the
+       head always survives). Both honor vacuum's in-flight-commit and
+       wall-clock-grace guards.
 
     Idempotent by construction: on a converged table every signal is
     below threshold and the call is a metadata-only no-op. Returns
@@ -178,8 +183,14 @@ def maintain(
             )
             out["zordered"] = True
 
+    if expire_older_than is not None:
+        res = sn.expire_snapshots(spark, table_dir, expire_older_than)
+        out["expired_versions"] = res["expired_versions"]
+        out["vacuumed_files"] += len(res["data_files"]) + len(res["dv_files"])
     if vacuum_keep_last is not None:
-        out["vacuumed_files"] = sn.vacuum(spark, table_dir, keep_last=vacuum_keep_last)
+        out["vacuumed_files"] += sn.vacuum(
+            spark, table_dir, keep_last=vacuum_keep_last
+        )
 
     out["version"] = sn.current_version(spark, table_dir)
     out["signals"] = signals

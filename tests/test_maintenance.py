@@ -171,3 +171,38 @@ def test_maintain_composes_with_derived_partitions(spark, tmp_path):
         st = man["stats"][rel]["days(ts)"]
         assert st[0] == st[1]
     assert sn.read_snapshot(spark, tdir).count() == 250
+
+
+def test_maintain_time_based_expiry(spark, tmp_path):
+    """maintain(expire_older_than=...) folds Iceberg-style time retention
+    into the policy loop: versions committed before the horizon expire
+    (head survives), reaped files count into vacuumed_files."""
+    import os
+    import time as _t
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+    from jobanalytics_bigdataproject_spark.sources.maintenance import maintain
+    from pyspark.sql import functions as F
+
+    tdir = str(tmp_path / "exp")
+    for lo in (0, 10, 20):
+        sn.write_snapshot(
+            spark.range(lo, lo + 10).select(F.col("id").alias("i")), tdir
+        )
+    # age v1/v2 past a 1-hour horizon
+    now = _t.time()
+    for v in (1, 2):
+        mp = os.path.join(tdir, "_log", f"v0000000{v}.json")
+        os.utime(mp, (now - 7200, now - 7200))
+    res = maintain(
+        spark, tdir, max_small_files=10_000,
+        expire_older_than=now - 3600,
+    )
+    assert res["expired_versions"] == [1, 2]
+    assert sn.current_version(spark, tdir) == 3
+    assert sn.read_snapshot(spark, tdir).count() == 30
+    # idempotent: nothing left past the horizon
+    res2 = maintain(
+        spark, tdir, max_small_files=10_000, expire_older_than=now - 3600
+    )
+    assert res2["expired_versions"] == []
