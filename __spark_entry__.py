@@ -1758,6 +1758,8 @@ _PRIORITY = [
     # bucketed storage inside the versioned layer: shuffle-free join,
     # plan-gated at build time (VERDICT r5 #5)
     "orders_bucketed_join",
+    # full-outer stream-stream interval join batch twin (round 6)
+    "events_interval_join_full",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2147,6 +2149,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("events",),
             lambda t: stream_joins.click_purchase_attribution(
                 t["events"], how="left_outer"
+            ),
+        ),
+        # full-outer variant (round 6): also keeps purchases no click
+        # preceded (NULL click columns) — in streaming both sides' state
+        # expires at the watermark, emitting the null-padded row from
+        # whichever side went unmatched (equivalence test in
+        # tests/test_streaming_join.py)
+        "events_interval_join_full": _q(
+            ("events",),
+            lambda t: stream_joins.click_purchase_attribution(
+                t["events"], how="full_outer"
             ),
         ),
         "scd2_user_state": _q(("events",), lambda t: scd.scd2_dim(t["events"])),
@@ -3948,6 +3961,17 @@ def _oracle_sql_literals() -> dict[str, str]:
                    p.value AS purchase_value
             FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
             LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL '10 minutes'
+        """,
+        "events_interval_join_full": """
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   p.value AS purchase_value
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            FULL JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL '10 minutes'

@@ -93,7 +93,11 @@ def click_purchase_attribution(
 
     ``how='left_outer'`` keeps unconverted clicks with NULL purchase
     columns — the funnel-drop view; in streaming those rows emit at
-    watermark expiry instead of being silently dropped."""
+    watermark expiry instead of being silently dropped.
+    ``how='full_outer'`` additionally keeps purchases no click preceded
+    (organic/dark-traffic conversions) with NULL click columns; the
+    user_id is coalesced from whichever side survives — a no-op for
+    inner/left rows, where the equi-join guarantees both sides agree."""
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
@@ -102,7 +106,7 @@ def click_purchase_attribution(
         clicks, purchases, key="user_id", ts_col="ts", upper=upper, how=how
     )
     return joined.select(
-        F.col("l.user_id").alias("user_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
         F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
         F.date_format("r.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         # raw double passthrough (no arithmetic) — bit-identical across engines

@@ -204,3 +204,93 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tables, tmp_path):
         if r.user_id != -1
     }
     assert streamed == batch
+
+
+def test_stream_stream_full_outer_join_equals_batch(spark, tables, tmp_path):
+    """Round 6: the FULL-OUTER interval join additionally emits purchases
+    no click preceded (NULL click columns) at watermark expiry. Same
+    staged-sentinel choreography as the left-outer test: batch 2 advances
+    the watermark past every expiry, batch 3 evicts both sides' state."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "events_full_outer_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bump = (
+        (F.col("ts") + F.lit(30 * 86400 * 10**9).cast("long"))
+        if dict(raw.dtypes)["ts"] == "bigint"  # TIMESTAMP(NANOS) generation
+        else F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    )
+    sentinel = (
+        raw.limit(2)
+        .withColumn("__rn", F.monotonically_increasing_id())
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            bump.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.when(F.col("__rn") == 0, "click")
+            .otherwise("purchase")
+            .alias("event_type"),
+            *[F.col(c) for c in raw.columns if c not in
+              ("event_id", "ts", "user_id", "event_type")],
+        )
+        .select(*raw.columns)
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(d / "_stage1"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(d / "_stage2"))
+    for i, stage in enumerate(("_stage1", "_stage2"), start=1):
+        src = next((d / stage).glob("*.parquet"))
+        shutil.move(str(src), d / f"part-{i}.parquet")
+        shutil.rmtree(d / stage)
+
+    batch = {
+        (r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
+        for r in sjoins.click_purchase_attribution(
+            tables["events"], how="full_outer"
+        ).collect()
+    }
+    # the fixture genuinely exercises all three row kinds
+    assert any(p is None for _, _, p, _ in batch)          # unconverted click
+    assert any(c is None for _, c, _, _ in batch)          # click-less purchase
+    assert any(c and p for _, c, p, _ in batch)            # matched pair
+
+    clicks_src = stream.with_watermark(
+        stream.read_events_stream(spark, str(d)), "1 minute"
+    )
+    purchases_src = stream.with_watermark(
+        stream.read_events_stream(spark, str(d)), "1 minute"
+    )
+    joined = sjoins.interval_join(
+        clicks_src.filter(F.col("event_type") == "click").select("user_id", "ts"),
+        purchases_src.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        ),
+        how="full_outer",
+    ).select(
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("r.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+    )
+    # sentinels are excluded from the COLLECTED set, never filtered in the
+    # streaming plan (the filter would push below the watermark node)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_full_outer_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
+        for r in spark.sql("SELECT * FROM ss_full_outer_join_test").collect()
+        if r.user_id != -1
+    }
+    assert streamed == batch
