@@ -80,6 +80,7 @@ from pyspark.sql import functions as F
 _LOG = "_log"
 _DATA = "data"
 _DV = "dv"  # deletion-vector sidecar dirs (merge-on-read deletes)
+_BUCKETVIEW = "_bucketview"  # per-version hardlink views for bucketed reads
 _BLOOM_WIDTH = 2048  # bits per probe stripe
 _BLOOM_DEPTH = 4  # probes per key
 
@@ -997,7 +998,7 @@ def read_snapshot_bucketed(
             "the co-partitioning contract) — overwrite to re-bucket"
         )
     local_root = uri.getPath()
-    view = os.path.join(local_root, "_bucketview", f"v{head:08d}")
+    view = os.path.join(local_root, _BUCKETVIEW, f"v{head:08d}")
     os.makedirs(view, exist_ok=True)
     want = {rel.rsplit("/", 1)[-1]: rel for rel in man["files"]}
     have = set(os.listdir(view))
@@ -1738,6 +1739,17 @@ def _reap_before(
             out["manifests"].append(f"{_LOG}/v{v:08d}.json")
             if not dry_run:
                 fs.delete(mp, False)
+    # bucketed-read hardlink views of expired versions go too: the view's
+    # links keep the data inodes alive past the data/ unlink, which is
+    # exactly right for RETAINED versions and a disk leak for expired ones
+    bv_path = Path(f"{table_dir}/{_BUCKETVIEW}")
+    if fs.exists(bv_path):
+        for st in fs.listStatus(bv_path):
+            name = st.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < keep_from:
+                out.setdefault("bucket_views", []).append(f"{_BUCKETVIEW}/{name}")
+                if not dry_run:
+                    fs.delete(st.getPath(), True)
     return out
 
 

@@ -149,3 +149,31 @@ def test_dml_drops_bucket_layout_and_read_refuses(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_b_v1")
     # plain read_snapshot of the head is unaffected
     assert sn.read_snapshot(spark, td).count() == 99
+
+
+def test_vacuum_reaps_expired_bucket_views(spark, tmp_path):
+    """Hardlink views keep data inodes alive past vacuum's data/ unlink —
+    right for retained versions, a disk leak for expired ones: vacuum
+    removes _bucketview dirs of versions older than the retention floor
+    and keeps the retained ones readable."""
+    import os
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    td = str(tmp_path / "t")
+    df = spark.range(0, 50).select(F.col("k").alias("k")) if False else (
+        spark.range(0, 50).selectExpr("id as k")
+    )
+    sn.write_snapshot(df, td, bucket_by=("k", 4))
+    sn.read_snapshot_bucketed(spark, td, "bv_vac_v1").count()
+    sn.write_snapshot(df, td)
+    sn.write_snapshot(df, td)
+    b3 = sn.read_snapshot_bucketed(spark, td, "bv_vac_v3")
+    assert sorted(os.listdir(os.path.join(td, "_bucketview"))) == [
+        "v00000001", "v00000003",
+    ]
+    sn.vacuum(spark, td, keep_last=1, grace_seconds=0)
+    assert sorted(os.listdir(os.path.join(td, "_bucketview"))) == ["v00000003"]
+    assert b3.count() == 150  # the retained view still reads
+    spark.sql("DROP TABLE IF EXISTS bv_vac_v1")
+    spark.sql("DROP TABLE IF EXISTS bv_vac_v3")
