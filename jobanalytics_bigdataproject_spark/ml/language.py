@@ -118,9 +118,16 @@ def doc_language_classifier(
             F.col("heuristic_lang").alias("predicted_lang"),
         )
 
-    # degenerate corpus: fewer than 2 confident classes — no decision
-    # boundary to learn; the heuristic IS the answer (documented fallback)
-    n_classes = base.filter("label IS NOT NULL").select("label").distinct().count()
+    # degenerate corpus: fewer than 2 confident classes IN THE TRAIN
+    # SPLIT — no decision boundary to learn (counting over the whole
+    # corpus would let a class whose confident docs all hashed into the
+    # holdout band slip through, fitting a one-class model that then
+    # overrules correct heuristic answers, or crashing on an empty train
+    # set); the heuristic IS the answer (documented fallback)
+    n_classes = (
+        base.filter("split = 'train' AND label IS NOT NULL")
+        .select("label").distinct().count()
+    )
     if n_classes < 2:
         return _fallback()
 

@@ -268,7 +268,7 @@ def ann_recall_report(
     arm_rows = spark.createDataFrame(
         [(m, p) for m, p, _ in arms], "method string, param string"
     )
-    return (
+    report = (
         arm_rows.join(F.broadcast(hit_counts), ["method", "param"], "left")
         .na.fill({"hit_pairs": 0})
         .crossJoin(F.broadcast(truth.agg(F.count("*").alias("truth_pairs"))))
@@ -280,6 +280,16 @@ def ann_recall_report(
             F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4).alias("recall"),
         )
     )
+    # the report is one row per arm: materialize it now so the persisted
+    # ground-truth frames can be RELEASED before returning — without this
+    # every call leaks two cached frames for the session lifetime (a
+    # bench session runs this 5+ times)
+    try:
+        rows = report.collect()
+        return spark.createDataFrame(rows, report.schema)
+    finally:
+        exact.unpersist()
+        queries.unpersist()
 
 
 def embedding_near_dups(

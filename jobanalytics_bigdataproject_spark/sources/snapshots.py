@@ -712,25 +712,26 @@ def write_snapshot(
         # file is now laid out under the caller's spec
         if mode == "append" and head > 0 and parent.get("spec_history"):
             manifest["spec_history"] = parent["spec_history"]
-        # bucket layout: appends must match the head's layout (our files
-        # were STAGED under head0's — a concurrent re-bucket invalidates
-        # them); overwrite/first-write record the caller's. Deliberately
-        # NOT carried by DML/optimize/metadata paths: one rewritten file
-        # without bucket naming breaks the all-files-bucketed property,
-        # so those commits drop the key and read_snapshot_bucketed
-        # refuses until an overwrite re-buckets.
-        if mode == "append" and head > 0:
-            if parent.get("bucket_by") != parent_bb:
-                for rel in new_files:
-                    fs.delete(Path(f"{table_dir}/{rel}"), False)
-                raise RuntimeError(
-                    f"bucket layout changed concurrently on {table_dir} "
-                    f"(staged under {parent_bb}, head has "
-                    f"{parent.get('bucket_by')}); re-run"
-                )
-            if parent.get("bucket_by"):
-                manifest["bucket_by"] = dict(parent["bucket_by"])
-        elif bb:
+        # bucket layout: an append's files were STAGED under `bb` (the
+        # head0 layout, or the caller's on a first write) — if the head's
+        # layout differs now, a concurrent commit changed it (re-bucket,
+        # DML drop, or a racing bootstrap of an empty table) and our
+        # staged files would silently mix layouts: refuse, both
+        # directions. Deliberately NOT carried by DML/optimize/
+        # rename-drop paths: one rewritten file without bucket naming
+        # breaks the all-files-bucketed property, so those commits drop
+        # the key and read_snapshot_bucketed refuses until an overwrite
+        # re-buckets (constraint/evolve metadata commits DO carry it —
+        # they touch no file).
+        if mode == "append" and head > 0 and parent.get("bucket_by") != bb:
+            for rel in new_files:
+                fs.delete(Path(f"{table_dir}/{rel}"), False)
+            raise RuntimeError(
+                f"bucket layout changed concurrently on {table_dir} "
+                f"(staged under {bb}, head has "
+                f"{parent.get('bucket_by')}); re-run"
+            )
+        if bb:
             manifest["bucket_by"] = dict(bb)
         # column mapping rides along on appends (the staged files were
         # translated to physical names); overwrite rewrites everything
@@ -1007,7 +1008,10 @@ def read_snapshot_bucketed(
     for base, rel in want.items():
         dst = os.path.join(view, base)
         if not os.path.exists(dst):
-            os.link(os.path.join(local_root, rel), dst)
+            try:
+                os.link(os.path.join(local_root, rel), dst)
+            except FileExistsError:
+                pass  # concurrent reader linked the same version: identical
 
     from pyspark.sql import types as T
 
@@ -1111,6 +1115,12 @@ def rollback(spark: SparkSession, table_dir: str, to_version: int) -> int:
             manifest["partition_spec"] = target["partition_spec"]
         if target.get("spec_history"):
             manifest["spec_history"] = target["spec_history"]
+        # likewise the restored files' bucket layout (the file SET is
+        # exactly the target's bucket-named files, so the shuffle-free
+        # read path stays valid — dropping the key would also make the
+        # next append stage unbucketed files into a bucketed layout)
+        if target.get("bucket_by"):
+            manifest["bucket_by"] = target["bucket_by"]
         # likewise the restored files' column mapping (their bytes carry
         # the physical names the TARGET's schema resolved)
         if target.get("column_mapping") is not None:
@@ -4119,7 +4129,7 @@ def add_constraint(
         # dvs/dv_files MUST carry (the DV-carry invariant: a metadata
         # commit that drops them resurrects merge-on-read-deleted rows)
         for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
-                  "partition_spec", "spec_history"):
+                  "partition_spec", "spec_history", "bucket_by"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -4302,6 +4312,12 @@ def evolve_partition_spec(
 
     def build(parent: dict, version: int) -> dict:
         _refuse_mapping(parent, "evolve_partition_spec")
+        if parent.get("bucket_by"):
+            raise ValueError(
+                "evolve_partition_spec on a bucket-layout table is "
+                "unsupported (bucket_by and partition_by are mutually "
+                "exclusive) — overwrite to re-lay-out"
+            )
         old = list(parent.get("partition_spec") or [])
         if spec == old:
             raise ValueError(
@@ -4362,7 +4378,7 @@ def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
         if cons:
             man["constraints"] = cons
         for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
-                  "partition_spec", "spec_history"):
+                  "partition_spec", "spec_history", "bucket_by"):
             if parent.get(k):
                 man[k] = parent[k]
         return man
@@ -4539,6 +4555,9 @@ def shallow_clone(
         manifest["partition_spec"] = src["partition_spec"]
     if src.get("spec_history"):
         manifest["spec_history"] = src["spec_history"]
+    if src.get("bucket_by"):
+        # the clone references the source's bucket-named files verbatim
+        manifest["bucket_by"] = src["bucket_by"]
     if src.get("column_mapping") is not None:
         manifest["column_mapping"] = src["column_mapping"]
     if src.get("dropped_physical"):

@@ -177,3 +177,46 @@ def test_vacuum_reaps_expired_bucket_views(spark, tmp_path):
     assert b3.count() == 150  # the retained view still reads
     spark.sql("DROP TABLE IF EXISTS bv_vac_v1")
     spark.sql("DROP TABLE IF EXISTS bv_vac_v3")
+
+
+def test_rollback_and_metadata_commits_keep_bucket_layout(spark, tmp_path):
+    """Review findings r6: rollback restores the target's bucket layout
+    (the restored file set IS the bucket-named files); constraint
+    commits touch no file and must carry it; clones reference the
+    source's files verbatim."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    td = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id as k")
+    sn.write_snapshot(df, td, bucket_by=("k", 4))
+    sn.write_snapshot(df.selectExpr("k + 100 as k"), td)
+    sn.add_constraint(spark, td, "pos", "k >= 0")
+    assert sn.snapshot_info(spark, td, 3)["bucket_by"] == {"col": "k", "n": 4}
+    sn.drop_constraint(spark, td, "pos")
+    assert sn.snapshot_info(spark, td, 4)["bucket_by"] == {"col": "k", "n": 4}
+    sn.rollback(spark, td, to_version=1)
+    assert sn.snapshot_info(spark, td, 5)["bucket_by"] == {"col": "k", "n": 4}
+    # the restored head reads bucketed AND accepts a bucketed append
+    got = sn.read_snapshot_bucketed(spark, td, "bv_rb")
+    assert got.count() == 100
+    spark.sql("DROP TABLE IF EXISTS bv_rb")
+    v = sn.write_snapshot(df.selectExpr("k + 200 as k"), td)
+    assert sn.snapshot_info(spark, td, v)["bucket_by"] == {"col": "k", "n": 4}
+    # clone carries the layout over absolute file references
+    dst = str(tmp_path / "clone")
+    sn.shallow_clone(spark, td, dst)
+    got2 = sn.read_snapshot_bucketed(spark, dst, "bv_cl")
+    assert got2.count() == 200
+    spark.sql("DROP TABLE IF EXISTS bv_cl")
+
+
+def test_evolve_refuses_on_bucketed_table(spark, tmp_path):
+    import pytest
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    td = str(tmp_path / "t")
+    sn.write_snapshot(spark.range(0, 10).selectExpr("id as k", "id % 3 as g"),
+                      td, bucket_by=("k", 2))
+    with pytest.raises(ValueError, match="bucket-layout"):
+        sn.evolve_partition_spec(spark, td, ("g",))

@@ -63,8 +63,6 @@ def test_mixed_spec_prune_correctness(spark, tdir):
     got = sn.read_snapshot(spark, tdir, prune={"p": (2, 2)})
     rows = got.filter("p = 2")
     assert rows.count() == 100  # complete
-    old_files = [r for r in man["files"] if r in man["stats"]
-                 and man["stats"][r].get("p") and man["stats"][r]["p"][0] == man["stats"][r]["p"][1]]
     kept = {f.rsplit("/", 1)[-1] for f in got.inputFiles()}
     # no old file with p-stats provably outside (2,2) was opened
     for rel in man["files"]:
