@@ -1951,10 +1951,16 @@ def delete_where(
     if hit_files:
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in stats_cols:
+            # _stats_expr, not F.col: a derived partition-transform label
+            # ("days(ts)", "bucket(2, i)") is a computed expression, and
+            # a COW rewrite on such a table must recompute its stats the
+            # same way the append path did (r6 fix — found by the
+            # composition model test; identity labels pass through)
+            e = _stats_expr(c)
             aggs += [
-                F.min(c).alias(f"min__{c}"),
-                F.max(c).alias(f"max__{c}"),
-                F.count(c).alias(f"nn__{c}"),
+                F.min(e).alias(f"min__{c}"),
+                F.max(e).alias(f"max__{c}"),
+                F.count(e).alias(f"nn__{c}"),
             ]
         for r in (
             spark.read.parquet(staging)

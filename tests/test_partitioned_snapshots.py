@@ -401,3 +401,26 @@ def test_zorder_optimize_on_partitioned_table(spark, tdir):
     got = sn.read_snapshot(spark, tdir, prune={"p": (2, 2), "x": (0, 9)})
     assert len(got.inputFiles()) < len(man["files"])
     assert got.filter("p = 2 and x <= 9").count() == 100
+
+
+def test_cow_delete_recomputes_derived_transform_stats(spark, tdir):
+    """r6 regression (found by the composition model test): delete_where's
+    rewrite-stats aggregate used F.col on the tracked stats labels, which
+    crashes on a derived transform label like bucket(2, i) — it must
+    compute the transform exactly as the append path does, and the
+    recomputed stats must keep point pruning correct."""
+    df = spark.range(0, 200).select(
+        F.col("id").alias("i"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    sn.write_snapshot(df.repartition(2), tdir, partition_by=("bucket(4, i)",))
+    res = sn.delete_where(spark, tdir, "i % 10 = 3")  # rewrites hit files
+    assert res["rows_deleted"] == 20
+    man = sn.snapshot_info(spark, tdir, res["version"])
+    # every file (carried or rewritten) still has bucket-label stats
+    for rel in man["files"]:
+        st = man["stats"][rel]["bucket(4, i)"]
+        assert st[0] is not None and st[1] is not None
+    # point lookup on i still prunes via the transform and reads complete
+    got = sn.read_snapshot(spark, tdir, point={"i": 7})
+    assert got.filter("i = 7").count() == 1
+    assert sn.read_snapshot(spark, tdir).count() == 180
