@@ -186,6 +186,9 @@ def recall_vs_exact(approx: DataFrame, exact: DataFrame, method: str, param: str
     )
 
 
+_RECALL_PINNED: list = []  # previous report call's persisted frames
+
+
 def ann_recall_report(
     spark,
     embeddings: DataFrame,
@@ -220,6 +223,12 @@ def ann_recall_report(
     per arm that needs it, not pin it in executor memory."""
     from pyspark.storagelevel import StorageLevel
 
+    # release the PREVIOUS call's pinned frames (the returned report is
+    # lazy, so this call's frames must outlive the function — but a
+    # session that runs the report repeatedly, e.g. bench, must not
+    # accumulate them; the leak is bounded to one generation)
+    while _RECALL_PINNED:
+        _RECALL_PINNED.pop().unpersist()
     # the query frame is bounded by contract (a handful of probe vectors);
     # every arm re-reads it, so pin it once
     queries = queries.persist(StorageLevel.MEMORY_AND_DISK)
@@ -227,6 +236,7 @@ def ann_recall_report(
         StorageLevel.MEMORY_AND_DISK
     )
     exact.count()  # materialize once, before any arm forks off it
+    _RECALL_PINNED.extend((queries, exact))
     truth = exact.select("query_id", "neighbor_id")
 
     arms: list[tuple[str, str, DataFrame]] = [
@@ -268,7 +278,7 @@ def ann_recall_report(
     arm_rows = spark.createDataFrame(
         [(m, p) for m, p, _ in arms], "method string, param string"
     )
-    report = (
+    return (
         arm_rows.join(F.broadcast(hit_counts), ["method", "param"], "left")
         .na.fill({"hit_pairs": 0})
         .crossJoin(F.broadcast(truth.agg(F.count("*").alias("truth_pairs"))))
@@ -280,16 +290,6 @@ def ann_recall_report(
             F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4).alias("recall"),
         )
     )
-    # the report is one row per arm: materialize it now so the persisted
-    # ground-truth frames can be RELEASED before returning — without this
-    # every call leaks two cached frames for the session lifetime (a
-    # bench session runs this 5+ times)
-    try:
-        rows = report.collect()
-        return spark.createDataFrame(rows, report.schema)
-    finally:
-        exact.unpersist()
-        queries.unpersist()
 
 
 def embedding_near_dups(
