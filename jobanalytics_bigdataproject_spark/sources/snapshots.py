@@ -551,35 +551,13 @@ def write_snapshot(
                 )
 
     # one grouped agg over the staged files collects row counts (always)
-    # and min/max (when stats_cols): with no stats_cols the scan touches
-    # zero data columns, so parquet serves it from row-group metadata
-    staged_stats: dict[str, dict] = {}
-    staged_rows: dict[str, int] = {}
-    aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in stats_cols:
-        e = _stats_expr(c)  # derived-transform labels compute here
-        aggs += [
-            F.min(e).alias(f"min__{c}"),
-            F.max(e).alias(f"max__{c}"),
-            # non-null count: what makes stats-only COUNT-WHERE exact for
-            # fully-contained files (min/max ignore NULLs, so row count
-            # alone would overcount rows the predicate excludes)
-            F.count(e).alias(f"nn__{c}"),
-        ]
-    stat_rows = (
-        spark.read.parquet(staging)
-        .groupBy(F.input_file_name().alias("__file"))
-        .agg(*aggs)
-        .collect()
+    # and min/max/non-null (when stats_cols): with no stats_cols the scan
+    # touches zero data columns, so parquet serves it from row-group
+    # metadata; the non-null count is what makes stats-only COUNT-WHERE
+    # exact for fully-contained files
+    staged_stats, staged_rows = _collect_staged_stats(
+        spark, staging, list(stats_cols)
     )
-    for r in stat_rows:
-        name = _staged_key(r["__file"], staging)
-        staged_rows[name] = int(r["__rows"])
-        if stats_cols:
-            staged_stats[name] = {
-                c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"]), int(r[f"nn__{c}"])]
-                for c in stats_cols
-            }
 
     staged_blooms = _collect_staged_blooms(
         spark, staging, bloom_cols, bloom_width, bloom_depth
@@ -774,6 +752,14 @@ def _overlaps(stats: dict | None, prune: dict) -> bool:
         if not rng or rng[0] is None or rng[1] is None:
             continue
         mn, mx = rng[0], rng[1]  # rng may carry a 3rd non-null-count slot
+        # bounds must compare in the manifest's own storage domain:
+        # dates/timestamps/decimals are stored as their ISO/string form
+        # (_plain at collection, lexicographic == chronological), so a
+        # caller passing the typed value would TypeError against the
+        # stored string (r6 fix — count_where/delete_range already
+        # normalized; this is the shared chokepoint for read_snapshot's
+        # prune/point and the DML prune paths)
+        lo, hi = _plain(lo), _plain(hi)
         if (lo is not None and mx < lo) or (hi is not None and mn > hi):
             return False
     return True
@@ -995,8 +981,20 @@ def read_snapshot_bucketed(
         raise ValueError(
             f"{table_dir} v{head} has no bucket layout — write it with "
             "write_snapshot(bucket_by=(col, N)); note DML/OPTIMIZE/"
-            "metadata commits drop the layout (a rewritten file breaks "
+            "rename-drop commits drop the layout (a rewritten file breaks "
             "the co-partitioning contract) — overwrite to re-bucket"
+        )
+    if man.get("dvs"):
+        # MOR deletes keep every file bucket-named (sidecar only), so
+        # bucket_by legitimately survives them — but this read path hands
+        # Spark the RAW files with no deletion-vector anti-join, which
+        # would resurrect the deleted rows (r6 fix). materialize first.
+        raise ValueError(
+            f"{table_dir} v{head} carries merge-on-read deletion vectors "
+            "— the bucketed catalog read scans raw files and would "
+            "resurrect deleted rows; run materialize_dvs() then "
+            "re-bucket via an overwrite (materialize rewrites the "
+            "DV'd files without bucket naming)"
         )
     local_root = uri.getPath()
     view = os.path.join(local_root, _BUCKETVIEW, f"v{head:08d}")
@@ -1500,7 +1498,6 @@ def optimize_snapshot(
             for r in manifest["files"]
             if sizes[r] < min_file_mb * 1024 * 1024 and r not in dv_set
         ]
-        large = [r for r in manifest["files"] if r not in set(small)]
         if len(small) <= 1:
             return head  # nothing worth compacting
         n = max(1, math.ceil(sum(sizes[r] for r in small) / (target_mb * 1024 * 1024)))
@@ -1610,6 +1607,19 @@ def optimize_snapshot(
     )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     current = read_snapshot(spark, table_dir, version=head)
+    tracked = manifest.get("schema")
+    if tracked and set(
+        f["name"] for f in tracked.get("fields", [])
+    ) - set(current.columns):
+        # additive schema evolution left older files lacking the newer
+        # columns: a plain multi-schema read samples one footer and would
+        # NARROW the rewrite to it — a maintenance op silently dropping
+        # columns table-wide (r6 fix). Re-read with schema merging; on a
+        # DV-carrying evolved table read_snapshot raises loudly
+        # (materialize first) instead of losing data.
+        current = read_snapshot(
+            spark, table_dir, version=head, merge_schema=True
+        )
     if cluster_by:
         current = current.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
@@ -1937,7 +1947,12 @@ def delete_where(
     # costs nothing and the stats read is on defined behavior
     staging = f"{table_dir}/staging-{tag}"
     if hit_files:
-        survivors = spark.read.parquet(
+        # mergeSchema: the hit set can span an additive schema-evolution
+        # boundary — a single-footer read would rewrite the newer files
+        # WITHOUT their later-added columns (r6 fix; uniform tables are
+        # unaffected, older files rewrite with typed NULLs which is the
+        # documented merge_schema read semantics)
+        survivors = spark.read.option("mergeSchema", "true").parquet(
             *(_data_path(table_dir, rel) for rel in hit_files)
         ).filter(~cond | cond.isNull())
         survivors.write.parquet(staging)
@@ -1949,32 +1964,13 @@ def delete_where(
     staged_rows: dict[str, int] = {}
     staged_blooms: dict[str, dict] = {}
     if hit_files:
-        aggs = [F.count(F.lit(1)).alias("__rows")]
-        for c in stats_cols:
-            # _stats_expr, not F.col: a derived partition-transform label
-            # ("days(ts)", "bucket(2, i)") is a computed expression, and
-            # a COW rewrite on such a table must recompute its stats the
-            # same way the append path did (r6 fix — found by the
-            # composition model test; identity labels pass through)
-            e = _stats_expr(c)
-            aggs += [
-                F.min(e).alias(f"min__{c}"),
-                F.max(e).alias(f"max__{c}"),
-                F.count(e).alias(f"nn__{c}"),
-            ]
-        for r in (
-            spark.read.parquet(staging)
-            .groupBy(F.input_file_name().alias("__file"))
-            .agg(*aggs)
-            .collect()
-        ):
-            name = r["__file"].rsplit("/", 1)[-1]
-            staged_rows[name] = int(r["__rows"])
-            if stats_cols:
-                staged_stats[name] = {
-                    c: [_plain(r[f"min__{c}"]), _plain(r[f"max__{c}"]), int(r[f"nn__{c}"])]
-                    for c in stats_cols
-                }
+        # shared helper (r6 dedup of a drifted inline copy — the drift was
+        # an F.col on derived-transform labels, found by the composition
+        # model test): _stats_expr computes transform labels exactly as
+        # the append path does; flat staging keys == bare basenames
+        staged_stats, staged_rows = _collect_staged_stats(
+            spark, staging, stats_cols
+        )
         staged_blooms = _recompute_staged_blooms(
             spark, staging, _bloom_specs(manifest)
         )
@@ -2275,7 +2271,11 @@ def update_where(
     # rewrite ONLY the hit files; SET expressions see the OLD row (one
     # select evaluates every assignment against the input), non-matching
     # and NULL-condition rows pass through the otherwise() branch
-    hit_df = spark.read.parquet(*(_data_path(table_dir, rel) for rel in hit_files))
+    # mergeSchema: same schema-evolution hazard as delete_where's
+    # survivor read — the hit set may span an additive boundary
+    hit_df = spark.read.option("mergeSchema", "true").parquet(
+        *(_data_path(table_dir, rel) for rel in hit_files)
+    )
     projected = [
         (
             F.when(cond, F.expr(assignments[f.name]).cast(f.dataType))
@@ -2696,7 +2696,15 @@ def _mor_delete(
                 if k not in ("version", "parent", "action", "added", "removed",
                              "condition", "dvs", "dv_files", "dv_added",
                              "rows_deleted", "rows_updated", "rows_inserted",
-                             "restored", "source", "set")
+                             "restored", "source", "set",
+                             # per-commit metadata that must NOT replicate
+                             # into this commit (r6 fix: a carried
+                             # idempotency_key made an unrelated MOR
+                             # delete answer another commit's exactly-once
+                             # replay probe with wrong accounting)
+                             "idempotency_key", "rows_removed",
+                             "files_rewritten", "renamed", "dropped",
+                             "spec_from", "spec_to")
             },
             "version": version,
             "parent": cur,
@@ -3822,7 +3830,12 @@ def apply_changes(
     from pyspark.sql.window import Window
 
     ops = ("I", "U", "D")
-    bad = changes.filter(~F.col(op_col).isin(*ops)).limit(1).collect()
+    # NULL ops must fail validation too: ~isin evaluates to NULL for a
+    # NULL op, which the filter would silently drop — treating a
+    # malformed feed row as an upsert instead of raising (r6 fix)
+    bad = changes.filter(
+        (~F.col(op_col).isin(*ops)) | F.col(op_col).isNull()
+    ).limit(1).collect()
     if bad:
         raise ValueError(
             f"apply_changes: op column {op_col!r} must be one of {ops}, "
@@ -4133,11 +4146,17 @@ def add_constraint(
             "constraints": cons,
         }
         # dvs/dv_files MUST carry (the DV-carry invariant: a metadata
-        # commit that drops them resurrects merge-on-read-deleted rows)
+        # commit that drops them resurrects merge-on-read-deleted rows);
+        # so must the COLUMN MAPPING (r6 fix: dropping it demaps a
+        # renamed/dropped-column table — reads revert to physical names
+        # and the next append writes mixed name generations)
         for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
-                  "partition_spec", "spec_history", "bucket_by"):
+                  "partition_spec", "spec_history", "bucket_by",
+                  "dropped_physical"):
             if parent.get(k):
                 man[k] = parent[k]
+        if parent.get("column_mapping") is not None:  # {} is meaningful
+            man["column_mapping"] = parent["column_mapping"]
         return man
 
     return _commit_metadata(fs, jvm, table_dir, build)
@@ -4384,9 +4403,12 @@ def drop_constraint(spark: SparkSession, table_dir: str, name: str) -> int:
         if cons:
             man["constraints"] = cons
         for k in ("stats", "rows", "blooms", "schema", "dvs", "dv_files",
-                  "partition_spec", "spec_history", "bucket_by"):
+                  "partition_spec", "spec_history", "bucket_by",
+                  "dropped_physical"):
             if parent.get(k):
                 man[k] = parent[k]
+        if parent.get("column_mapping") is not None:  # {} is meaningful
+            man["column_mapping"] = parent["column_mapping"]
         return man
 
     return _commit_metadata(fs, jvm, table_dir, build)
@@ -4465,9 +4487,10 @@ def table_history(spark: SparkSession, table_dir: str) -> DataFrame:
         if rcounts:
             # logical rows: merge-on-read deletion vectors subtract
             dvs = man.get("dvs", {})
+            files_set = set(man.get("files", []))
             n_rows = sum(
                 int(n) - int(dvs.get(rel, 0)) for rel, n in rcounts.items()
-                if rel in set(man.get("files", []))
+                if rel in files_set
             )
         else:
             n_rows = None
@@ -4691,8 +4714,20 @@ def read_changes_cdf(
         elif r_c is None:
             joined = a_c.withColumn("__r", F.lit(0))
         else:
-            joined = a_c.join(r_c, on=cols, how="full_outer").na.fill(
-                0, ["__a", "__r"]
+            # null-SAFE equality (r6 fix): a name-list join uses EqualTo,
+            # under which a row containing any NULL never matches itself
+            # across the added/removed sides — an OPTIMIZE rewrite of a
+            # NULL-carrying row would emit a spurious insert+delete pair,
+            # breaking the multiset-exact CDF contract
+            al, rl = a_c, r_c
+            cond = None
+            for c in cols:
+                e = al[c].eqNullSafe(rl[c])
+                cond = e if cond is None else cond & e
+            joined = al.join(rl, cond, "full_outer").select(
+                *[F.coalesce(al[c], rl[c]).alias(c) for c in cols],
+                F.coalesce(al["__a"], F.lit(0)).alias("__a"),
+                F.coalesce(rl["__r"], F.lit(0)).alias("__r"),
             )
         diff = joined.withColumn("__d", F.col("__a") - F.col("__r")).filter(
             F.col("__d") != 0
