@@ -1206,27 +1206,26 @@ def _orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = sn.read_snapshot_bucketed(spark, paths[0], "orders_bucketed_q")
     c = sn.read_snapshot_bucketed(spark, paths[1], "customer_bucketed_q")
     agg = (
-        o.join(c, o.o_custkey == c.c_custkey)
+        # the MERGE hint pins sort-merge join IN THE PLAN, so the gated
+        # plan below and the plan executed at collect time are the same
+        # join strategy regardless of the session's broadcast threshold
+        # (ADVICE r6: flipping autoBroadcastJoinThreshold only for the
+        # gate and restoring it before return made the attestation
+        # vacuous — the returned frame re-planned under default confs)
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             money_sum("o_totalprice").alias("sum_cents"),
         )
     )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        # the shuffle-free property IS the query's claim: gate it here so
-        # the oracle row attests the plan shape, not just the values —
-        # with broadcast off, the only Exchange allowed is the post-agg
-        # one (the final orderBy adds its own range Exchange, gated out
-        # by probing the pre-sort aggregate)
-        if plan_inspect.count_exchanges(agg) > 1:
-            raise AssertionError(
-                "bucketed snapshot join shuffled below the join"
-            )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the shuffle-free property IS the query's claim: gate it here so
+    # the oracle row attests the plan shape, not just the values — with
+    # SMJ pinned, the only Exchange allowed is the post-agg one (the
+    # final orderBy adds its own range Exchange, gated out by probing
+    # the pre-sort aggregate)
+    if plan_inspect.count_exchanges(agg) > 1:
+        raise AssertionError("bucketed snapshot join shuffled below the join")
     return agg.orderBy("c_mktsegment")
 
 

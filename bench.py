@@ -306,15 +306,19 @@ def main() -> None:
     except OSError:
         pass
 
-    # Post-run contention sweep (VERDICT r5 #3): the in-loop retry only
-    # fires past 2x, so a session-wide ~1.4x inflation (the r5 driver-run
-    # vs clean-run gap) ships without a second opinion. After the full
-    # pass — when whatever contended earlier has had minutes to drain —
-    # re-measure every baselined query whose reported median still
-    # exceeds 1.4x its BASELINE row, fold the extra runs into the same
-    # fastest-N median, and log the sweep in the artifact so the judge
-    # can see which numbers were re-drawn and what they measured.
+    # Post-run contention sweep (VERDICT r5 #3, protocol fixed per ADVICE
+    # r6): the in-loop retry only fires past 2x, so a session-wide ~1.4x
+    # inflation (the r5 driver-run vs clean-run gap) ships without a
+    # second opinion. After the full pass — when whatever contended
+    # earlier has had minutes to drain — re-measure every baselined query
+    # whose reported median still exceeds 1.4x its BASELINE row. The
+    # re-measurement REPLACES the original number with the median of the
+    # sweep window (a fresh fixed-N draw, which can move the number in
+    # EITHER direction) — never folded into a fastest-N pool, which was a
+    # one-directional selection that biased the total downward. The
+    # pre-sweep medians and total stay in the artifact for comparison.
     post_sweep: dict[str, list[float]] = {}
+    timings_presweep: dict[str, float] = {}
     sweep_runs = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "2")))
     if sweep_runs:
         suspects = [
@@ -333,9 +337,9 @@ def main() -> None:
             if not extra:
                 continue
             post_sweep[name] = [round(r, 3) for r in extra]
+            timings_presweep[name] = timings[name]
+            timings[name] = round(_median(extra), 3)
             runs = all_runs[name] + extra
-            fastest = sorted(runs)[: max(1, n_runs)]
-            timings[name] = round(statistics.median(fastest), 3)
             best[name] = round(min(runs), 3)
             all_runs[name] = [round(r, 3) for r in runs]
 
@@ -363,6 +367,13 @@ def main() -> None:
     artifact["queries_runs"] = all_runs
     artifact["reran_for_contention"] = reran
     artifact["post_sweep"] = post_sweep
+    artifact["timings_presweep"] = timings_presweep
+    if timings_presweep:
+        artifact["value_presweep"] = round(
+            total - sum(timings[n] for n in timings_presweep)
+            + sum(timings_presweep.values()),
+            3,
+        )
     artifact["loadavg"] = {k: list(v) for k, v in loadavg.items()}
     with open(os.path.join(_REPO, "bench_result.json"), "w") as f:
         f.write(json.dumps(artifact) + "\n")

@@ -100,7 +100,10 @@ def doc_language_classifier(
     t_train = f"{(train_bp * 65536) // 10000:04x}"
     base = base.select(
         "doc_id",
-        F.lower(F.col(text_col)).alias("__txt"),
+        # NULL text must not reach RegexTokenizer (it throws); empty
+        # string featurizes to an all-zero vector and the min_prob
+        # fallback keeps the heuristic's answer for such rows
+        F.coalesce(F.lower(F.col(text_col)), F.lit("")).alias("__txt"),
         "heuristic_lang",
         idx.alias("label"),
         F.when(bucket < t_train, F.lit("train"))
@@ -155,13 +158,19 @@ def doc_language_classifier(
     # shed the training summary before scoring (same session-pinning
     # hazard quality.py documents): write/load round-trips a KB-scale
     # coefficient matrix
+    import shutil
     import tempfile
 
     from pyspark.ml.classification import LogisticRegressionModel
 
     path = tempfile.mkdtemp(prefix="doc_lang_lr_")
-    model.write().overwrite().save(path)
-    model = LogisticRegressionModel.load(path)
+    try:
+        model.write().overwrite().save(path)
+        model = LogisticRegressionModel.load(path)
+    finally:
+        # retrain-per-call sessions (bench runs this every round) must
+        # not leak a driver-disk dir per invocation
+        shutil.rmtree(path, ignore_errors=True)
 
     probs = vector_to_array("probability")
     model_lang = F.lit(None).cast("string")

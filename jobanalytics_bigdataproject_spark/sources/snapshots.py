@@ -91,6 +91,50 @@ def _plain(v):
     return v if isinstance(v, (int, float, str, bool)) or v is None else str(v)
 
 
+def _is_num_bound(v) -> bool:
+    import decimal
+
+    return isinstance(v, (int, float, decimal.Decimal)) and not isinstance(v, bool)
+
+
+def _num(v):
+    """Exact numeric form of a manifest-stored stat or caller bound, or
+    None when it doesn't parse (Decimal avoids float rounding at the
+    prune boundary — '9.5' vs '10.00' must compare numerically exact)."""
+    import decimal
+
+    try:
+        return decimal.Decimal(str(v))
+    except (decimal.InvalidOperation, ValueError):
+        return None
+
+
+def _stats_vs_bounds(mn, mx, lo, hi) -> tuple[bool, bool]:
+    """Compare a file's stored [mn, mx] stats against caller bounds
+    [lo, hi] in the right domain, returning ``(disjoint, covered)``:
+    disjoint → the file provably holds no row in [lo, hi]; covered →
+    every row provably falls inside. DecimalType stats are stored as
+    strings (``_plain``), where lexicographic order is NOT numeric order
+    ('9.5' > '10.00'), so whenever the CALLER's bound is numeric
+    (int/float/Decimal) both sides are parsed as exact Decimals; every
+    other type compares in the manifest storage domain (dates/timestamps
+    as ISO strings — lexicographic == chronological). Missing or
+    unparseable stats return (False, False): never prune on a guess."""
+    if mn is None or mx is None:
+        return (False, False)
+    if _is_num_bound(lo) or _is_num_bound(hi):
+        mn, mx = _num(mn), _num(mx)
+        lo = _num(lo) if lo is not None else None
+        hi = _num(hi) if hi is not None else None
+        if mn is None or mx is None:
+            return (False, False)
+    else:
+        lo, hi = _plain(lo), _plain(hi)
+    disjoint = (lo is not None and mx < lo) or (hi is not None and mn > hi)
+    covered = (lo is None or mn >= lo) and (hi is None or mx <= hi)
+    return (disjoint, covered)
+
+
 def _data_path(table_dir: str, rel: str) -> str:
     """Absolute-aware file resolution: manifests normally hold paths
     relative to their own table_dir; a shallow clone's manifest holds the
@@ -752,15 +796,15 @@ def _overlaps(stats: dict | None, prune: dict) -> bool:
         if not rng or rng[0] is None or rng[1] is None:
             continue
         mn, mx = rng[0], rng[1]  # rng may carry a 3rd non-null-count slot
-        # bounds must compare in the manifest's own storage domain:
-        # dates/timestamps/decimals are stored as their ISO/string form
-        # (_plain at collection, lexicographic == chronological), so a
-        # caller passing the typed value would TypeError against the
-        # stored string (r6 fix — count_where/delete_range already
-        # normalized; this is the shared chokepoint for read_snapshot's
-        # prune/point and the DML prune paths)
-        lo, hi = _plain(lo), _plain(hi)
-        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+        # _stats_vs_bounds picks the comparison domain: numeric caller
+        # bounds force exact-Decimal compares (decimal stats are stored
+        # as strings, where lexicographic order is wrong); everything
+        # else compares in the manifest's string/primitive storage
+        # domain (dates/timestamps as ISO — lexicographic ==
+        # chronological). Callers pass RAW typed bounds; pre-_plain'ing
+        # them here would destroy the type signal.
+        disjoint, _ = _stats_vs_bounds(mn, mx, lo, hi)
+        if disjoint:
             return False
     return True
 
@@ -2090,10 +2134,16 @@ def _sql_lit(v) -> str:
     """SQL literal for a Python range bound (int/float/str/date/ts)."""
     import datetime
 
+    import decimal
+
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # CAST from the string form: exact, and immune to the
+        # scientific-notation forms Spark would parse as DOUBLE
+        return f"CAST('{v}' AS DECIMAL(38,18))"
     if isinstance(v, datetime.datetime):
         return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
     if isinstance(v, datetime.date):
@@ -2144,29 +2194,21 @@ def delete_range(
     _refuse_mapping(manifest, "delete_range")
     rows = manifest.get("rows", {})
     stats = manifest.get("stats", {})
-    slo, shi = _plain(lo), _plain(hi)
     drop = []
     for rel in manifest["files"]:
         rng = stats.get(rel, {}).get(col)
         n = rows.get(rel)
-        if (
-            rng
-            and n
-            and rng[0] is not None
-            and rng[1] is not None
-            and len(rng) > 2
-            and rng[0] >= slo
-            and rng[1] <= shi
-            and int(rng[2]) == int(n)
-        ):
-            drop.append(rel)
+        if rng and n and len(rng) > 2 and int(rng[2]) == int(n):
+            _, covered = _stats_vs_bounds(rng[0], rng[1], lo, hi)
+            if covered:
+                drop.append(rel)
     return delete_where(
         spark,
         table_dir,
         # a derived-transform label (days(ts), …) translates to its SQL
         # for the straddler rewrite; identity columns pass through
         f"{_spec_sql(col)} BETWEEN {_sql_lit(lo)} AND {_sql_lit(hi)}",
-        prune={col: (slo, shi)},  # _plain'd: comparable with stored stats
+        prune={col: (lo, hi)},  # RAW bounds: _overlaps picks the domain
         _drop=drop,
     )
 
@@ -4027,13 +4069,11 @@ def count_where(
     dvs = manifest.get("dvs", {})
     skipped, from_stats, to_scan = 0, 0, []
     total = 0
-    # manifest stats are _plain()'d (dates/timestamps stored as ISO
-    # strings) — normalize the caller's bounds the same way for the
-    # stats-tier comparisons, else datetime.date bounds raise TypeError
-    # against the string mins/maxes (delete_range already does this).
-    # The scan-tier filter below keeps the RAW lo/hi: F.lit gets the
-    # typed literal so the pushed-down predicate compares natively.
-    slo, shi = _plain(lo), _plain(hi)
+    # _stats_vs_bounds handles the comparison domain for the stats tier
+    # (ISO strings for dates/timestamps, exact Decimals for numeric
+    # bounds vs string-stored decimal stats). The scan-tier filter below
+    # keeps the RAW lo/hi: F.lit gets the typed literal so the
+    # pushed-down predicate compares natively.
     # a renamed column: the caller's logical name → the physical name the
     # stats entries and the raw file scan both speak
     col = (_mapping(manifest) or {}).get(col, col)
@@ -4044,11 +4084,12 @@ def count_where(
         rng = stats.get(rel, {}).get(col)
         mn, mx = (rng[0], rng[1]) if rng else (None, None)
         nn = rng[2] if rng is not None and len(rng) > 2 else None
-        if mn is not None and mx is not None and (mx < slo or mn > shi):
+        disjoint, covered = _stats_vs_bounds(mn, mx, lo, hi)
+        if disjoint:
             skipped += 1  # DV-safe: deletion only shrinks a file's range
         elif (
-            mn is not None and mx is not None and nn is not None
-            and mn >= slo and mx <= shi
+            covered
+            and nn is not None
             and rel not in dvs  # a DV'd file's manifest counts include
             # deleted rows — it must fall to the scan tier
         ):
