@@ -1772,6 +1772,65 @@ def _reap_before(
             ).getModificationTime()
         referenced.update(man["files"])
         referenced_dv.update(man.get("dv_files", []))
+    # Branch/tag protection (sources/branches.py lifecycle): a version
+    # pinned by a TAG keeps its manifest and file references however old
+    # it is, and a file referenced by ANY live branch's manifests is not
+    # reapable — branches reference main's files by absolute path, so
+    # relativize refs that point into this table's own data/dv dirs.
+    tagged: set[int] = set()
+    tags_path = Path(f"{table_dir}/{_LOG}/tags")
+    if fs.exists(tags_path):
+        for st in fs.listStatus(tags_path):
+            if not st.getPath().getName().endswith(".json"):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            finally:
+                stream.close()
+            try:
+                tagged.add(int(json.loads(text)["version"]))
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue  # malformed tag: never a reason to widen reaping
+    for v in sorted(tagged):
+        if keep_from <= v <= head:
+            continue  # already counted as retained
+        try:
+            man = _read_manifest(fs, jvm, table_dir, v)
+        except FileNotFoundError:
+            continue  # tag of an already-vacuumed version (pre-existing)
+        referenced.update(man["files"])
+        referenced_dv.update(man.get("dv_files", []))
+    branches_root = Path(f"{table_dir}/_branches")
+    if fs.exists(branches_root):
+        main_prefix = f"{table_dir}/"
+        for bst in fs.listStatus(branches_root):
+            if not bst.isDirectory():
+                continue
+            blog = Path(f"{bst.getPath().toString()}/{_LOG}")
+            if not fs.exists(blog):
+                continue
+            bdir = bst.getPath().toString()
+            for mst in fs.listStatus(blog):
+                nm = mst.getPath().getName()
+                if not (nm.startswith("v") and nm.endswith(".json")):
+                    continue
+                try:
+                    bman = _read_manifest(fs, jvm, bdir, int(nm[1:-5]))
+                except (FileNotFoundError, ValueError, IOError):
+                    continue
+                for ref in bman.get("files", []):
+                    if ref.startswith(main_prefix):
+                        referenced.add(ref[len(main_prefix):])
+                for ref in bman.get("dv_files", []):
+                    if ref.startswith(main_prefix):
+                        referenced_dv.add(ref[len(main_prefix):])
+                # dvs map file-ref -> deleted-count; its KEYS may cite
+                # main files whose dv sidecars live in dv_files already,
+                # but the data-file keys themselves must stay alive too
+                for ref in bman.get("dvs", {}):
+                    if ref.startswith(main_prefix):
+                        referenced.add(ref[len(main_prefix):])
     out: dict = {"data_files": [], "dv_files": [], "manifests": []}
     # wall-clock grace: reap only files old enough that any writer which
     # staged them has had grace_seconds to finish its commit (ms clock)
@@ -1798,6 +1857,8 @@ def _reap_before(
                 if not dry_run:
                     fs.delete(st.getPath(), True)
     for v in range(1, keep_from):
+        if v in tagged:
+            continue  # a tag pins its version's manifest forever
         mp = _manifest_path(jvm, table_dir, v)
         if fs.exists(mp):
             out["manifests"].append(f"{_LOG}/v{v:08d}.json")
