@@ -1177,8 +1177,9 @@ def _orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket id preserved in each committed file's name), then both are
     read back as bucketed catalog tables over per-version hardlink
     views, so the join's distribution requirement is satisfied by
-    STORAGE layout — the build asserts the executed plan has at most the
-    one post-aggregate Exchange (broadcast disabled), refusing at oracle
+    STORAGE layout — the build pins sort-merge with a join hint (so the
+    gated plan is the executed plan) and asserts at most the one
+    post-aggregate Exchange, refusing at oracle
     time if a shuffle crept below the join. The oracle recomputes the
     same join + aggregate from the raw tables. Layout rules, DML-drop
     refusal, and version pinning live in tests/test_bucketing.py."""
@@ -1227,6 +1228,128 @@ def _orders_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if plan_inspect.count_exchanges(agg) > 1:
         raise AssertionError("bucketed snapshot join shuffled below the join")
     return agg.orderBy("c_mktsegment")
+
+
+_BRANCH_PUB_CACHE: dict[str, str] = {}
+
+
+def _orders_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish over a snapshot BRANCH (sources/branches.py —
+    VERDICT r6 #2): orders commits as a versioned table, the head is
+    TAGGED ``pre``, and a zero-copy ``audit`` branch takes the cleanup
+    DML (copy-on-write DELETE of the sub-1000.00 tail) in full isolation
+    — main readers see nothing. The AUDIT step adds the matching CHECK
+    constraint on the branch and refuses to publish unless
+    ``verify_constraints`` comes back empty; PUBLISH is ``fast_forward``:
+    one atomic commit that adopts the branch head's complete state into
+    main and retires the branch. The result reads BOTH sides of the
+    publish — the tagged pre-publish version (tags pin their manifest
+    and files against vacuum) and the published head — so the oracle's
+    hash check asserts the whole lifecycle: the tag still resolves the
+    untouched original, and main after publish equals exactly the
+    branch's audited state. Branch isolation, refusal matrix, lost-race
+    rename rollback, and tag/vacuum interplay are pinned in
+    tests/test_branches.py. No reference counterpart (the reference has
+    no table versions); semantics follow Iceberg branching."""
+    from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+    from jobanalytics_bigdataproject_spark.sources import branches as brn
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _BRANCH_PUB_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        path = tempfile.mkdtemp(prefix="branch_pub_orders_") + "/tbl"
+        sn.write_snapshot(t["orders"], path, mode="overwrite")
+        brn.create_tag(spark, path, "pre")
+        b = brn.create_branch(spark, path, "audit")
+        sn.delete_where(spark, b, "o_totalprice < 1000.0")
+        sn.add_constraint(spark, b, "totalprice_floor", "o_totalprice >= 1000.0")
+        if sn.verify_constraints(spark, b).count():
+            raise AssertionError("audit failed — branch not publishable")
+        brn.fast_forward(spark, path, "audit")
+        _BRANCH_PUB_CACHE[sf_dir] = path
+
+    def _agg(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("sum_cents"),
+        ).select(F.lit(stage).alias("stage"), "n_rows", "sum_cents")
+
+    pre = brn.read_tag(spark, path, "pre")
+    post = sn.read_snapshot(spark, path)
+    return _agg(pre, "pre_publish").unionByName(_agg(post, "published")).orderBy("stage")
+
+
+_TXN_PUB_CACHE: dict[str, tuple[str, str, str]] = {}
+
+
+def _orders_txn_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ATOMIC publish (sources/transactions.py — VERDICT r6
+    #3, the fact+dim / documents+embeddings consistency problem): the
+    pre-1997 orders land as a fact table and exactly their customers as
+    a dim table; then ONE transaction appends the post-1997 orders to
+    fact and the newly-appearing customers to dim — two tables, one
+    create-if-absent record as the commit point, readers resolve both
+    or neither (``read_consistent`` rolls committed-but-unfinished
+    records forward before reading). The composed result joins the two
+    published tables; its oracle recomputes the same join from the raw
+    tables, so the hash check asserts the POST-transaction pair is
+    exactly consistent — every appended order finds its customer,
+    including customers that only exist because the same transaction
+    inserted them (the cross-table invariant a per-table-atomic layer
+    cannot give). Crash-injection atomicity (record-absent → neither;
+    mid-publish crash → consistent reader completes both; post-record
+    race → compensating rollbacks) is pinned in
+    tests/test_transactions.py."""
+    from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+    from jobanalytics_bigdataproject_spark.sources import transactions as tx
+
+    key = _TXN_PUB_CACHE.get(sf_dir)
+    if key is None:
+        import tempfile
+
+        from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+        t = load_star(spark, sf_dir, ("orders", "customer"))
+        base = tempfile.mkdtemp(prefix="txn_pub_")
+        fact, dim, txn_dir = base + "/fact", base + "/dim", base + "/txns"
+        orders, customer = t["orders"], t["customer"]
+        cut = F.lit("1997-01-01").cast("date")
+        pre_o = orders.filter(F.col("o_orderdate") < cut)
+        post_o = orders.filter(F.col("o_orderdate") >= cut)
+        pre_c = customer.join(
+            pre_o.select("o_custkey").distinct(),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        )
+        sn.write_snapshot(pre_o, fact, mode="overwrite")
+        sn.write_snapshot(pre_c, dim, mode="overwrite")
+        txn = tx.begin_transaction(spark, [fact, dim], txn_dir)
+        sn.write_snapshot(post_o, txn["branches"][fact])
+        new_c = customer.join(
+            post_o.select("o_custkey").distinct(),
+            customer.c_custkey == F.col("o_custkey"),
+            "left_semi",
+        ).join(pre_c.select("c_custkey"), "c_custkey", "left_anti")
+        sn.write_snapshot(new_c, txn["branches"][dim])
+        tx.commit_transaction(spark, txn)
+        key = (fact, dim, txn_dir)
+        _TXN_PUB_CACHE[sf_dir] = key
+    fact, dim, txn_dir = key
+    dfs = tx.read_consistent(spark, [fact, dim], txn_dir)
+    return (
+        dfs[fact]
+        .join(dfs[dim], dfs[fact].o_custkey == dfs[dim].c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            money_sum("o_totalprice").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 _RETENTION_CACHE: dict[str, str] = {}
@@ -1746,19 +1869,16 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
-    # Round 6: all 15 round-5 priority names got green r5 rows and rotate
-    # out via _last_checked_round. The block now holds only this round's
-    # NEW oracle-backed queries; the 11 r2-stale names (T1-T5 family,
-    # tpch q3/q5/q14, unpivot_customer_metrics — VERDICT r5 #1) auto-sort
-    # directly after it as the least-recently-checked.
-    # partition-spec evolution: metadata-only spec change, mixed-spec
-    # pruning across the boundary (VERDICT r5 #2)
-    "orders_spec_evolution",
-    # bucketed storage inside the versioned layer: shuffle-free join,
-    # plan-gated at build time (VERDICT r5 #5)
-    "orders_bucketed_join",
-    # full-outer stream-stream interval join batch twin (round 6)
-    "events_interval_join_full",
+    # Round 7: the three r6 priority names got green r6 rows and rotate
+    # out via _last_checked_round. This block holds only this round's
+    # NEW oracle-backed queries; the 12 r3-stale TPC-H rows (VERDICT r6
+    # #1: q6/q7/q8/q10/q12/q13/q15/q16/q17/q18/q19/q22) auto-sort
+    # directly after it as the least-recently-checked — keep this block
+    # small enough (≤38) that all 12 stay inside the 50-query window.
+    # write-audit-publish over a snapshot branch + tag (VERDICT r6 #2)
+    "orders_branch_publish",
+    # cross-table atomic publish via transaction record (VERDICT r6 #3)
+    "orders_txn_publish",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -1831,6 +1951,14 @@ def _last_checked_round() -> dict[str, int]:
     return out
 
 
+# Window-cadence math (VERDICT r6 #9): the driver checks the FIRST 50
+# entries per round. With O oracle-backed queries rotating least-recently-
+# checked-first and up to P new _PRIORITY entries claiming slots each
+# round, every oracle query is re-checked at least every
+# ceil(O / (50 - P)) rounds. At O=164, keeping P <= 8 bounds worst-case
+# staleness at 4 rounds; tests/test_evidence_window.py SIMULATES future
+# rounds under exactly this ordering and fails any change (more queries,
+# bigger priority blocks) that would let staleness exceed 4.
 def _evidence_order(d: dict) -> dict:
     pri = [k for k in _PRIORITY if k in d]
     taken = set(pri)
@@ -2180,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_partitioned_daily": _events_partitioned_daily,
         "orders_spec_evolution": _orders_spec_evolution,
         "orders_bucketed_join": _orders_bucketed_join,
+        "orders_branch_publish": _orders_branch_publish,
+        "orders_txn_publish": _orders_txn_publish,
         "orders_cdc_apply": _orders_cdc_apply,
         "orders_retention_expiry": _orders_retention_expiry,
         "orders_update_redaction": _orders_update_redaction,
@@ -4213,6 +4343,28 @@ def _oracle_sql_literals() -> dict[str, str]:
             FROM orders
             WHERE o_orderstatus = 'F'
             ORDER BY src
+        """,
+        "orders_branch_publish": """
+            SELECT 'pre_publish' AS stage,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM orders
+            UNION ALL
+            SELECT 'published' AS stage,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM orders
+            WHERE o_totalprice >= 1000.0
+            ORDER BY stage
+        """,
+        "orders_txn_publish": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS cnt,
+                   COUNT(DISTINCT c_custkey) AS n_cust,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "orders_partitioned_prune": """
             WITH pruned AS (
