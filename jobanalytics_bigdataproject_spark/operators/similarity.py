@@ -201,6 +201,11 @@ def ann_recall_report(
     ivfpq_path: str | None = None,
     ivfpq_probes: tuple[int, ...] = (2,),
     ivfpq_refine: int = 32,
+    neardup_threshold: float | None = None,
+    neardup_bits: int = 8,
+    neardup_tables: int = 8,
+    simhash_docs_frame: DataFrame | None = None,
+    simhash_hamming: int = 5,
 ) -> DataFrame:
     """recall@k of every approximate ANN path against the exact
     brute-force baseline, one row per (method, parameter point):
@@ -217,7 +222,22 @@ def ann_recall_report(
     per-arm top-k frames are tagged with (method, param) literals and
     unioned into ONE frame, which pays ONE broadcast hash join against
     the (queries·k)-row truth and ONE groupBy — instead of a crossJoin
-    + two aggregates per arm. The persisted frame is metadata scale, so
+    + two aggregates per arm.
+
+    Unified accuracy rows (VERDICT r6 #4 — every approximate similarity
+    path reports into ONE artifact): ``neardup_threshold`` adds an
+    ``embed_neardup_lsh`` row whose truth is DERIVED from the same
+    persisted brute frame (the exact top-k pairs at sim ≥ threshold
+    restricted to the query set — no second corpus pass; with k
+    neighbors kept, a query with more than k above-threshold dups would
+    undercount the denominator, so size k to the dup multiplicity).
+    ``simhash_docs_frame`` adds a ``simhash_pigeonhole`` row over a
+    BOUNDED document subset (all-pairs brute truth — the caller's
+    contract is to pass a sample, enforced at 20k rows): at
+    ``simhash_hamming`` > 3 the 4-chunk pigeonhole is no longer exact,
+    so the measured recall is a real dial, not a tautological 1.0.
+
+    The persisted frame is metadata scale, so
     the persist is safe at any corpus size; the corpus itself is
     deliberately NOT cached — at 100 TB the audit should stream it once
     per arm that needs it, not pin it in executor memory."""
@@ -278,7 +298,7 @@ def ann_recall_report(
     arm_rows = spark.createDataFrame(
         [(m, p) for m, p, _ in arms], "method string, param string"
     )
-    return (
+    report = (
         arm_rows.join(F.broadcast(hit_counts), ["method", "param"], "left")
         .na.fill({"hit_pairs": 0})
         .crossJoin(F.broadcast(truth.agg(F.count("*").alias("truth_pairs"))))
@@ -290,6 +310,84 @@ def ann_recall_report(
             F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4).alias("recall"),
         )
     )
+
+    if neardup_threshold is not None:
+        # truth: the SAME persisted exact frame, filtered to the
+        # above-threshold neighbor pairs — zero additional corpus passes
+        nd_truth = exact.filter(
+            (F.col("sim") >= float(neardup_threshold))
+            & (F.col("query_id") != F.col("neighbor_id"))
+        ).select("query_id", "neighbor_id")
+        nd_pairs = embedding_near_dups_lsh(
+            embeddings,
+            threshold=float(neardup_threshold),
+            bits=neardup_bits,
+            n_tables=neardup_tables,
+        ).select("id_a", "id_b")
+        # near-dup pairs are unordered (id_a < id_b); the truth is
+        # directed (query → neighbor) — symmetrize the arm before the join
+        nd_sym = nd_pairs.select(
+            F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+        ).unionByName(
+            nd_pairs.select(
+                F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id")
+            )
+        )
+        report = report.unionByName(
+            recall_vs_exact(
+                nd_sym,
+                nd_truth,
+                "embed_neardup_lsh",
+                f"thr={neardup_threshold},bits={neardup_bits},tables={neardup_tables}",
+            )
+        )
+
+    if simhash_docs_frame is not None:
+        from jobanalytics_bigdataproject_spark.operators.dedup import (
+            simhash_candidates,
+            simhash_docs,
+        )
+
+        n_docs = simhash_docs_frame.count()
+        if n_docs > 20_000:
+            raise ValueError(
+                f"simhash recall arm got {n_docs} docs; the brute truth "
+                "is all-pairs — pass a bounded sample (<= 20k rows)"
+            )
+        sh = simhash_docs(simhash_docs_frame).select("doc_id", "simhash")
+        sh = sh.persist()
+        sh.count()
+        _RECALL_PINNED.append(sh)
+        a, b = sh.alias("a"), sh.alias("b")
+        sh_truth = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                )
+                <= simhash_hamming
+            )
+            .select(
+                F.col("a.doc_id").alias("query_id"),
+                F.col("b.doc_id").alias("neighbor_id"),
+            )
+        )
+        sh_arm = simhash_candidates(
+            simhash_docs_frame, max_hamming=simhash_hamming
+        ).select(
+            F.col("doc_id_a").alias("query_id"),
+            F.col("doc_id_b").alias("neighbor_id"),
+        )
+        report = report.unionByName(
+            recall_vs_exact(
+                sh_arm,
+                sh_truth,
+                "simhash_pigeonhole",
+                f"hamming<={simhash_hamming},chunks=4",
+            )
+        )
+
+    return report
 
 
 def embedding_near_dups(
