@@ -1,0 +1,573 @@
+"""[EXT] Pure-numpy baseline JPEG codec (ITU-T T.81, public spec) for the
+MJPEG video tier (VERDICT r6 #7: real per-frame pixel decode for one toy
+codec — MJPEG frames are just baseline JPEGs).
+
+Everything here is public knowledge: the zigzag order, the Annex K
+example quantization matrices, the Annex K "typical" Huffman tables, the
+orthonormal 8x8 DCT-II, byte stuffing (0xFF00) and the marker grammar all
+come straight from the T.81 spec text. No image library is involved —
+encode and decode are numpy + stdlib only.
+
+Scope (documented bounds, loud failures outside them):
+- baseline sequential DCT, 8-bit precision, Huffman entropy coding
+  (SOF0); progressive (SOF2) and arithmetic coding are rejected.
+- encoder emits 4:4:4 (no chroma subsampling) three-component YCbCr
+  with the Annex K tables; the decoder is more general: 1- or
+  3-component, sampling factors up to 2x2 (so 4:2:0 / 4:2:2 streams
+  from real MJPEG cameras parse), DRI/RSTn restart intervals, 8- and
+  16-bit DQT precision.
+- the codec is a correctness/plumbing tier for Spark mapInPandas
+  pipelines over SMALL frames; a production 100 TB video pipeline would
+  swap `decode_jpeg` for libjpeg-turbo behind the same batch signature
+  (the Spark-side shape — schema, fan-out, partitioning — is the part
+  this repo owns).
+
+The per-symbol Huffman loop is Python; DCT/IDCT, color transforms and
+upsampling are vectorized numpy over all blocks at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# T.81 Figure A.6 — zigzag scan order of the 8x8 block.
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+_UNZIG = np.argsort(np.array(ZIGZAG))
+
+# T.81 Annex K.1 — example luminance / chrominance quantization tables.
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+# T.81 Annex K.3 — "typical" Huffman tables: (BITS counts for lengths
+# 1..16, HUFFVAL symbol list). These are the tables virtually every
+# baseline encoder (and MJPEG camera) ships.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C canonical code assignment: symbol -> (code, length)."""
+    if len(vals) != sum(bits):
+        raise ValueError("Huffman BITS/HUFFVAL mismatch")
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-serial decoding."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+# Kraft-sum sanity on the transcribed Annex K tables, at import time: a
+# mis-transcribed BITS array would produce an over-full / invalid code.
+for _b, _v in (
+    (DC_LUMA_BITS, DC_LUMA_VALS),
+    (DC_CHROMA_BITS, DC_CHROMA_VALS),
+    (AC_LUMA_BITS, AC_LUMA_VALS),
+    (AC_CHROMA_BITS, AC_CHROMA_VALS),
+):
+    assert sum(n * 2 ** (16 - (i + 1)) for i, n in enumerate(_b)) <= 2 ** 16
+    _canonical_codes(_b, _v)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: the JPEG FDCT is A @ B @ A.T,
+    the IDCT is A.T @ F @ A (A is orthogonal, so the pair is exactly
+    mutually inverse in float)."""
+    n = np.arange(8)
+    A = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) / 2.0
+    A[0, :] *= 1 / np.sqrt(2)
+    return A
+
+
+_DCT = _dct_matrix()
+
+
+def scaled_quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG-style quality scaling (public libjpeg convention, 1..100)."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100, got {quality}")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((QUANT_LUMA * s + 50) // 100, 1, 255).astype(np.int32)
+    qc = np.clip((QUANT_CHROMA * s + 50) // 100, 1, 255).astype(np.int32)
+    return ql, qc
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """JFIF full-range BT.601 transform."""
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(np.uint8)
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W multiples of 8 -> (H/8 * W/8, 8, 8), raster order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks(blocks: np.ndarray, h8: int, w8: int) -> np.ndarray:
+    return (
+        blocks.reshape(h8 // 8, w8 // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h8, w8)
+    )
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (0xFF -> 0xFF00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """T.81 F.1.2.1: (SSSS category, appended bits) for a DC diff / AC coef."""
+    s = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline 4:4:4 JFIF JPEG
+    with Annex K quantization (quality-scaled) and Huffman tables."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB, got {px.shape}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql, qc = scaled_quant_tables(quality)
+    ycc = _rgb_to_ycbcr(px.astype(np.float64))
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = ((0, h8 - h), (0, w8 - w), (0, 0))
+    ycc = np.pad(ycc, pad, mode="edge")
+
+    # FDCT + quantize every block of every channel in one einsum each
+    quantized = []  # per channel: (n_blocks, 64) ints in zigzag order
+    for c, q in ((0, ql), (1, qc), (2, qc)):
+        blocks = _to_blocks(ycc[..., c]) - 128.0
+        coef = np.einsum("ij,bjk,lk->bil", _DCT, blocks, _DCT)
+        zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        quantized.append(zz)
+
+    dc_codes = (_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+    ac_codes = (_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),
+                _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    n_blocks = quantized[0].shape[0]
+    for b in range(n_blocks):  # 4:4:4 -> MCU = one block per component
+        for c in range(3):
+            t = 0 if c == 0 else 1
+            zz = quantized[c][b]
+            diff = int(zz[0]) - pred[c]
+            pred[c] = int(zz[0])
+            s, bits = _magnitude(diff)
+            code, ln = dc_codes[t][s]
+            bw.write(code, ln)
+            if s:
+                bw.write(bits, s)
+            run = 0
+            last_nz = 0
+            nz = np.nonzero(zz[1:])[0]
+            last_nz = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[t][0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s, bits = _magnitude(v)
+                code, ln = ac_codes[t][(run << 4) | s]
+                bw.write(code, ln)
+                bw.write(bits, s)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[t][0x00]  # EOB
+                bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, bytes([1]) + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += seg(0xFFC0, sof)
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+        (1, 0, AC_LUMA_BITS, AC_LUMA_VALS),
+        (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over de-stuffed entropy bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("JPEG entropy stream truncated")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(bits: int, s: int) -> int:
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def jpeg_end(raw: bytes, start: int = 0) -> int:
+    """Return the index one past this JPEG's EOI marker — the exact frame
+    boundary an MJPEG demuxer needs. Walks the marker grammar (not a
+    byte-pattern scan: 0xFFD9 inside a stuffed entropy stream cannot
+    occur, but APPn payloads could contain it, so segments are skipped by
+    their declared lengths)."""
+    if raw[start:start + 2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = start + 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI before any scan (degenerate but legal)
+            return pos + 2
+        (ln,) = struct.unpack_from(">H", raw, pos + 2)
+        if marker == 0xDA:  # SOS: scan entropy data for next real marker
+            pos += 2 + ln
+            while pos + 1 < len(raw):
+                if raw[pos] == 0xFF and raw[pos + 1] not in (0x00,) and not (
+                    0xD0 <= raw[pos + 1] <= 0xD7
+                ):
+                    if raw[pos + 1] == 0xD9:
+                        return pos + 2
+                    break  # another marker segment (e.g. DNL) — keep walking
+                pos += 1
+            continue
+        pos += 2 + ln
+    raise ValueError("JPEG truncated (no EOI)")
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG to an (H, W, 3) uint8 RGB array
+    (grayscale streams are replicated to 3 channels). Supports 8/16-bit
+    DQT, 1 or 3 components, sampling factors up to 2, and DRI/RSTn."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, comps) ; comps = list of (cid, hf, vf, tq)
+    restart_interval = 0
+    scan = None
+
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (ln,) = struct.unpack_from(">H", raw, pos)
+        body = raw[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                off += 1
+                if pq:
+                    vals = np.frombuffer(body[off : off + 128], dtype=">u2")
+                    off += 128
+                else:
+                    vals = np.frombuffer(body[off : off + 64], dtype=np.uint8)
+                    off += 64
+                zz = np.zeros(64, dtype=np.int64)
+                zz[ZIGZAG] = vals.astype(np.int64)
+                qtables[tq] = zz.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(cls, tid)] = _decode_map(bits, vals)
+                off += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline-decodable)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision supported, got {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG mode (SOF marker 0x{marker:02X})")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                    for i in range(ns)]
+            pos += ln
+            break
+        pos += ln
+
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    if len(comps) not in (1, 3):
+        raise ValueError(f"{len(comps)}-component JPEG not supported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise ValueError("sampling factors above 2 not supported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # entropy segments split at RST markers, stuffing removed
+    segments: list[bytearray] = [bytearray()]
+    while pos + 1 < len(raw):
+        b = raw[pos]
+        if b == 0xFF:
+            nxt = raw[pos + 1]
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                pos += 2
+                continue
+            break  # EOI or other marker
+        segments[-1].append(b)
+        pos += 1
+
+    by_id = {c[0]: c for c in comps}
+    order = [by_id[s[0]] for s in scan]
+    tabsel = {s[0]: (s[1], s[2]) for s in scan}
+    ncomp = len(comps)
+    # per-component quantized coefficient storage
+    planes_blocks = {
+        c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64)
+        for c in comps
+    }
+
+    seg_idx = 0
+    reader = _BitReader(bytes(segments[0]))
+    pred = {c[0]: 0 for c in comps}
+    mcu_in_interval = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_interval == restart_interval:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError("missing RST segment in JPEG stream")
+                reader = _BitReader(bytes(segments[seg_idx]))
+                pred = {c[0]: 0 for c in comps}
+                mcu_in_interval = 0
+            mcu_in_interval += 1
+            for cid, hf, vf, tq in order:
+                dc_t = htables.get((0, tabsel[cid][0]))
+                ac_t = htables.get((1, tabsel[cid][1]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("JPEG scan references missing DHT table")
+                for by in range(vf):
+                    for bx in range(hf):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = reader.read_symbol(dc_t)
+                        diff = _extend(reader.read_bits(s), s)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        planes_blocks[cid][my * vf + by, mx * hf + bx] = zz
+
+    # dequantize + batch IDCT per component, then upsample to full res
+    out_planes = {}
+    for cid, hf, vf, tq in comps:
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("JPEG frame references missing DQT table")
+        blocks_zz = planes_blocks[cid].reshape(-1, 64)
+        coef = (blocks_zz[:, _UNZIG].reshape(-1, 8, 8)) * q
+        pix = np.einsum("ji,bjk,kl->bil", _DCT, coef.astype(np.float64), _DCT) + 128.0
+        nby, nbx = mcuy * vf, mcux * hf
+        plane = _from_blocks(pix, nby * 8, nbx * 8)
+        if hf < hmax or vf < vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1)
+        out_planes[cid] = plane[:h, :w]
+
+    if ncomp == 1:
+        y = np.clip(out_planes[comps[0][0]].round(), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    cids = [c[0] for c in comps]
+    return _ycbcr_to_rgb(out_planes[cids[0]], out_planes[cids[1]], out_planes[cids[2]])

@@ -1,0 +1,177 @@
+"""Pure-numpy baseline JPEG codec (operators/jpeg.py) + MJPEG tier.
+
+No image library exists in this environment, so the suite avoids the
+"inverse bugs cancel" trap three ways: (1) the DCT matrix is checked for
+orthogonality on its own (encode's FDCT and decode's IDCT are then exact
+inverses BY ALGEBRA, not by fiat); (2) a solid-gray image has a
+hand-derivable pixel value through the whole pipeline (only the DC
+coefficient survives, quantization arithmetic done on paper in the test);
+(3) the emitted byte stream is validated against the T.81 marker grammar
+structurally (segment lengths, stuffing, table counts), which an
+encoder-side bug cannot co-conspire with.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from jobanalytics_bigdataproject_spark.operators import jpeg, multimodal
+
+
+def test_dct_matrix_is_orthogonal():
+    A = jpeg._dct_matrix()
+    assert np.allclose(A @ A.T, np.eye(8), atol=1e-12)
+
+
+def test_annex_k_tables_form_valid_prefix_codes():
+    for bits, vals in (
+        (jpeg.DC_LUMA_BITS, jpeg.DC_LUMA_VALS),
+        (jpeg.DC_CHROMA_BITS, jpeg.DC_CHROMA_VALS),
+        (jpeg.AC_LUMA_BITS, jpeg.AC_LUMA_VALS),
+        (jpeg.AC_CHROMA_BITS, jpeg.AC_CHROMA_VALS),
+    ):
+        codes = jpeg._canonical_codes(bits, vals)
+        # prefix-free: no code is a prefix of another
+        as_strings = sorted(
+            format(c, f"0{ln}b") for c, ln in codes.values()
+        )
+        for a, b in zip(as_strings, as_strings[1:]):
+            assert not b.startswith(a), (a, b)
+    assert len(jpeg.AC_LUMA_VALS) == 162  # Annex K symbol count
+    assert len(jpeg.AC_CHROMA_VALS) == 162
+
+
+def test_solid_gray_hand_derived_pixel():
+    """g=130: Y=130 everywhere, level shift -> 2, DC = 8*2 = 16 (orthonormal
+    2D DCT sums 64 cells * 2 * (1/8)). Quality 85 scales q[0,0]=16 by
+    s=200-170=30 -> (16*30+50)//100 = 5. Quantized DC = round(16/5) = 3;
+    decoded DC = 15 -> pixel 128 + 15/8 = 129.875 -> 130 after rounding.
+    Every pixel must equal exactly 130 — no tolerance."""
+    px = np.full((16, 16, 3), 130, dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=85))
+    assert (dec == 130).all()
+
+
+def test_roundtrip_psnr_on_gradient():
+    g = np.zeros((24, 40, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:24, 0:40]
+    g[..., 0] = (xx * 6) % 256
+    g[..., 1] = (yy * 9) % 256
+    g[..., 2] = ((xx + yy) * 4) % 256
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=90))
+    mse = ((dec.astype(float) - g.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 35.0, psnr  # smooth content at q90 should be near-lossless
+
+
+def test_non_multiple_of_8_dims_and_quality_dial():
+    rng = np.random.default_rng(42)
+    n = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(n, quality=75))
+    assert dec.shape == (17, 23, 3)
+    sizes = [len(jpeg.encode_jpeg(n, q)) for q in (10, 50, 90)]
+    assert sizes == sorted(sizes), sizes  # more quality, more bytes
+    # lower quality -> coarser quantization -> strictly worse error
+    err = [
+        np.abs(jpeg.decode_jpeg(jpeg.encode_jpeg(n, q)).astype(float) - n).mean()
+        for q in (10, 90)
+    ]
+    assert err[0] > err[1]
+
+
+def test_byte_stuffing_roundtrip():
+    """An image engineered to emit 0xFF bytes in the entropy stream must
+    survive the stuff/de-stuff path. High-frequency noise at low quality
+    reliably produces 0xFF entropy bytes; assert at least one stuffed pair
+    actually exists so the test cannot silently stop covering the path."""
+    rng = np.random.default_rng(7)
+    n = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    raw = jpeg.encode_jpeg(n, quality=25)
+    assert b"\xff\x00" in raw, "fixture no longer exercises byte stuffing"
+    dec = jpeg.decode_jpeg(raw)
+    assert dec.shape == (32, 32, 3)
+
+
+def test_marker_grammar_structurally_valid():
+    import struct
+
+    raw = jpeg.encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8), 85)
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    pos, seen = 2, []
+    while True:
+        assert raw[pos] == 0xFF
+        marker = raw[pos + 1]
+        seen.append(marker)
+        if marker == 0xDA:
+            break
+        (ln,) = struct.unpack_from(">H", raw, pos + 2)
+        pos += 2 + ln
+    assert seen.count(0xDB) == 2 and seen.count(0xC4) == 4  # 2 DQT, 4 DHT
+    assert 0xC0 in seen  # SOF0 baseline
+
+
+def test_decode_rejects_unsupported_modes():
+    raw = bytearray(jpeg.encode_jpeg(np.full((8, 8, 3), 50, np.uint8), 85))
+    idx = raw.find(b"\xff\xc0")
+    raw[idx + 1] = 0xC2  # rebrand SOF0 as progressive
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg.decode_jpeg(bytes(raw))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_end_walks_concatenated_stream():
+    a = jpeg.encode_jpeg(multimodal.synth_frame_pixels(1), 85)
+    b = jpeg.encode_jpeg(multimodal.synth_frame_pixels(2, 24, 16), 60)
+    s = a + b
+    e1 = jpeg.jpeg_end(s, 0)
+    assert e1 == len(a) and s[e1 : e1 + 2] == b"\xff\xd8"
+    assert jpeg.jpeg_end(s, e1) == len(s)
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg.jpeg_end(a[:-4], 0)
+
+
+def test_synth_mjpeg_deterministic_and_decodable():
+    s1 = multimodal.synth_mjpeg(5, n_frames=3)
+    assert s1 == multimodal.synth_mjpeg(5, n_frames=3)
+    pos = 0
+    for i in range(3):
+        end = jpeg.jpeg_end(s1, pos)
+        px = jpeg.decode_jpeg(s1[pos:end])
+        ref = multimodal.synth_frame_pixels(5 * 1000 + i)
+        assert px.shape == ref.shape
+        # q85 on this synthetic pattern: decode stays close to source
+        assert np.abs(px.astype(float) - ref.astype(float)).mean() < 12.0
+        pos = end
+    assert pos == len(s1)
+
+
+def test_mjpeg_frame_sample_and_features(spark):
+    docs = spark.range(0, 6).selectExpr("id as doc_id")
+    media = multimodal.attach_mjpeg_payload(docs, n_frames=6, quality=85)
+    frames = multimodal.frame_sample_mjpeg(media, every_nth=2, max_frames=3)
+    got = frames.groupBy("doc_id").count().collect()
+    assert len(got) == 6 and all(r["count"] == 3 for r in got)
+    # each emitted frame is itself a complete, decodable JPEG
+    one = frames.filter("doc_id = 4 and frame_idx = 2").first()
+    px = jpeg.decode_jpeg(bytes(one["frame"]))
+    ref = multimodal.synth_frame_pixels(4 * 1000 + 2)
+    assert px.shape == ref.shape
+    assert np.abs(px.astype(float) - ref.astype(float)).mean() < 12.0
+
+    feats = multimodal.mjpeg_frame_features(media, every_nth=2, max_frames=3)
+    rows = {(r.doc_id, r.frame_idx): r for r in feats.collect()}
+    assert len(rows) == 18
+    # pinned against an independent local decode of the same pure fixture
+    r = rows[(4, 2)]
+    raw = multimodal.synth_mjpeg(4, n_frames=6)
+    pos = 0
+    for _ in range(2):
+        pos = jpeg.jpeg_end(raw, pos)
+    local = jpeg.decode_jpeg(raw[pos : jpeg.jpeg_end(raw, pos)]).astype(float)
+    assert r.width == 16 and r.height == 12
+    assert r.mean_r == pytest.approx(local[..., 0].mean(), abs=1e-9)
+    luma = 0.299 * local[..., 0] + 0.587 * local[..., 1] + 0.114 * local[..., 2]
+    assert r.mean_luma == pytest.approx(luma.mean(), abs=1e-9)
+    assert r.luma_std == pytest.approx(luma.std(), abs=1e-9)
