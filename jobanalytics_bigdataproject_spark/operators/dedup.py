@@ -202,6 +202,7 @@ def simhash_candidates(
     documents: DataFrame,
     text_col: str = "text",
     max_hamming: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs, end to end: candidates share at least one of
     the four 16-bit chunks (pigeonhole: hamming ≤ 3 over 64 bits forces ≥1
@@ -212,8 +213,13 @@ def simhash_candidates(
 
     Scale shape mirrors LSH banding: explode ×4 chunks, shuffle on
     (chunk_idx, chunk_value) — candidate expansion bounded by bucket size.
-    Returns (doc_id_a < doc_id_b, hamming). Rows-only (xxhash64)."""
-    sh = simhash_docs(documents, text_col)
+    Returns (doc_id_a < doc_id_b, hamming). Rows-only (xxhash64).
+
+    ``signatures``: a precomputed (ideally persisted) ``simhash_docs``
+    frame; callers that also need the signatures elsewhere (e.g. the
+    recall report's brute truth) pass it to avoid re-tokenizing the
+    corpus — the hash pass is the expensive half at scale."""
+    sh = signatures if signatures is not None else simhash_docs(documents, text_col)
     banded = sh.select(
         "doc_id",
         "simhash",

@@ -181,7 +181,9 @@ def recall_vs_exact(approx: DataFrame, exact: DataFrame, method: str, param: str
             F.lit(param).alias("param"),
             "truth_pairs",
             "hit_pairs",
-            F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4).alias("recall"),
+            # try_divide: an empty truth set (no pairs above the dial's
+            # threshold in this corpus) reports NULL recall, not a crash
+            F.round(F.try_divide("hit_pairs", "truth_pairs"), 4).alias("recall"),
         )
     )
 
@@ -307,7 +309,9 @@ def ann_recall_report(
             "param",
             "truth_pairs",
             "hit_pairs",
-            F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4).alias("recall"),
+            # try_divide: an empty truth set (no pairs above the dial's
+            # threshold in this corpus) reports NULL recall, not a crash
+            F.round(F.try_divide("hit_pairs", "truth_pairs"), 4).alias("recall"),
         )
     )
 
@@ -348,15 +352,18 @@ def ann_recall_report(
             simhash_docs,
         )
 
-        n_docs = simhash_docs_frame.count()
+        # one hash pass over the sample, persisted, shared by BOTH the
+        # all-pairs brute truth and the pigeonhole arm (signatures=sh
+        # below) — the tokenize+xxhash pass is the expensive half, the
+        # sample-size guard rides the same materializing count
+        sh = simhash_docs(simhash_docs_frame).persist()
+        n_docs = sh.count()
         if n_docs > 20_000:
+            sh.unpersist()
             raise ValueError(
                 f"simhash recall arm got {n_docs} docs; the brute truth "
                 "is all-pairs — pass a bounded sample (<= 20k rows)"
             )
-        sh = simhash_docs(simhash_docs_frame).select("doc_id", "simhash")
-        sh = sh.persist()
-        sh.count()
         _RECALL_PINNED.append(sh)
         a, b = sh.alias("a"), sh.alias("b")
         sh_truth = (
@@ -373,7 +380,7 @@ def ann_recall_report(
             )
         )
         sh_arm = simhash_candidates(
-            simhash_docs_frame, max_hamming=simhash_hamming
+            simhash_docs_frame, max_hamming=simhash_hamming, signatures=sh
         ).select(
             F.col("doc_id_a").alias("query_id"),
             F.col("doc_id_b").alias("neighbor_id"),
