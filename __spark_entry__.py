@@ -574,6 +574,34 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+_VAMANA_INDEX_CACHE: dict[str, str] = {}
+
+
+def _vamana_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted sharded-Vamana graph index for sf_dir, built once per
+    process (the graph build is the expensive half by design — DiskANN
+    amortizes it across serving, exactly like the KMeans fit in
+    _ivf_index_path)."""
+    import tempfile
+
+    from jobanalytics_bigdataproject_spark.operators import vamana
+
+    path = _VAMANA_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        t = load_star(spark, sf_dir, ("embeddings",))
+        path = tempfile.mkdtemp(prefix="vamana_index_") + "/vamana"
+        # shard COUNT scales with the corpus so shard SIZE stays bounded —
+        # the per-shard graph build is the quadratic-ish part, so this is
+        # the dial that keeps ingest linear at scale (each shard builds
+        # independently in one applyInPandas group)
+        n = t["embeddings"].count()
+        vamana.vamana_build_index(
+            t["embeddings"], path, n_shards=max(4, n // 600), r=16, beam=32
+        )
+        _VAMANA_INDEX_CACHE[sf_dir] = path
+    return path
+
+
 _PQ_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1808,6 +1836,28 @@ def _docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _ann_cosine_vamana(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded Vamana graph ANN (DiskANN family, VERDICT r6 #6): spherical-
+    KMeans shard assignment, one independent numpy graph build per shard
+    (applyInPandas), serving reads ONLY probed shard directories (static
+    shard-IN partition filter) and greedy-beam-searches each shard graph
+    (operators/vamana.py). Full-probe + full-beam degrades to the exact
+    scan (tested); recall at the operating dial is measured by the vamana
+    arm of ann_recall_report. Rows-only: graph walks aren't
+    SQL-expressible (SURVEY.md §5.3)."""
+    from jobanalytics_bigdataproject_spark.operators import vamana
+
+    t = load_star(spark, sf_dir, ("embeddings",))
+    return vamana.vamana_query(
+        spark,
+        _vamana_index_path(spark, sf_dir),
+        t["embeddings"].filter(F.col("vec_id") < 20),
+        k=5,
+        n_probe=2,
+        beam=32,
+    )
+
+
 def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of SRP-LSH (bits=4), persisted-IVF (n_probe ∈ {1,2,4}) and
     composed IVF×PQ (n_probe=2, refine=32) against the exact brute-force
@@ -1827,6 +1877,7 @@ def _ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivf_index_path(spark, sf_dir),
         k=5,
         ivfpq_path=_ivfpq_index_path(spark, sf_dir),
+        vamana_path=_vamana_index_path(spark, sf_dir),
         # the synthetic embeddings have no true near-dups (max top-5 sim
         # ~0.49), so the dial is set loose per the SRP collision law:
         # at sim 0.4, bits=2 x 8 tables gives ~98% theoretical recall —
@@ -1920,6 +1971,7 @@ _ROWS_ONLY = {
     "embeddings_semantic_dedup",
     "ann_cosine_ivf",
     "ann_cosine_ivf_indexed",
+    "ann_cosine_vamana",
     "ann_cosine_pq",
     "ann_cosine_ivfpq",
     "approx_distinct_customers",
@@ -2451,6 +2503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf_indexed": _ann_ivf_indexed,
         "ann_cosine_pq": _ann_cosine_pq,
         "ann_cosine_ivfpq": _ann_cosine_ivfpq,
+        "ann_cosine_vamana": _ann_cosine_vamana,
         "ann_recall_report": _ann_recall_report,
         "embedding_near_dups": _q(
             ("embeddings",), lambda t: similarity.embedding_near_dups(t["embeddings"], threshold=0.3)

@@ -208,6 +208,9 @@ def ann_recall_report(
     neardup_tables: int = 8,
     simhash_docs_frame: DataFrame | None = None,
     simhash_hamming: int = 5,
+    vamana_path: str | None = None,
+    vamana_probes: tuple[int, ...] = (2,),
+    vamana_beam: int = 32,
 ) -> DataFrame:
     """recall@k of every approximate ANN path against the exact
     brute-force baseline, one row per (method, parameter point):
@@ -279,6 +282,20 @@ def ann_recall_report(
                 ivfpq_query(
                     spark, ivfpq_path, queries, k=k, n_probe=n_probe,
                     refine=ivfpq_refine, embeddings=embeddings,
+                ),
+            ))
+    if vamana_path is not None:
+        # sharded DiskANN-family graph index (VERDICT r6 #6): its recall
+        # dial (beam width) joins the same shared-truth frame as every
+        # other arm — graph indexes don't get to skip the measurement
+        from jobanalytics_bigdataproject_spark.operators.vamana import vamana_query
+
+        for n_probe in vamana_probes:
+            arms.append((
+                "vamana", f"n_probe={n_probe},beam={vamana_beam}",
+                vamana_query(
+                    spark, vamana_path, queries, k=k, n_probe=n_probe,
+                    beam=vamana_beam,
                 ),
             ))
 

@@ -1,0 +1,450 @@
+"""[EXT] Sharded Vamana graph ANN — the DiskANN-family index, re-shaped
+for Spark (VERDICT r6 #6).
+
+Public-knowledge basis: the Vamana graph construction (greedy search +
+alpha-robust-prune + reverse edges) and the sharded build-then-serve
+layout are from the DiskANN papers (Subramanya et al., NeurIPS 2019;
+Singh et al. 2021 for the sharded variant). No code from any
+implementation — the algorithm is re-derived from the published
+pseudocode in numpy.
+
+Why this shape on Spark
+-----------------------
+A single global graph is the wrong shape for a distributed build: every
+insert's greedy search touches arbitrary nodes, so a naive port would
+shuffle the whole corpus per round. The sharded variant is the published
+scale answer AND maps exactly onto Spark's strengths:
+
+- *build*: one spherical-KMeans pass assigns vectors to shards (same
+  coarse quantizer as the IVF family — locality, not load-balance, is
+  what makes per-shard graphs good); each shard's graph is built
+  INDEPENDENTLY in one ``applyInPandas`` group — bounded memory
+  (shard-size dial), no cross-shard traffic, embarrassingly parallel.
+- *layout*: corpus+graph parquet partitioned by shard id; the tiny
+  centroid table rides alongside. A graph edge never crosses a shard, so
+  a shard directory is a self-contained index.
+- *serve*: rank shards by query→centroid cosine, read ONLY the probed
+  shard directories (static IN partition filter — same pruning proof as
+  ``ivf_query``), cogroup queries with their probed shards, and run the
+  classic greedy beam search over the in-memory shard graph. Per-query
+  work is O(path · R · dim) — sub-linear in shard size, which is the
+  whole point of a graph index over IVF's exhaustive in-cell re-rank.
+
+Recall is MEASURED, not asserted: a ``vamana`` arm in
+``similarity.ann_recall_report`` (rows-only — graph walks aren't
+SQL-expressible). The honest trade vs IVFPQ is documented in SCALE.md:
+Vamana wins when cells are large (beam search visits a fraction of the
+shard), IVFPQ wins on storage (codes vs full vectors + edge lists).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def _greedy_search(
+    vecs: np.ndarray,
+    adj: list[list[int]],
+    entry: int,
+    qv: np.ndarray,
+    beam: int,
+) -> tuple[list[int], set[int]]:
+    """Classic best-first graph search: keep the ``beam`` best candidates,
+    expand the best unexpanded one until none remain. Returns (candidate
+    indices best-first, expanded set). Sim = inner product on normalized
+    vectors (= cosine)."""
+    sims = {entry: float(vecs[entry] @ qv)}
+    cand = [entry]
+    expanded: set[int] = set()
+    while True:
+        cand.sort(key=lambda i: (-sims[i], i))
+        cand = cand[:beam]
+        nxt = next((i for i in cand if i not in expanded), None)
+        if nxt is None:
+            return cand, expanded
+        expanded.add(nxt)
+        for nb in adj[nxt]:
+            if nb not in sims:
+                sims[nb] = float(vecs[nb] @ qv)
+                cand.append(nb)
+
+
+def _robust_prune(
+    p: int,
+    cand: set[int],
+    vecs: np.ndarray,
+    alpha: float,
+    r: int,
+) -> list[int]:
+    """DiskANN robust prune on squared-Euclidean over unit vectors
+    (monotone with cosine): keep the closest candidate, drop every other
+    candidate that it alpha-dominates, repeat until R edges chosen."""
+    cand = [c for c in cand if c != p]
+    if not cand:
+        return []
+    cv = vecs[cand]
+    d_p = ((cv - vecs[p]) ** 2).sum(axis=1)
+    order = np.argsort(d_p, kind="stable")
+    cand = [cand[i] for i in order]
+    d_p = d_p[order]
+    alive = np.ones(len(cand), dtype=bool)
+    out: list[int] = []
+    for i in range(len(cand)):
+        if not alive[i]:
+            continue
+        c = cand[i]
+        out.append(c)
+        if len(out) >= r:
+            break
+        rest = np.where(alive)[0]
+        rest = rest[rest > i]
+        if len(rest):
+            d_c = ((vecs[[cand[j] for j in rest]] - vecs[c]) ** 2).sum(axis=1)
+            alive[rest[alpha * d_c <= d_p[rest]]] = False
+    return out
+
+
+def build_shard_graph(
+    vecs: np.ndarray,
+    r: int = 16,
+    beam: int = 32,
+    alpha: float = 1.2,
+    seed: int = 42,
+) -> tuple[list[list[int]], int]:
+    """Build one shard's Vamana graph. Two passes per the paper (alpha=1
+    then the target alpha), reverse edges pruned back to R, plus a
+    connectivity fix-up (every node unreachable from the medoid gets an
+    edge from it) so a full-beam search degrades to the EXACT shard scan —
+    the testable anchor the IVF family also has. Returns (adjacency,
+    medoid index)."""
+    m = len(vecs)
+    medoid = int(np.argmax(vecs @ _normalize(vecs.mean(axis=0, keepdims=True))[0]))
+    if m == 1:
+        return [[]], medoid
+    rng = np.random.default_rng(seed)
+    adj: list[list[int]] = [[] for _ in range(m)]
+    for a in (1.0, alpha):
+        for p in rng.permutation(m):
+            p = int(p)
+            if p == medoid and not adj[medoid]:
+                continue
+            _, visited = _greedy_search(vecs, adj, medoid, vecs[p], beam)
+            adj[p] = _robust_prune(p, visited | set(adj[p]), vecs, a, r)
+            for q in adj[p]:
+                if p not in adj[q]:
+                    adj[q].append(p)
+                    if len(adj[q]) > r:
+                        adj[q] = _robust_prune(q, set(adj[q]), vecs, a, r)
+    # connectivity fix-up: BFS from medoid, wire stragglers to the medoid
+    seen = {medoid}
+    stack = [medoid]
+    while stack:
+        for nb in adj[stack.pop()]:
+            if nb not in seen:
+                seen.add(nb)
+                stack.append(nb)
+    for p in range(m):
+        if p not in seen:
+            adj[medoid].append(p)  # medoid degree may exceed R: bounded by
+            # the straggler count, and correctness (reachability) wins here
+    return adj, medoid
+
+
+def vamana_build_index(
+    embeddings: DataFrame,
+    path: str,
+    n_shards: int = 4,
+    r: int = 16,
+    beam: int = 32,
+    alpha: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Persist a sharded Vamana index: spherical-KMeans shard assignment
+    (one pass, same quantizer discipline as ``ivf_build_index``), one
+    independent in-memory graph build per shard via ``applyInPandas``,
+    corpus+edges parquet partitioned by shard, centroids alongside."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from jobanalytics_bigdataproject_spark.operators.similarity import _norm
+
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double") / F.nullif(_norm(F.col(vec_col)), F.lit(0.0)),
+    )
+    feat = embeddings.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("__features")
+    )
+    model = KMeans(k=n_shards, seed=seed, featuresCol="__features").fit(feat)
+    assigned = model.transform(feat).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.col("prediction").alias("shard"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("neighbors", T.ArrayType(T.LongType())),
+            T.StructField("is_medoid", T.BooleanType()),
+            T.StructField("shard", T.IntegerType()),
+        ]
+    )
+
+    def build(pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        vecs = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+        adj, medoid = build_shard_graph(vecs, r=r, beam=beam, alpha=alpha, seed=seed)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "embedding": pdf["embedding"],
+                "neighbors": [[int(ids[j]) for j in nbrs] for nbrs in adj],
+                "is_medoid": [i == medoid for i in range(len(ids))],
+                "shard": pdf["shard"],
+            }
+        )
+
+    (
+        assigned.groupBy("shard")
+        .applyInPandas(build, schema)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{path}/graph")
+    )
+    spark = embeddings.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "shard INT, centroid ARRAY<DOUBLE>",
+    )
+    centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("sim", T.DoubleType()),
+    ]
+)
+
+
+def vamana_query(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    beam: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve a sharded Vamana index: rank shards by query→centroid cosine,
+    static-IN partition filter so only probed shard directories are read
+    (same pruning proof as ``ivf_query``), then COGROUP the probed queries
+    with their shards and greedy-beam-search each shard's graph in numpy.
+    Output is the global top-k per query across its probed shards.
+
+    ``beam`` is the recall dial (DiskANN's L): beam >= shard size expands
+    every reachable node, and the build's connectivity fix-up makes the
+    whole shard reachable, so full-probe + full-beam degrades to the exact
+    scan — the anchor ann_recall_report measures the dial against."""
+    from jobanalytics_bigdataproject_spark.operators.similarity import cosine_expr
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("shard_sim"), "shard")
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "q_vec", "shard", cosine_expr("q_vec", "centroid").alias("shard_sim")
+        )
+        .withColumn("shard_rank", F.row_number().over(wc))
+        .filter(F.col("shard_rank") <= n_probe)
+        .select("query_id", "q_vec", "shard")
+    )
+    shards = sorted(r.shard for r in probed.select("shard").distinct().collect())
+    graph = (
+        spark.read.parquet(f"{path}/graph")
+        .filter(F.col("shard").isin(shards))
+        .select("vec_id", "embedding", "neighbors", "is_medoid", "shard")
+    )
+
+    def search(key, corpus_pdf, queries_pdf):
+        import pandas as pd
+
+        if not len(corpus_pdf) or not len(queries_pdf):
+            return pd.DataFrame({f.name: [] for f in _RESULT_SCHEMA.fields})
+        ids = corpus_pdf["vec_id"].to_numpy()
+        vecs = _normalize(np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float64))
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        adj = [
+            [idx_of[int(n)] for n in nbrs if int(n) in idx_of]
+            for nbrs in corpus_pdf["neighbors"]
+        ]
+        med = np.flatnonzero(corpus_pdf["is_medoid"].to_numpy())
+        entry = int(med[0]) if len(med) else 0
+        out_q, out_n, out_s = [], [], []
+        for qid, qvec in zip(queries_pdf["query_id"], queries_pdf["q_vec"]):
+            qv = np.asarray(qvec, dtype=np.float64)
+            nrm = np.linalg.norm(qv)
+            if nrm:
+                qv = qv / nrm
+            cand, _ = _greedy_search(vecs, adj, entry, qv, beam)
+            kept = 0
+            for i in cand:
+                if int(ids[i]) == int(qid):
+                    continue
+                out_q.append(int(qid))
+                out_n.append(int(ids[i]))
+                out_s.append(round(float(vecs[i] @ qv), 4))
+                kept += 1
+                if kept >= k:
+                    break
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    per_shard = (
+        graph.groupby("shard")
+        .cogroup(probed.groupby("shard"))
+        .applyInPandas(search, _RESULT_SCHEMA)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def vamana_append(
+    new_vectors: DataFrame,
+    path: str,
+    r: int = 16,
+    beam: int = 32,
+    alpha: float = 1.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental Vamana maintenance — the graph-index counterpart of
+    ``ivf_append``/``ivfpq_append``: assign the new batch to its nearest
+    EXISTING shard centroid (no re-fit), then insert each new point into
+    that shard's graph the way the original build does (greedy search from
+    the medoid → alpha-robust-prune → reverse edges, BFS fix-up for
+    reachability).
+
+    The honest trade vs IVF's append: a graph insert MUTATES existing
+    nodes' edge lists (reverse edges), so touched shards are REWRITTEN via
+    dynamic partition overwrite — cost bounded by (touched shards ×
+    shard size), never the corpus. Untouched shard directories are neither
+    read nor written. Centroid drift under sustained appends degrades
+    recall, not correctness (the vamana arm of ``ann_recall_report`` is
+    the watchdog), same re-fit discipline as the IVF family."""
+    from jobanalytics_bigdataproject_spark.operators.similarity import cosine_expr
+
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{path}/centroids")
+    sim = cosine_expr(vec_col, "centroid")
+    wa = Window.partitionBy(id_col).orderBy(F.desc("__sim"), "shard")
+    assigned = (
+        new_vectors.crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, "shard", sim.alias("__sim"))
+        .withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            F.lit(None).cast("array<long>").alias("neighbors"),
+            F.lit(False).alias("is_medoid"),
+            "shard",
+        )
+    )
+    touched = sorted(rw.shard for rw in assigned.select("shard").distinct().collect())
+    existing = (
+        spark.read.parquet(f"{path}/graph")
+        .filter(F.col("shard").isin(touched))
+        .select("vec_id", "embedding", "neighbors", "is_medoid", "shard")
+    )
+    combined = existing.unionByName(assigned)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            T.StructField("neighbors", T.ArrayType(T.LongType())),
+            T.StructField("is_medoid", T.BooleanType()),
+            T.StructField("shard", T.IntegerType()),
+        ]
+    )
+
+    def insert(pdf):
+        import pandas as pd
+
+        is_new = pdf["neighbors"].isna().to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        vecs = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+        if is_new.all():
+            # a shard with no prior rows: degenerate to a fresh build
+            adj, medoid = build_shard_graph(vecs, r=r, beam=beam, alpha=alpha)
+            med_flags = [i == medoid for i in range(len(ids))]
+        else:
+            idx_of = {int(v): i for i, v in enumerate(ids)}
+            adj = [
+                []
+                if is_new[i]
+                else [idx_of[int(n)] for n in pdf["neighbors"].iloc[i] if int(n) in idx_of]
+                for i in range(len(ids))
+            ]
+            med = np.flatnonzero(pdf["is_medoid"].to_numpy() & ~is_new)
+            medoid = int(med[0]) if len(med) else int(np.flatnonzero(~is_new)[0])
+            for p in np.flatnonzero(is_new):
+                p = int(p)
+                _, visited = _greedy_search(vecs, adj, medoid, vecs[p], beam)
+                adj[p] = _robust_prune(p, visited, vecs, alpha, r)
+                for q in adj[p]:
+                    if p not in adj[q]:
+                        adj[q].append(p)
+                        if len(adj[q]) > r:
+                            adj[q] = _robust_prune(q, set(adj[q]), vecs, alpha, r)
+            seen, stack = {medoid}, [medoid]
+            while stack:
+                for nb in adj[stack.pop()]:
+                    if nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            for p in range(len(ids)):
+                if p not in seen:
+                    adj[medoid].append(p)
+            med_flags = [i == medoid for i in range(len(ids))]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "embedding": pdf["embedding"],
+                "neighbors": [[int(ids[j]) for j in nbrs] for nbrs in adj],
+                "is_medoid": med_flags,
+                "shard": pdf["shard"],
+            }
+        )
+
+    out = combined.groupBy("shard").applyInPandas(insert, schema)
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # dynamic mode: only the touched shard partitions are replaced
+        out.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/graph")
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -99,6 +99,11 @@ PROBES = [
     # exponent should sit well below 1 (the whole point of the index)
     "ann_cosine_ivf_indexed",
     "ann_cosine_ivfpq",
+    # round 7: sharded Vamana graph serving — same cluster-at-ingest
+    # prime discipline; the timed runs measure the probed-shard beam
+    # search, which should stay flat like the IVF family (shard COUNT,
+    # not shard size, absorbs the 10x)
+    "ann_cosine_vamana",
     # partitioned snapshot tables (round 5): the untimed prime builds the
     # partitioned table + the zero-I/O partition drop; timed runs measure
     # the pruned/aggregate read paths over the partition-split files
