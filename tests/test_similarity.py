@@ -393,3 +393,18 @@ def test_recall_report_unified_neardup_and_simhash_arms(spark, tmp_path):
         similarity.ann_recall_report(
             spark, emb, q, path, k=5, probes=(1,), simhash_docs_frame=big
         )
+
+
+def test_recall_report_scope_releases_pinned_frames(spark, tables, tmp_path):
+    """recall_report_scope gives the report's persisted ground-truth
+    frames a deterministic lifetime (VERDICT r6 nit): inside the scope
+    the frames are pinned; exit unpersists them all."""
+    path = str(tmp_path / "ivf_scope")
+    similarity.ivf_build_index(tables["embeddings"], path, n_clusters=4)
+    q = tables["embeddings"].filter(F.col("vec_id") < 3)
+    with similarity.recall_report_scope():
+        rows = similarity.ann_recall_report(
+            spark, tables["embeddings"], q, path, k=3, probes=(1,)
+        ).collect()
+        assert rows and len(similarity._RECALL_PINNED) > 0
+    assert similarity._RECALL_PINNED == []
