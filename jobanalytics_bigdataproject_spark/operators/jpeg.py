@@ -237,6 +237,15 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-bit padding) and emit RSTm. If the padded byte
+        lands on 0xFF, write() already stuffed a 0x00 after it — legal
+        trailing bits the decoder never consumes."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """T.81 F.1.2.1: (SSSS category, appended bits) for a DC diff / AC coef."""
@@ -245,27 +254,94 @@ def _magnitude(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a baseline 4:4:4 JFIF JPEG
-    with Annex K quantization (quality-scaled) and Huffman tables."""
+def _block_grid(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize a padded plane into an (nby, nbx, 64) grid of
+    zigzag-ordered coefficients, all blocks in one einsum."""
+    h8, w8 = plane.shape
+    blocks = _to_blocks(plane - 128.0)
+    coef = np.einsum("ij,bjk,lk->bil", _DCT, blocks, _DCT)
+    zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+    return zz.reshape(h8 // 8, w8 // 8, 64)
+
+
+def _encode_block(bw: "_BitWriter", zz: np.ndarray, pred: int, t: int,
+                  dc_codes, ac_codes) -> int:
+    """Huffman-encode one quantized block; returns the new DC predictor."""
+    diff = int(zz[0]) - pred
+    s, bits = _magnitude(diff)
+    code, ln = dc_codes[t][s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[t][0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _magnitude(v)
+        code, ln = ac_codes[t][(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[t][0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline JFIF JPEG with
+    Annex K quantization (quality-scaled) and Huffman tables.
+
+    ``subsampling``: "444" (one block per component per MCU) or "420"
+    (2x2 mean-pooled chroma, MCU = 4 Y + Cb + Cr — what real MJPEG
+    cameras emit). ``restart_interval`` > 0 emits a DRI segment and an
+    RSTm marker + DC-predictor reset every that-many MCUs (the
+    resync/parallel-decode hook; also exercises the decoder's RST
+    path)."""
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError(f"expected (H, W, 3) RGB, got {px.shape}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
     h, w = px.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     ql, qc = scaled_quant_tables(quality)
     ycc = _rgb_to_ycbcr(px.astype(np.float64))
-    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    pad = ((0, h8 - h), (0, w8 - w), (0, 0))
-    ycc = np.pad(ycc, pad, mode="edge")
 
-    # FDCT + quantize every block of every channel in one einsum each
-    quantized = []  # per channel: (n_blocks, 64) ints in zigzag order
-    for c, q in ((0, ql), (1, qc), (2, qc)):
-        blocks = _to_blocks(ycc[..., c]) - 128.0
-        coef = np.einsum("ij,bjk,lk->bil", _DCT, blocks, _DCT)
-        zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
-        quantized.append(zz)
+    if subsampling == "444":
+        mcu_px = 8
+        h_p = (h + 7) // 8 * 8
+        w_p = (w + 7) // 8 * 8
+        ycc = np.pad(ycc, ((0, h_p - h), (0, w_p - w), (0, 0)), mode="edge")
+        grids = [_block_grid(ycc[..., c], q) for c, q in ((0, ql), (1, qc), (2, qc))]
+        samp = [0x11, 0x11, 0x11]
+    else:
+        mcu_px = 16
+        h_p = (h + 15) // 16 * 16
+        w_p = (w + 15) // 16 * 16
+        ycc = np.pad(ycc, ((0, h_p - h), (0, w_p - w), (0, 0)), mode="edge")
+        y_grid = _block_grid(ycc[..., 0], ql)
+        # 2x2 mean-pool chroma (the standard decimation filter choice)
+        sub = ycc[..., 1:].reshape(h_p // 2, 2, w_p // 2, 2, 2).mean(axis=(1, 3))
+        grids = [
+            y_grid,
+            _block_grid(sub[..., 0], qc),
+            _block_grid(sub[..., 1], qc),
+        ]
+        samp = [0x22, 0x11, 0x11]
 
     dc_codes = (_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
                 _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
@@ -274,39 +350,34 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    n_blocks = quantized[0].shape[0]
-    for b in range(n_blocks):  # 4:4:4 -> MCU = one block per component
-        for c in range(3):
-            t = 0 if c == 0 else 1
-            zz = quantized[c][b]
-            diff = int(zz[0]) - pred[c]
-            pred[c] = int(zz[0])
-            s, bits = _magnitude(diff)
-            code, ln = dc_codes[t][s]
-            bw.write(code, ln)
-            if s:
-                bw.write(bits, s)
-            run = 0
-            last_nz = 0
-            nz = np.nonzero(zz[1:])[0]
-            last_nz = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last_nz + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[t][0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s, bits = _magnitude(v)
-                code, ln = ac_codes[t][(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(bits, s)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[t][0x00]  # EOB
-                bw.write(code, ln)
+    mcuy, mcux = h_p // mcu_px, w_p // mcu_px
+    mcu_in_interval = 0
+    rst_idx = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_interval == restart_interval:
+                bw.restart(rst_idx)
+                rst_idx += 1
+                pred = [0, 0, 0]
+                mcu_in_interval = 0
+            mcu_in_interval += 1
+            if subsampling == "444":
+                for c in range(3):
+                    t = 0 if c == 0 else 1
+                    pred[c] = _encode_block(
+                        bw, grids[c][my, mx], pred[c], t, dc_codes, ac_codes
+                    )
+            else:
+                for dy in range(2):
+                    for dx in range(2):
+                        pred[0] = _encode_block(
+                            bw, grids[0][2 * my + dy, 2 * mx + dx], pred[0], 0,
+                            dc_codes, ac_codes,
+                        )
+                for c in (1, 2):
+                    pred[c] = _encode_block(
+                        bw, grids[c][my, mx], pred[c], 1, dc_codes, ac_codes
+                    )
     entropy = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -317,7 +388,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
     out += seg(0xFFDB, bytes([0]) + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
     out += seg(0xFFDB, bytes([1]) + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    sof += bytes([1, samp[0], 0]) + bytes([2, samp[1], 1]) + bytes([3, samp[2], 1])
     out += seg(0xFFC0, sof)
     for cls, tid, bits, vals in (
         (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
@@ -326,6 +397,8 @@ def encode_jpeg(px: np.ndarray, quality: int = 85) -> bytes:
         (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS),
     ):
         out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     out += seg(0xFFDA, sos)
     out += entropy

@@ -175,3 +175,65 @@ def test_mjpeg_frame_sample_and_features(spark):
     luma = 0.299 * local[..., 0] + 0.587 * local[..., 1] + 0.114 * local[..., 2]
     assert r.mean_luma == pytest.approx(luma.mean(), abs=1e-9)
     assert r.luma_std == pytest.approx(luma.std(), abs=1e-9)
+
+
+def test_420_subsampled_roundtrip():
+    """4:2:0 — what real MJPEG cameras emit: the decoder's sampling-factor
+    + chroma-upsample path gets a real stream, not just 4:4:4. Smooth
+    chroma survives 2x2 decimation; luma detail is untouched."""
+    g = np.zeros((24, 40, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:24, 0:40]
+    g[..., 0] = (xx * 5) % 256
+    g[..., 1] = (yy * 7) % 256
+    g[..., 2] = 90
+    raw = jpeg.encode_jpeg(g, quality=90, subsampling="420")
+    # SOF declares 2x2 Y sampling
+    idx = raw.find(b"\xff\xc0")
+    assert raw[idx + 11] == 0x22, hex(raw[idx + 11])
+    dec = jpeg.decode_jpeg(raw)
+    assert dec.shape == (24, 40, 3)
+    mse = ((dec.astype(float) - g.astype(float)) ** 2).mean()
+    psnr = 10 * np.log10(255**2 / mse)
+    assert psnr > 30.0, psnr
+    # 4:2:0 must be materially smaller than 4:4:4 at the same quality
+    assert len(raw) < len(jpeg.encode_jpeg(g, quality=90, subsampling="444"))
+
+
+def test_420_non_multiple_of_16_dims():
+    rng = np.random.default_rng(11)
+    n = rng.integers(0, 256, (19, 21, 3), dtype=np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(n, quality=80, subsampling="420"))
+    assert dec.shape == (19, 21, 3)
+
+
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn: markers every 2 MCUs, DC predictors reset per interval —
+    exercises the decoder's restart segmentation, which 0-DRI streams
+    never touch. Result must be identical to the no-restart encode."""
+    g = np.zeros((16, 48, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:16, 0:48]
+    g[..., 0] = (xx * 11) % 256
+    g[..., 1] = (yy * 13) % 256
+    g[..., 2] = ((xx * yy) // 3) % 256
+    raw = jpeg.encode_jpeg(g, quality=85, restart_interval=2)
+    assert b"\xff\xdd" in raw  # DRI segment present
+    assert any(bytes([0xFF, 0xD0 + m]) in raw for m in range(8))
+    dec_rst = jpeg.decode_jpeg(raw)
+    dec_plain = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=85))
+    assert np.array_equal(dec_rst, dec_plain)
+    # jpeg_end must walk an RST-bearing stream too (MJPEG demux path)
+    two = raw + jpeg.encode_jpeg(g, quality=50, subsampling="420", restart_interval=1)
+    e1 = jpeg.jpeg_end(two, 0)
+    assert e1 == len(raw) and jpeg.jpeg_end(two, e1) == len(two)
+
+
+def test_420_with_restarts_composed():
+    rng = np.random.default_rng(5)
+    n = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    raw = jpeg.encode_jpeg(n, quality=70, subsampling="420", restart_interval=1)
+    dec = jpeg.decode_jpeg(raw)
+    assert dec.shape == (32, 32, 3)
+    # same pixels as the unrestarted 4:2:0 stream (predictor resets are
+    # an encoding detail, not a pixel-path one)
+    dec2 = jpeg.decode_jpeg(jpeg.encode_jpeg(n, quality=70, subsampling="420"))
+    assert np.array_equal(dec, dec2)
