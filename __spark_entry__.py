@@ -1986,6 +1986,7 @@ _ROWS_ONLY = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_mjpeg_features",
+    "multimodal_video_neardups",
     "multimodal_audio",
     "multimodal_audio_spectral",
 }
@@ -2603,6 +2604,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 every_nth=2,
                 max_frames=3,
             ).select("doc_id", "frame_idx", "width", "height", "mean_luma"),
+        ),
+        "multimodal_video_neardups": _q(
+            # video x dedup bridge: per-frame aHash over FULLY DECODED
+            # MJPEG frames, per-frame chunk-pigeonhole candidate buckets,
+            # zip_with hamming verify over aligned hash arrays
+            # (operators/multimodal.py:video_near_dup_pairs). seed_mod
+            # plants 60 re-encode pairs (same frames, lower quality) so
+            # the check verifies recovery, not an empty result. Binary
+            # codec work is not SQL-expressible → rows-only.
+            ("documents",),
+            lambda t: multimodal.video_near_dup_pairs(
+                multimodal.attach_mjpeg_payload(
+                    t["documents"].filter(F.col("doc_id") < 120),
+                    n_frames=6,
+                    seed_mod=60,
+                ),
+                every_nth=2,
+                max_frames=3,
+                min_frame_frac=0.6,
+            ),
         ),
         "multimodal_audio": _q(
             # REAL decode (no stub): deterministic stdlib-`wave` WAV payload

@@ -724,6 +724,7 @@ def attach_mjpeg_payload(
     width: int = 16,
     height: int = 12,
     quality: int = 85,
+    seed_mod: int | None = None,
 ) -> DataFrame:
     """Fixture adapter: one deterministic MJPEG stream per doc_id. Same
     fan-out-first shape as ``attach_video_payload``: the 1-column id frame
@@ -748,7 +749,16 @@ def attach_mjpeg_payload(
 
         for pdf in it:
             payloads = [
-                synth_mjpeg(int(d), n_frames, width, height, quality)
+                # seed_mod plants deterministic near-dup content: docs with
+                # equal (doc_id % seed_mod) encode the SAME frames (quality
+                # varied by doc parity, so the dup pair is a re-encode, not
+                # a byte-identical copy — the realistic near-dup case)
+                synth_mjpeg(
+                    int(d) if seed_mod is None else int(d) % seed_mod,
+                    n_frames, width, height,
+                    quality if seed_mod is None or (int(d) // seed_mod) % 2 == 0
+                    else max(1, quality - 25),
+                )
                 for d in pdf["doc_id"]
             ]
             yield pd.DataFrame(
@@ -863,3 +873,136 @@ def mjpeg_frame_features(
             cols = {f.name: [] for f in MJPEG_FEATURE_SCHEMA.fields}
 
     return media.select("doc_id", "payload").mapInPandas(batches, MJPEG_FEATURE_SCHEMA)
+
+
+VIDEO_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_hashes", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def mjpeg_video_signatures(
+    media: DataFrame,
+    every_nth: int = 2,
+    max_frames: int = 4,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Per-video perceptual signature: demux the MJPEG stream, FULLY
+    decode every sampled frame (the complete baseline-JPEG path) and
+    aHash it (grayscale → hash_size² mean-pool → above-mean bitmask —
+    same public technique as ``image_ahash``). One linear mapInPandas
+    pass; output is one row per video with an ordered array of 64-bit
+    frame hashes — metadata scale, whatever the payload size."""
+
+    def batches(it: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        from jobanalytics_bigdataproject_spark.operators import jpeg
+
+        hs = hash_size
+        for pdf in it:
+            ids, sigs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                pos = frame_no = kept = 0
+                hashes = []
+                while pos + 4 <= len(raw) and kept < max_frames:
+                    if raw[pos : pos + 2] != b"\xff\xd8":
+                        break
+                    end = jpeg.jpeg_end(raw, pos)
+                    if frame_no % every_nth == 0:
+                        px = jpeg.decode_jpeg(raw[pos:end]).astype(np.float64)
+                        gray = px.mean(axis=2)
+                        h, w = gray.shape
+                        ys = (np.arange(hs + 1) * h) // hs
+                        xs = (np.arange(hs + 1) * w) // hs
+                        cells = np.empty((hs, hs))
+                        for i in range(hs):
+                            for j in range(hs):
+                                cells[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                        bits = (cells > cells.mean()).ravel()
+                        val = 0
+                        for b in bits:
+                            val = (val << 1) | int(b)
+                        if val >= 1 << 63:
+                            val -= 1 << 64
+                        hashes.append(val)
+                        kept += 1
+                    pos = end
+                    frame_no += 1
+                ids.append(int(doc_id))
+                sigs.append(hashes)
+            yield pd.DataFrame({"doc_id": ids, "frame_hashes": sigs})
+
+    return media.select("doc_id", "payload").mapInPandas(batches, VIDEO_SIG_SCHEMA)
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    every_nth: int = 2,
+    max_frames: int = 4,
+    max_hamming: int = 3,
+    min_frame_frac: float = 0.75,
+) -> DataFrame:
+    """Video near-duplicates — the video×dedup bridge, same machinery as
+    ``image_near_dup_pairs`` lifted to frame SEQUENCES: two videos are
+    near-dups when ≥ ``min_frame_frac`` of their aligned sampled frames
+    have aHashes within ``max_hamming`` bits (re-encodes, small jitter,
+    watermark shifts survive; different content does not).
+
+    Scale shape: candidates come from a chunk-pigeonhole bucket join on
+    (frame_idx, chunk_idx, chunk_val) — a frame pair within hamming ≤ 3
+    MUST share one of its 4 16-bit chunks at the SAME frame index, so the
+    candidate rule is exact for the per-frame bound, never all-pairs.
+    Verification is one codegen'd zip_with over the two hash arrays (the
+    signatures are metadata scale; payloads are never re-read)."""
+    sigs = mjpeg_video_signatures(media, every_nth, max_frames)
+    n_chunks = 4
+    width = 64 // n_chunks
+    banded = sigs.select(
+        "doc_id",
+        "frame_hashes",
+        F.posexplode("frame_hashes").alias("frame_idx", "fh"),
+    ).select(
+        "doc_id",
+        "frame_hashes",
+        "frame_idx",
+        F.posexplode(
+            F.array(*[
+                F.expr(f"shiftright(fh, {i * width}) & {(1 << width) - 1}L")
+                for i in range(n_chunks)
+            ])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("frame_hashes").alias("sig_a"),
+        "frame_idx", "chunk_idx", "chunk_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("frame_hashes").alias("sig_b"),
+        "frame_idx", "chunk_idx", "chunk_val",
+    )
+    cands = (
+        a.join(b, ["frame_idx", "chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dists = F.zip_with(
+        "sig_a", "sig_b", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+    )
+    near = F.aggregate(
+        dists, F.lit(0), lambda acc, d: acc + F.when(d <= max_hamming, 1).otherwise(0)
+    )
+    return (
+        cands.filter(F.size("sig_a") == F.size("sig_b"))
+        .withColumn("near_frames", near)
+        .withColumn("n_frames", F.size("sig_a"))
+        .filter(
+            F.col("near_frames") >= F.ceil(F.col("n_frames") * F.lit(min_frame_frac))
+        )
+        .select("id_a", "id_b", "near_frames", "n_frames")
+    )

@@ -237,3 +237,34 @@ def test_420_with_restarts_composed():
     # an encoding detail, not a pixel-path one)
     dec2 = jpeg.decode_jpeg(jpeg.encode_jpeg(n, quality=70, subsampling="420"))
     assert np.array_equal(dec, dec2)
+
+
+def test_video_near_dups_finds_reencodes_only(spark):
+    """Video near-dup bridge: doc pairs sharing content (seed_mod planting
+    — same frames, one re-encoded at lower quality) must pair up; distinct
+    content must not. Candidates come from the per-frame chunk-pigeonhole
+    bucket join, verified by aligned zip_with hamming."""
+    docs = spark.range(0, 8).selectExpr("id as doc_id")
+    # seeds: doc_id % 4 -> (0,4), (1,5), (2,6), (3,7) are re-encode pairs
+    media = multimodal.attach_mjpeg_payload(docs, n_frames=6, seed_mod=4)
+    # measured fixture separation: re-encode frames land 0-4 bits apart,
+    # distinct content 27-36 — min_frame_frac=0.6 (2 of 3 frames within
+    # the pigeonhole-exact bound) keeps candidates guaranteed and the
+    # verdict margin wide on both sides
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in multimodal.video_near_dup_pairs(
+            media, every_nth=2, max_frames=3, max_hamming=3, min_frame_frac=0.6
+        ).collect()
+    }
+    assert pairs == {(0, 4), (1, 5), (2, 6), (3, 7)}, pairs
+
+
+def test_video_signatures_shape_and_determinism(spark):
+    docs = spark.range(0, 3).selectExpr("id as doc_id")
+    media = multimodal.attach_mjpeg_payload(docs, n_frames=6)
+    s1 = {r.doc_id: list(r.frame_hashes) for r in
+          multimodal.mjpeg_video_signatures(media, every_nth=2, max_frames=3).collect()}
+    s2 = {r.doc_id: list(r.frame_hashes) for r in
+          multimodal.mjpeg_video_signatures(media, every_nth=2, max_frames=3).collect()}
+    assert s1 == s2 and all(len(v) == 3 for v in s1.values())
