@@ -155,6 +155,33 @@ def _events_zorder_key(t) -> DataFrame:
     )
 
 
+def _events_hilbert_key(t) -> DataFrame:
+    """Hilbert-curve position of (user_id, event_id) mod 2^8 at 8 bits —
+    the clustering key behind sources/writers.write_hilbert_parquet
+    (Skilling transform, one vectorized Arrow pass). Rows-only: the
+    per-bit state machine isn't SQL-expressible; the transform's defining
+    properties (bijection + unit-step adjacency, vs Morton's measured
+    seam jumps) are pinned in tests/test_zorder.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    from jobanalytics_bigdataproject_spark.sources.writers import hilbert_index_np
+
+    @pandas_udf("long")
+    def hkey(u, e):
+        import numpy as np
+        import pandas as pd
+
+        axes = np.stack(
+            [u.to_numpy(dtype="int64") % 256, e.to_numpy(dtype="int64") % 256],
+            axis=1,
+        )
+        return pd.Series(hilbert_index_np(axes, 8))
+
+    return t["events"].select(
+        "event_id", hkey(F.col("user_id"), F.col("event_id")).alias("hkey")
+    )
+
+
 def _window_lag_events(t) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -1972,6 +1999,7 @@ _ROWS_ONLY = {
     "ann_cosine_ivf",
     "ann_cosine_ivf_indexed",
     "ann_cosine_vamana",
+    "events_hilbert_key",
     "ann_cosine_pq",
     "ann_cosine_ivfpq",
     "approx_distinct_customers",
@@ -2410,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).select("user_id", "state", "valid_from", "valid_to", "is_current"),
         ),
         "events_zorder_key": _q(("events",), _events_zorder_key),
+        "events_hilbert_key": _q(("events",), _events_hilbert_key),
         # --- text analysis [EXT] ---
         "docs_token_stats": _q(("documents",), lambda t: text.token_stats(t["documents"])),
         "docs_quality_score": _q(("documents",), lambda t: text.quality_score(t["documents"])),

@@ -1464,6 +1464,7 @@ def optimize_snapshot(
     cluster_by: tuple[str, ...] | list[str] = (),
     min_file_mb: float | None = None,
     zorder_by: tuple[str, ...] | list[str] = (),
+    hilbert_by: tuple[str, ...] | list[str] = (),
 ) -> int:
     """OPTIMIZE: rewrite the CURRENT snapshot's files into ~target-sized
     ones and commit the rewrite as a new version — same rows, fewer
@@ -1520,8 +1521,10 @@ def optimize_snapshot(
     carried verbatim (use ``materialize_dvs`` to fold them; compacting
     a vectored file raw would resurrect its deleted rows).
     """
-    if cluster_by and zorder_by:
-        raise ValueError("pass either cluster_by or zorder_by, not both")
+    if sum(map(bool, (cluster_by, zorder_by, hilbert_by))) > 1:
+        raise ValueError(
+            "pass at most one of cluster_by / zorder_by / hilbert_by"
+        )
     fs, _, jvm = _fs(spark, table_dir)
     Path = jvm.org.apache.hadoop.fs.Path
     head = current_version(spark, table_dir)
@@ -1531,7 +1534,7 @@ def optimize_snapshot(
     _refuse_mapping(manifest, "optimize_snapshot")
     stats_cols = sorted({c for s in manifest.get("stats", {}).values() for c in s})
 
-    if min_file_mb is not None and not cluster_by and not zorder_by:
+    if min_file_mb is not None and not cluster_by and not zorder_by and not hilbert_by:
         dv_set = set(manifest.get("dvs", {}))
         sizes = {
             rel: fs.getFileStatus(Path(_data_path(table_dir, rel))).getLen()
@@ -1668,18 +1671,21 @@ def optimize_snapshot(
         current = current.repartitionByRange(n, *cluster_by).sortWithinPartitions(
             *cluster_by
         )
-    elif zorder_by:
+    elif zorder_by or hilbert_by:
         from jobanalytics_bigdataproject_spark.sources.writers import (
+            hilbert_scaled_key,
             zorder_scaled_key,
         )
 
-        keyed, _ = zorder_scaled_key(current, zorder_by)
+        curve_cols = zorder_by or hilbert_by
+        key_fn = zorder_scaled_key if zorder_by else hilbert_scaled_key
+        keyed, _ = key_fn(current, curve_cols)
         current = (
             keyed.repartitionByRange(n, "__zkey")
             .sortWithinPartitions("__zkey")
             .drop("__zkey")
         )
-        stats_cols = sorted(set(stats_cols) | set(map(str, zorder_by)))
+        stats_cols = sorted(set(stats_cols) | set(map(str, curve_cols)))
     else:
         current = current.coalesce(n)
     # _rewrite_of: refuse if a concurrent commit (append, MOR delete, …)

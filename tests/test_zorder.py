@@ -103,3 +103,92 @@ def test_zorder_write_three_dims_narrows_all(spark, tables, tmp_path):
         s_z, n_z = _mean_file_spread(spark, zpath, col)
         assert n_p == n_z == 27
         assert s_z < 0.75 * s_plain, f"{col}: {s_z} !< 0.75*{s_plain}"
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve clustering (round 7): the Skilling transform's defining
+# properties are tested directly (bijection + unit-step adjacency — Morton
+# FAILS adjacency at seams, which is the entire argument for Hilbert), then
+# the clustered writer gets the same file-spread discipline as Z-order.
+# --------------------------------------------------------------------------
+
+
+def test_hilbert_index_bijection_and_adjacency():
+    import numpy as np
+
+    from jobanalytics_bigdataproject_spark.sources.writers import hilbert_index_np
+
+    for k, b in ((2, 5), (3, 4)):
+        side = 1 << b
+        g = np.stack(
+            np.meshgrid(*[np.arange(side)] * k, indexing="ij"), -1
+        ).reshape(-1, k)
+        z = hilbert_index_np(g, b)
+        assert sorted(z.tolist()) == list(range(side**k))  # bijection
+        pts = g[np.argsort(z)].astype(int)
+        steps = np.abs(np.diff(pts, axis=0)).sum(axis=1)
+        assert (steps == 1).all()  # every curve step moves ONE cell
+
+
+def test_morton_has_seam_jumps_hilbert_does_not():
+    """The measured justification for offering Hilbert at all: walk both
+    curves over the same 2D grid and compare max jump between consecutive
+    positions. Morton jumps across half the space at its seams; Hilbert
+    never exceeds one cell."""
+    import numpy as np
+
+    from jobanalytics_bigdataproject_spark.sources.writers import hilbert_index_np
+
+    b = 5
+    side = 1 << b
+    g = np.stack(np.meshgrid(np.arange(side), np.arange(side), indexing="ij"), -1).reshape(-1, 2)
+    # Morton key, same bit budget
+    mz = np.zeros(len(g), dtype=np.int64)
+    for i in range(b):
+        mz |= ((g[:, 0] >> i) & 1) << (2 * i)
+        mz |= ((g[:, 1] >> i) & 1) << (2 * i + 1)
+    m_steps = np.abs(np.diff(g[np.argsort(mz)].astype(int), axis=0)).sum(axis=1)
+    h_steps = np.abs(
+        np.diff(g[np.argsort(hilbert_index_np(g, b))].astype(int), axis=0)
+    ).sum(axis=1)
+    assert h_steps.max() == 1
+    assert m_steps.max() > side / 2  # Morton's seam discontinuity is real
+
+
+def test_hilbert_write_narrows_both_dims(spark, tables, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources.writers import (
+        write_hilbert_parquet,
+    )
+
+    events = tables["events"].select("event_id", "user_id", "value")
+    plain, hpath = str(tmp_path / "plain_h"), str(tmp_path / "hilb")
+    events.repartition(16).write.mode("overwrite").parquet(plain)
+    write_hilbert_parquet(events, hpath, ("user_id", "value"), num_partitions=16)
+    assert spark.read.parquet(hpath).count() == events.count()
+    u_plain, n_p = _mean_file_spread(spark, plain, "user_id")
+    u_h, n_h = _mean_file_spread(spark, hpath, "user_id")
+    v_plain, _ = _mean_file_spread(spark, plain, "value")
+    v_h, _ = _mean_file_spread(spark, hpath, "value")
+    assert n_p == n_h == 16
+    assert u_h < 0.6 * u_plain
+    assert v_h < 0.6 * v_plain
+
+
+def test_optimize_snapshot_hilbert_by(spark, tables, tmp_path):
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    t = str(tmp_path / "snap_h")
+    events = tables["events"].select("event_id", "user_id", "value")
+    sn.write_snapshot(events.repartition(8), t)
+    v = sn.optimize_snapshot(spark, t, target_mb=0.003, hilbert_by=("user_id", "value"))
+    assert v == 2
+    back = sn.read_snapshot(spark, t)
+    assert back.count() == events.count()
+    # pruning on EITHER clustered column must skip files via the
+    # recomputed manifest stats
+    lo = sn.read_snapshot(spark, t, prune={"user_id": (0, 5)})
+    assert lo.inputFiles() and len(lo.inputFiles()) < len(back.inputFiles())
+    with pytest.raises(ValueError, match="at most one"):
+        sn.optimize_snapshot(
+            spark, t, zorder_by=("user_id",), hilbert_by=("value",)
+        )
