@@ -108,6 +108,7 @@ def maintain(
     max_dv_rows_pct: float = 0.05,
     zorder_by: Sequence[str] = (),
     max_overlap: float = 0.3,
+    curve: str = "zorder",
     vacuum_keep_last: int | None = None,
     expire_older_than: float | None = None,
 ) -> dict:
@@ -127,6 +128,9 @@ def maintain(
        pattern): ``clustering_overlap > max_overlap`` → full
        ``OPTIMIZE ZORDER BY`` rewrite — the expensive tier, gated by a
        metadata-only signal so a well-clustered table never pays it.
+       ``curve="hilbert"`` routes the same rewrite through
+       ``hilbert_by`` (tighter per-file boxes, no Morton seams — the
+       drift SIGNAL is curve-agnostic: it reads manifest min/max boxes).
     4. **Retention**: ``vacuum_keep_last`` set → count-based vacuum;
        ``expire_older_than`` (epoch seconds) set → time-based
        ``expire_snapshots`` first (Iceberg-style retention horizon; the
@@ -178,9 +182,18 @@ def maintain(
         overlap = clustering_overlap(man, [str(c) for c in zorder_by])
         signals["clustering_overlap"] = round(overlap, 4)
         if overlap > max_overlap:
-            sn.optimize_snapshot(
-                spark, table_dir, target_mb=target_file_mb, zorder_by=tuple(zorder_by)
-            )
+            if curve == "hilbert":
+                sn.optimize_snapshot(
+                    spark, table_dir, target_mb=target_file_mb,
+                    hilbert_by=tuple(zorder_by),
+                )
+            elif curve == "zorder":
+                sn.optimize_snapshot(
+                    spark, table_dir, target_mb=target_file_mb,
+                    zorder_by=tuple(zorder_by),
+                )
+            else:
+                raise ValueError(f"curve must be 'zorder' or 'hilbert', got {curve!r}")
             out["zordered"] = True
 
     if expire_older_than is not None:

@@ -206,3 +206,33 @@ def test_maintain_time_based_expiry(spark, tmp_path):
         spark, tdir, max_small_files=10_000, expire_older_than=now - 3600
     )
     assert res2["expired_versions"] == []
+
+
+def test_maintain_hilbert_curve_option(spark, tmp_path):
+    """curve='hilbert' routes the drift-gated re-cluster through
+    optimize_snapshot(hilbert_by=...); the converged table gates it off
+    on the second pass exactly like the Morton path."""
+    import random
+
+    from jobanalytics_bigdataproject_spark.sources import maintenance as mt
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randrange(1000), float(rnd.randrange(1000))) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id LONG, x LONG, y DOUBLE")
+    t = str(tmp_path / "snap")
+    sn.write_snapshot(df.repartition(8), t, stats_cols=("x", "y"))
+    r1 = mt.maintain(
+        spark, t, target_file_mb=0.001, max_small_files=10_000,
+        zorder_by=("x", "y"), max_overlap=0.5, curve="hilbert",
+    )
+    assert r1["zordered"] is True
+    r2 = mt.maintain(
+        spark, t, target_file_mb=0.001, max_small_files=10_000,
+        zorder_by=("x", "y"), max_overlap=0.5, curve="hilbert",
+    )
+    assert r2["zordered"] is False  # converged: metadata-only no-op
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="curve"):
+        mt.maintain(spark, t, zorder_by=("x",), max_overlap=-1, curve="peano")
