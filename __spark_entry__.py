@@ -1971,6 +1971,8 @@ _PRIORITY = [
     "orders_branch_publish",
     # cross-table atomic publish via transaction record (VERDICT r6 #3)
     "orders_txn_publish",
+    # stream-stream LEFT SEMI interval join batch twin (round 7)
+    "events_interval_join_semi",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2383,6 +2385,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("events",),
             lambda t: stream_joins.click_purchase_attribution(
                 t["events"], how="full_outer"
+            ),
+        ),
+        "events_interval_join_semi": _q(
+            # stream-stream LEFT SEMI interval join's batch twin: each
+            # converted click exactly once regardless of purchase count
+            # (streaming/joins.py:click_purchase_attribution how=left_semi;
+            # stream==batch equivalence in tests/test_streaming_join.py).
+            ("events",),
+            lambda t: stream_joins.click_purchase_attribution(
+                t["events"], how="left_semi"
             ),
         ),
         "scd2_user_state": _q(("events",), lambda t: scd.scd2_dim(t["events"])),
@@ -4229,6 +4241,18 @@ def _oracle_sql_literals() -> dict[str, str]:
               ON c.user_id = p.user_id
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL '10 minutes'
+        """,
+        "events_interval_join_semi": """
+            SELECT c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            WHERE EXISTS (
+                SELECT 1
+                FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+                WHERE p.user_id = c.user_id
+                  AND p.ts >= c.ts
+                  AND p.ts <= c.ts + INTERVAL '10 minutes'
+            )
         """,
         "events_interval_join_full": """
             SELECT COALESCE(c.user_id, p.user_id) AS user_id,

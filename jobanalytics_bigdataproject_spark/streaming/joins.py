@@ -97,7 +97,14 @@ def click_purchase_attribution(
     ``how='full_outer'`` additionally keeps purchases no click preceded
     (organic/dark-traffic conversions) with NULL click columns; the
     user_id is coalesced from whichever side survives — a no-op for
-    inner/left rows, where the equi-join guarantees both sides agree."""
+    inner/left rows, where the equi-join guarantees both sides agree.
+    ``how='left_semi'`` emits each CONVERTED click exactly once however
+    many purchases followed it (the funnel-entry dedup view — an inner
+    join would multiply clicks by their purchase count). In streaming,
+    Spark emits the click when its first match arrives and drops
+    unmatched clicks at watermark expiry; only left columns exist, so
+    the output schema narrows to (user_id, click_ts) — SQL-expressible
+    as EXISTS, hence oracle-checkable unlike most streaming shapes."""
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
@@ -105,6 +112,11 @@ def click_purchase_attribution(
     joined = interval_join(
         clicks, purchases, key="user_id", ts_col="ts", upper=upper, how=how
     )
+    if how == "left_semi":
+        return joined.select(
+            F.col("l.user_id").alias("user_id"),
+            F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
     return joined.select(
         F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
         F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),

@@ -294,3 +294,59 @@ def test_stream_stream_full_outer_join_equals_batch(spark, tables, tmp_path):
         if r.user_id != -1
     }
     assert streamed == batch
+
+
+def test_stream_stream_left_semi_join_equals_batch(spark, tables, events_stream_dir):
+    """LEFT SEMI stream-stream interval join: converted clicks emit exactly
+    once however many purchases followed; stream must equal the batch twin
+    (which itself is oracle-checked via EXISTS — the one streaming join
+    whose semantics are fully SQL-expressible)."""
+    from pyspark.sql import functions as F
+
+    batch_rows = sjoins.click_purchase_attribution(
+        tables["events"], how="left_semi"
+    ).collect()
+    batch = {(r.user_id, r.click_ts) for r in batch_rows}
+    assert batch
+    # semi means exactly-once per click: no duplicates from multi-purchase
+    assert len(batch_rows) == len(batch)
+    inner = {
+        (r.user_id, r.click_ts)
+        for r in sjoins.click_purchase_attribution(tables["events"]).collect()
+    }
+    assert batch == inner  # same click set, deduped
+
+    clicks_src = stream.with_watermark(
+        stream.read_events_stream(spark, events_stream_dir), "1 day"
+    )
+    purchases_src = stream.with_watermark(
+        stream.read_events_stream(spark, events_stream_dir), "1 day"
+    )
+    joined = sjoins.interval_join(
+        clicks_src.filter(F.col("event_type") == "click").select("user_id", "ts"),
+        purchases_src.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        ),
+        how="left_semi",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_semi_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    streamed = [
+        (r.user_id, r.click_ts)
+        for r in spark.sql("SELECT * FROM ss_semi_join_test").collect()
+    ]
+    assert set(streamed) == batch
+    assert len(streamed) == len(batch)  # exactly-once in the stream too
