@@ -2023,7 +2023,7 @@ def test_optimize_zorder_prunes_on_both_dimensions(spark, tdir):
     assert fx.filter("x <= 7").count() == 8 * 64  # skipping is file-granular
     assert len(fy.inputFiles()) <= 2 * n // 3
     assert fy.filter("y <= 7").count() == 8 * 64
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         sn.optimize_snapshot(spark, tdir, cluster_by=("x",), zorder_by=("x", "y"))
 
 
