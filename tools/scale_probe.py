@@ -104,6 +104,12 @@ PROBES = [
     # search, which should stay flat like the IVF family (shard COUNT,
     # not shard size, absorbs the 10x)
     "ann_cosine_vamana",
+    # round 7: LEFT SEMI interval-join batch twin (linear in events like
+    # the outer twin) and MJPEG video near-dups (BOUNDED by the query's
+    # 120-doc slice at any sf — the probe verifies the bound holds, i.e.
+    # the exponent is ~0 BY CONSTRUCTION, not by luck)
+    "events_interval_join_semi",
+    "multimodal_video_neardups",
     # partitioned snapshot tables (round 5): the untimed prime builds the
     # partitioned table + the zero-I/O partition drop; timed runs measure
     # the pruned/aggregate read paths over the partition-split files
