@@ -2017,6 +2017,7 @@ _ROWS_ONLY = {
     "multimodal_frame_sample",
     "multimodal_mjpeg_features",
     "multimodal_video_neardups",
+    "multimodal_video_curation",
     "multimodal_audio",
     "multimodal_audio_spectral",
 }
@@ -2664,6 +2665,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 every_nth=2,
                 max_frames=3,
                 min_frame_frac=0.6,
+            ),
+        ),
+        "multimodal_video_curation": _q(
+            # composed multimodal curation (the video analog of
+            # docs_corpus_pipeline): demux+decode -> near-dup CLUSTER
+            # collapse via connected components -> luma-variation quality
+            # gate, one DataFrame (operators/multimodal.py:
+            # curate_video_corpus). seed_mod plants 60 duplicate clusters
+            # so the dedup arm provably fires. Rows-only (binary codec).
+            ("documents",),
+            lambda t: multimodal.curate_video_corpus(
+                multimodal.attach_mjpeg_payload(
+                    t["documents"].filter(F.col("doc_id") < 120),
+                    n_frames=6,
+                    seed_mod=60,
+                ),
+                max_frames=3,
             ),
         ),
         "multimodal_audio": _q(

@@ -1006,3 +1006,49 @@ def video_near_dup_pairs(
         )
         .select("id_a", "id_b", "near_frames", "n_frames")
     )
+
+
+def curate_video_corpus(
+    media: DataFrame,
+    every_nth: int = 2,
+    max_frames: int = 4,
+    max_hamming: int = 3,
+    min_frame_frac: float = 0.6,
+    min_luma_std: float = 5.0,
+) -> DataFrame:
+    """[EXT] End-to-end video-corpus curation — the multimodal analog of
+    the Dolma-style ``docs_corpus_pipeline``: ONE composed DataFrame over
+    the payload column that (1) demuxes + fully decodes sampled MJPEG
+    frames, (2) drops near-duplicate videos keeping the min-id
+    representative of each duplicate CLUSTER (pairwise winners are not
+    enough — A~B, B~C must collapse to one survivor, so the pair list
+    goes through the same connected-components machinery the text dedup
+    tier uses), and (3) drops low-information videos whose mean frame
+    luma-variation falls below ``min_luma_std`` (blank/static clips).
+
+    Returns (doc_id, n_frames_sampled, mean_luma, mean_luma_std) for the
+    SURVIVING videos. Scale shape: payloads are scanned by the two linear
+    mapInPandas passes (signatures; features); everything downstream —
+    banding, CC, the quality gate — touches only metadata-scale rows."""
+    from jobanalytics_bigdataproject_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = video_near_dup_pairs(
+        media, every_nth, max_frames, max_hamming, min_frame_frac
+    )
+    comp = connected_components(pairs, id_a="id_a", id_b="id_b")
+    # losers = every clustered doc that is not its component's min id;
+    # docs with no near-dup pair never enter `comp` and survive untouched
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    feats = mjpeg_frame_features(media, every_nth, max_frames)
+    quality = feats.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames_sampled"),
+        F.round(F.avg("mean_luma"), 4).alias("mean_luma"),
+        F.round(F.avg("luma_std"), 4).alias("mean_luma_std"),
+    )
+    return (
+        quality.join(losers, "doc_id", "left_anti")
+        .filter(F.col("mean_luma_std") >= min_luma_std)
+        .select("doc_id", "n_frames_sampled", "mean_luma", "mean_luma_std")
+    )

@@ -268,3 +268,39 @@ def test_video_signatures_shape_and_determinism(spark):
     s2 = {r.doc_id: list(r.frame_hashes) for r in
           multimodal.mjpeg_video_signatures(media, every_nth=2, max_frames=3).collect()}
     assert s1 == s2 and all(len(v) == 3 for v in s1.values())
+
+
+def test_curate_video_corpus_dedups_clusters_and_gates_quality(spark):
+    """Composed curation: a 3-clip duplicate CLUSTER (A~B~C via seed_mod)
+    must collapse to its min-id representative (pairwise logic alone
+    would leave 1.5 survivors on average), and a planted blank clip must
+    fall to the luma-variation gate."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    docs = spark.range(0, 9).selectExpr("id as doc_id")
+    # seed_mod=3 -> clusters {0,3,6}, {1,4,7}, {2,5,8}
+    media = multimodal.attach_mjpeg_payload(docs, n_frames=6, seed_mod=3)
+    # plant a blank (solid-color) video as doc 100: luma_std == 0
+    blank_px = np.full((12, 16, 3), 77, dtype=np.uint8)
+    blank = b"".join(jpeg.encode_jpeg(blank_px, 85) for _ in range(6))
+    blank_df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "payload": [blank], "n_frames": [6]}),
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+                T.StructField("n_frames", T.IntegerType()),
+            ]
+        ),
+    )
+    survivors = {
+        r.doc_id: r
+        for r in multimodal.curate_video_corpus(
+            media.unionByName(blank_df), max_frames=3, min_luma_std=5.0
+        ).collect()
+    }
+    assert set(survivors) == {0, 1, 2}  # one per cluster, blank gated out
+    assert all(r.n_frames_sampled == 3 for r in survivors.values())
+    assert all(r.mean_luma_std >= 5.0 for r in survivors.values())
