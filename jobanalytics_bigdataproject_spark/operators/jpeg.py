@@ -455,6 +455,10 @@ def jpeg_end(raw: bytes, start: int = 0) -> int:
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        # (real camera MJPEG emits them) — skip to the marker code
+        while pos + 2 <= len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI before any scan (degenerate but legal)
             return pos + 2
@@ -490,6 +494,10 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     while pos + 2 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # skip optional 0xFF fill bytes before the marker code (T.81
+        # B.1.1.2 — legal padding some encoders emit; ADVICE r7)
+        while pos + 2 <= len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
         marker = raw[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -547,6 +555,20 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     h, w, comps = frame
     if len(comps) not in (1, 3):
         raise ValueError(f"{len(comps)}-component JPEG not supported")
+    if len(scan) != len(comps):
+        # a 3-component frame delivered as separate single-component
+        # scans is legal baseline but this decoder reads one scan —
+        # refuse loudly rather than mis-decode (ADVICE r7)
+        raise ValueError(
+            f"scan has {len(scan)} of the frame's {len(comps)} components "
+            "(non-interleaved multi-scan baseline not supported)"
+        )
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — one
+        # data unit per MCU regardless of the declared sampling factors
+        # (grayscale JPEGs legally carry hf/vf > 1; interpreting them
+        # interleaved mis-decodes — ADVICE r7)
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     if hmax > 2 or vmax > 2:

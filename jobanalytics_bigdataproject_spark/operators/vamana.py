@@ -440,11 +440,50 @@ def vamana_append(
         )
 
     out = combined.groupBy("shard").applyInPandas(insert, schema)
-    conf = spark.conf
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # ADVICE r7: never overwrite the live graph dir in the same job that
+    # reads it — a failure in the overwrite's commit phase could leave
+    # touched shard partitions partially deleted, destroying the only
+    # copy of the index. Instead: (1) write the rebuilt shards to a
+    # staging dir; (2) swap each touched shard partition into place with
+    # renames (same-FS metadata ops); (3) on any failure, undo the
+    # renames — the fast_forward adopt/undo pattern from
+    # sources/branches.py. The live index is never in a state where a
+    # touched shard has zero complete copies on disk.
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:12]
+    staging = f"{path}/graph_staging_{tag}"
+    jvm = spark.sparkContext._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     try:
-        # dynamic mode: only the touched shard partitions are replaced
-        out.write.mode("overwrite").partitionBy("shard").parquet(f"{path}/graph")
-    finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        out.write.mode("overwrite").partitionBy("shard").parquet(staging)
+    except BaseException:
+        fs.delete(Path(staging), True)  # failed rebuild leaves no debris
+        raise
+    backup = f"{path}/graph_retired_{tag}"
+    fs.mkdirs(Path(backup))
+    moved_aside: list[tuple] = []  # (live, bak) pairs retired so far
+    adopted: list = []  # live paths now holding staged data
+    try:
+        for s in touched:
+            live = Path(f"{path}/graph/shard={s}")
+            new = Path(f"{staging}/shard={s}")
+            bak = Path(f"{backup}/shard={s}")
+            if fs.exists(live):
+                if not fs.rename(live, bak):
+                    raise IOError(f"could not retire graph shard={s} — append aborted")
+                moved_aside.append((live, bak))
+            if not fs.rename(new, live):
+                raise IOError(f"could not adopt staged shard={s} — append aborted")
+            adopted.append(live)
+    except BaseException:
+        for live in adopted:  # remove staged adoptions…
+            fs.delete(live, True)
+        for live, bak in moved_aside:  # …and restore the originals
+            fs.rename(bak, live)
+        fs.delete(Path(staging), True)
+        fs.delete(Path(backup), True)
+        raise
+    fs.delete(Path(staging), True)
+    fs.delete(Path(backup), True)

@@ -144,6 +144,10 @@ def maintain(
     """
     from jobanalytics_bigdataproject_spark.sources import snapshots as sn
 
+    # validate up front (ADVICE r7): a typo'd curve on a well-clustered
+    # table must fail now, not silently pass until drift trips the gate
+    if curve not in ("zorder", "hilbert"):
+        raise ValueError(f"curve must be 'zorder' or 'hilbert', got {curve!r}")
     small_file_mb = small_file_mb if small_file_mb is not None else target_file_mb / 2
     out = {
         "materialized": False,

@@ -304,3 +304,98 @@ def test_curate_video_corpus_dedups_clusters_and_gates_quality(spark):
     assert set(survivors) == {0, 1, 2}  # one per cluster, blank gated out
     assert all(r.n_frames_sampled == 3 for r in survivors.values())
     assert all(r.mean_luma_std >= 5.0 for r in survivors.values())
+
+
+# ---- round 8: ADVICE r7 decoder-robustness fixes ----------------------
+
+
+def _encode_grayscale(plane: np.ndarray, samp_byte: int, quality: int = 90) -> bytes:
+    """Hand-assemble a single-component baseline JPEG declaring the given
+    sampling byte — per T.81 A.2 a one-component scan is NON-interleaved
+    (one data unit per MCU) whatever the declared factors, which is what
+    some real grayscale encoders emit (ADVICE r7)."""
+    import struct
+
+    from jobanalytics_bigdataproject_spark.operators.jpeg import (
+        AC_LUMA_BITS,
+        AC_LUMA_VALS,
+        DC_LUMA_BITS,
+        DC_LUMA_VALS,
+        ZIGZAG,
+        _BitWriter,
+        _block_grid,
+        _canonical_codes,
+        _encode_block,
+        scaled_quant_tables,
+    )
+
+    h, w = plane.shape
+    ql, _ = scaled_quant_tables(quality)
+    h_p, w_p = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    p = np.pad(plane.astype(np.float64), ((0, h_p - h), (0, w_p - w)), mode="edge")
+    grid = _block_grid(p, ql)
+    dc = (_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),)
+    ac = (_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS),)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(h_p // 8):  # raster order, one block per data unit
+        for bx in range(w_p // 8):
+            pred = _encode_block(bw, grid[by, bx], pred, 0, dc, ac)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([0]) + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, samp_byte, 0]))
+    out += seg(0xFFC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xFFC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_grayscale_with_subsampling_factors_decodes_noninterleaved():
+    """A grayscale JPEG legally declaring hf=vf=2 must decode identically
+    to the 1x1 declaration — single-component scans are non-interleaved
+    (T.81 A.2), so the sampling factors do not change MCU geometry."""
+    g = np.add.outer(np.arange(24) * 7, np.arange(16) * 5).astype(np.uint8)
+    dec_11 = jpeg.decode_jpeg(_encode_grayscale(g, 0x11))
+    dec_22 = jpeg.decode_jpeg(_encode_grayscale(g, 0x22))
+    assert dec_11.shape == dec_22.shape == (24, 16, 3)
+    assert np.array_equal(dec_11, dec_22)
+    assert np.abs(dec_22[..., 0].astype(float) - g).mean() < 3.0
+
+
+def test_fill_bytes_before_markers_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    code; both decode_jpeg and jpeg_end must skip them (ADVICE r7)."""
+    px = np.full((8, 8, 3), 77, np.uint8)
+    raw = jpeg.encode_jpeg(px, 85)
+    # pad before the first DQT and before the EOI
+    stuffed = raw.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    stuffed = stuffed[:-2] + b"\xff\xff" + stuffed[-2:]
+    dec = jpeg.decode_jpeg(stuffed)
+    assert np.array_equal(dec, jpeg.decode_jpeg(raw))
+    assert jpeg.jpeg_end(stuffed) == len(stuffed)
+
+
+def test_partial_component_scan_refused():
+    """A 3-component frame delivered as a single-component scan (legal
+    multi-scan baseline) would silently mis-decode under one-scan
+    geometry — it must be refused loudly instead (ADVICE r7)."""
+    import struct
+
+    raw = jpeg.encode_jpeg(np.full((8, 8, 3), 50, np.uint8), 85)
+    i = raw.index(b"\xff\xda")
+    (ln,) = struct.unpack_from(">H", raw, i + 2)
+    one_comp = bytes([1, 1, 0x00, 0, 63, 0])
+    patched = (
+        raw[:i]
+        + b"\xff\xda"
+        + struct.pack(">H", len(one_comp) + 2)
+        + one_comp
+        + raw[i + 2 + ln :]
+    )
+    with pytest.raises(ValueError, match="scan has 1 of the frame's 3"):
+        jpeg.decode_jpeg(patched)

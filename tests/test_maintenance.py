@@ -236,3 +236,19 @@ def test_maintain_hilbert_curve_option(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="curve"):
         mt.maintain(spark, t, zorder_by=("x",), max_overlap=-1, curve="peano")
+
+
+def test_maintain_rejects_unknown_curve_up_front(spark, tmp_path):
+    """ADVICE r7: a typo'd curve must fail at entry, not lie dormant
+    until clustering drift trips the rewrite gate."""
+    import pytest
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+    from jobanalytics_bigdataproject_spark.sources.maintenance import maintain
+
+    path = str(tmp_path / "tbl")
+    sn.write_snapshot(
+        spark.range(10).selectExpr("id", "id * 2 AS v"), path, mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="curve must be"):
+        maintain(spark, path, zorder_by=["id"], curve="peano")

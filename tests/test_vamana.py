@@ -77,11 +77,19 @@ def test_probed_shard_partition_pruning(spark, tables, tmp_path):
     q = tables["embeddings"].filter(F.col("vec_id") < 3)
     res = vamana.vamana_query(spark, path, q, k=5, n_probe=1, beam=16)
     plan = res._jdf.queryExecution().executedPlan().toString()
-    scan_lines = [l for l in plan.split("\n") if "parquet" in l.lower() and "graph" in l]
+    # ADVICE r7: assert the shard IN/INSET filter on the graph SCAN node
+    # specifically, matching the IVF family's pruning-proof strength
+    # (test_similarity.py). The graph relation is the only shard-
+    # partitioned scan in the plan, so a "shard#" partition filter can
+    # only be its pruning filter; the scan's Location string itself is
+    # truncated at 100 chars by Spark's toString, so the path is not a
+    # reliable anchor.
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters: [" in l]
     assert any(
-        "shard" in l and ("IN" in l.upper() or "INSET" in l.upper())
-        for l in plan.split("\n")
-    ), plan[:2000]
+        "shard#" in l.split("PartitionFilters: [", 1)[1]
+        and (" IN " in l.split("PartitionFilters: [", 1)[1] or "INSET" in l.split("PartitionFilters: [", 1)[1])
+        for l in scan_lines
+    ), scan_lines or plan[:2000]
 
 
 def test_operating_point_recall_on_structured_data(spark, tmp_path):
@@ -163,3 +171,38 @@ def test_vamana_append_full_probe_equals_bruteforce(spark, tables, tmp_path):
         for r in vamana.vamana_query(spark, path, q, k=5, n_probe=4, beam=int(n)).collect()
     }
     assert got == brute
+
+
+def test_vamana_append_failure_leaves_live_index_intact(spark, tables, tmp_path):
+    """ADVICE r7: a failed append must never mutate the live graph. The
+    rebuilt shards are written to a staging dir first, so a failure in
+    the rebuild job (here: a batch whose embedding dim mismatches the
+    index, which blows up inside the per-shard insert) leaves every live
+    shard directory byte-identical and the index fully queryable."""
+    import glob
+    import os
+
+    emb = tables["embeddings"]
+    path = str(tmp_path / "vamana")
+    vamana.vamana_build_index(emb, path, n_shards=4, r=8, beam=16)
+
+    def snapshot_files(root):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(f"{root}/graph/**/*.parquet", recursive=True)
+        }
+
+    before = snapshot_files(path)
+    assert before
+    bad = emb.limit(3).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.slice("embedding", 1, 4).alias("embedding"),  # wrong dim
+    )
+    with pytest.raises(Exception):
+        vamana.vamana_append(bad, path, r=8, beam=16)
+    assert snapshot_files(path) == before  # no shard touched
+    # no staging/backup debris left behind either
+    assert not glob.glob(f"{path}/graph_staging_*")
+    assert not glob.glob(f"{path}/graph_retired_*")
+    q = emb.filter(F.col("vec_id") < 3)
+    assert vamana.vamana_query(spark, path, q, k=5, n_probe=4, beam=16).count() == 15
