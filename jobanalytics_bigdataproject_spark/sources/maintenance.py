@@ -111,6 +111,7 @@ def maintain(
     curve: str = "zorder",
     vacuum_keep_last: int | None = None,
     expire_older_than: float | None = None,
+    txn_dir: str | None = None,
 ) -> dict:
     """VERDICT r4 #10 — the nightly table service: read ``describe_detail``'s
     operational signals and close the loop, deciding maintenance instead of
@@ -208,6 +209,16 @@ def maintain(
         out["vacuumed_files"] += sn.vacuum(
             spark, table_dir, keep_last=vacuum_keep_last
         )
+    if txn_dir is not None and expire_older_than is not None:
+        # same retention horizon applied to cross-table transaction
+        # records (VERDICT r7 #4): terminal .done/.aborted records past
+        # the horizon are swept so recovery's listing stays bounded
+        from jobanalytics_bigdataproject_spark.sources.transactions import (
+            expire_transactions,
+        )
+
+        swept = expire_transactions(spark, txn_dir, expire_older_than)
+        out["expired_txn_records"] = len(swept["done"]) + len(swept["aborted"])
 
     out["version"] = sn.current_version(spark, table_dir)
     out["signals"] = signals

@@ -155,6 +155,26 @@ def _manifest_path(jvm, table_dir: str, version: int):
     return jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{_LOG}/v{version:08d}.json")
 
 
+# tombstone a published-but-kept branch carries (see branches.fast_forward
+# retire=False): its manifests reference data files that were RENAMED into
+# main during the publish, so reading it as a table would fail at scan
+# time (or silently read main's files under stale stats) — refuse at
+# resolution time instead (VERDICT r7 #5).
+_PUBLISHED_MARKER = "_published.json"
+
+
+def _refuse_if_retired(fs, jvm, table_dir: str) -> None:
+    if "/_branches/" not in table_dir:
+        return  # only branch handles can be retired; skip the fs hit
+    p = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{_PUBLISHED_MARKER}")
+    if fs.exists(p):
+        raise ValueError(
+            f"{table_dir} was published via fast_forward and retired — its "
+            "manifests reference files that moved into main; re-branch "
+            "instead of reading it"
+        )
+
+
 _COMMIT_LOCK = threading.Lock()  # see module docstring: local-FS create
 # is check-then-create, so in-process writers must serialize the claim
 
@@ -301,6 +321,7 @@ def current_version(spark: SparkSession, table_dir: str) -> int:
     """Highest committed version, or 0 if the table has no snapshots yet.
     One directory listing of ``_log/`` — O(versions) names, no file reads."""
     fs, _, jvm = _fs(spark, table_dir)
+    _refuse_if_retired(fs, jvm, table_dir)
     log_path = jvm.org.apache.hadoop.fs.Path(f"{table_dir}/{_LOG}")
     if not fs.exists(log_path):
         return 0
@@ -870,6 +891,7 @@ def read_snapshot(
     filter — skipping is file-granular.
     """
     fs, _, jvm = _fs(spark, table_dir)
+    _refuse_if_retired(fs, jvm, table_dir)
     if as_of_ts is not None:
         if version is not None:
             raise ValueError("pass either version or as_of_ts, not both")

@@ -240,11 +240,91 @@ def recover_transactions(spark: SparkSession, txn_dir: str) -> list[dict]:
 
 
 def read_consistent(
-    spark: SparkSession, tables: list[str], txn_dir: str
+    spark: SparkSession,
+    tables: list[str],
+    txn_dir: str,
+    as_of_txn: str | None = None,
 ) -> dict[str, "object"]:
     """Transactionally-consistent reader: completes any unfinished
     committed transaction first (``recover_transactions``), then returns
     ``{table_dir: DataFrame}`` at each table's head — so a transaction
-    is observed either fully or not at all, never partially."""
+    is observed either fully or not at all, never partially.
+
+    ``as_of_txn`` (VERDICT r7 #8) turns the head read into a GROUP
+    TIME-TRAVEL read: every requested table is resolved at exactly the
+    version that published the named transaction's branch on it — "both
+    tables, as of transaction T", however far each table's head has
+    since advanced. Requested tables that were not participants of T
+    are refused (there is no version the record pins for them), as are
+    aborted/stuck transactions; a pinned version already vacuumed away
+    fails loudly at manifest resolution, same as any time-travel read."""
     recover_transactions(spark, txn_dir)
-    return {t: sn.read_snapshot(spark, t) for t in tables}
+    if as_of_txn is None:
+        return {t: sn.read_snapshot(spark, t) for t in tables}
+    fs, _, jvm = _fs(spark, txn_dir)
+    rec = None
+    for suffix in ("done.json", "json", "stuck.json", "aborted.json"):
+        p = _record_path(jvm, txn_dir, as_of_txn, suffix)
+        if fs.exists(p):
+            rec, state = _read_record(fs, jvm, p), suffix
+            break
+    if rec is None:
+        raise FileNotFoundError(f"no record for txn-{as_of_txn} in {txn_dir}")
+    if state != "done.json":
+        raise ValueError(
+            f"txn-{as_of_txn} is not fully published (record state "
+            f"{state.removesuffix('.json')!r}) — no consistent version set exists"
+        )
+    by_table = {p["table_dir"]: p for p in rec["participants"]}
+    out = {}
+    for t in tables:
+        part = by_table.get(t)
+        if part is None:
+            raise ValueError(
+                f"{t} was not a participant of txn-{as_of_txn} — "
+                "its record pins no version for this table"
+            )
+        tfs, _, tjvm = _fs(spark, t)
+        v = _applied_version(spark, tfs, tjvm, t, rec["id"], int(part["base"]))
+        if v is None:
+            raise ValueError(
+                f"published version of txn-{as_of_txn} not found on {t} "
+                "(history expired past the publish?)"
+            )
+        out[t] = sn.read_snapshot(spark, t, version=v)
+    return out
+
+
+def expire_transactions(
+    spark: SparkSession, txn_dir: str, older_than: float
+) -> dict[str, list[str]]:
+    """Retention sweep for the transaction record dir (VERDICT r7 #4 —
+    without it ``recover_transactions`` scans an ever-growing listing):
+    delete TERMINAL records (``.done`` / ``.aborted``) whose modification
+    time is before ``older_than`` (epoch seconds), mirroring
+    ``expire_snapshots``' time-horizon semantics.
+
+    Terminal records are never needed by recovery — ``.done`` means
+    every participant's fast-forward completed (the record only flips to
+    that name after the last publish), ``.aborted`` means every
+    compensating rollback ran — so expiry can never strand a table.
+    What expiry DOES retire is ``read_consistent(as_of_txn=...)`` for
+    that transaction (the pin is gone), exactly as ``expire_snapshots``
+    retires old time-travel reads. Live (bare ``.json``) and ``.stuck``
+    records are never touched: those are recovery's work queue."""
+    fs, _, jvm = _fs(spark, txn_dir)
+    root = jvm.org.apache.hadoop.fs.Path(txn_dir)
+    removed: dict[str, list[str]] = {"done": [], "aborted": []}
+    if not fs.exists(root):
+        return removed
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("txn-"):
+            continue
+        for kind in ("done", "aborted"):
+            if name.endswith(f".{kind}.json"):
+                if st.getModificationTime() / 1000.0 < older_than:
+                    txn_id = name[len("txn-"):-len(f".{kind}.json")]
+                    if fs.delete(st.getPath(), False):
+                        removed[kind].append(txn_id)
+    return removed

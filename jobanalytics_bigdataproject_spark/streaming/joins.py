@@ -98,6 +98,11 @@ def click_purchase_attribution(
     (organic/dark-traffic conversions) with NULL click columns; the
     user_id is coalesced from whichever side survives — a no-op for
     inner/left rows, where the equi-join guarantees both sides agree.
+    ``how='right_outer'`` is the organic-conversion view on its own:
+    every purchase, attributed where a click preceded it, NULL click
+    columns otherwise — in streaming the unmatched purchase emits once
+    the watermark proves no in-interval click can still arrive (the
+    mirror of the left-outer path; VERDICT r7 #9 closes the how= family).
     ``how='left_semi'`` emits each CONVERTED click exactly once however
     many purchases followed it (the funnel-entry dedup view — an inner
     join would multiply clicks by their purchase count). In streaming,

@@ -207,3 +207,119 @@ def test_expire_snapshots_respects_tags(spark, tmp_path):
     res = snap.expire_snapshots(spark, t, older_than_ts=cut, grace_seconds=0)
     assert f"{snap._LOG}/v{v1:08d}.json" not in res.get("manifests", [])
     assert len(br.read_tag(spark, t, "keepme").collect()) == 10
+
+
+# ------------------------------------------------- rebase (VERDICT r7 #2)
+
+
+def test_rebase_noop_when_main_unmoved(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = br.create_branch(spark, t, "wip")
+    snap.write_snapshot(
+        spark.createDataFrame([(500, 1, 1)], "id int, grp int, val long"), b
+    )
+    head = snap.current_version(spark, b)
+    assert br.rebase_branch(spark, t, "wip") == head  # nothing to replay
+
+
+def test_rebase_disjoint_appends_then_publish(spark, tmp_path):
+    """Both sides appended (disjoint file sets): rebase merges, publish
+    fast-forwards, and main ends with the union of all three states."""
+    t = _mk(spark, tmp_path)
+    b = br.create_branch(spark, t, "audit")
+    snap.write_snapshot(
+        spark.createDataFrame([(1000, 5, 1)], "id int, grp int, val long"), b
+    )
+    # main advances independently → fast_forward now refuses
+    snap.write_snapshot(
+        spark.createDataFrame([(2000, 6, 2)], "id int, grp int, val long"), t
+    )
+    with pytest.raises(ValueError, match="advanced"):
+        br.fast_forward(spark, t, "audit")
+    assert br.rebase_branch(spark, t, "audit") == 2
+    # the rebased branch sees BOTH sides' appends
+    assert _ids(spark, b) == list(range(100)) + [1000, 2000]
+    v = br.fast_forward(spark, t, "audit")
+    assert v == snap.current_version(spark, t)
+    assert _ids(spark, t) == list(range(100)) + [1000, 2000]
+
+
+def test_rebase_disjoint_deletes_merge(spark, tmp_path):
+    """Branch rewrote one file (COW delete), main rewrote a DIFFERENT
+    file: no overlap, the rebase keeps both rewrites."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("id"),
+        (F.col("id") % 10).cast("int").alias("grp"),
+        (F.col("id") * 3).cast("long").alias("val"),
+    )
+    # RANGE partitioning: id=0 and id=99 land in different files for sure
+    snap.write_snapshot(
+        df.repartitionByRange(4, "id"), t, mode="overwrite", stats_cols=["id"]
+    )
+    b = br.create_branch(spark, t, "audit")
+    snap.delete_where(spark, b, "id = 0")
+    snap.delete_where(spark, t, "id = 99")
+    br.rebase_branch(spark, t, "audit")
+    assert _ids(spark, b) == list(range(1, 99))
+    br.fast_forward(spark, t, "audit")
+    assert _ids(spark, t) == list(range(1, 99))
+
+
+def test_rebase_overlapping_rewrite_refused_with_versions_named(spark, tmp_path):
+    """Both sides COW-rewrote the SAME base file → true conflict: refuse,
+    name both versions, mutate nothing."""
+    t = _mk(spark, tmp_path, parts=1)  # single file → any delete collides
+    b = br.create_branch(spark, t, "audit")
+    snap.delete_where(spark, b, "id = 0")
+    snap.delete_where(spark, t, "id = 99")
+    before_branch = _ids(spark, b)
+    with pytest.raises(ValueError, match=r"v1→v2.*head v2|modified by BOTH"):
+        br.rebase_branch(spark, t, "audit")
+    assert _ids(spark, b) == before_branch  # branch untouched on refusal
+    assert snap.current_version(spark, b) == 2
+
+
+def test_rebase_structural_divergence_refused(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = br.create_branch(spark, t, "audit")
+    snap.add_constraint(spark, b, "val_pos", "val >= 0")
+    snap.add_constraint(spark, t, "grp_pos", "grp >= 0")
+    with pytest.raises(ValueError, match="constraints.*diverged"):
+        br.rebase_branch(spark, t, "audit")
+
+
+def test_rebase_carries_branch_constraint_when_main_only_appended(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = br.create_branch(spark, t, "audit")
+    snap.add_constraint(spark, b, "val_pos", "val >= 0")
+    snap.write_snapshot(
+        spark.createDataFrame([(2000, 6, 2)], "id int, grp int, val long"), t
+    )
+    br.rebase_branch(spark, t, "audit")
+    br.fast_forward(spark, t, "audit")
+    m = snap.snapshot_info(spark, t, snap.current_version(spark, t))
+    assert "val_pos" in (m.get("constraints") or {})
+
+
+# ------------------------------------- published tombstone (VERDICT r7 #5)
+
+
+def test_kept_branch_refuses_reads_after_publish(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    b = br.create_branch(spark, t, "audit")
+    snap.write_snapshot(
+        spark.createDataFrame([(1000, 5, 1)], "id int, grp int, val long"), b
+    )
+    br.fast_forward(spark, t, "audit", retire=False)
+    # the kept dir is tombstoned: resolution and reads refuse loudly
+    with pytest.raises(ValueError, match="published.*retired"):
+        snap.read_snapshot(spark, b)
+    with pytest.raises(ValueError, match="published.*retired"):
+        snap.current_version(spark, b)
+    with pytest.raises(ValueError, match="published.*retired"):
+        br.read_branch(spark, t, "audit")
+    assert br.list_branches(spark, t) == []  # not listed as live either
+    # re-publishing the tombstoned branch refuses too
+    with pytest.raises(ValueError, match="published.*retired"):
+        br.fast_forward(spark, t, "audit")

