@@ -1407,6 +1407,145 @@ def _orders_txn_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BRANCH_REBASE_CACHE: dict[str, str] = {}
+
+
+def _orders_branch_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebase-then-publish — the NON-fast-forward branch lifecycle
+    (sources/branches.rebase_branch, VERDICT r7 #2): the pre-1996 orders
+    seed a versioned table; a ``backfill`` branch appends the 1996
+    cohort; MAIN then advances independently (the 1997+ cohort lands on
+    it), so ``fast_forward`` refuses — the exact wall a week-long audit
+    branch hits. ``rebase_branch`` replays the branch's file-level delta
+    onto the new head (disjoint appends — no conflicts), after which the
+    publish fast-forwards normally. The asserted refusal in the middle
+    pins that this query genuinely exercises the non-fast-forward path.
+    The result aggregates the published table; the oracle recomputes the
+    same aggregate from the raw orders table — hash equality proves the
+    rebase lost nothing from EITHER line of history. Conflict/refusal
+    matrix is pinned in tests/test_branches.py. No reference counterpart;
+    semantics follow git-rebase over an Iceberg-style manifest log."""
+    from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+    from jobanalytics_bigdataproject_spark.sources import branches as brn
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    path = _BRANCH_REBASE_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
+
+        t = load_star(spark, sf_dir, ("orders",))
+        orders = t["orders"]
+        cut1 = F.lit("1996-01-01").cast("date")
+        cut2 = F.lit("1997-01-01").cast("date")
+        path = tempfile.mkdtemp(prefix="branch_rebase_orders_") + "/tbl"
+        sn.write_snapshot(
+            orders.filter(F.col("o_orderdate") < cut1), path, mode="overwrite"
+        )
+        b = brn.create_branch(spark, path, "backfill")
+        sn.write_snapshot(
+            orders.filter(
+                (F.col("o_orderdate") >= cut1) & (F.col("o_orderdate") < cut2)
+            ),
+            b,
+        )
+        sn.write_snapshot(orders.filter(F.col("o_orderdate") >= cut2), path)
+        try:
+            brn.fast_forward(spark, path, "backfill")
+            raise AssertionError("fast-forward must refuse after main advanced")
+        except ValueError:
+            pass  # the non-fast-forward wall this query exists to cross
+        brn.rebase_branch(spark, path, "backfill")
+        brn.fast_forward(spark, path, "backfill")
+        _BRANCH_REBASE_CACHE[sf_dir] = path
+    return (
+        sn.read_snapshot(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_TXN_ASOF_CACHE: dict[str, tuple[str, str, str, str]] = {}
+
+
+def _orders_txn_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent group TIME-TRAVEL read across a multi-table transaction
+    (sources/transactions.read_consistent(as_of_txn=...), VERDICT r7 #8):
+    fact+dim seed with the pre-1996 orders/customers, transaction T1
+    appends the 1996 cohort to BOTH, transaction T2 appends 1997+, and a
+    plain append then moves fact's head further. The query reads both
+    tables AS OF T1 — each resolved at the exact version T1's record
+    pinned — and joins them. The oracle recomputes the same join from the
+    raw tables bounded at T1's cut, so hash equality proves the pinned
+    pair is internally consistent (every fact row finds its dim row,
+    including customers T1 itself inserted) and excludes EVERYTHING that
+    landed after T1, however many commits followed. The refusal matrix
+    (non-participant table, unknown/aborted txn) is pinned in
+    tests/test_transactions.py."""
+    from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+    from jobanalytics_bigdataproject_spark.sources import transactions as tx
+
+    key = _TXN_ASOF_CACHE.get(sf_dir)
+    if key is None:
+        import tempfile
+
+        from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+        t = load_star(spark, sf_dir, ("orders", "customer"))
+        base = tempfile.mkdtemp(prefix="txn_asof_")
+        fact, dim, txn_dir = base + "/fact", base + "/dim", base + "/txns"
+        orders, customer = t["orders"], t["customer"]
+        cut1 = F.lit("1996-01-01").cast("date")
+        cut2 = F.lit("1997-01-01").cast("date")
+
+        def custs_of(o):
+            return customer.join(
+                o.select("o_custkey").distinct(),
+                customer.c_custkey == F.col("o_custkey"),
+                "left_semi",
+            )
+
+        seed_o = orders.filter(F.col("o_orderdate") < cut1)
+        seed_c = custs_of(seed_o)
+        sn.write_snapshot(seed_o, fact, mode="overwrite")
+        sn.write_snapshot(seed_c, dim, mode="overwrite")
+
+        def commit_era(lo, hi, known_c):
+            o = orders.filter(F.col("o_orderdate") >= lo)
+            if hi is not None:
+                o = o.filter(F.col("o_orderdate") < hi)
+            txn = tx.begin_transaction(spark, [fact, dim], txn_dir)
+            sn.write_snapshot(o, txn["branches"][fact])
+            new_c = custs_of(o).join(known_c.select("c_custkey"), "c_custkey", "left_anti")
+            sn.write_snapshot(new_c, txn["branches"][dim])
+            return tx.commit_transaction(spark, txn)["id"]
+
+        txn1 = commit_era(cut1, cut2, seed_c)
+        commit_era(cut2, None, custs_of(orders.filter(F.col("o_orderdate") < cut2)))
+        # an unrelated append moves fact's head PAST both transactions
+        sn.write_snapshot(
+            orders.filter(F.col("o_orderdate") >= cut2).limit(1), fact
+        )
+        key = (fact, dim, txn_dir, txn1)
+        _TXN_ASOF_CACHE[sf_dir] = key
+    fact, dim, txn_dir, txn1 = key
+    dfs = tx.read_consistent(spark, [fact, dim], txn_dir, as_of_txn=txn1)
+    return (
+        dfs[fact]
+        .join(dfs[dim], dfs[fact].o_custkey == dfs[dim].c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            money_sum("o_totalprice").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 _RETENTION_CACHE: dict[str, str] = {}
 
 
@@ -1961,18 +2100,18 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
-    # Round 7: the three r6 priority names got green r6 rows and rotate
+    # Round 8: the three r7 priority names got green r7 rows and rotate
     # out via _last_checked_round. This block holds only this round's
-    # NEW oracle-backed queries; the 12 r3-stale TPC-H rows (VERDICT r6
-    # #1: q6/q7/q8/q10/q12/q13/q15/q16/q17/q18/q19/q22) auto-sort
-    # directly after it as the least-recently-checked — keep this block
-    # small enough (≤38) that all 12 stay inside the 50-query window.
-    # write-audit-publish over a snapshot branch + tag (VERDICT r6 #2)
-    "orders_branch_publish",
-    # cross-table atomic publish via transaction record (VERDICT r6 #3)
-    "orders_txn_publish",
-    # stream-stream LEFT SEMI interval join batch twin (round 7)
-    "events_interval_join_semi",
+    # NEW oracle-backed queries; the 15 r4-stale rows (VERDICT r7 #1)
+    # auto-sort directly after it as the least-recently-checked — keep
+    # this block ≤8 so the 4-round staleness bound holds
+    # (tests/test_evidence_window.py enforces it).
+    # rebase-then-publish over a diverged main (VERDICT r7 #2)
+    "orders_branch_rebase",
+    # consistent multi-table AS-OF-transaction read (VERDICT r7 #8)
+    "orders_txn_asof",
+    # stream-stream RIGHT OUTER interval join batch twin (VERDICT r7 #9)
+    "events_interval_join_right",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2398,6 +2537,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["events"], how="left_semi"
             ),
         ),
+        # right-outer variant (round 8, VERDICT r7 #9 — closes the how=
+        # family): every purchase, attributed where a click preceded it,
+        # NULL click columns otherwise; in streaming the organic purchase
+        # emits at watermark expiry (equivalence test in
+        # tests/test_streaming_join.py)
+        "events_interval_join_right": _q(
+            ("events",),
+            lambda t: stream_joins.click_purchase_attribution(
+                t["events"], how="right_outer"
+            ),
+        ),
         "scd2_user_state": _q(("events",), lambda t: scd.scd2_dim(t["events"])),
         # horizon compaction preserves the presentation view exactly, so this
         # shares scd2_user_state's oracle — the hash match IS the equivalence
@@ -2419,6 +2569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bucketed_join": _orders_bucketed_join,
         "orders_branch_publish": _orders_branch_publish,
         "orders_txn_publish": _orders_txn_publish,
+        "orders_branch_rebase": _orders_branch_rebase,
+        "orders_txn_asof": _orders_txn_asof,
         "orders_cdc_apply": _orders_cdc_apply,
         "orders_retention_expiry": _orders_retention_expiry,
         "orders_update_redaction": _orders_update_redaction,
@@ -4283,6 +4435,17 @@ def _oracle_sql_literals() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL '10 minutes'
         """,
+        "events_interval_join_right": """
+            SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   p.value AS purchase_value
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            RIGHT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL '10 minutes'
+        """,
         "events_tumbling_10m": """
             SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                    event_type,
@@ -4541,6 +4704,28 @@ def _oracle_sql_literals() -> dict[str, str]:
                    COUNT(DISTINCT c_custkey) AS n_cust,
                    ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
             FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        # final table state after seed + branch backfill + independent
+        # main appends + rebase + publish == the whole raw orders table
+        "orders_branch_rebase": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM orders
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        # both tables AS OF transaction T1 == everything bounded at T1's
+        # cut (1997-01-01), nothing that landed after it
+        "orders_txn_asof": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS cnt,
+                   COUNT(DISTINCT c_custkey) AS n_cust,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderdate < DATE '1997-01-01'
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
         """,
