@@ -330,6 +330,86 @@ def vamana_query(
     )
 
 
+_VISIT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("shard_size", T.LongType()),
+        T.StructField("visited", T.LongType()),
+    ]
+)
+
+
+def vamana_visit_report(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 2,
+    beam: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serving-cost instrumentation (VERDICT r7 #7): the same probed-shard
+    cogroup as ``vamana_query``, but returning per (query, shard) the
+    number of graph nodes the beam search actually VISITED next to the
+    shard size. ``visited / shard_size`` is the measured basis for the
+    IVFPQ-vs-Vamana trade in SCALE.md §8: IVF re-ranks the WHOLE probed
+    cell (fraction 1.0 by construction), Vamana visits O(path · beam)
+    nodes — an absolute cost that stays near-flat as shards grow, so the
+    fraction SHRINKS with shard size (tools/scale_probe.py records it at
+    sf0.1 and the 10x fixture)."""
+    from jobanalytics_bigdataproject_spark.operators.similarity import cosine_expr
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    wc = Window.partitionBy("query_id").orderBy(F.desc("shard_sim"), "shard")
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "q_vec", "shard", cosine_expr("q_vec", "centroid").alias("shard_sim")
+        )
+        .withColumn("shard_rank", F.row_number().over(wc))
+        .filter(F.col("shard_rank") <= n_probe)
+        .select("query_id", "q_vec", "shard")
+    )
+    shards = sorted(r.shard for r in probed.select("shard").distinct().collect())
+    graph = (
+        spark.read.parquet(f"{path}/graph")
+        .filter(F.col("shard").isin(shards))
+        .select("vec_id", "embedding", "neighbors", "is_medoid", "shard")
+    )
+
+    def report(key, corpus_pdf, queries_pdf):
+        import pandas as pd
+
+        if not len(corpus_pdf) or not len(queries_pdf):
+            return pd.DataFrame({f.name: [] for f in _VISIT_SCHEMA.fields})
+        ids = corpus_pdf["vec_id"].to_numpy()
+        vecs = _normalize(np.stack(corpus_pdf["embedding"].to_numpy()).astype(np.float64))
+        idx_of = {int(v): i for i, v in enumerate(ids)}
+        adj = [
+            [idx_of[int(n)] for n in nbrs if int(n) in idx_of]
+            for nbrs in corpus_pdf["neighbors"]
+        ]
+        med = np.flatnonzero(corpus_pdf["is_medoid"].to_numpy())
+        entry = int(med[0]) if len(med) else 0
+        rows = []
+        for qid, qvec in zip(queries_pdf["query_id"], queries_pdf["q_vec"]):
+            qv = np.asarray(qvec, dtype=np.float64)
+            nrm = np.linalg.norm(qv)
+            if nrm:
+                qv = qv / nrm
+            _, visited = _greedy_search(vecs, adj, entry, qv, beam)
+            rows.append((int(qid), int(key[0]), len(ids), len(visited)))
+        return pd.DataFrame(rows, columns=[f.name for f in _VISIT_SCHEMA.fields])
+
+    return (
+        graph.groupby("shard")
+        .cogroup(probed.groupby("shard"))
+        .applyInPandas(report, _VISIT_SCHEMA)
+    )
+
+
 def vamana_append(
     new_vectors: DataFrame,
     path: str,

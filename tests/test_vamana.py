@@ -206,3 +206,19 @@ def test_vamana_append_failure_leaves_live_index_intact(spark, tables, tmp_path)
     assert not glob.glob(f"{path}/graph_retired_*")
     q = emb.filter(F.col("vec_id") < 3)
     assert vamana.vamana_query(spark, path, q, k=5, n_probe=4, beam=16).count() == 15
+
+
+def test_visit_report_bounds_and_full_beam(spark, tables, tmp_path):
+    """vamana_visit_report (the SCALE.md §8 trade's measured basis):
+    visited is positive, never exceeds the shard, and a full beam over a
+    connectivity-fixed shard expands exactly the whole shard."""
+    emb = tables["embeddings"]
+    path = str(tmp_path / "vamana")
+    vamana.vamana_build_index(emb, path, n_shards=4, r=8, beam=16)
+    rep = vamana.vamana_visit_report(spark, path, emb.limit(5), n_probe=2, beam=8).collect()
+    assert rep and all(0 < r.visited <= r.shard_size for r in rep)
+    n = emb.count()
+    full = vamana.vamana_visit_report(
+        spark, path, emb.limit(5), n_probe=1, beam=int(n)
+    ).collect()
+    assert full and all(r.visited == r.shard_size for r in full)

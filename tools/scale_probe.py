@@ -217,6 +217,41 @@ def main() -> int:
     for name, r in result.items():
         if "sf0.1" in r and "sf1" in r:
             r["exponent"] = round(math.log10(r["sf1"] / r["sf0.1"]), 2)
+
+    # Vamana beam-visit fraction (VERDICT r7 #7): alongside the wall-time
+    # exponent, measure what fraction of each probed shard the beam search
+    # actually visits at both scales — the quantified IVFPQ-vs-Vamana
+    # trade (IVF re-ranks the whole probed cell, fraction 1.0; the graph
+    # walk's absolute visit count should stay near-flat as shards grow
+    # 10x, so the fraction should DROP roughly 10x).
+    if "ann_cosine_vamana" in probes:
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from jobanalytics_bigdataproject_spark.operators import vamana
+        from jobanalytics_bigdataproject_spark.sources.readers import read_table
+
+        vstats = {}
+        for sf_dir, tag in ((SF01, "sf0.1"), (SF1, "sf1")):
+            emb = read_table(spark, sf_dir, "embeddings")
+            idx = tempfile.mkdtemp(prefix="vamana_visits_") + "/idx"
+            vamana.vamana_build_index(emb, idx, n_shards=16, r=16, beam=32)
+            rep = vamana.vamana_visit_report(
+                spark, idx, emb.limit(32), n_probe=2, beam=32
+            )
+            row = rep.agg(
+                F.avg("visited").alias("v"),
+                F.avg("shard_size").alias("s"),
+                F.avg(F.col("visited") / F.col("shard_size")).alias("f"),
+            ).first()
+            vstats[tag] = {
+                "mean_visited": round(float(row["v"]), 1),
+                "mean_shard_size": round(float(row["s"]), 1),
+                "mean_visit_frac": round(float(row["f"]), 4),
+            }
+            print(f"  vamana visits@{tag}: {vstats[tag]}", flush=True)
+        result["vamana_visit_fraction"] = vstats
     path = "/root/repo/tools/scale_probe_result.json"
     merged = result
     if args.only and os.path.exists(path):
