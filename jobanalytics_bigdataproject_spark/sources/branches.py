@@ -152,6 +152,36 @@ def drop_branch(spark: SparkSession, table_dir: str, name: str) -> bool:
     return bool(fs.exists(p) and fs.delete(p, True))
 
 
+def drop_retired_branches(
+    spark: SparkSession, table_dir: str, older_than: float | None = None
+) -> list[str]:
+    """Sweep tombstoned branch dirs (published with ``retire=False``) —
+    the forensics window closes eventually and the dirs are unreadable by
+    design (``_published.json`` makes every resolve refuse). ``older_than``
+    (epoch seconds, default: sweep all) compares against the tombstone's
+    creation time, mirroring ``expire_transactions``' horizon semantics.
+    Live branches are never touched. Returns the swept branch names."""
+    fs, _, jvm = _fs(spark, table_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(f"{table_dir}/{_BRANCHES}")
+    swept: list[str] = []
+    if not fs.exists(root):
+        return swept
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        marker = Path(f"{table_dir}/{_BRANCHES}/{name}/{sn._PUBLISHED_MARKER}")
+        if not fs.exists(marker):
+            continue  # live branch
+        if older_than is not None:
+            if fs.getFileStatus(marker).getModificationTime() / 1000.0 >= older_than:
+                continue
+        if fs.delete(st.getPath(), True):
+            swept.append(name)
+    return sorted(swept)
+
+
 def _branch_base(fs, jvm, bdir: str) -> int:
     try:
         v1 = _read_manifest(fs, jvm, bdir, 1)

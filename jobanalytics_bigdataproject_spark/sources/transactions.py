@@ -141,7 +141,7 @@ def _applied_version(spark, fs, jvm, table_dir: str, txn_id: str, base: int) -> 
     return None
 
 
-def commit_transaction(spark: SparkSession, txn: dict) -> dict:
+def commit_transaction(spark: SparkSession, txn: dict, rebase: bool = False) -> dict:
     """Atomically publish every participant's branch. Returns
     ``{"id", "status": "committed", "published": {table: version}}``.
 
@@ -149,7 +149,16 @@ def commit_transaction(spark: SparkSession, txn: dict) -> dict:
     participant stopped being fast-forwardable — before the record this
     is a plain refusal; after the record it triggers compensating
     rollbacks of already-published participants and an ``.aborted``
-    record."""
+    record.
+
+    ``rebase=True`` (round 8): a participant whose main advanced past
+    the transaction base is REBASED first (``branches.rebase_branch`` —
+    file-level replay, refusing on true conflicts), so a transaction
+    only fails against CONFLICTING concurrent writes, not against any
+    concurrent write — optimistic-concurrency semantics at the
+    transaction level. A table that advances again between the rebase
+    and its fast-forward still triggers the normal post-record
+    compensation path; nothing is guessed."""
     txn_id, txn_dir = txn["id"], txn["txn_dir"]
     fs, _, jvm = _fs(spark, txn_dir)
     participants = []
@@ -162,10 +171,16 @@ def commit_transaction(spark: SparkSession, txn: dict) -> dict:
         base = br._branch_base(bfs, bjvm, bdir)
         main_head = current_version(spark, t)
         if main_head != base:
-            raise ValueError(
-                f"{t} advanced to v{main_head} past the transaction base "
-                f"v{base} — commit refused; abort and re-run the transaction"
-            )
+            if not rebase:
+                raise ValueError(
+                    f"{t} advanced to v{main_head} past the transaction base "
+                    f"v{base} — commit refused; abort and re-run the "
+                    "transaction (or commit with rebase=True)"
+                )
+            # replay the branch onto the new head; TRUE conflicts still
+            # refuse (inside rebase_branch), leaving everything intact
+            bhead = br.rebase_branch(spark, t, f"txn-{txn_id}")
+            base = main_head
         participants.append({"table_dir": t, "base": base, "branch_head": bhead})
 
     # THE commit point: one atomic create. Everything before this line

@@ -323,3 +323,22 @@ def test_kept_branch_refuses_reads_after_publish(spark, tmp_path):
     # re-publishing the tombstoned branch refuses too
     with pytest.raises(ValueError, match="published.*retired"):
         br.fast_forward(spark, t, "audit")
+
+
+def test_drop_retired_branches_sweeps_tombstoned_only(spark, tmp_path):
+    import time
+
+    t = _mk(spark, tmp_path)
+    b1 = br.create_branch(spark, t, "kept")
+    snap.write_snapshot(
+        spark.createDataFrame([(1000, 5, 1)], "id int, grp int, val long"), b1
+    )
+    br.fast_forward(spark, t, "kept", retire=False)  # tombstoned, on disk
+    br.create_branch(spark, t, "live")
+    # future horizon: every tombstone is past it; the live branch survives
+    assert br.drop_retired_branches(spark, t, older_than=time.time() + 60) == ["kept"]
+    assert [x["name"] for x in br.list_branches(spark, t)] == ["live"]
+    # horizon in the past sweeps nothing
+    br.fast_forward(spark, t, "live", retire=False)
+    assert br.drop_retired_branches(spark, t, older_than=0.0) == []
+    assert br.drop_retired_branches(spark, t) == ["live"]  # no horizon = all

@@ -275,3 +275,40 @@ def test_maintain_wires_txn_expiry(spark, two_tables):
     _commit_pair(spark, fact, dim, txn_dir, 3, 30, "c")
     rep = maintain(spark, fact, expire_older_than=time.time() + 60, txn_dir=txn_dir)
     assert rep["expired_txn_records"] == 1
+
+
+def test_commit_with_rebase_survives_concurrent_append(spark, two_tables):
+    """rebase=True: a concurrent append on a participant between begin and
+    commit no longer kills the transaction — the branch replays onto the
+    new head and the publish proceeds; the concurrent rows survive."""
+    fact, dim, txn_dir = two_tables
+    t = tx.begin_transaction(spark, [fact, dim], txn_dir)
+    _append(spark, t["branches"][fact],
+            spark.createDataFrame([(3, 30, 300)], "k int, d int, amt long"))
+    _append(spark, t["branches"][dim],
+            spark.createDataFrame([(30, "c")], "d int, name string"))
+    # concurrent writer advances fact's main
+    _append(spark, fact,
+            spark.createDataFrame([(7, 10, 700)], "k int, d int, amt long"))
+    with pytest.raises(ValueError, match="advanced"):
+        tx.commit_transaction(spark, t)  # plain commit still refuses
+    res = tx.commit_transaction(spark, t, rebase=True)
+    assert res["status"] == "committed"
+    dfs = tx.read_consistent(spark, [fact, dim], txn_dir)
+    assert sorted(r.k for r in dfs[fact].collect()) == [1, 2, 3, 7]
+    assert sorted(r.d for r in dfs[dim].collect()) == [10, 20, 30]
+
+
+def test_commit_with_rebase_refuses_true_conflict(spark, two_tables):
+    """rebase=True still refuses when the concurrent write CONFLICTS with
+    the transaction's own DML (same base file rewritten by both) —
+    nothing published, nothing mutated."""
+    fact, dim, txn_dir = two_tables
+    t = tx.begin_transaction(spark, [fact, dim], txn_dir)
+    snap.delete_where(spark, t["branches"][fact], "k = 1")  # COW rewrite
+    snap.delete_where(spark, fact, "k = 2")  # main rewrites the SAME file
+    with pytest.raises(ValueError, match="modified by BOTH"):
+        tx.commit_transaction(spark, t, rebase=True)
+    # nothing published on either table
+    assert sorted(r.k for r in snap.read_snapshot(spark, fact).collect()) == [1]
+    assert snap.read_snapshot(spark, dim).count() == 2
