@@ -136,7 +136,10 @@ def maintain(
        ``expire_older_than`` (epoch seconds) set → time-based
        ``expire_snapshots`` first (Iceberg-style retention horizon; the
        head always survives). Both honor vacuum's in-flight-commit and
-       wall-clock-grace guards.
+       wall-clock-grace guards. With ``txn_dir`` also set, the same
+       horizon sweeps terminal cross-table transaction records
+       (``transactions.expire_transactions`` — VERDICT r7 #4), keeping
+       recovery's record listing bounded.
 
     Idempotent by construction: on a converged table every signal is
     below threshold and the call is a metadata-only no-op. Returns
