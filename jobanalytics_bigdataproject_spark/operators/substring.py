@@ -1,0 +1,200 @@
+"""[EXT] Exact-substring deduplication — the training-data hygiene pass
+that removes REPEATED k-token spans across (and within) documents while
+keeping each span's first occurrence, complementing the whole-document
+dedup family in ``operators/dedup.py`` (exact/MinHash/SimHash/embedding
+all judge whole documents; boilerplate headers, license blocks and
+quoted passages duplicate at the SUBSTRING level and survive them).
+
+Public-knowledge basis: the ExactSubstr pass of Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (ACL 2022).
+The reference repo has no analog (closest: its word frequency count,
+code/02_RDDOperations.scala task 3); the suffix-array construction of
+the paper is re-expressed as the equivalent fixed-k shingle-position
+pipeline, which maps onto Spark's strengths instead of requiring a
+distributed suffix array:
+
+1. ``shingle_positions``: every (doc, pos) → its k-word shingle —
+   JVM-side ``split``/``transform``/``posexplode``, data ∝ corpus
+   tokens, no Python.
+2. occurrence ranking: one window over shingle (ORDER BY doc_id, pos) —
+   the single corpus-wide shuffle, keyed by shingle exactly like the
+   word-count everyone already runs; occurrence rank ≥ 2 marks every
+   NON-FIRST occurrence (the keep-first policy).
+3. span assembly: per-doc gaps-and-islands over the duplicated
+   positions (a new span starts when the position gap exceeds k, so a
+   span's token range ``[min_pos, max_pos + k - 1]`` is exactly the
+   UNION of its shingles' token ranges — contiguous by construction).
+4. ``remove_duplicate_spans``: cut the spans from the text by position
+   anti-join + re-aggregation — still JVM-side (posexplode → range
+   anti-join → sort-within-group concat), no per-row Python.
+
+Every step is plain SQL, so the report AND the removal law are both
+oracle-checkable against DuckDB (driver queries
+``docs_substring_dup_report`` / ``docs_substring_dedup``).
+
+Scale: two linear shuffles (by shingle, then by doc). At 100 TB the
+shingle strings dominate the first exchange; ``hash_shingles=True``
+swaps them for xxhash64 keys (8 bytes, collision-law tested against the
+raw-string run in tests/test_substring.py) — the same raw-vs-hashed
+dial as the MinHash family. The window per shingle is O(occurrences);
+a pathological shingle (billions of repeats) is exactly the content the
+pass exists to delete, and its window state is one rank counter, not a
+buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(text_col: str):
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingle_positions(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """(doc_id, pos, shingle) for every k-word window of every document.
+    Documents shorter than k words yield no rows. All JVM expression —
+    ``transform(sequence(...))`` builds the gram array, ``posexplode``
+    flattens it; with ``hash_shingles`` the key is xxhash64(gram)."""
+    w = _words(text_col)
+    n = F.size(w)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = documents.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(grams).alias("pos", "shingle")
+    )
+    if hash_shingles:
+        out = out.withColumn("shingle", F.xxhash64("shingle"))
+    return out
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Per-document duplicated TOKEN SPANS under the keep-first policy:
+    (doc_id, span_start, span_end) where ``[span_start, span_end]`` is a
+    maximal run of token positions covered by shingles whose occurrence
+    rank (ordered corpus-wide by doc_id, pos) is ≥ 2. The span's first
+    corpus occurrence is NOT listed — it stays."""
+    sp = shingle_positions(documents, k, text_col, id_col, hash_shingles)
+    occ = Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    dup_pos = (
+        sp.withColumn("occ_rank", F.row_number().over(occ))
+        .filter(F.col("occ_rank") >= 2)
+        .select("doc_id", "pos")
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    # gaps-and-islands: a new span when the gap exceeds k (gap <= k means
+    # the two shingles' token ranges touch/overlap, so the union stays
+    # contiguous and max_pos + k - 1 - min_pos + 1 is its exact size)
+    grp = F.sum(
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= k, 0).otherwise(1)
+    ).over(by_doc.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        dup_pos.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def substring_dup_report(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Per-document duplication audit: token count, number of duplicated
+    spans, and how many tokens those spans cover. Only documents with at
+    least one duplicated span appear (the interesting rows; the totals
+    query joins back to the corpus for rates)."""
+    spans = duplicate_spans(documents, k, text_col, id_col, hash_shingles)
+    tokens = documents.select(
+        F.col(id_col).alias("doc_id"), F.size(_words(text_col)).alias("n_tokens")
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+        )
+        .join(tokens, "doc_id")
+        .select("doc_id", "n_tokens", "n_dup_spans", "dup_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def remove_duplicate_spans(
+    documents: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """The removal half: every document's text with its duplicated spans
+    (keep-first policy) cut out, plus before/after token counts obeying
+    ``n_tokens_after == n_tokens - dup_tokens`` by construction — the law
+    the ``docs_substring_dedup`` oracle hash-checks end-to-end.
+
+    Mechanics stay JVM-side: positions posexplode, a range ANTI-join
+    against the doc's spans drops covered positions, and the survivors
+    re-assemble ordered by position (array_sort on (pos, word) structs —
+    no Python, no per-row loops). Documents with no spans pass through
+    unchanged via the left join."""
+    spans = duplicate_spans(documents, k, text_col, id_col, hash_shingles)
+    toks = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_words(text_col)).alias("pos", "word"),
+    )
+    sp = spans.alias("s")
+    tk = toks.alias("t")
+    kept = tk.join(
+        sp,
+        (F.col("t.doc_id") == F.col("s.doc_id"))
+        & (F.col("t.pos") >= F.col("s.span_start"))
+        & (F.col("t.pos") <= F.col("s.span_end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_tokens_after"),
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"), F.size(_words(text_col)).alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_tokens_after", F.lit(0)).alias("n_tokens_after"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )

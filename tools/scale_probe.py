@@ -104,6 +104,11 @@ PROBES = [
     # search, which should stay flat like the IVF family (shard COUNT,
     # not shard size, absorbs the 10x)
     "ann_cosine_vamana",
+    # round 8: exact-substring dedup — two linear shuffles (by shingle,
+    # then by doc); the sf1 fixture's copy-distinct word suffixes keep
+    # cross-copy spans from merging, so this measures the real per-token
+    # cost, not a replication artifact
+    "docs_substring_dedup",
     # round 7: LEFT SEMI interval-join batch twin (linear in events like
     # the outer twin) and MJPEG video near-dups (BOUNDED by the query's
     # 120-doc slice at any sf — the probe verifies the bound holds, i.e.
