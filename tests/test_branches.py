@@ -342,3 +342,37 @@ def test_drop_retired_branches_sweeps_tombstoned_only(spark, tmp_path):
     br.fast_forward(spark, t, "live", retire=False)
     assert br.drop_retired_branches(spark, t, older_than=0.0) == []
     assert br.drop_retired_branches(spark, t) == ["live"]  # no horizon = all
+
+
+def test_rebase_carries_branch_mor_deletes(spark, tmp_path):
+    """DV-carry across a REBASE: the branch's merge-on-read delete (a
+    deletion vector on a base file) must survive the replay onto a main
+    that appended independently — deleted rows must not resurrect, and
+    the publish must adopt the branch's DV sidecar."""
+    t = _mk(spark, tmp_path)
+    b = br.create_branch(spark, t, "mor")
+    res = snap.delete_where_mor(spark, b, "id < 5")
+    assert res["rows_deleted"] == 5
+    snap.write_snapshot(
+        spark.createDataFrame([(2000, 6, 2)], "id int, grp int, val long"), t
+    )
+    assert br.rebase_branch(spark, t, "mor") == 2
+    assert _ids(spark, b) == list(range(5, 100)) + [2000]
+    br.fast_forward(spark, t, "mor")
+    assert _ids(spark, t) == list(range(5, 100)) + [2000]
+    m = snap.snapshot_info(spark, t, snap.current_version(spark, t))
+    assert m.get("dvs") and m.get("dv_files")
+
+
+def test_rebase_refuses_dv_conflict(spark, tmp_path):
+    """Both sides MOR-deleted rows in the SAME base file → the deletion
+    vectors are a row-level modification of that file on both sides —
+    true conflict, refused with nothing mutated."""
+    t = _mk(spark, tmp_path, parts=1)
+    b = br.create_branch(spark, t, "mor")
+    snap.delete_where_mor(spark, b, "id = 1")
+    snap.delete_where_mor(spark, t, "id = 2")
+    with pytest.raises(ValueError, match="modified by BOTH"):
+        br.rebase_branch(spark, t, "mor")
+    assert _ids(spark, b) == [i for i in range(100) if i != 1]
+    assert _ids(spark, t) == [i for i in range(100) if i != 2]
