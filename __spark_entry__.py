@@ -2003,6 +2003,33 @@ def _docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+_SUBSTR_STORE_CACHE: dict[str, str] = {}
+
+
+def _docs_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT-SUBSTRING removal (round 8): the corpus' first
+    ~80%% of doc_ids is the persisted shingle store (built once per
+    process — same cluster-at-ingest discipline as the MinHash store);
+    the remaining batch is span-deduped against store + itself WITHOUT
+    re-shingling history (operators/substring.py:
+    substring_dedup_incremental). Rows-only: the store keys are xxhash64
+    (SURVEY.md §5.3); the store+batch==full-corpus span law is pinned in
+    tests/test_substring.py."""
+    import tempfile
+
+    t = load_star(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    cutoff = int(docs.agg(F.expr("percentile(doc_id, 0.8)")).first()[0])
+    path = _SUBSTR_STORE_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="substr_store_") + "/store"
+        substring.shingle_store_write(docs.filter(F.col("doc_id") < cutoff), path, k=6)
+        _SUBSTR_STORE_CACHE[sf_dir] = path
+    return substring.substring_dedup_incremental(
+        spark, docs.filter(F.col("doc_id") >= cutoff), path, k=6
+    ).select("doc_id", "n_tokens", "n_tokens_after")
+
+
 def _ann_cosine_vamana(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded Vamana graph ANN (DiskANN family, VERDICT r6 #6): spherical-
     KMeans shard assignment, one independent numpy graph build per shard
@@ -2138,6 +2165,7 @@ _ROWS_ONLY = {
     "docs_simhash_pairs",
     "docs_neardup_dedup",
     "docs_incremental_dedup",
+    "docs_substring_incremental",
     "ann_cosine_lsh",
     "embedding_near_dups_lsh",
     "embeddings_semantic_dedup",
@@ -2685,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         ),
         "docs_incremental_dedup": _docs_incremental_dedup,
+        "docs_substring_incremental": _docs_substring_incremental,
         "docs_neardup_dedup": _q(
             ("documents",),
             lambda t: dedup.neardup_dedup(t["documents"], jaccard_threshold=0.5).select(

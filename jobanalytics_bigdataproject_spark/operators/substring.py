@@ -80,6 +80,26 @@ def shingle_positions(
     return out
 
 
+def _spans_from_positions(dup_pos: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) of duplicated shingles → maximal token spans via
+    per-doc gaps-and-islands: a new span when the gap exceeds k (gap <= k
+    means the two shingles' token ranges touch/overlap, so the union
+    stays contiguous and max_pos + k - 1 - min_pos + 1 is its size)."""
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grp = F.sum(
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= k, 0).otherwise(1)
+    ).over(by_doc.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        dup_pos.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
 def duplicate_spans(
     documents: DataFrame,
     k: int = 8,
@@ -99,22 +119,7 @@ def duplicate_spans(
         .filter(F.col("occ_rank") >= 2)
         .select("doc_id", "pos")
     )
-    by_doc = Window.partitionBy("doc_id").orderBy("pos")
-    # gaps-and-islands: a new span when the gap exceeds k (gap <= k means
-    # the two shingles' token ranges touch/overlap, so the union stays
-    # contiguous and max_pos + k - 1 - min_pos + 1 is its exact size)
-    grp = F.sum(
-        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= k, 0).otherwise(1)
-    ).over(by_doc.rowsBetween(Window.unboundedPreceding, 0))
-    return (
-        dup_pos.withColumn("grp", grp)
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
-        )
-        .select("doc_id", "span_start", "span_end")
-    )
+    return _spans_from_positions(dup_pos, k)
 
 
 def substring_dup_report(
@@ -162,6 +167,18 @@ def remove_duplicate_spans(
     no Python, no per-row loops). Documents with no spans pass through
     unchanged via the left join."""
     spans = duplicate_spans(documents, k, text_col, id_col, hash_shingles)
+    return _cut_spans(documents, spans, text_col, id_col)
+
+
+def _cut_spans(
+    documents: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the given (doc_id, span_start, span_end) token spans from
+    every document's text; returns (doc_id, n_tokens, n_tokens_after,
+    text_clean). Shared by the batch and incremental removal paths."""
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_words(text_col)).alias("pos", "word"),
@@ -198,3 +215,83 @@ def remove_duplicate_spans(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------- incremental (store-probed)
+
+
+def shingle_store_write(
+    documents: DataFrame,
+    path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's DISTINCT shingle keys (xxhash64) with their
+    first (doc_id, pos) — the probe target for
+    ``substring_dedup_incremental``. Text is shingled exactly once per
+    document, here. One groupBy shuffle; the store is one 20-byte row
+    per distinct shingle, ∝ corpus tokens but never re-read as text.
+    The scale upgrade is bucketing the store by shingle so batch probes
+    co-locate without shuffling it (same note as minhash_store_write)."""
+    sp = shingle_positions(documents, k, text_col, id_col, hash_shingles=True)
+    first = (
+        sp.groupBy("shingle")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+        .select(
+            "shingle",
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.pos").alias("pos"),
+        )
+    )
+    first.write.mode(mode).parquet(f"{path}/shingles")
+
+
+def substring_dedup_incremental(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_store: bool = False,
+) -> DataFrame:
+    """Cleaned ``new_docs`` after exact-substring removal against (a) the
+    persisted shingle store at ``path`` and (b) earlier occurrences
+    WITHIN the batch — without re-shingling a single historical document
+    (the dedup-on-arrival shape: history is probed as 8-byte keys, never
+    as text; same incremental discipline as ``dedup_batch_incremental``).
+
+    A batch shingle is duplicated if it exists in the store (any
+    historical occurrence beats the whole batch) OR its within-batch
+    occurrence rank is ≥ 2. ``update_store=True`` appends the batch's
+    genuinely NEW shingles (anti-join) so the next batch dedups against
+    this one. Returns (doc_id, n_tokens, n_tokens_after, text_clean)."""
+    store = spark.read.parquet(f"{path}/shingles")
+    sp = shingle_positions(new_docs, k, text_col, id_col, hash_shingles=True)
+    hist_dup = sp.join(store.select("shingle"), "shingle", "left_semi").select(
+        "doc_id", "pos"
+    )
+    occ = Window.partitionBy("shingle").orderBy("doc_id", "pos")
+    batch_dup = (
+        sp.withColumn("occ_rank", F.row_number().over(occ))
+        .filter(F.col("occ_rank") >= 2)
+        .select("doc_id", "pos")
+    )
+    dup_pos = hist_dup.unionByName(batch_dup).distinct()
+    spans = _spans_from_positions(dup_pos, k)
+    out = _cut_spans(new_docs, spans, text_col, id_col)
+    if update_store:
+        fresh = (
+            sp.join(store.select("shingle"), "shingle", "left_anti")
+            .groupBy("shingle")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+            .select(
+                "shingle",
+                F.col("first.doc_id").alias("doc_id"),
+                F.col("first.pos").alias("pos"),
+            )
+        )
+        fresh.write.mode("append").parquet(f"{path}/shingles")
+    return out

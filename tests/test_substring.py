@@ -101,3 +101,62 @@ def test_fixture_corpus_report_is_consistent(spark, tables):
         assert r.n_tokens_after == r.n_tokens - dup
         if did in rep:
             assert 0 < rep[did].dup_tokens <= rep[did].n_tokens
+
+
+def test_incremental_probe_against_store_and_batch(spark, tmp_path):
+    """Dedup-on-arrival: batch spans duplicated against HISTORY (via the
+    persisted shingle store — history never re-shingled) and within the
+    batch itself are both cut; update_store makes batch N+1 dedup
+    against batch N."""
+    path = str(tmp_path / "substr_store")
+    hist = _df(spark, [(1, "alpha beta " + SPAN + " gamma")])
+    substring.shingle_store_write(hist, path, k=8)
+    batch = _df(
+        spark,
+        [
+            (10, "one two three " + SPAN + " four five"),  # vs history
+            (11, "x y z a b c d e f g h"),                 # first in batch
+            (12, "q r s a b c d e f g h"),                 # duplicates 11's tail
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in substring.substring_dedup_incremental(
+            spark, batch, path, k=8, update_store=True
+        ).collect()
+    }
+    assert out[10].text_clean == "one two three four five"
+    assert out[11].text_clean == "x y z a b c d e f g h"  # batch keep-first
+    assert out[12].text_clean == "q r s"
+    assert out[12].n_tokens_after == 3 and out[12].n_tokens == 11
+    # the store learned the batch: a re-arrival of doc 11's tail is cut
+    batch2 = _df(spark, [(20, "now then a b c d e f g h")])
+    out2 = substring.substring_dedup_incremental(spark, batch2, path, k=8).first()
+    assert out2.text_clean == "now then"
+    # without update_store the store is unchanged by the probe
+    n_before = spark.read.parquet(f"{path}/shingles").count()
+    substring.substring_dedup_incremental(spark, batch2, path, k=8)
+    assert spark.read.parquet(f"{path}/shingles").count() == n_before
+
+
+def test_incremental_equals_full_rebuild_on_fixture(spark, tables, tmp_path):
+    """The incremental law: store(history) + probe(batch) must equal the
+    FULL-corpus keep-first removal restricted to the batch docs (history
+    doc_ids precede batch doc_ids, so corpus occurrence order and
+    history-then-batch order agree)."""
+    docs = tables["documents"].limit(400)
+    cutoff = 300
+    hist = docs.filter("doc_id < 300")
+    batch = docs.filter("doc_id >= 300")
+    path = str(tmp_path / "store")
+    substring.shingle_store_write(hist, path, k=6)
+    inc = {
+        r.doc_id: (r.n_tokens, r.n_tokens_after, r.text_clean)
+        for r in substring.substring_dedup_incremental(spark, batch, path, k=6).collect()
+    }
+    full = {
+        r.doc_id: (r.n_tokens, r.n_tokens_after, r.text_clean)
+        for r in substring.remove_duplicate_spans(docs, k=6, hash_shingles=True).collect()
+        if r.doc_id >= cutoff
+    }
+    assert inc == full
