@@ -283,15 +283,72 @@ def substring_dedup_incremental(
     spans = _spans_from_positions(dup_pos, k)
     out = _cut_spans(new_docs, spans, text_col, id_col)
     if update_store:
-        fresh = (
-            sp.join(store.select("shingle"), "shingle", "left_anti")
-            .groupBy("shingle")
-            .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
-            .select(
-                "shingle",
-                F.col("first.doc_id").alias("doc_id"),
-                F.col("first.pos").alias("pos"),
-            )
-        )
-        fresh.write.mode("append").parquet(f"{path}/shingles")
+        substring_store_learn(spark, new_docs, path, k, text_col, id_col)
     return out
+
+
+def substring_store_learn(
+    spark,
+    new_docs: DataFrame,
+    path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append ``new_docs``' genuinely NEW shingles (anti-join against the
+    store) so later batches dedup against them. Idempotent in effect:
+    re-learning the same batch appends rows the anti-join already
+    excludes on the next call — and even a raced double-append is benign
+    because the probe is a semi-join (existence, not count)."""
+    store = spark.read.parquet(f"{path}/shingles")
+    sp = shingle_positions(new_docs, k, text_col, id_col, hash_shingles=True)
+    fresh = (
+        sp.join(store.select("shingle"), "shingle", "left_anti")
+        .groupBy("shingle")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+        .select(
+            "shingle",
+            F.col("first.doc_id").alias("doc_id"),
+            F.col("first.pos").alias("pos"),
+        )
+    )
+    fresh.write.mode("append").parquet(f"{path}/shingles")
+
+
+def substring_dedup_sink(
+    spark,
+    store_path: str,
+    out_table: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Structured Streaming sink: ``.writeStream.foreachBatch(
+    substring_dedup_sink(spark, store, table))`` — dedup-on-arrival for
+    a document stream. Each micro-batch is span-deduped against the
+    persisted shingle store + itself (``substring_dedup_incremental``),
+    the cleaned docs commit to a VERSIONED snapshot table with the batch
+    id as the idempotency key (exactly-once output — the same
+    batchId-dedup contract as ``snapshots.snapshot_sink``), and only
+    THEN does the store learn the batch's new shingles.
+
+    Ordering matters: learning before the output commit would let the
+    probe race its own batch's shingles (everything would look
+    historical). Learning after means a crash between the two steps
+    under-removes the NEXT batch's spans (those shingles are re-learned
+    on the retry) — an availability-over-extra-dedup trade, never
+    corruption, and the retry's output commit itself no-ops on the
+    idempotency key."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = substring_dedup_incremental(
+            spark, batch_df, store_path, k, text_col, id_col, update_store=False
+        )
+        sn.write_snapshot(
+            cleaned, out_table, mode="append",
+            idempotency_key=f"substr-dedup-{batch_id}",
+        )
+        substring_store_learn(spark, batch_df, store_path, k, text_col, id_col)
+
+    return _write

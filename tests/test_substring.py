@@ -160,3 +160,30 @@ def test_incremental_equals_full_rebuild_on_fixture(spark, tables, tmp_path):
         if r.doc_id >= cutoff
     }
     assert inc == full
+
+
+def test_streaming_sink_dedups_across_batches_exactly_once(spark, tmp_path):
+    """The foreachBatch sink: batch 2 dedups against batch 1 via the
+    learned store, outputs land as snapshot versions keyed by batch id,
+    and a RETRY of a batch no-ops (exactly-once) — including its store
+    learn, which is effect-idempotent."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as snap
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    substring.shingle_store_write(_df(spark, [(0, "seed corpus only")]), store, k=8)
+    sink = substring.substring_dedup_sink(spark, store, out, k=8)
+    b1 = _df(spark, [(1, "alpha beta " + SPAN + " gamma")])
+    b2 = _df(spark, [(2, "one two three " + SPAN + " four five")])
+    sink(b1, 0)
+    sink(b2, 1)
+    rows = {r.doc_id: r for r in snap.read_snapshot(spark, out).collect()}
+    assert rows[1].text_clean == "alpha beta " + SPAN + " gamma"  # first arrival kept
+    assert rows[2].text_clean == "one two three four five"        # cut vs batch 1
+    v = snap.current_version(spark, out)
+    n_store = spark.read.parquet(f"{store}/shingles").count()
+    sink(b2, 1)  # Spark retries a failed micro-batch with the SAME id
+    assert snap.current_version(spark, out) == v  # output no-oped
+    assert snap.read_snapshot(spark, out).count() == 2
+    # the retry's store learn appended nothing (anti-join found no news)
+    assert spark.read.parquet(f"{store}/shingles").count() == n_store
