@@ -491,3 +491,50 @@ def test_mapping_spec_dv_composition_matches_model(spark, tmp_path_factory, ops)
     if states:
         v1 = Counter(r.i for r in sn.read_snapshot(spark, tdir, version=1).collect())
         assert v1 == states[0]
+
+
+# --- exact-substring dedup invariants on arbitrary corpora (round 8) ---
+
+_doc = st.lists(
+    st.sampled_from("aa bb cc dd ee".split()), min_size=0, max_size=30
+).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6), k=st.integers(3, 5))
+@SET
+def test_substring_dedup_laws_hold_on_arbitrary_corpora(spark, texts, k):
+    """For ANY corpus over a tiny vocabulary (maximal shingle collisions
+    — the stress case): spans stay inside their doc's token range and
+    never overlap, the removal obeys n_tokens_after == n_tokens − span
+    union, and the hashed shuffle key changes nothing."""
+    from jobanalytics_bigdataproject_spark.operators import substring
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring.duplicate_spans(df, k=k).collect()
+    )
+    n_tok = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    prev = {}
+    covered: dict[int, int] = {}
+    for did, s, e in spans:
+        assert 0 <= s <= e < n_tok[did]
+        if did in prev:
+            assert s > prev[did] + 1  # disjoint, non-adjacent (else merged)
+        prev[did] = e
+        covered[did] = covered.get(did, 0) + (e - s + 1)
+    out = {r.doc_id: r for r in substring.remove_duplicate_spans(df, k=k).collect()}
+    for did, r in out.items():
+        assert r.n_tokens_after == r.n_tokens - covered.get(did, 0)
+    hashed = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in substring.duplicate_spans(df, k=k, hash_shingles=True).collect()
+    )
+    assert hashed == spans
