@@ -2128,21 +2128,17 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
-    # Round 8: the three r7 priority names got green r7 rows and rotate
+    # Round 9: the five r8 priority names got green r8 rows and rotate
     # out via _last_checked_round. This block holds only this round's
-    # NEW oracle-backed queries; the 15 r4-stale rows (VERDICT r7 #1)
+    # NEW oracle-backed queries; the 20 r5-stale rows (VERDICT r8 #1)
     # auto-sort directly after it as the least-recently-checked — keep
     # this block ≤8 so the 4-round staleness bound holds
     # (tests/test_evidence_window.py enforces it).
-    # rebase-then-publish over a diverged main (VERDICT r7 #2)
-    "orders_branch_rebase",
-    # consistent multi-table AS-OF-transaction read (VERDICT r7 #8)
-    "orders_txn_asof",
-    # stream-stream RIGHT OUTER interval join batch twin (VERDICT r7 #9)
-    "events_interval_join_right",
-    # exact-substring dedup report + removal law (round 8, new operator)
-    "docs_substring_dup_report",
-    "docs_substring_dedup",
+    # stream-stream LEFT ANTI interval join batch twin (VERDICT r8 #3)
+    "events_interval_join_anti",
+    # ExactSubstr min_span_tokens length threshold + rebuild cap
+    # (VERDICT r8 #4/#5)
+    "docs_substring_dedup_min40",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2580,6 +2576,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["events"], how="right_outer"
             ),
         ),
+        # left-ANTI variant (round 9, VERDICT r8 #3 — completes the how=
+        # family): clicks NO purchase followed within the interval, the
+        # unattributed-events audit. Spark has no native stream-stream
+        # anti join; composed as left-outer + null-key filter, which is
+        # streaming-legal and emits each unattributed click at watermark
+        # expiry (equivalence test in tests/test_streaming_join.py)
+        "events_interval_join_anti": _q(
+            ("events",),
+            lambda t: stream_joins.click_purchase_attribution(
+                t["events"], how="left_anti"
+            ),
+        ),
         "scd2_user_state": _q(("events",), lambda t: scd.scd2_dim(t["events"])),
         # horizon compaction preserves the presentation view exactly, so this
         # shares scd2_user_state's oracle — the hash match IS the equivalence
@@ -2711,6 +2719,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: substring.remove_duplicate_spans(t["documents"], k=6).select(
                 "doc_id", "n_tokens", "n_tokens_after"
             ),
+        ),
+        # min_span_tokens dial (round 9, VERDICT r8 #4 — Lee et al. only
+        # remove duplicated passages ABOVE a length threshold): islands
+        # shorter than 40 tokens survive; monotonicity vs the unfiltered
+        # pass is property-tested in tests/test_substring.py. Also carries
+        # the max_doc_tokens rebuild-buffer cap (VERDICT r8 #5) at a value
+        # the corpus is comfortably under — proving the guarded plan is
+        # the one the oracle hash-matches.
+        "docs_substring_dedup_min40": _q(
+            ("documents",),
+            lambda t: substring.remove_duplicate_spans(
+                t["documents"], k=6, min_span_tokens=40, max_doc_tokens=1_000_000
+            ).select("doc_id", "n_tokens", "n_tokens_after"),
         ),
         "docs_incremental_dedup": _docs_incremental_dedup,
         "docs_substring_incremental": _docs_substring_incremental,
@@ -4483,6 +4504,18 @@ def _oracle_sql_literals() -> dict[str, str]:
              AND p.ts >= c.ts
              AND p.ts <= c.ts + INTERVAL '10 minutes'
         """,
+        "events_interval_join_anti": """
+            SELECT c.user_id,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+            FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            WHERE NOT EXISTS (
+                SELECT 1
+                FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+                WHERE p.user_id = c.user_id
+                  AND p.ts >= c.ts
+                  AND p.ts <= c.ts + INTERVAL '10 minutes'
+            )
+        """,
         "events_interval_join_right": """
             SELECT COALESCE(c.user_id, p.user_id) AS user_id,
                    strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
@@ -5525,6 +5558,53 @@ def _oracle_sql_literals() -> dict[str, str]:
             spans AS (
               SELECT doc_id, MIN(p) AS span_start, MAX(p) + 6 - 1 AS span_end
               FROM grp GROUP BY doc_id, g
+            ),
+            tok AS (
+              SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            cover AS (
+              SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   t.n_tokens,
+                   CAST(t.n_tokens - COALESCE(c.dup_tokens, 0) AS BIGINT) AS n_tokens_after
+            FROM tok t LEFT JOIN cover c USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "docs_substring_dedup_min40": """
+            WITH words AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, w, unnest(generate_series(0, len(w) - 6)) AS p
+              FROM words WHERE len(w) >= 6
+            ),
+            grams AS (
+              SELECT doc_id, p, array_to_string(w[p+1:p+6], ' ') AS shingle FROM pos
+            ),
+            occ AS (
+              SELECT doc_id, p,
+                     ROW_NUMBER() OVER (PARTITION BY shingle ORDER BY doc_id, p) AS occ_rank
+              FROM grams
+            ),
+            dups AS (SELECT doc_id, p FROM occ WHERE occ_rank >= 2),
+            flagged AS (
+              SELECT doc_id, p,
+                     CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= 6
+                          THEN 0 ELSE 1 END AS flag
+              FROM dups
+            ),
+            grp AS (
+              SELECT doc_id, p,
+                     SUM(flag) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+              FROM flagged
+            ),
+            spans AS (
+              SELECT doc_id, MIN(p) AS span_start, MAX(p) + 6 - 1 AS span_end
+              FROM grp GROUP BY doc_id, g
+              HAVING MAX(p) + 6 - MIN(p) >= 40
             ),
             tok AS (
               SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens

@@ -100,18 +100,37 @@ def _spans_from_positions(dup_pos: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _min_span_filter(spans: DataFrame, k: int, min_span_tokens: int | None) -> DataFrame:
+    """Keep only maximal islands of at least ``min_span_tokens`` tokens —
+    the length threshold of the ExactSubstr pass (Lee et al. remove spans
+    above ~50 tokens, not every duplicated k-gram). ``None`` (and any
+    value ≤ k — no island can be shorter than k) preserves the
+    remove-at-any-length behavior. Applied AFTER island assembly so a
+    long duplicated run built from short overlapping shingles still
+    qualifies; monotone by construction (raising the threshold only drops
+    spans — property-tested in tests/test_substring.py)."""
+    if min_span_tokens is None or min_span_tokens <= k:
+        return spans
+    return spans.filter(
+        F.col("span_end") - F.col("span_start") + 1 >= min_span_tokens
+    )
+
+
 def duplicate_spans(
     documents: DataFrame,
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_shingles: bool = False,
+    min_span_tokens: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated TOKEN SPANS under the keep-first policy:
     (doc_id, span_start, span_end) where ``[span_start, span_end]`` is a
     maximal run of token positions covered by shingles whose occurrence
     rank (ordered corpus-wide by doc_id, pos) is ≥ 2. The span's first
-    corpus occurrence is NOT listed — it stays."""
+    corpus occurrence is NOT listed — it stays. ``min_span_tokens``
+    (VERDICT r8 #4) drops islands shorter than the threshold — the
+    paper's "only remove long duplicated passages" dial."""
     sp = shingle_positions(documents, k, text_col, id_col, hash_shingles)
     occ = Window.partitionBy("shingle").orderBy("doc_id", "pos")
     dup_pos = (
@@ -119,7 +138,7 @@ def duplicate_spans(
         .filter(F.col("occ_rank") >= 2)
         .select("doc_id", "pos")
     )
-    return _spans_from_positions(dup_pos, k)
+    return _min_span_filter(_spans_from_positions(dup_pos, k), k, min_span_tokens)
 
 
 def substring_dup_report(
@@ -128,12 +147,15 @@ def substring_dup_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_shingles: bool = False,
+    min_span_tokens: int | None = None,
 ) -> DataFrame:
     """Per-document duplication audit: token count, number of duplicated
     spans, and how many tokens those spans cover. Only documents with at
     least one duplicated span appear (the interesting rows; the totals
     query joins back to the corpus for rates)."""
-    spans = duplicate_spans(documents, k, text_col, id_col, hash_shingles)
+    spans = duplicate_spans(
+        documents, k, text_col, id_col, hash_shingles, min_span_tokens
+    )
     tokens = documents.select(
         F.col(id_col).alias("doc_id"), F.size(_words(text_col)).alias("n_tokens")
     )
@@ -155,6 +177,8 @@ def remove_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_shingles: bool = False,
+    min_span_tokens: int | None = None,
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """The removal half: every document's text with its duplicated spans
     (keep-first policy) cut out, plus before/after token counts obeying
@@ -165,9 +189,15 @@ def remove_duplicate_spans(
     against the doc's spans drops covered positions, and the survivors
     re-assemble ordered by position (array_sort on (pos, word) structs —
     no Python, no per-row loops). Documents with no spans pass through
-    unchanged via the left join."""
-    spans = duplicate_spans(documents, k, text_col, id_col, hash_shingles)
-    return _cut_spans(documents, spans, text_col, id_col)
+    unchanged via the left join.
+
+    ``min_span_tokens`` removes only islands at least that long (the
+    ExactSubstr length threshold); ``max_doc_tokens`` bounds the per-doc
+    re-assembly buffer — see ``_cut_spans``."""
+    spans = duplicate_spans(
+        documents, k, text_col, id_col, hash_shingles, min_span_tokens
+    )
+    return _cut_spans(documents, spans, text_col, id_col, max_doc_tokens)
 
 
 def _cut_spans(
@@ -175,10 +205,39 @@ def _cut_spans(
     spans: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """Remove the given (doc_id, span_start, span_end) token spans from
     every document's text; returns (doc_id, n_tokens, n_tokens_after,
-    text_clean). Shared by the batch and incremental removal paths."""
+    text_clean). Shared by the batch and incremental removal paths.
+
+    The re-assembly aggregates one (pos, word) struct per surviving token
+    into a single buffer per document — O(document tokens) per-group
+    state, the one place in this module where state is not a counter
+    (VERDICT r8 #5). ``max_doc_tokens`` makes the bound explicit: any
+    document longer than the cap fails the job LOUDLY (plan-side
+    ``raise_error``, no extra action) instead of silently OOMing an
+    executor mid-aggregate. Callers with pathological documents should
+    pre-split them (the detection half upstream is streaming-safe — its
+    window state is one rank counter — so only the rebuild needs the cap)."""
+    if max_doc_tokens is not None:
+        n = F.size(_words(text_col))
+        guard = F.when(
+            n > max_doc_tokens,
+            F.raise_error(
+                F.concat(
+                    F.lit("substring._cut_spans: document "),
+                    F.col(id_col).cast("string"),
+                    F.lit(f" has more than max_doc_tokens={max_doc_tokens} tokens ("),
+                    n.cast("string"),
+                    F.lit(
+                        "); its re-assembly buffer is O(tokens) — "
+                        "pre-split the document or raise the cap"
+                    ),
+                )
+            ),
+        ).otherwise(F.col(text_col))
+        documents = documents.withColumn(text_col, guard)
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_words(text_col)).alias("pos", "word"),
@@ -227,14 +286,22 @@ def shingle_store_write(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "overwrite",
+    num_buckets: int = 32,
 ) -> None:
     """Persist the corpus's DISTINCT shingle keys (xxhash64) with their
     first (doc_id, pos) — the probe target for
     ``substring_dedup_incremental``. Text is shingled exactly once per
     document, here. One groupBy shuffle; the store is one 20-byte row
     per distinct shingle, ∝ corpus tokens but never re-read as text.
-    The scale upgrade is bucketing the store by shingle so batch probes
-    co-locate without shuffling it (same note as minhash_store_write)."""
+
+    VERDICT r8 #2: the store is BUCKETED by shingle (external bucketed
+    table, sources/bucket_store.py), so every later probe/learn join
+    reads the store WITHOUT an Exchange — only the batch side shuffles,
+    into the store's layout (plan-gated in tests/test_substring.py).
+    Appends stay ≤ num_buckets files per batch; ``maintain(dedup_stores=
+    [path])`` compacts the accumulation back to one file set."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
     sp = shingle_positions(documents, k, text_col, id_col, hash_shingles=True)
     first = (
         sp.groupBy("shingle")
@@ -245,7 +312,14 @@ def shingle_store_write(
             F.col("first.pos").alias("pos"),
         )
     )
-    first.write.mode(mode).parquet(f"{path}/shingles")
+    spark = documents.sparkSession
+    if mode == "overwrite":
+        bucket_store.create(
+            spark, first, path, bucket_cols=("shingle",),
+            num_buckets=num_buckets, sort_cols=("shingle",),
+        )
+    else:
+        bucket_store.append(spark, first, path)
 
 
 def substring_dedup_incremental(
@@ -256,6 +330,8 @@ def substring_dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     update_store: bool = False,
+    min_span_tokens: int | None = None,
+    max_doc_tokens: int | None = None,
 ) -> DataFrame:
     """Cleaned ``new_docs`` after exact-substring removal against (a) the
     persisted shingle store at ``path`` and (b) earlier occurrences
@@ -267,12 +343,28 @@ def substring_dedup_incremental(
     historical occurrence beats the whole batch) OR its within-batch
     occurrence rank is ≥ 2. ``update_store=True`` appends the batch's
     genuinely NEW shingles (anti-join) so the next batch dedups against
-    this one. Returns (doc_id, n_tokens, n_tokens_after, text_clean)."""
-    store = spark.read.parquet(f"{path}/shingles")
+    this one. Returns (doc_id, n_tokens, n_tokens_after, text_clean).
+
+    The store side of the probe semi-join is a BUCKETED scan — no
+    Exchange on the history, only the batch shuffles (VERDICT r8 #2;
+    plan-gated in tests/test_substring.py). The probe EXCLUDES store
+    rows first-seen in this batch's own doc ids (broadcast anti-join —
+    ids are globally unique, so those rows can only be this batch's
+    learn): the returned frame is LAZY, and with ``update_store=True``
+    the learn executes before the caller's first action — without the
+    exclusion the refreshed table would see the batch's own shingles as
+    history and cut everything (a real failure the store-probe test
+    caught when the store became a catalog table)."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    store = bucket_store.open(spark, path)
+    store_keys = store.join(
+        F.broadcast(new_docs.select(F.col(id_col).alias("doc_id"))),
+        "doc_id",
+        "left_anti",
+    ).select("shingle")
     sp = shingle_positions(new_docs, k, text_col, id_col, hash_shingles=True)
-    hist_dup = sp.join(store.select("shingle"), "shingle", "left_semi").select(
-        "doc_id", "pos"
-    )
+    hist_dup = sp.join(store_keys, "shingle", "left_semi").select("doc_id", "pos")
     occ = Window.partitionBy("shingle").orderBy("doc_id", "pos")
     batch_dup = (
         sp.withColumn("occ_rank", F.row_number().over(occ))
@@ -280,8 +372,8 @@ def substring_dedup_incremental(
         .select("doc_id", "pos")
     )
     dup_pos = hist_dup.unionByName(batch_dup).distinct()
-    spans = _spans_from_positions(dup_pos, k)
-    out = _cut_spans(new_docs, spans, text_col, id_col)
+    spans = _min_span_filter(_spans_from_positions(dup_pos, k), k, min_span_tokens)
+    out = _cut_spans(new_docs, spans, text_col, id_col, max_doc_tokens)
     if update_store:
         substring_store_learn(spark, new_docs, path, k, text_col, id_col)
     return out
@@ -299,8 +391,13 @@ def substring_store_learn(
     store) so later batches dedup against them. Idempotent in effect:
     re-learning the same batch appends rows the anti-join already
     excludes on the next call — and even a raced double-append is benign
-    because the probe is a semi-join (existence, not count)."""
-    store = spark.read.parquet(f"{path}/shingles")
+    because the probe is a semi-join (existence, not count). The
+    anti-join probes the bucketed store without shuffling it, and the
+    append lands ≤ num_buckets files in the store's own layout
+    (sources/bucket_store.py)."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    store = bucket_store.open(spark, path)
     sp = shingle_positions(new_docs, k, text_col, id_col, hash_shingles=True)
     fresh = (
         sp.join(store.select("shingle"), "shingle", "left_anti")
@@ -312,7 +409,7 @@ def substring_store_learn(
             F.col("first.pos").alias("pos"),
         )
     )
-    fresh.write.mode("append").parquet(f"{path}/shingles")
+    bucket_store.append(spark, fresh, path)
 
 
 def substring_dedup_sink(

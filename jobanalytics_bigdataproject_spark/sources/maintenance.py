@@ -112,6 +112,8 @@ def maintain(
     vacuum_keep_last: int | None = None,
     expire_older_than: float | None = None,
     txn_dir: str | None = None,
+    dedup_stores: Sequence[str] = (),
+    dedup_store_max_files: int = 64,
 ) -> dict:
     """VERDICT r4 #10 — the nightly table service: read ``describe_detail``'s
     operational signals and close the loop, deciding maintenance instead of
@@ -140,6 +142,11 @@ def maintain(
        horizon sweeps terminal cross-table transaction records
        (``transactions.expire_transactions`` — VERDICT r7 #4), keeping
        recovery's record listing bounded.
+    5. **Dedup-store debt** (VERDICT r8 #2): each path in
+       ``dedup_stores`` (a bucketed shingle/band store,
+       ``sources/bucket_store.py``) whose file count exceeds
+       ``dedup_store_max_files`` is compacted back to one file set per
+       bucket via the store's crash-safe staging swap.
 
     Idempotent by construction: on a converged table every signal is
     below threshold and the call is a metadata-only no-op. Returns
@@ -222,6 +229,23 @@ def maintain(
 
         swept = expire_transactions(spark, txn_dir, expire_older_than)
         out["expired_txn_records"] = len(swept["done"]) + len(swept["aborted"])
+
+    if dedup_stores:
+        # bucketed dedup stores (shingle / MinHash band — VERDICT r8 #2):
+        # every learned batch appends ≤ num_buckets files, so a long
+        # dedup-on-arrival stream accumulates file sets; compact back to
+        # one file set per bucket once the count crosses the threshold
+        # (same small-file logic as step 2, different storage layer —
+        # the store is a bucketed external table, not a snapshot table)
+        from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+        store_files: dict[str, int] = {}
+        for store_path in dedup_stores:
+            n = bucket_store.file_count(spark, store_path)
+            if n > dedup_store_max_files:
+                n = bucket_store.compact(spark, store_path)
+            store_files[store_path] = n
+        out["dedup_store_files"] = store_files
 
     out["version"] = sn.current_version(spark, table_dir)
     out["signals"] = signals

@@ -890,6 +890,16 @@ def read_snapshot(
     matching row can never be skipped. The caller still applies the row
     filter — skipping is file-granular.
     """
+    if version is None and as_of_ts is None:
+        pin = _PINNED_GROUP_GUARD.get(table_dir.rstrip("/"))
+        if pin is not None:
+            raise ValueError(
+                f"{table_dir} is a member of an open pinned_group ({pin}): a "
+                "raw HEAD read here would silently mix versions with the "
+                "group's pinned frames — use the frame the group yielded, or "
+                "pass an explicit version=/as_of_ts= for a deliberate "
+                "time-travel read"
+            )
     fs, _, jvm = _fs(spark, table_dir)
     _refuse_if_retired(fs, jvm, table_dir)
     if as_of_ts is not None:

@@ -53,6 +53,18 @@ def interval_join(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {upper}"))
     )
+    if how == "left_anti":
+        # Spark's stream-stream join machinery has no native left-anti, but
+        # the streaming-legal composition is exact: LEFT OUTER buffers the
+        # left row and emits it null-padded only once the watermark proves
+        # no in-interval right row can still arrive — filtering on the
+        # null-padded equality key keeps precisely those rows (the key is
+        # never null on a matched row, the equi-condition saw to that).
+        # Projecting to the left columns restores true anti-join shape.
+        joined = lf.join(rf, cond, "left_outer")
+        return joined.filter(F.col(f"r.{key}").isNull()).select(
+            *[F.col(f"l.{c}").alias(c) for c in left.columns]
+        )
     return lf.join(rf, cond, how)
 
 
@@ -109,7 +121,13 @@ def click_purchase_attribution(
     Spark emits the click when its first match arrives and drops
     unmatched clicks at watermark expiry; only left columns exist, so
     the output schema narrows to (user_id, click_ts) — SQL-expressible
-    as EXISTS, hence oracle-checkable unlike most streaming shapes."""
+    as EXISTS, hence oracle-checkable unlike most streaming shapes.
+    ``how='left_anti'`` is the NOT-EXISTS twin (VERDICT r8 #3): each
+    click NO purchase followed within the interval — the unattributed-
+    events audit that completes the how= family. In streaming the click
+    emits only once the watermark passes its interval's upper bound
+    (no in-interval purchase can still arrive); schema is the same
+    (user_id, click_ts) narrow shape as left_semi."""
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
@@ -117,6 +135,11 @@ def click_purchase_attribution(
     joined = interval_join(
         clicks, purchases, key="user_id", ts_col="ts", upper=upper, how=how
     )
+    if how == "left_anti":
+        return joined.select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
     if how == "left_semi":
         return joined.select(
             F.col("l.user_id").alias("user_id"),

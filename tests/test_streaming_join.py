@@ -439,3 +439,112 @@ def test_stream_stream_right_outer_join_equals_batch(spark, tables, tmp_path):
         if r.user_id != -1
     }
     assert streamed == batch
+
+
+def test_stream_stream_left_anti_join_equals_batch(spark, tables, tmp_path):
+    """LEFT-ANTI interval join (VERDICT r8 #3 — the NOT-EXISTS twin of
+    left_semi, completing the how= family): each click with NO purchase
+    in the following interval emits exactly once. Spark has no native
+    stream-stream anti join; the composition under test (left-outer +
+    null-key filter, streaming/joins.py) emits the unattributed click at
+    watermark expiry, so this uses the same staged-sentinel choreography
+    as the left-outer test: batch 2 advances the watermark past every
+    expiry, batch 3 evicts state and emits."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "events_anti_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-0.parquet")
+    raw = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bump = (
+        (F.col("ts") + F.lit(30 * 86400 * 10**9).cast("long"))
+        if dict(raw.dtypes)["ts"] == "bigint"  # TIMESTAMP(NANOS) generation
+        else F.col("ts") + F.expr("INTERVAL 30 DAYS")
+    )
+    sentinel = (
+        raw.limit(2)
+        .withColumn("__rn", F.monotonically_increasing_id())
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            bump.alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.when(F.col("__rn") == 0, "click")
+            .otherwise("purchase")
+            .alias("event_type"),
+            *[F.col(c) for c in raw.columns if c not in
+              ("event_id", "ts", "user_id", "event_type")],
+        )
+        .select(*raw.columns)
+    )
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(d / "_stage1"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(d / "_stage2"))
+    for i, stage in enumerate(("_stage1", "_stage2"), start=1):
+        src = next((d / stage).glob("*.parquet"))
+        shutil.move(str(src), d / f"part-{i}.parquet")
+        shutil.rmtree(d / stage)
+
+    batch_rows = sjoins.click_purchase_attribution(
+        tables["events"], how="left_anti"
+    ).collect()
+    batch = {(r.user_id, r.click_ts) for r in batch_rows}
+    assert batch  # fixture genuinely has unattributed clicks
+    assert len(batch_rows) == len(batch)  # anti means exactly-once per click
+    # anti + semi partition the click universe: disjoint, union = all clicks
+    semi = {
+        (r.user_id, r.click_ts)
+        for r in sjoins.click_purchase_attribution(
+            tables["events"], how="left_semi"
+        ).collect()
+    }
+    assert not (batch & semi)
+    all_clicks = {
+        (r.user_id, r.click_ts)
+        for r in tables["events"]
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts")
+        )
+        .collect()
+    }
+    assert (batch | semi) == all_clicks
+
+    clicks_src = stream.with_watermark(
+        stream.read_events_stream(spark, str(d)), "1 minute"
+    )
+    purchases_src = stream.with_watermark(
+        stream.read_events_stream(spark, str(d)), "1 minute"
+    )
+    joined = sjoins.interval_join(
+        clicks_src.filter(F.col("event_type") == "click").select("user_id", "ts"),
+        purchases_src.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        ),
+        how="left_anti",
+    ).select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_anti_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(240)
+    finally:
+        q.stop()
+    # the -1 sentinels match nothing, so they surface as anti rows —
+    # exclude them from the comparison (filtering them inside the plan
+    # would stall the watermark; see the left-outer test's NOTE)
+    streamed = [
+        (r.user_id, r.click_ts)
+        for r in spark.sql("SELECT * FROM ss_anti_join_test").collect()
+        if r.user_id != -1
+    ]
+    assert set(streamed) == batch
+    assert len(streamed) == len(batch)

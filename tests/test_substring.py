@@ -134,9 +134,11 @@ def test_incremental_probe_against_store_and_batch(spark, tmp_path):
     out2 = substring.substring_dedup_incremental(spark, batch2, path, k=8).first()
     assert out2.text_clean == "now then"
     # without update_store the store is unchanged by the probe
-    n_before = spark.read.parquet(f"{path}/shingles").count()
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    n_before = bucket_store.open(spark, path).count()
     substring.substring_dedup_incremental(spark, batch2, path, k=8)
-    assert spark.read.parquet(f"{path}/shingles").count() == n_before
+    assert bucket_store.open(spark, path).count() == n_before
 
 
 def test_incremental_equals_full_rebuild_on_fixture(spark, tables, tmp_path):
@@ -181,9 +183,186 @@ def test_streaming_sink_dedups_across_batches_exactly_once(spark, tmp_path):
     assert rows[1].text_clean == "alpha beta " + SPAN + " gamma"  # first arrival kept
     assert rows[2].text_clean == "one two three four five"        # cut vs batch 1
     v = snap.current_version(spark, out)
-    n_store = spark.read.parquet(f"{store}/shingles").count()
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    n_store = bucket_store.open(spark, store).count()
     sink(b2, 1)  # Spark retries a failed micro-batch with the SAME id
     assert snap.current_version(spark, out) == v  # output no-oped
     assert snap.read_snapshot(spark, out).count() == 2
     # the retry's store learn appended nothing (anti-join found no news)
-    assert spark.read.parquet(f"{store}/shingles").count() == n_store
+    assert bucket_store.open(spark, store).count() == n_store
+
+
+def test_min_span_tokens_filters_short_islands(spark):
+    """VERDICT r8 #4: the ExactSubstr length threshold — only islands at
+    least min_span_tokens long are removed; a duplicated bare k-gram
+    survives when the dial is above k."""
+    long_dup = "the quick brown fox jumps over the lazy dog tonight again yes"  # 12
+    short_dup = "p q r s t u v w"  # exactly one 8-gram, island length 8
+    d1 = long_dup + " filler001 " + short_dup
+    d2 = "lead words here " + long_dup + " middle filler " + short_dup
+    df = _df(spark, [(1, d1), (2, d2)])
+    # default: both islands in doc 2 flagged (lengths 12 and 8)
+    base = sorted(
+        (r.span_end - r.span_start + 1)
+        for r in substring.duplicate_spans(df, k=8).collect()
+    )
+    assert base == [8, 12]
+    # threshold 10: the 8-token island survives, the 12-token one goes
+    spans = substring.duplicate_spans(df, k=8, min_span_tokens=10).collect()
+    assert [(r.doc_id, r.span_end - r.span_start + 1) for r in spans] == [(2, 12)]
+    out = {
+        r.doc_id: r
+        for r in substring.remove_duplicate_spans(
+            df, k=8, min_span_tokens=10
+        ).collect()
+    }
+    assert out[1].text_clean == d1  # first occurrence untouched
+    # doc 2 keeps its short duplicate k-gram, loses only the long island
+    assert short_dup in out[2].text_clean
+    assert long_dup not in out[2].text_clean
+    assert out[2].n_tokens_after == out[2].n_tokens - 12
+    # threshold <= k (or None) preserves current behavior exactly
+    dflt = substring.duplicate_spans(df, k=8, min_span_tokens=8).collect()
+    assert sorted((r.span_end - r.span_start + 1) for r in dflt) == base
+
+
+def test_min_span_tokens_monotone(spark):
+    """Raising the threshold is monotone: the removed-token total never
+    increases, and every surviving span set is a subset of the looser one."""
+    corpus = [
+        (1, "alpha beta " + SPAN + " gamma " + SPAN),
+        (2, "one two three " + SPAN + " four five"),
+        (3, "a b c d e f g h x y z a b c d e f g h"),
+        (4, SPAN + " " + SPAN + " " + SPAN),
+    ]
+    df = _df(spark, corpus)
+    prev_spans, prev_cut = None, None
+    for thr in (None, 9, 12, 25, 60):
+        spans = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in substring.duplicate_spans(df, k=8, min_span_tokens=thr).collect()
+        }
+        cut = sum(e - s + 1 for _, s, e in spans)
+        if prev_spans is not None:
+            assert spans <= prev_spans
+            assert cut <= prev_cut
+        prev_spans, prev_cut = spans, cut
+    assert prev_spans == set()  # a 60-token island cannot exist here
+
+
+def test_max_doc_tokens_refuses_pathological_doc(spark):
+    """VERDICT r8 #5: the per-document re-assembly buffer is O(tokens);
+    the cap fails the job LOUDLY on an oversize document instead of
+    letting one pathological row OOM the aggregate."""
+    from pyspark.errors import SparkRuntimeException
+
+    huge = (1, " ".join(f"w{i}" for i in range(200)))
+    ok = (2, "alpha beta " + SPAN)
+    df = _df(spark, [huge, ok])
+    with pytest.raises(SparkRuntimeException, match="max_doc_tokens=100"):
+        substring.remove_duplicate_spans(df, k=8, max_doc_tokens=100).collect()
+    # a cap above the corpus max is a no-op — identical output
+    capped = {
+        r.doc_id: r.text_clean
+        for r in substring.remove_duplicate_spans(df, k=8, max_doc_tokens=500).collect()
+    }
+    plain = {
+        r.doc_id: r.text_clean
+        for r in substring.remove_duplicate_spans(df, k=8).collect()
+    }
+    assert capped == plain
+
+
+def test_bucketed_store_probe_is_store_side_shuffle_free(spark, tmp_path):
+    """VERDICT r8 #2 plan gate: the shingle store is a BUCKETED external
+    table, so the probe semi-join plans exactly ONE shuffle — the batch
+    side, into the store's layout. Broadcast is disabled for the
+    assertion because at 100 TB the store side is never broadcastable;
+    the co-partitioned path is the shape under test."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    path = str(tmp_path / "substr_store")
+    hist = _df(spark, [(1, "alpha beta " + SPAN + " gamma")])
+    substring.shingle_store_write(hist, path, k=8, num_buckets=4)
+    batch = _df(spark, [(10, "one two three " + SPAN + " four five")])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = bucket_store.open(spark, path)
+        sp = substring.shingle_positions(batch, 8, "text", "doc_id", hash_shingles=True)
+        probe = sp.join(store.select("shingle"), "shingle", "left_semi")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # the store scan uses its buckets
+        # exactly one hash-repartition: the batch side; zero on the store
+        assert plan.count("Exchange hashpartitioning") == 1
+        # and the probe still returns the right answer through that plan
+        assert probe.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_store_appends_bounded_and_maintain_compacts(spark, tmp_path):
+    """VERDICT r8 #2 file-count bound: 10 learned batches append at most
+    num_buckets files each (the append pre-repartitions into the bucket
+    layout); maintain(dedup_stores=[path]) compacts the accumulation back
+    to ≤ one file per bucket, preserving content bit-for-bit and leaving
+    the store probe-able."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store, maintenance
+    from jobanalytics_bigdataproject_spark.sources import snapshots as snap
+
+    path = str(tmp_path / "substr_store")
+    substring.shingle_store_write(
+        _df(spark, [(0, "seed corpus words only here")]), path, k=4, num_buckets=4
+    )
+    for i in range(10):
+        batch = _df(
+            spark, [(i + 1, f"batch{i} unique tokens alpha{i} beta{i} gamma{i} delta{i}")]
+        )
+        substring.substring_store_learn(spark, batch, path, k=4)
+    n_files = bucket_store.file_count(spark, path)
+    assert n_files <= 4 * 11  # ≤ num_buckets per initial write + learn
+    assert n_files > 4  # accumulation genuinely happened (triggers compaction)
+    before = sorted(map(tuple, bucket_store.open(spark, path).collect()))
+
+    table = str(tmp_path / "tbl")
+    snap.write_snapshot(_df(spark, [(1, "x")]), table)
+    res = maintenance.maintain(
+        spark, table, dedup_stores=[path], dedup_store_max_files=4
+    )
+    assert res["dedup_store_files"][path] <= 4  # one file set per bucket
+    assert bucket_store.file_count(spark, path) <= 4
+    after = sorted(map(tuple, bucket_store.open(spark, path).collect()))
+    assert after == before
+    # the compacted store still dedups a re-arrival correctly
+    out = substring.substring_dedup_incremental(
+        spark, _df(spark, [(99, f"batch3 unique tokens alpha3 beta3 gamma3 delta3")]),
+        path, k=4,
+    ).first()
+    assert out.n_tokens_after == 0  # fully historical → fully cut
+    # below the threshold maintain() leaves the store untouched
+    res2 = maintenance.maintain(
+        spark, table, dedup_stores=[path], dedup_store_max_files=64
+    )
+    assert res2["dedup_store_files"][path] == bucket_store.file_count(spark, path)
+
+
+def test_store_reopens_after_catalog_loss(spark, tmp_path):
+    """The catalog is ephemeral (local derby); the _bucket_meta.json
+    sidecar lets a NEW session re-register the external bucketed table
+    metadata-only — same rows, bucket layout intact."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    path = str(tmp_path / "substr_store")
+    hist = _df(spark, [(1, "alpha beta " + SPAN + " gamma")])
+    substring.shingle_store_write(hist, path, k=8, num_buckets=4)
+    rows = sorted(map(tuple, bucket_store.open(spark, path).collect()))
+    # simulate a fresh session: the catalog forgot the table
+    spark.sql(f"DROP TABLE {bucket_store._table_name(path)}")
+    again = sorted(map(tuple, bucket_store.open(spark, path).collect()))
+    assert again == rows
+    # and the re-registered spec still powers the incremental probe
+    out = substring.substring_dedup_incremental(
+        spark, _df(spark, [(10, "one two three " + SPAN + " four five")]), path, k=8
+    ).first()
+    assert out.text_clean == "one two three four five"

@@ -316,3 +316,75 @@ def test_streaming_firehose_dedup_foreachbatch(spark, tables, tmp_path):
     }
     assert streamed == expected
     assert streamed, "firehose must keep at least one survivor"
+
+
+def test_band_store_probe_is_store_side_shuffle_free(spark, tmp_path):
+    """VERDICT r8 #2 plan gate for the MinHash family: the band store is
+    bucketed on the candidate-join keys (band_idx, band_hash), so the
+    store-vs-batch candidate join plans exactly ONE shuffle — the batch's
+    bands, into the store's layout. Broadcast disabled: at 100 TB the
+    band store is never broadcastable."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    docs = _doc_df(
+        spark,
+        [(i, f"document number {i} with some shared words and tail{i}") for i in range(20)],
+    )
+    path = str(tmp_path / "mh_store")
+    dedup.minhash_store_write(docs, path, num_buckets=4)
+    batch = _doc_df(spark, [(100, "document number 3 with some shared words and tail3")])
+    # materialize the batch bands so the probe plan isolates the JOIN's
+    # shuffles from minhash computation internals (which shuffle the
+    # batch once on doc_id regardless of the store's layout)
+    bands_path = str(tmp_path / "batch_bands")
+    dedup._band_buckets(dedup.minhash_signatures(batch, "text", 32, 3), 32, 8).write.parquet(bands_path)
+    batch_bands = spark.read.parquet(bands_path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store_bands = bucket_store.open(spark, f"{path}/bands")
+        a, b = store_bands.alias("a"), batch_bands.alias("b")
+        cands = a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # the store scan uses its buckets
+        assert plan.count("Exchange hashpartitioning") == 1  # batch side only
+        assert cands.count() > 0  # the exact copy collides in every band
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_band_store_append_bounded_and_compacts(spark, tmp_path):
+    """Learned batches append ≤ num_buckets band files each; compaction
+    restores one file set per bucket with identical content and the
+    incremental law intact."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    docs = _doc_df(
+        spark, [(i, f"base corpus doc {i} words alpha beta {i}") for i in range(10)]
+    )
+    path = str(tmp_path / "mh_store")
+    dedup.minhash_store_write(docs, path, num_buckets=4)
+    # unique ALPHABETIC words per doc — the tokenizer strips digits, so
+    # numeric suffixes would make every "fresh" doc identical
+    words = ["aardvark", "bassoon", "cumulus", "dirigible", "ephemera"]
+    for j in range(5):
+        batch = _doc_df(
+            spark,
+            [(1000 + j, f"novel batch {words[j]} entirely fresh {words[j]} prose")],
+        )
+        out = dedup.dedup_batch_incremental(spark, batch, path, update_store=True)
+        assert out.count() == 1  # fresh text survives
+    n = bucket_store.file_count(spark, f"{path}/bands")
+    assert 4 < n <= 4 * 6
+    before = sorted(map(tuple, bucket_store.open(spark, f"{path}/bands").collect()))
+    assert bucket_store.compact(spark, f"{path}/bands") <= 4
+    after = sorted(map(tuple, bucket_store.open(spark, f"{path}/bands").collect()))
+    assert after == before
+    # a copy of a learned batch doc is still dropped post-compaction
+    copy = _doc_df(spark, [(2000, "novel batch cumulus entirely fresh cumulus prose")])
+    assert dedup.dedup_batch_incremental(spark, copy, path).count() == 0
