@@ -1547,6 +1547,36 @@ def _orders_txn_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_txn_pinned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned-GROUP report (round 9, VERDICT r8 #9 — the ambient-catalog
+    polish on read_consistent): the same fact+dim transaction fixture as
+    orders_txn_asof, but composed inside ``with pinned_group(...)`` —
+    while the context is open, any raw HEAD read_snapshot of a member
+    table is REFUSED (foot-gun guard pinned in tests/test_transactions
+    .py), so a report author cannot accidentally mix the pinned pair
+    with the live head that a later append moved. The oracle recomputes
+    the per-priority rollup bounded at T1's cut, proving the guard-
+    wrapped composition reads exactly the transaction-consistent pair."""
+    from jobanalytics_bigdataproject_spark.functions.exact import money_sum
+    from jobanalytics_bigdataproject_spark.sources import transactions as tx
+
+    if _TXN_ASOF_CACHE.get(sf_dir) is None:
+        _orders_txn_asof(spark, sf_dir)  # builds and caches the fixture
+    fact, dim, txn_dir, txn1 = _TXN_ASOF_CACHE[sf_dir]
+    with tx.pinned_group(spark, [fact, dim], txn_dir, as_of_txn=txn1) as g:
+        return (
+            g[fact]
+            .join(g[dim], g[fact].o_custkey == g[dim].c_custkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.countDistinct("c_custkey").alias("n_cust"),
+                money_sum("o_totalprice").alias("sum_cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+
 _RETENTION_CACHE: dict[str, str] = {}
 
 
@@ -2139,6 +2169,8 @@ _PRIORITY = [
     # ExactSubstr min_span_tokens length threshold + rebuild cap
     # (VERDICT r8 #4/#5)
     "docs_substring_dedup_min40",
+    # pinned-group consistency context (VERDICT r8 #9)
+    "orders_txn_pinned_report",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2611,6 +2643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_txn_publish": _orders_txn_publish,
         "orders_branch_rebase": _orders_branch_rebase,
         "orders_txn_asof": _orders_txn_asof,
+        "orders_txn_pinned_report": _orders_txn_pinned_report,
         "orders_cdc_apply": _orders_cdc_apply,
         "orders_retention_expiry": _orders_retention_expiry,
         "orders_update_redaction": _orders_update_redaction,
@@ -4809,6 +4842,16 @@ def _oracle_sql_literals() -> dict[str, str]:
             WHERE o_orderdate < DATE '1997-01-01'
             GROUP BY c_mktsegment
             ORDER BY c_mktsegment
+        """,
+        "orders_txn_pinned_report": """
+            SELECT o_orderpriority,
+                   COUNT(*) AS cnt,
+                   COUNT(DISTINCT c_custkey) AS n_cust,
+                   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderdate < DATE '1997-01-01'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "orders_partitioned_prune": """
             WITH pruned AS (

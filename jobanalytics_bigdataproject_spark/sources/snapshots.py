@@ -163,6 +163,15 @@ def _manifest_path(jvm, table_dir: str, version: int):
 _PUBLISHED_MARKER = "_published.json"
 
 
+# Open pinned_group memberships (sources/transactions.pinned_group —
+# VERDICT r8 #9): normalized table_dir -> group label. While a table is
+# registered here, a raw HEAD read_snapshot of it refuses: inside a
+# consistency context, mixing the group's pinned frames with an ambient
+# head read is precisely the bug the context exists to prevent.
+# Explicitly version-pinned reads stay allowed (deliberate time travel).
+_PINNED_GROUP_GUARD: dict[str, str] = {}
+
+
 def _refuse_if_retired(fs, jvm, table_dir: str) -> None:
     if "/_branches/" not in table_dir:
         return  # only branch handles can be retired; skip the fs hit

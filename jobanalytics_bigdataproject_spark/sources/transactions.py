@@ -343,3 +343,54 @@ def expire_transactions(
                     if fs.delete(st.getPath(), False):
                         removed[kind].append(txn_id)
     return removed
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def pinned_group(
+    spark: SparkSession,
+    tables: list[str],
+    txn_dir: str,
+    as_of_txn: str | None = None,
+):
+    """Consistency CONTEXT over ``read_consistent`` (VERDICT r8 #9): the
+    ambient-catalog polish on the group read. ::
+
+        with pinned_group(spark, [fact, dim], txn_dir, as_of_txn=t1) as g:
+            g[fact].join(g[dim], ...)          # both pinned at T1
+            sn.read_snapshot(spark, fact)      # REFUSED — foot-gun
+
+    ``read_consistent`` returns a consistent frame set, but nothing
+    stopped a caller from ALSO doing a raw head read of a member table
+    in the same report — silently mixing the pinned versions with the
+    live head, the exact torn read the group exists to prevent. Inside
+    the context every member table is registered in the snapshot
+    layer's pin guard: a raw HEAD ``read_snapshot`` of a member raises,
+    naming the open group. Deliberate escape hatches stay open —
+    explicit ``version=`` / ``as_of_ts=`` reads (time travel is always
+    an intentional act) and every non-member table.
+
+    Driver-side only (a dict mutation); no Spark state, so nesting
+    non-overlapping groups is fine, while overlapping pins are refused
+    (two contexts pinning one table at different versions has no sane
+    winner). The guard is restored on ANY exit, including exceptions.
+    """
+    frames = read_consistent(spark, tables, txn_dir, as_of_txn=as_of_txn)
+    keys = [t.rstrip("/") for t in tables]
+    already = [k for k in keys if k in sn._PINNED_GROUP_GUARD]
+    if already:
+        raise ValueError(
+            f"table(s) {already} are already pinned by an open pinned_group "
+            "— overlapping pins have no consistent winner; close the outer "
+            "context first"
+        )
+    label = f"txn-{as_of_txn}" if as_of_txn else "head-consistent group"
+    for k in keys:
+        sn._PINNED_GROUP_GUARD[k] = label
+    try:
+        yield frames
+    finally:
+        for k in keys:
+            sn._PINNED_GROUP_GUARD.pop(k, None)

@@ -312,3 +312,45 @@ def test_commit_with_rebase_refuses_true_conflict(spark, two_tables):
     # nothing published on either table
     assert sorted(r.k for r in snap.read_snapshot(spark, fact).collect()) == [1]
     assert snap.read_snapshot(spark, dim).count() == 2
+
+
+def test_pinned_group_refuses_raw_head_read_inside(spark, two_tables, tmp_path):
+    """VERDICT r8 #9: inside ``with pinned_group(...)`` a raw HEAD
+    read_snapshot of a member table is refused (the mixed-version
+    foot-gun); explicit version pins and non-member tables stay open,
+    and the guard is fully restored on exit — including exceptional."""
+    fact, dim, txn_dir = two_tables
+    t = tx.begin_transaction(spark, [fact, dim], txn_dir)
+    _append(spark, t["branches"][fact],
+            spark.createDataFrame([(3, 30, 300)], "k int, d int, amt long"))
+    _append(spark, t["branches"][dim],
+            spark.createDataFrame([(30, "c")], "d int, name string"))
+    txn1 = tx.commit_transaction(spark, t)["id"]
+    # head later moves past the transaction
+    _append(spark, fact, spark.createDataFrame([(4, 10, 400)], "k int, d int, amt long"))
+    other = str(tmp_path / "other_tbl")
+    snap.write_snapshot(spark.createDataFrame([(1,)], "x int"), other)
+
+    with tx.pinned_group(spark, [fact, dim], txn_dir, as_of_txn=txn1) as g:
+        assert g[fact].count() == 3  # pinned at T1, excludes the later append
+        assert g[fact].join(g[dim], "d").count() == 3
+        with pytest.raises(ValueError, match="pinned_group"):
+            snap.read_snapshot(spark, fact)  # raw head read — refused
+        with pytest.raises(ValueError, match="pinned_group"):
+            snap.read_snapshot(spark, dim + "/")  # normalization holds
+        # deliberate escape hatches stay open
+        v = snap.current_version(spark, fact)
+        assert snap.read_snapshot(spark, fact, version=v).count() == 4
+        assert snap.read_snapshot(spark, other).count() == 1  # non-member
+        # overlapping pin refused
+        with pytest.raises(ValueError, match="already pinned"):
+            with tx.pinned_group(spark, [fact], txn_dir, as_of_txn=txn1):
+                pass
+    # context closed: raw reads work again
+    assert snap.read_snapshot(spark, fact).count() == 4
+
+    # guard restored even when the body raises
+    with pytest.raises(RuntimeError, match="boom"):
+        with tx.pinned_group(spark, [fact, dim], txn_dir, as_of_txn=txn1):
+            raise RuntimeError("boom")
+    assert snap.read_snapshot(spark, dim).count() == 3
