@@ -2753,6 +2753,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", "n_tokens", "n_tokens_after"
             ),
         ),
+        # the 100-TB configuration of the same pass (round 9, VERDICT r8
+        # #10): hash_shingles=True swaps the corpus-wide exchange's key
+        # from the k-gram STRING to xxhash64 (8 bytes). The output is
+        # bit-identical to the raw-string run (raw==hashed equality
+        # pinned in tests/test_substring.py), so it shares the oracle —
+        # and gives tools/scale_probe.py a named target for the sf1
+        # exponent with hashing ON (SCALE.md §13).
+        "docs_substring_dedup_hashed": _q(
+            ("documents",),
+            lambda t: substring.remove_duplicate_spans(
+                t["documents"], k=6, hash_shingles=True
+            ).select("doc_id", "n_tokens", "n_tokens_after"),
+        ),
         # min_span_tokens dial (round 9, VERDICT r8 #4 — Lee et al. only
         # remove duplicated passages ABOVE a length threshold): islands
         # shorter than 40 tokens survive; monotonicity vs the unfiltered

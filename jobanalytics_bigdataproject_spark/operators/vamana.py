@@ -243,6 +243,125 @@ _RESULT_SCHEMA = T.StructType(
 )
 
 
+# physical plan of the most recent probed-shard graph scan (the
+# checkpoint job inside _read_graph_shards — the plan that actually
+# opens files). Introspection hook for the partition-pruning test:
+# the serve path's final plan shows only the checkpointed RDD.
+_LAST_GRAPH_SCAN_PLAN: str = ""
+
+# pinned-read cache: (path, frozenset(shards)) -> (graph signature,
+# checkpointed frame). Steady-state serving (the common case — the
+# bench hits the same index hundreds of times) reuses ONE checkpoint;
+# an append changes the signature, which re-pins and unpersists the
+# stale entry. Bounded: one entry per distinct (index, probe-set) in
+# the process, each the size of its probed shards.
+_GRAPH_PIN_CACHE: dict[tuple, tuple] = {}
+
+
+def _graph_signature(spark, path: str) -> tuple:
+    """Driver-side change detector for the graph directory: per shard
+    dir, (name, max file mtime, file count, total bytes). Metadata-only
+    — O(shards + files) namenode ops, no data I/O. Any append's
+    retire→adopt swap changes the touched shards' tuples."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(f"{path}/graph")
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    sig = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("shard="):
+            continue
+        mt, cnt, by = 0, 0, 0
+        for f in fs.listStatus(st.getPath()):
+            if f.getPath().getName().startswith(("_", ".")):
+                continue
+            mt = max(mt, f.getModificationTime())
+            cnt += 1
+            by += f.getLen()
+        sig.append((name, mt, cnt, by))
+    return tuple(sorted(sig))
+
+
+def _read_graph_shards(spark, path: str, shards, attempts: int = 30, pause: float = 0.1):
+    """Consistent probed-shard read under a concurrent ``vamana_append``
+    (VERDICT r8 #8): the append swaps shard DIRECTORIES via retire→adopt
+    renames, so a raw read can (a) list the tiny window where a touched
+    shard is absent — a silently PARTIAL result, the worst failure — or
+    (b) capture a listing whose files the append then retires, failing
+    loudly mid-action. Neither may reach a caller. This helper validates
+    that every probed shard is present (a shard always holds ≥ 1 node,
+    its medoid) and MATERIALIZES the validated frame with an eager
+    ``localCheckpoint`` — lineage is truncated, so the later cogroup
+    action replays executor blocks, never paths, and the append can
+    retire whatever files it likes. On either race it retries; reads
+    therefore observe the OLD or the NEW shard set, never a mix
+    (stress-tested against a live appender in tests/test_vamana.py).
+
+    The checkpoint costs one extra pass over the probed shards —
+    bounded by what serving ships into pandas anyway — and is CACHED
+    per (path, probe set) keyed by a metadata-only graph signature, so
+    steady-state serving (same index, repeated queries) pays it once;
+    an append changes the signature, re-pins, and unpersists the stale
+    entry. Atomicity is PER SHARD: a reader overlapping a multi-shard
+    append may see shard A post-insert and shard B pre-insert (each
+    internally complete) — the guarantee is no absent and no
+    half-written shard. At object-store scale the production answer is
+    a manifest-pinned file listing (sources/snapshots.py's discipline);
+    this is the dir-layout equivalent, bounded at attempts × pause."""
+    import time
+
+    global _LAST_GRAPH_SCAN_PLAN
+    key = (path, frozenset(int(s) for s in shards))
+    last: Exception | None = None
+    for _ in range(attempts):
+        try:
+            sig = _graph_signature(spark, path)
+        except Exception as e:  # noqa: BLE001 — listing raced a swap
+            last = e
+            time.sleep(pause)
+            continue
+        hit = _GRAPH_PIN_CACHE.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+        graph = (
+            spark.read.parquet(f"{path}/graph")
+            .filter(F.col("shard").isin(list(shards)))
+            .select("vec_id", "embedding", "neighbors", "is_medoid", "shard")
+        )
+        try:
+            # the checkpoint job's plan IS the scan that touches files —
+            # the caller's final plan shows only the checkpointed RDD, so
+            # record the pruning proof here (read by the partition-
+            # pruning test; the static shard-IN filter must reach this
+            # FileScan's PartitionFilters)
+            _LAST_GRAPH_SCAN_PLAN = (
+                graph._jdf.queryExecution().executedPlan().toString()
+            )
+            pinned = graph.localCheckpoint(eager=True)
+            present = {r.shard for r in pinned.select("shard").distinct().collect()}
+            if set(shards) <= present:
+                stale = _GRAPH_PIN_CACHE.pop(key, None)
+                if stale is not None:
+                    try:  # release the superseded checkpoint's blocks
+                        stale[1].unpersist()
+                    except Exception:  # noqa: BLE001 — best-effort release
+                        pass
+                _GRAPH_PIN_CACHE[key] = (sig, pinned)
+                return pinned
+            last = IOError(
+                f"probed shard(s) {sorted(set(shards) - present)} absent — "
+                "swap in flight"
+            )
+        except Exception as e:  # noqa: BLE001 — listing/read raced a rename
+            last = e
+        time.sleep(pause)
+    raise IOError(
+        f"vamana: no consistent probed-shard read at {path} after "
+        f"{attempts} attempts (concurrent append storm?)"
+    ) from last
+
+
 def vamana_query(
     spark,
     path: str,
@@ -278,11 +397,7 @@ def vamana_query(
         .select("query_id", "q_vec", "shard")
     )
     shards = sorted(r.shard for r in probed.select("shard").distinct().collect())
-    graph = (
-        spark.read.parquet(f"{path}/graph")
-        .filter(F.col("shard").isin(shards))
-        .select("vec_id", "embedding", "neighbors", "is_medoid", "shard")
-    )
+    graph = _read_graph_shards(spark, path, shards)
 
     def search(key, corpus_pdf, queries_pdf):
         import pandas as pd
@@ -373,11 +488,7 @@ def vamana_visit_report(
         .select("query_id", "q_vec", "shard")
     )
     shards = sorted(r.shard for r in probed.select("shard").distinct().collect())
-    graph = (
-        spark.read.parquet(f"{path}/graph")
-        .filter(F.col("shard").isin(shards))
-        .select("vec_id", "embedding", "neighbors", "is_medoid", "shard")
-    )
+    graph = _read_graph_shards(spark, path, shards)
 
     def report(key, corpus_pdf, queries_pdf):
         import pandas as pd
