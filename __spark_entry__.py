@@ -2171,6 +2171,9 @@ _PRIORITY = [
     "docs_substring_dedup_min40",
     # pinned-group consistency context (VERDICT r8 #9)
     "orders_txn_pinned_report",
+    # hash_shingles=True twin — the 100-TB key representation, shares
+    # the raw oracle (VERDICT r8 #10)
+    "docs_substring_dedup_hashed",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -5774,4 +5777,9 @@ def oracle_sql() -> dict[str, str]:
     # scd2_compact preserves the presentation view for any horizon, so its
     # oracle IS scd2_user_state's SQL — the hash match proves equivalence.
     d["scd2_compacted_state"] = d["scd2_user_state"]
+    # hash_shingles swaps only the shuffle key's REPRESENTATION (xxhash64
+    # vs the k-gram string); the removal output is bit-identical, so the
+    # hashed run shares the raw pass's oracle — the hash match IS the
+    # raw==hashed equivalence proof at driver scale.
+    d["docs_substring_dedup_hashed"] = d["docs_substring_dedup"]
     return d

@@ -109,6 +109,12 @@ PROBES = [
     # cross-copy spans from merging, so this measures the real per-token
     # cost, not a replication artifact
     "docs_substring_dedup",
+    # round 9 (VERDICT r8 #10): the same pass with hash_shingles=True —
+    # the 100-TB key representation (8-byte xxhash64 instead of the
+    # k-gram string on the corpus-wide exchange); output bit-identical
+    # to the raw run, so the delta vs docs_substring_dedup isolates the
+    # exchange-width saving
+    "docs_substring_dedup_hashed",
     # round 7: LEFT SEMI interval-join batch twin (linear in events like
     # the outer twin) and MJPEG video near-dups (BOUNDED by the query's
     # 120-doc slice at any sf — the probe verifies the bound holds, i.e.
