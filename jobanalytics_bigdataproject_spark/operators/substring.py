@@ -419,6 +419,8 @@ def substring_dedup_sink(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_span_tokens: int | None = None,
+    max_doc_tokens: int | None = None,
 ):
     """Structured Streaming sink: ``.writeStream.foreachBatch(
     substring_dedup_sink(spark, store, table))`` — dedup-on-arrival for
@@ -440,7 +442,10 @@ def substring_dedup_sink(
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         cleaned = substring_dedup_incremental(
-            spark, batch_df, store_path, k, text_col, id_col, update_store=False
+            spark, batch_df, store_path, k, text_col, id_col,
+            update_store=False,
+            min_span_tokens=min_span_tokens,
+            max_doc_tokens=max_doc_tokens,
         )
         sn.write_snapshot(
             cleaned, out_table, mode="append",

@@ -154,7 +154,12 @@ def open(spark: SparkSession, path: str) -> DataFrame:
     name = _table_name(path)
     if not spark.catalog.tableExists(name):
         meta = _read_meta(spark, path)
-        _register(spark, name, meta, f"{path}/{_DATA}")
+        try:
+            _register(spark, name, meta, f"{path}/{_DATA}")
+        except Exception:  # noqa: BLE001 — a concurrent opener won the
+            # CREATE TABLE race; losing is fine iff the table now exists
+            if not spark.catalog.tableExists(name):
+                raise
     return spark.table(name)
 
 
