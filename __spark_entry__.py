@@ -2174,6 +2174,8 @@ _PRIORITY = [
     # hash_shingles=True twin — the 100-TB key representation, shares
     # the raw oracle (VERDICT r8 #10)
     "docs_substring_dedup_hashed",
+    # substring-level benchmark decontamination (round 9)
+    "docs_substring_decontaminate",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2780,6 +2782,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("documents",),
             lambda t: substring.remove_duplicate_spans(
                 t["documents"], k=6, min_span_tokens=40, max_doc_tokens=1_000_000
+            ).select("doc_id", "n_tokens", "n_tokens_after"),
+        ),
+        # substring-level benchmark DECONTAMINATION (round 9): every
+        # corpus span whose k-grams appear in the "eval set" (first 10%
+        # of doc_ids) is cut; corpus-internal repetition is untouched —
+        # presence-probing, not dedup (operators/substring.py:
+        # substring_decontaminate; span-precise complement of
+        # docs_contamination's whole-doc 8-gram flagging)
+        "docs_substring_decontaminate": _q(
+            ("documents",),
+            lambda t: substring.substring_decontaminate(
+                t["documents"].filter(F.col("doc_id") % 10 != 0),
+                t["documents"].filter(F.col("doc_id") % 10 == 0),
+                k=6,
             ).select("doc_id", "n_tokens", "n_tokens_after"),
         ),
         "docs_incremental_dedup": _docs_incremental_dedup,
@@ -5668,6 +5684,60 @@ def _oracle_sql_literals() -> dict[str, str]:
             tok AS (
               SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
               FROM documents
+            ),
+            cover AS (
+              SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   t.n_tokens,
+                   CAST(t.n_tokens - COALESCE(c.dup_tokens, 0) AS BIGINT) AS n_tokens_after
+            FROM tok t LEFT JOIN cover c USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "docs_substring_decontaminate": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+            ),
+            ev AS (
+              SELECT DISTINCT array_to_string(w[p+1:p+6], ' ') AS shingle
+              FROM (
+                SELECT string_split_regex(trim(text), '\\s+') AS w,
+                       unnest(generate_series(0, len(string_split_regex(trim(text), '\\s+')) - 6)) AS p
+                FROM documents WHERE doc_id % 10 = 0
+                  AND len(string_split_regex(trim(text), '\\s+')) >= 6
+              )
+            ),
+            pos AS (
+              SELECT doc_id, w, unnest(generate_series(0, len(w) - 6)) AS p
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM corpus)
+              WHERE len(w) >= 6
+            ),
+            grams AS (
+              SELECT doc_id, p, array_to_string(w[p+1:p+6], ' ') AS shingle FROM pos
+            ),
+            dups AS (
+              SELECT g.doc_id, g.p FROM grams g
+              WHERE EXISTS (SELECT 1 FROM ev WHERE ev.shingle = g.shingle)
+            ),
+            flagged AS (
+              SELECT doc_id, p,
+                     CASE WHEN p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) <= 6
+                          THEN 0 ELSE 1 END AS flag
+              FROM dups
+            ),
+            grp AS (
+              SELECT doc_id, p,
+                     SUM(flag) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS g
+              FROM flagged
+            ),
+            spans AS (
+              SELECT doc_id, MIN(p) AS span_start, MAX(p) + 6 - 1 AS span_end
+              FROM grp GROUP BY doc_id, g
+            ),
+            tok AS (
+              SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+              FROM corpus
             ),
             cover AS (
               SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens

@@ -276,6 +276,48 @@ def _cut_spans(
     )
 
 
+def substring_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_shingles: bool = False,
+    min_span_tokens: int | None = None,
+    max_doc_tokens: int | None = None,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION at the substring level: cut from every
+    *corpus* document each maximal token span covered by k-grams that
+    appear ANYWHERE in *eval_docs* — the training-before-evaluation
+    hygiene pass of Lee et al. (ACL 2022), the span-precise complement
+    of ``corpus.benchmark_contamination`` (which flags whole documents
+    by 8-gram overlap; this removes exactly the leaked passage and
+    keeps the rest of the document).
+
+    NOT a dedup: corpus-internal repetition is untouched (no occurrence
+    ranking — the only criterion is presence in the eval set), and
+    every eval occurrence keeps nothing "first" because eval documents
+    are never modified, only probed. Returns the same
+    (doc_id, n_tokens, n_tokens_after, text_clean) shape as
+    ``remove_duplicate_spans``; fully SQL-expressible, so the driver
+    oracle hash-checks the cut law end-to-end.
+
+    Scale: the eval side reduces to DISTINCT shingle keys — benchmark
+    suites are tiny next to a training corpus, so the semi-join's build
+    side is broadcast-scale (and with ``hash_shingles`` 8 bytes per
+    key); the corpus is shingled and probed in one linear pass, exactly
+    the ``benchmark_contamination`` posture."""
+    ev = (
+        shingle_positions(eval_docs, k, text_col, id_col, hash_shingles)
+        .select("shingle")
+        .distinct()
+    )
+    sp = shingle_positions(corpus, k, text_col, id_col, hash_shingles)
+    dup_pos = sp.join(ev, "shingle", "left_semi").select("doc_id", "pos")
+    spans = _min_span_filter(_spans_from_positions(dup_pos, k), k, min_span_tokens)
+    return _cut_spans(corpus, spans, text_col, id_col, max_doc_tokens)
+
+
 # --------------------------------------------- incremental (store-probed)
 
 

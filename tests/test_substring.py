@@ -366,3 +366,48 @@ def test_store_reopens_after_catalog_loss(spark, tmp_path):
         spark, _df(spark, [(10, "one two three " + SPAN + " four five")]), path, k=8
     ).first()
     assert out.text_clean == "one two three four five"
+
+
+def test_decontaminate_cuts_eval_spans_only(spark):
+    """Substring decontamination (round 9): spans present in the eval
+    set are cut from the corpus; corpus-INTERNAL repetition is NOT
+    (this is presence-probing, not dedup), and eval docs are never
+    modified — only probed."""
+    repeat = "p q r s t u v w"  # an 8-gram the corpus repeats internally
+    ev = _df(spark, [(1000, "intro words " + SPAN + " outro words")])
+    corpus = _df(
+        spark,
+        [
+            (1, "alpha beta " + SPAN + " gamma"),        # leaked span
+            (2, repeat + " filler " + repeat),            # internal dup only
+            (3, "completely clean text with nothing shared here at all"),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in substring.substring_decontaminate(corpus, ev, k=8).collect()
+    }
+    assert out[1].text_clean == "alpha beta gamma"      # leak cut, rest kept
+    assert out[1].n_tokens_after == out[1].n_tokens - 10
+    # internal repetition untouched — decontamination is not dedup
+    assert out[2].n_tokens_after == out[2].n_tokens
+    assert repeat in out[2].text_clean
+    assert out[3].n_tokens_after == out[3].n_tokens
+    # hashed keys give the identical cut
+    hashed = {
+        r.doc_id: r
+        for r in substring.substring_decontaminate(
+            corpus, ev, k=8, hash_shingles=True
+        ).collect()
+    }
+    assert {d: (r.n_tokens_after, r.text_clean) for d, r in out.items()} == {
+        d: (r.n_tokens_after, r.text_clean) for d, r in hashed.items()
+    }
+    # min_span_tokens gates the cut: the 10-token leak survives at 12
+    gated = {
+        r.doc_id: r
+        for r in substring.substring_decontaminate(
+            corpus, ev, k=8, min_span_tokens=12
+        ).collect()
+    }
+    assert gated[1].n_tokens_after == gated[1].n_tokens
