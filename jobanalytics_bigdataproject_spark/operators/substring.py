@@ -318,6 +318,71 @@ def substring_decontaminate(
     return _cut_spans(corpus, spans, text_col, id_col, max_doc_tokens)
 
 
+def substring_decontaminate_incremental(
+    spark,
+    corpus_batch: DataFrame,
+    store_path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span_tokens: int | None = None,
+    max_doc_tokens: int | None = None,
+) -> DataFrame:
+    """Steady-state decontamination: probe a corpus batch against a
+    PERSISTED eval-set shingle store (``shingle_store_write`` over the
+    benchmark suite, built once) — the benchmark is never re-shingled,
+    and unlike ``substring_dedup_incremental`` there is NO within-batch
+    occurrence ranking and NO store learn: the criterion is presence in
+    the fixed eval set, nothing else, so the pass is stateless over the
+    corpus and batches can run in any order or in parallel.
+
+    Store side of the probe is the bucketed scan (Exchange-free); the
+    batch shuffles once into the store's layout. Same output shape and
+    cut law as ``substring_decontaminate`` — with the store's xxhash64
+    keys the result is bit-identical to the raw-string pass (the driver
+    query shares its oracle)."""
+    from jobanalytics_bigdataproject_spark.sources import bucket_store
+
+    store = bucket_store.open(spark, store_path)
+    sp = shingle_positions(corpus_batch, k, text_col, id_col, hash_shingles=True)
+    dup_pos = sp.join(store.select("shingle"), "shingle", "left_semi").select(
+        "doc_id", "pos"
+    )
+    spans = _min_span_filter(_spans_from_positions(dup_pos, k), k, min_span_tokens)
+    return _cut_spans(corpus_batch, spans, text_col, id_col, max_doc_tokens)
+
+
+def substring_decontaminate_sink(
+    spark,
+    store_path: str,
+    out_table: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span_tokens: int | None = None,
+    max_doc_tokens: int | None = None,
+):
+    """Structured Streaming sink: decontaminate-on-arrival against a
+    fixed benchmark store. Simpler than ``substring_dedup_sink`` — the
+    store is read-only here (no learn step, so no ordering argument to
+    make): each micro-batch probes, cuts, and commits to the versioned
+    snapshot table with the batch id as the idempotency key
+    (exactly-once output; a retried batch no-ops)."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = substring_decontaminate_incremental(
+            spark, batch_df, store_path, k, text_col, id_col,
+            min_span_tokens=min_span_tokens, max_doc_tokens=max_doc_tokens,
+        )
+        sn.write_snapshot(
+            cleaned, out_table, mode="append",
+            idempotency_key=f"substr-decon-{batch_id}",
+        )
+
+    return _write
+
+
 # --------------------------------------------- incremental (store-probed)
 
 

@@ -411,3 +411,47 @@ def test_decontaminate_cuts_eval_spans_only(spark):
         ).collect()
     }
     assert gated[1].n_tokens_after == gated[1].n_tokens
+
+
+def test_decontaminate_incremental_matches_batch_and_sink_exactly_once(spark, tmp_path):
+    """Store-backed decontamination == the batch pass with hashed keys
+    (the store IS the eval set's hashed shingles); the streaming sink
+    commits exactly-once and, with no learn step, a batch's result is
+    independent of every other batch."""
+    from jobanalytics_bigdataproject_spark.sources import snapshots as snap
+
+    ev = _df(spark, [(1000, "intro words " + SPAN + " outro words")])
+    corpus = _df(
+        spark,
+        [
+            (1, "alpha beta " + SPAN + " gamma"),
+            (2, "p q r s t u v w filler p q r s t u v w"),  # internal dup only
+            (3, "completely clean text with nothing shared here at all"),
+        ],
+    )
+    store = str(tmp_path / "eval_store")
+    substring.shingle_store_write(ev, store, k=8, num_buckets=4)
+    inc = {
+        r.doc_id: (r.n_tokens_after, r.text_clean)
+        for r in substring.substring_decontaminate_incremental(
+            spark, corpus, store, k=8
+        ).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_tokens_after, r.text_clean)
+        for r in substring.substring_decontaminate(corpus, ev, k=8).collect()
+    }
+    assert inc == batch
+    assert inc[1][1] == "alpha beta gamma"          # leak cut
+    assert "p q r s t u v w filler" in inc[2][1]    # internal dup kept
+
+    # sink: two batches, then a retry of batch 1 — exactly-once output
+    out = str(tmp_path / "out")
+    sink = substring.substring_decontaminate_sink(spark, store, out, k=8)
+    sink(corpus.filter("doc_id <= 2"), 0)
+    sink(corpus.filter("doc_id = 3"), 1)
+    v = snap.current_version(spark, out)
+    sink(corpus.filter("doc_id = 3"), 1)  # retry with the same batch id
+    assert snap.current_version(spark, out) == v
+    rows = {r.doc_id: r.text_clean for r in snap.read_snapshot(spark, out).collect()}
+    assert rows == {d: t for d, (_, t) in inc.items()}
