@@ -439,12 +439,25 @@ def substring_dedup_incremental(
     update_store: bool = False,
     min_span_tokens: int | None = None,
     max_doc_tokens: int | None = None,
+    check_id_reuse: bool = False,
 ) -> DataFrame:
     """Cleaned ``new_docs`` after exact-substring removal against (a) the
     persisted shingle store at ``path`` and (b) earlier occurrences
     WITHIN the batch — without re-shingling a single historical document
     (the dedup-on-arrival shape: history is probed as 8-byte keys, never
     as text; same incremental discipline as ``dedup_batch_incremental``).
+
+    HARD REQUIREMENT (API boundary): ``id_col`` values must be globally
+    unique across batches — the self-exclusion below treats any store
+    row first-seen under a batch id as this batch's own (possibly
+    replayed) learn and ignores it for the probe. A REUSED id with
+    different content silently under-dedups (ADVICE r9).
+    ``check_id_reuse=True`` verifies the assumption for this batch: any
+    excluded store shingle the batch itself does not contain cannot be
+    the batch's own learn, so it proves id reuse and the call raises.
+    Exact sink replays (same ids, same text) pass the check, so the
+    foreachBatch retry path stays idempotent. Costs one batch-scale
+    anti-join — off by default for the hot path.
 
     A batch shingle is duplicated if it exists in the store (any
     historical occurrence beats the whole batch) OR its within-batch
@@ -471,6 +484,28 @@ def substring_dedup_incremental(
         "left_anti",
     ).select("shingle")
     sp = shingle_positions(new_docs, k, text_col, id_col, hash_shingles=True)
+    if check_id_reuse:
+        excluded = store.join(
+            F.broadcast(new_docs.select(F.col(id_col).alias("doc_id"))),
+            "doc_id",
+            "left_semi",
+        )
+        reused = (
+            excluded.join(sp.select("shingle").distinct(), "shingle", "left_anti")
+            .select("doc_id")
+            .distinct()
+            .limit(5)
+            .collect()
+        )
+        if reused:
+            raise ValueError(
+                "substring_dedup_incremental: store rows first-seen under "
+                f"batch doc id(s) {sorted(r.doc_id for r in reused)} carry "
+                "shingles this batch does not contain — those ids were "
+                "REUSED for different content, violating the global-"
+                "uniqueness contract; the probe would silently ignore their "
+                "history. Assign fresh ids (or replay the identical batch)."
+            )
     hist_dup = sp.join(store_keys, "shingle", "left_semi").select("doc_id", "pos")
     occ = Window.partitionBy("shingle").orderBy("doc_id", "pos")
     batch_dup = (

@@ -250,12 +250,26 @@ _RESULT_SCHEMA = T.StructType(
 _LAST_GRAPH_SCAN_PLAN: str = ""
 
 # pinned-read cache: (path, frozenset(shards)) -> (graph signature,
-# checkpointed frame). Steady-state serving (the common case — the
-# bench hits the same index hundreds of times) reuses ONE checkpoint;
-# an append changes the signature, which re-pins and unpersists the
-# stale entry. Bounded: one entry per distinct (index, probe-set) in
-# the process, each the size of its probed shards.
+# checkpointed frame, scan plan). Steady-state serving (the common case
+# — the bench hits the same index hundreds of times) reuses ONE
+# checkpoint; an append changes the signature, which re-pins and
+# unpersists EVERY stale entry for that path — including probe sets
+# that are never queried again, which would otherwise keep their
+# checkpoint blocks pinned for the life of the process (ADVICE r9).
+# A global insertion-order cap bounds entries for indexes that are
+# deleted/rebuilt at new paths and never re-served.
 _GRAPH_PIN_CACHE: dict[tuple, tuple] = {}
+_GRAPH_PIN_CACHE_CAP = 32
+
+
+def _pin_cache_evict(keys) -> None:
+    for k in list(keys):
+        entry = _GRAPH_PIN_CACHE.pop(k, None)
+        if entry is not None:
+            try:  # release the superseded checkpoint's blocks
+                entry[1].unpersist()
+            except Exception:  # noqa: BLE001 — best-effort release
+                pass
 
 
 def _graph_signature(spark, path: str) -> tuple:
@@ -323,6 +337,10 @@ def _read_graph_shards(spark, path: str, shards, attempts: int = 30, pause: floa
             continue
         hit = _GRAPH_PIN_CACHE.get(key)
         if hit is not None and hit[0] == sig:
+            # the introspection hook always reflects the LAST serve,
+            # cached or not (ADVICE r9) — the plan that opened the files
+            # this frame replays
+            _LAST_GRAPH_SCAN_PLAN = hit[2]
             return hit[1]
         graph = (
             spark.read.parquet(f"{path}/graph")
@@ -341,13 +359,17 @@ def _read_graph_shards(spark, path: str, shards, attempts: int = 30, pause: floa
             pinned = graph.localCheckpoint(eager=True)
             present = {r.shard for r in pinned.select("shard").distinct().collect()}
             if set(shards) <= present:
-                stale = _GRAPH_PIN_CACHE.pop(key, None)
-                if stale is not None:
-                    try:  # release the superseded checkpoint's blocks
-                        stale[1].unpersist()
-                    except Exception:  # noqa: BLE001 — best-effort release
-                        pass
-                _GRAPH_PIN_CACHE[key] = (sig, pinned)
+                # evict ALL stale entries for this path — not just this
+                # probe set — so a probe set never queried again cannot
+                # pin blocks forever after an append (ADVICE r9)
+                _pin_cache_evict(
+                    k
+                    for k, v in _GRAPH_PIN_CACHE.items()
+                    if k[0] == path and v[0] != sig
+                )
+                if len(_GRAPH_PIN_CACHE) >= _GRAPH_PIN_CACHE_CAP:
+                    _pin_cache_evict(list(_GRAPH_PIN_CACHE)[:1])  # oldest
+                _GRAPH_PIN_CACHE[key] = (sig, pinned, _LAST_GRAPH_SCAN_PLAN)
                 return pinned
             last = IOError(
                 f"probed shard(s) {sorted(set(shards) - present)} absent — "

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,18 +174,24 @@ def append(spark: SparkSession, df: DataFrame, path: str) -> None:
     _bucketed_write(df, name, f"{path}/{_DATA}", meta, "append")
 
 
-def file_count(spark: SparkSession, path: str) -> int:
-    """Data files currently in the store (driver-side listing — the
-    compaction trigger signal maintain() reads)."""
-    fs, _, jvm = _fs(spark, f"{path}/{_DATA}")
-    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(f"{path}/{_DATA}"), True)
-    n = 0
+def _data_files(fs, jvm, data_path: str) -> list[str]:
+    """Absolute paths of the data files under *data_path* (hidden/meta
+    files excluded) — the listing compact() snapshots and diffs."""
+    it = fs.listFiles(jvm.org.apache.hadoop.fs.Path(data_path), True)
+    out = []
     while it.hasNext():
         f = it.next()
         nm = f.getPath().getName()
         if not nm.startswith("_") and not nm.startswith("."):
-            n += 1
-    return n
+            out.append(str(f.getPath().toString()))
+    return out
+
+
+def file_count(spark: SparkSession, path: str) -> int:
+    """Data files currently in the store (driver-side listing — the
+    compaction trigger signal maintain() reads)."""
+    fs, _, jvm = _fs(spark, f"{path}/{_DATA}")
+    return len(_data_files(fs, jvm, f"{path}/{_DATA}"))
 
 
 def compact(spark: SparkSession, path: str) -> int:
@@ -198,7 +205,22 @@ def compact(spark: SparkSession, path: str) -> int:
     arbitrary input task, defeating the compaction (observed, not
     hypothetical). The raw scan's UnknownPartitioning forces the one
     honest shuffle a rewrite costs (Iceberg's rewriteDataFiles pays the
-    same). Returns the file count after compaction."""
+    same). Returns the file count after compaction.
+
+    Concurrent-writer posture (ADVICE r9): the rewrite snapshots an
+    EXPLICIT file list and reads only those paths; after the swap, any
+    file found in the retired directory that was NOT in the snapshot
+    (an ``append`` that committed between the listing and the stage-out
+    rename) is ADOPTED into the new live directory by rename before the
+    retired dir is deleted — bucket-id file naming makes the move
+    layout-preserving, so no learned batch is lost. What this does NOT
+    cover is an append whose write is IN FLIGHT at the instant of the
+    stage-out rename (its ``_temporary`` task dir moves with the data
+    dir and the commit fails loudly on the writer side, never
+    silently): schedule ``compact``/``maintain`` in the stream's idle
+    window, or pause the sink — same operational contract as Iceberg's
+    rewriteDataFiles vs concurrent commits.
+    """
     name = _table_name(path)
     meta = _read_meta(spark, path)
     data_path = f"{path}/{_DATA}"
@@ -212,7 +234,10 @@ def compact(spark: SparkSession, path: str) -> int:
         if fs.exists(Path(p)):
             fs.delete(Path(p), True)
 
-    df = spark.read.parquet(data_path)
+    snapshot = _data_files(fs, jvm, data_path)
+    if not snapshot:
+        return 0
+    df = spark.read.parquet(*snapshot)
     spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
     _bucketed_write(df, stage_table, staging, meta, "overwrite")
 
@@ -222,7 +247,60 @@ def compact(spark: SparkSession, path: str) -> int:
     if not fs.rename(Path(staging), Path(data_path)):
         fs.rename(Path(old), Path(data_path))  # undo — old store intact
         raise IOError(f"compact: could not swap in {staging}; store restored")
+    # adopt late arrivals: files that landed after the snapshot listing
+    # live only in the retired dir — rename them into the new live set
+    # (names are UUID-unique and carry the bucket id) before deletion
+    snap_names = {p.rsplit("/", 1)[-1] for p in snapshot}
+    for f in _data_files(fs, jvm, old):
+        nm = f.rsplit("/", 1)[-1]
+        if nm not in snap_names and not fs.rename(
+            Path(f), Path(f"{data_path}/{nm}")
+        ):
+            raise IOError(
+                f"compact: could not adopt late-arrival file {f}; retired "
+                f"dir {old} left in place for manual recovery"
+            )
     fs.delete(Path(old), True)
     spark.sql(f"DROP TABLE IF EXISTS {stage_table}")  # external: files already moved
-    spark.catalog.refreshTable(name)
+    # a fresh session running only maintain() never registered the table;
+    # refresh is owed only to a catalog that knows it (ADVICE r9)
+    if spark.catalog.tableExists(name):
+        spark.catalog.refreshTable(name)
+    meta["last_compaction_ts"] = time.time()
+    _write_meta(spark, path, meta)
     return file_count(spark, path)
+
+
+def store_detail(spark: SparkSession, path: str) -> dict:
+    """DESCRIBE DETAIL-style telemetry for the store (VERDICT r9 #7) —
+    the signal an operator (or ``maintain``'s policy) reads to see store
+    debt without listing files by hand: layout (buckets/sort), physical
+    footprint (files/bytes — driver-side listing, no data I/O), row
+    count (one parquet scan of key columns only), and the last
+    compaction time from the meta sidecar (None = never compacted).
+    Mirrors how ``snapshots.describe_detail`` feeds the snapshot
+    maintenance policy."""
+    meta = _read_meta(spark, path)
+    data_path = f"{path}/{_DATA}"
+    fs, _, jvm = _fs(spark, data_path)
+    files = _data_files(fs, jvm, data_path)
+    nbytes = 0
+    for f in files:
+        nbytes += fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+    rows = (
+        spark.read.parquet(*files).select(*meta["bucket_cols"]).count()
+        if files
+        else 0
+    )
+    return {
+        "path": path,
+        "table": _table_name(path),
+        "num_buckets": meta["num_buckets"],
+        "bucket_cols": list(meta["bucket_cols"]),
+        "sort_cols": list(meta.get("sort_cols") or []),
+        "num_files": len(files),
+        "size_bytes": int(nbytes),
+        "num_rows": int(rows),
+        "files_per_bucket": len(files) / max(meta["num_buckets"], 1),
+        "last_compaction_ts": meta.get("last_compaction_ts"),
+    }

@@ -164,12 +164,31 @@ _PUBLISHED_MARKER = "_published.json"
 
 
 # Open pinned_group memberships (sources/transactions.pinned_group —
-# VERDICT r8 #9): normalized table_dir -> group label. While a table is
-# registered here, a raw HEAD read_snapshot of it refuses: inside a
-# consistency context, mixing the group's pinned frames with an ambient
-# head read is precisely the bug the context exists to prevent.
-# Explicitly version-pinned reads stay allowed (deliberate time travel).
+# VERDICT r8 #9): CANONICAL table_dir (see _pin_key) -> group label.
+# While a table is registered here, a raw HEAD read_snapshot of it
+# refuses: inside a consistency context, mixing the group's pinned
+# frames with an ambient head read is precisely the bug the context
+# exists to prevent. Explicitly version-pinned reads stay allowed
+# (deliberate time travel). Mutations go through _PINNED_GROUP_LOCK
+# (concurrent driver threads registering/cleaning groups — ADVICE r9);
+# the read_snapshot lookup is a single dict.get and needs no lock.
 _PINNED_GROUP_GUARD: dict[str, str] = {}
+_PINNED_GROUP_LOCK = __import__("threading").Lock()
+
+
+def _pin_key(spark: SparkSession, table_dir: str) -> str:
+    """Canonical guard key for *table_dir*: qualified through the same
+    Hadoop Path resolution every snapshot read uses, so equivalent
+    spellings (``file://`` scheme vs bare path, redundant separators,
+    relative vs absolute) collapse to ONE key and cannot bypass the
+    pinned_group refusal (ADVICE r9). Symlinked paths are still
+    distinct — Hadoop Path does not resolve local symlinks, and neither
+    does any read in this layer, so the guard matches the reads it
+    protects."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(table_dir.rstrip("/") or "/")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return str(fs.makeQualified(p).toUri().toString()).rstrip("/")
 
 
 def _refuse_if_retired(fs, jvm, table_dir: str) -> None:
@@ -899,8 +918,8 @@ def read_snapshot(
     matching row can never be skipped. The caller still applies the row
     filter — skipping is file-granular.
     """
-    if version is None and as_of_ts is None:
-        pin = _PINNED_GROUP_GUARD.get(table_dir.rstrip("/"))
+    if version is None and as_of_ts is None and _PINNED_GROUP_GUARD:
+        pin = _PINNED_GROUP_GUARD.get(_pin_key(spark, table_dir))
         if pin is not None:
             raise ValueError(
                 f"{table_dir} is a member of an open pinned_group ({pin}): a "

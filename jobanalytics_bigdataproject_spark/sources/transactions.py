@@ -378,19 +378,24 @@ def pinned_group(
     winner). The guard is restored on ANY exit, including exceptions.
     """
     frames = read_consistent(spark, tables, txn_dir, as_of_txn=as_of_txn)
-    keys = [t.rstrip("/") for t in tables]
-    already = [k for k in keys if k in sn._PINNED_GROUP_GUARD]
-    if already:
-        raise ValueError(
-            f"table(s) {already} are already pinned by an open pinned_group "
-            "— overlapping pins have no consistent winner; close the outer "
-            "context first"
-        )
+    # canonical keys: equivalent path spellings (file:// scheme, doubled
+    # separators, relative) must hit the same guard entry (ADVICE r9);
+    # the lock closes the check-then-set race between driver threads
+    keys = [sn._pin_key(spark, t) for t in tables]
     label = f"txn-{as_of_txn}" if as_of_txn else "head-consistent group"
-    for k in keys:
-        sn._PINNED_GROUP_GUARD[k] = label
+    with sn._PINNED_GROUP_LOCK:
+        already = [t for t, k in zip(tables, keys) if k in sn._PINNED_GROUP_GUARD]
+        if already:
+            raise ValueError(
+                f"table(s) {already} are already pinned by an open "
+                "pinned_group — overlapping pins have no consistent winner; "
+                "close the outer context first"
+            )
+        for k in keys:
+            sn._PINNED_GROUP_GUARD[k] = label
     try:
         yield frames
     finally:
-        for k in keys:
-            sn._PINNED_GROUP_GUARD.pop(k, None)
+        with sn._PINNED_GROUP_LOCK:
+            for k in keys:
+                sn._PINNED_GROUP_GUARD.pop(k, None)
