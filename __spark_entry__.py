@@ -2066,19 +2066,32 @@ _SUBSTR_STORE_CACHE: dict[str, str] = {}
 
 
 def _docs_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental EXACT-SUBSTRING removal (round 8): the corpus' first
-    ~80%% of doc_ids is the persisted shingle store (built once per
-    process — same cluster-at-ingest discipline as the MinHash store);
-    the remaining batch is span-deduped against store + itself WITHOUT
-    re-shingling history (operators/substring.py:
-    substring_dedup_incremental). Rows-only: the store keys are xxhash64
-    (SURVEY.md §5.3); the store+batch==full-corpus span law is pinned in
-    tests/test_substring.py."""
+    """Incremental EXACT-SUBSTRING removal (round 8; ORACLE round 10,
+    VERDICT r9 #3): the corpus' first ~80% of the doc_id range is the
+    persisted BUCKETED shingle store (built once per process — same
+    cluster-at-ingest discipline as the MinHash store); the remaining
+    batch is span-deduped against store + itself WITHOUT re-shingling
+    history (operators/substring.py:substring_dedup_incremental).
+
+    Oracle: the incremental==full-rebuild law. History doc_ids all
+    precede batch doc_ids, so a batch shingle position is cut by the
+    incremental rule (exists-in-store OR within-batch occ_rank ≥ 2) iff
+    the FULL-corpus keep-first pass cuts it — the oracle is therefore
+    ``docs_substring_dedup``'s full-rebuild SQL restricted to batch
+    doc_ids, and the driver hash-match IS the incremental==batch proof
+    (the pattern docs_substring_decontaminate_store proved in r9). The
+    cutoff is integer-deterministic on both sides:
+    min + FLOOR(0.8·(max−min)) — identical IEEE arithmetic in Python
+    and DuckDB, no percentile-interpolation divergence. Store keys are
+    xxhash64 (raw==hashed pinned by docs_substring_dedup_hashed sharing
+    the raw oracle)."""
+    import math
     import tempfile
 
     t = load_star(spark, sf_dir, ("documents",))
     docs = t["documents"]
-    cutoff = int(docs.agg(F.expr("percentile(doc_id, 0.8)")).first()[0])
+    b = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    cutoff = int(b.lo) + int(math.floor(0.8 * (int(b.hi) - int(b.lo))))
     path = _SUBSTR_STORE_CACHE.get(sf_dir)
     if path is None:
         path = tempfile.mkdtemp(prefix="substr_store_") + "/store"
@@ -2187,26 +2200,16 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
-    # Round 9: the five r8 priority names got green r8 rows and rotate
+    # Round 10: the six r9 priority names got green r9 rows and rotate
     # out via _last_checked_round. This block holds only this round's
-    # NEW oracle-backed queries; the 20 r5-stale rows (VERDICT r8 #1)
-    # auto-sort directly after it as the least-recently-checked — keep
-    # this block ≤8 so the 4-round staleness bound holds
+    # NEW(ly) oracle-backed queries; the 26 r6-stale rows (VERDICT r9
+    # #1) auto-sort directly after it as the least-recently-checked —
+    # keep this block ≤8 so the 4-round staleness bound holds
     # (tests/test_evidence_window.py enforces it).
-    # stream-stream LEFT ANTI interval join batch twin (VERDICT r8 #3)
-    "events_interval_join_anti",
-    # ExactSubstr min_span_tokens length threshold + rebuild cap
-    # (VERDICT r8 #4/#5)
-    "docs_substring_dedup_min40",
-    # pinned-group consistency context (VERDICT r8 #9)
-    "orders_txn_pinned_report",
-    # hash_shingles=True twin — the 100-TB key representation, shares
-    # the raw oracle (VERDICT r8 #10)
-    "docs_substring_dedup_hashed",
-    # substring-level benchmark decontamination (round 9): batch pass +
-    # the store-backed steady-state probe sharing its oracle
-    "docs_substring_decontaminate",
-    "docs_substring_decontaminate_store",
+    # rows-only → ORACLE upgrade (VERDICT r9 #3): shares the
+    # full-rebuild oracle restricted to batch doc_ids, so the driver
+    # hash-match is the incremental==batch proof
+    "docs_substring_incremental",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2229,7 +2232,6 @@ _ROWS_ONLY = {
     "docs_simhash_pairs",
     "docs_neardup_dedup",
     "docs_incremental_dedup",
-    "docs_substring_incremental",
     "ann_cosine_lsh",
     "embedding_near_dups_lsh",
     "embeddings_semantic_dedup",
@@ -5888,4 +5890,20 @@ def oracle_sql() -> dict[str, str]:
     # the batch pass (store keys are xxhash64; hashed==raw pinned in
     # tests), so it shares the batch oracle — store==batch equivalence.
     d["docs_substring_decontaminate_store"] = d["docs_substring_decontaminate"]
+    # incremental substring dedup (VERDICT r9 #3): history doc_ids all
+    # precede batch doc_ids, so the incremental rule (exists-in-store OR
+    # within-batch occ_rank>=2) cuts exactly what the FULL-corpus
+    # keep-first rebuild cuts — the oracle is the full-rebuild SQL
+    # restricted to batch doc_ids (cutoff = min + FLOOR(0.8*(max-min)),
+    # integer-deterministic on both engines). The driver hash-match is
+    # therefore the incremental==batch equivalence proof.
+    _tail = "FROM tok t LEFT JOIN cover c USING (doc_id)"
+    assert _tail in d["docs_substring_dedup"]
+    d["docs_substring_incremental"] = d["docs_substring_dedup"].replace(
+        _tail,
+        _tail + """
+            WHERE t.doc_id >= (SELECT MIN(doc_id)
+                               + CAST(FLOOR(0.8 * (MAX(doc_id) - MIN(doc_id))) AS BIGINT)
+                               FROM documents)""",
+    )
     return d
