@@ -45,6 +45,7 @@ from jobanalytics_bigdataproject_spark.operators import (
     tpch,
 )
 from jobanalytics_bigdataproject_spark.ml import language as mll
+from jobanalytics_bigdataproject_spark.ml import model_store as mlstore
 from jobanalytics_bigdataproject_spark.ml import quality as mlq
 from jobanalytics_bigdataproject_spark.sources.readers import load_star, register_views
 from jobanalytics_bigdataproject_spark.streaming import joins as stream_joins
@@ -600,6 +601,92 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         similarity.ivf_build_index(t["embeddings"], path, n_clusters=8)
         _IVF_INDEX_CACHE[sf_dir] = path
     return path
+
+
+_QUALITY_MODEL_CACHE: dict[str, str] = {}
+_LANGUAGE_MODEL_CACHE: dict[str, str] = {}
+
+
+def _docs_quality_score_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the documents table from the PERSISTED quality model
+    (ml/model_store.py — VERDICT r9 #2): the fit-once/score-forever
+    steady state. The model is saved once per (process, sf_dir); the
+    query itself is one stateless PipelineModel.transform."""
+    import tempfile
+
+    t = load_star(spark, sf_dir, ("documents",))
+    docs = t["documents"].select("doc_id", "text")
+    path = _QUALITY_MODEL_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="quality_model_") + "/store"
+        mlstore.save_quality_model(docs, path)
+        _QUALITY_MODEL_CACHE[sf_dir] = path
+    return mlstore.score_quality(spark, docs, path)
+
+
+def _docs_language_id_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID the documents table from the PERSISTED language model
+    (supervised label_col distillation, like docs_language_model, but
+    fit once per process and served from the store)."""
+    import tempfile
+
+    t = load_star(spark, sf_dir, ("documents",))
+    docs = t["documents"]
+    path = _LANGUAGE_MODEL_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="language_model_") + "/store"
+        mlstore.save_language_model(docs, path, label_col="lang")
+        _LANGUAGE_MODEL_CACHE[sf_dir] = path
+    return mlstore.score_language(spark, docs, path)
+
+
+_SEMDEDUP_INC_INDEX_CACHE: dict[str, str] = {}
+
+
+def _semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Semantic dedup ON ARRIVAL (VERDICT r9 #4,
+    operators/similarity.py:semantic_dedup_incremental): the even-id half
+    of the embeddings table is history, persisted as an IVF index (built
+    once per process — cluster-at-ingest, same posture as
+    _ivf_index_path); the arriving batch is the odd-id half PLUS planted
+    exact copies of three stored vectors under fresh ids. Each batch
+    vector is admitted only if the index probe finds no above-threshold
+    stored neighbor and the batch-internal LSH+CC stage finds no earlier
+    twin. Output: one row per batch vector (vec_id, admitted, dup_of,
+    dup_sim). Rows-only: KMeans cells and SRP buckets aren't
+    SQL-expressible and probe recall < 1 in general (SURVEY §5.3) —
+    n_probe=2 of 8 cells is the documented recall dial
+    (ann_recall_report measures it); the planted EXACT copies are caught
+    at any n_probe ≥ 1 (an exact copy ranks its twin's cell first), and
+    the exhaustive-probe + arrival/append laws are pinned in
+    tests/test_similarity.py."""
+    import tempfile
+
+    t = load_star(spark, sf_dir, ("embeddings",))
+    emb = t["embeddings"]
+    path = _SEMDEDUP_INC_INDEX_CACHE.get(sf_dir)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="semdedup_ivf_") + "/ivf"
+        similarity.ivf_build_index(
+            emb.filter(F.col("vec_id") % 2 == 0), path, n_clusters=8
+        )
+        _SEMDEDUP_INC_INDEX_CACHE[sf_dir] = path
+    planted = (
+        emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") <= 4))
+        .select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding")
+    )
+    batch = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    return (
+        similarity.semantic_dedup_incremental(
+            spark, batch, path, threshold=0.95, n_probe=2, bits=8, n_tables=8
+        )
+        .select("vec_id", "admitted", "dup_of", "dup_sim")
+        .orderBy("vec_id")
+    )
 
 
 _VAMANA_INDEX_CACHE: dict[str, str] = {}
@@ -2215,6 +2302,8 @@ _ROWS_ONLY = {
     "ann_recall_report",
     "docs_quality_classifier",
     "docs_language_model",
+    "docs_quality_score_store",
+    "docs_language_id_store",
     "docs_lda_topics",
     "docs_fuzzy_contamination",
     "docs_bpe_merges",
@@ -2235,6 +2324,7 @@ _ROWS_ONLY = {
     "ann_cosine_lsh",
     "embedding_near_dups_lsh",
     "embeddings_semantic_dedup",
+    "embeddings_semantic_dedup_incremental",
     "ann_cosine_ivf",
     "ann_cosine_ivf_indexed",
     "ann_cosine_vamana",
@@ -2892,6 +2982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["embeddings"], threshold=0.3, bits=2, n_tables=8
             ).select("vec_id"),
         ),
+        # dedup-on-arrival twin (VERDICT r9 #4): probe the persisted IVF
+        # index before admitting a batch; planted copies of stored
+        # vectors are the caught-duplicate witnesses
+        "embeddings_semantic_dedup_incremental": _semantic_dedup_incremental_q,
         "embeddings_centered": _q(
             ("embeddings",), lambda t: similarity.center_embeddings(t["embeddings"])
         ),
@@ -3052,6 +3146,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("documents",),
             lambda t: mll.doc_language_classifier(t["documents"], label_col="lang"),
         ),
+        # STORED-model serving (ml/model_store.py — VERDICT r9 #2): the
+        # fit happens once per process (save_quality_model /
+        # save_language_model into a temp store, the cluster-at-ingest
+        # posture the index caches use); the query is the STATELESS
+        # score-on-arrival pass — no percentile scan, no IDF fit, no LR
+        # iterations in the hot path. Rows-only: float model scores;
+        # store==fresh-fit equivalence is pinned exactly in
+        # tests/test_model_store.py.
+        "docs_quality_score_store": _docs_quality_score_store,
+        "docs_language_id_store": _docs_language_id_store,
         # corpus-mix audit: MLlib LDA-EM topic discovery (ml/quality.py:
         # lda_topics; rows-only: iterative float posterior weights)
         "docs_lda_topics": _q(

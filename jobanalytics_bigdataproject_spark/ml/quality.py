@@ -12,6 +12,15 @@ row) → deterministic md5 train/holdout split (same device as
 `corpus.hash_split`, so membership is stable across runs/engines) →
 HashingTF/IDF/LogisticRegression (MLlib distributed implementations).
 
+Split into FIT and SCORE halves (VERDICT r9 #2): ``fit_quality_pipeline``
+produces a native-serializable ``PipelineModel`` (HashingTF → IDFModel →
+LogisticRegressionModel) plus the label cutoffs; ``score_quality_with``
+is the stateless scoring pass that runs on any corpus — including future
+arrival batches that never see a fit. ``ml/model_store.py`` persists the
+pair beside the sketch/dedup stores and adds the score-on-arrival sink;
+``doc_quality_classifier`` below stays as the fit-then-score COLD path
+with its original signature and output.
+
 Scale shape: bounded corpus passes, each one scan — the IDF
 doc-frequency fit (a treeAggregate producing one 2^15 vector), the LR
 fit (iterating ONLY over the labeled extreme bands, ~2/3 of rows,
@@ -26,6 +35,7 @@ sketch path, same as `operators/sampling.py`).
 
 from __future__ import annotations
 
+from pyspark.ml import PipelineModel
 from pyspark.ml.classification import LogisticRegression
 from pyspark.ml.feature import IDF, HashingTF
 from pyspark.ml.functions import vector_to_array
@@ -36,46 +46,54 @@ from jobanalytics_bigdataproject_spark.functions.textfns import tokenize
 from jobanalytics_bigdataproject_spark.operators.text import quality_score
 
 
-def doc_quality_classifier(
-    documents: DataFrame,
-    n_features: int = 1 << 15,
-    train_bp: int = 8000,
-    salt: str = "split:v1",
+def _labeled_base(
+    documents: DataFrame, lo: float, hi: float, train_bp: int, salt: str
 ) -> DataFrame:
-    """Distill the heuristic quality score into a logistic-regression text
-    classifier; return every document scored by the model.
-
-    Labels: top third of the heuristic score = 1, bottom third = 0,
-    middle band = NULL (excluded from training — distillation only
-    trusts the heuristic where it is confident). Split: deterministic
-    md5 bucket, ``train_bp``/10000 to train, rest held out. IDF is fit
-    on the labeled train subset only (no leakage). Output columns:
-    ``doc_id, split, label, prob_good, pred``.
-    """
+    """doc_id + tokens + distillation label (1 = top band, 0 = bottom band,
+    NULL = middle) + deterministic md5 train/holdout split. The cutoffs
+    are FIT-TIME artifacts: at score time the stored (lo, hi) apply, so
+    new arrivals are labeled by the trained operating point, not their
+    own batch's percentiles."""
     qs = quality_score(documents).select("doc_id", "quality_score")
-    cuts = qs.agg(
-        F.percentile("quality_score", F.lit([1.0 / 3, 2.0 / 3])).alias("c")
-    ).select(F.col("c")[0].alias("lo"), F.col("c")[1].alias("hi"))
-
     bucket = F.substring(
         F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 4
     )
     t_train = f"{(train_bp * 65536) // 10000:04x}"
-    base = (
+    return (
         documents.select("doc_id", tokenize("text", min_len=1).alias("toks"))
         .join(qs, "doc_id")
-        .crossJoin(F.broadcast(cuts))
         .select(
             "doc_id",
             "toks",
-            F.when(F.col("quality_score") >= F.col("hi"), F.lit(1.0))
-            .when(F.col("quality_score") <= F.col("lo"), F.lit(0.0))
+            F.when(F.col("quality_score") >= F.lit(hi), F.lit(1.0))
+            .when(F.col("quality_score") <= F.lit(lo), F.lit(0.0))
             .alias("label"),
             F.when(bucket < t_train, F.lit("train"))
             .otherwise(F.lit("holdout"))
             .alias("split"),
         )
     )
+
+
+def fit_quality_pipeline(
+    documents: DataFrame,
+    n_features: int = 1 << 15,
+    train_bp: int = 8000,
+    salt: str = "split:v1",
+) -> tuple[PipelineModel, tuple[float, float]]:
+    """Fit the distilled quality classifier; returns the native-
+    serializable ``PipelineModel`` (HashingTF → IDFModel → LRModel) and
+    the heuristic-score percentile cutoffs ``(lo, hi)`` the labels used.
+
+    Labels: top third of the heuristic score = 1, bottom third = 0,
+    middle band = NULL (excluded from training — distillation only
+    trusts the heuristic where it is confident). IDF is fit on the
+    labeled train subset only (no leakage)."""
+    qs = quality_score(documents).select("quality_score")
+    lo, hi = qs.agg(
+        F.percentile("quality_score", F.lit([1.0 / 3, 2.0 / 3])).alias("c")
+    ).first()["c"]
+    base = _labeled_base(documents, lo, hi, train_bp, salt)
 
     tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=n_features)
     with_tf = tf.transform(base)
@@ -95,22 +113,44 @@ def doc_quality_classifier(
     finally:
         train.unpersist()
 
-    # Drop the training summary before scoring: the fitted model's summary
-    # pins the SparkSession, and the scoring task closure serializes the
-    # model — which explodes with NotSerializableException(ObservationManager)
-    # once ANY Observation has materialized the session's manager (order-
-    # dependent under a shared session; reproduced via etl's observe mode).
-    # A write/load round-trip is the supported way to shed the summary; the
-    # artifact is one 2^15 coefficient vector.
+    # Drop the training summary before the model is used for scoring: the
+    # fitted model's summary pins the SparkSession, and the scoring task
+    # closure serializes the model — which explodes with
+    # NotSerializableException(ObservationManager) once ANY Observation has
+    # materialized the session's manager (order-dependent under a shared
+    # session; reproduced via etl's observe mode). A write/load round-trip
+    # is the supported way to shed the summary; the artifact is one 2^15
+    # coefficient vector.
+    import shutil
     import tempfile
 
     from pyspark.ml.classification import LogisticRegressionModel
 
     path = tempfile.mkdtemp(prefix="doc_quality_lr_")
-    model.write().overwrite().save(path)
-    model = LogisticRegressionModel.load(path)
+    try:
+        model.write().overwrite().save(path)
+        model = LogisticRegressionModel.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
-    return model.transform(featurized).select(
+    return PipelineModel(stages=[tf, idf_model, model]), (float(lo), float(hi))
+
+
+def score_quality_with(
+    model: PipelineModel,
+    cuts: tuple[float, float],
+    documents: DataFrame,
+    train_bp: int = 8000,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """The stateless scoring pass: label/split columns from the STORED
+    cutoffs (so the output schema and label semantics match the fit-time
+    corpus view), then one ``PipelineModel.transform``. Output columns:
+    ``doc_id, split, label, prob_good, pred`` — identical to
+    ``doc_quality_classifier``."""
+    lo, hi = cuts
+    base = _labeled_base(documents, lo, hi, train_bp, salt)
+    return model.transform(base).select(
         "doc_id",
         "split",
         "label",
@@ -118,6 +158,23 @@ def doc_quality_classifier(
         F.col("prediction").alias("pred"),
     )
     # no presentation sort: D-sized output; rows-only (float model scores)
+
+
+def doc_quality_classifier(
+    documents: DataFrame,
+    n_features: int = 1 << 15,
+    train_bp: int = 8000,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Distill the heuristic quality score into a logistic-regression text
+    classifier; return every document scored by the model — the COLD
+    path (fit + score in one call). Steady-state serving persists the
+    fit once via ``ml/model_store.py`` and scores arrivals against it.
+
+    Output columns: ``doc_id, split, label, prob_good, pred``.
+    """
+    model, cuts = fit_quality_pipeline(documents, n_features, train_bp, salt)
+    return score_quality_with(model, cuts, documents, train_bp, salt)
 
 
 def lda_topics(

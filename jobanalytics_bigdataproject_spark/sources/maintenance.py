@@ -114,6 +114,8 @@ def maintain(
     txn_dir: str | None = None,
     dedup_stores: Sequence[str] = (),
     dedup_store_max_files: int = 64,
+    model_stores: Sequence[tuple[str, str]] = (),
+    model_max_age_s: float | None = 7 * 86400.0,
 ) -> dict:
     """VERDICT r4 #10 — the nightly table service: read ``describe_detail``'s
     operational signals and close the loop, deciding maintenance instead of
@@ -147,6 +149,12 @@ def maintain(
        ``sources/bucket_store.py``) whose file count exceeds
        ``dedup_store_max_files`` is compacted back to one file set per
        bucket via the store's crash-safe staging swap.
+    6. **Model freshness** (VERDICT r9 #2): each ``(store_dir,
+       corpus_path)`` in ``model_stores`` (a persisted quality/language
+       classifier, ``ml/model_store.py``) older than ``model_max_age_s``
+       is refit from its corpus with the STORED fit params — the serving
+       sinks keep scoring the old model until the refreshed save lands,
+       then pick it up on their next batch (the sidecar re-read).
 
     Idempotent by construction: on a converged table every signal is
     below threshold and the call is a metadata-only no-op. Returns
@@ -246,6 +254,18 @@ def maintain(
                 n = bucket_store.compact(spark, store_path)
             store_files[store_path] = n
         out["dedup_store_files"] = store_files
+
+    if model_stores:
+        # persisted classifier freshness (VERDICT r9 #2): the serving
+        # half scores a stored model; maintenance owns the refit cadence
+        from jobanalytics_bigdataproject_spark.ml import model_store
+
+        refreshed: dict[str, bool] = {}
+        for store_dir, corpus_path in model_stores:
+            refreshed[store_dir] = model_store.refresh(
+                spark, store_dir, corpus_path, max_age_s=model_max_age_s
+            )
+        out["model_refreshed"] = refreshed
 
     out["version"] = sn.current_version(spark, table_dir)
     out["signals"] = signals

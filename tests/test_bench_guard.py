@@ -49,3 +49,46 @@ def test_ancestors_excluded():
     assert os.getpid() in bench._ancestor_pids()
     for pid, _ in bench._foreign_spark_jvms():
         assert pid not in bench._ancestor_pids()
+
+
+# --- quiet-median statistic (VERDICT r9 #5) ---------------------------------
+
+
+def test_quiet_median_idle_box_is_plain_median():
+    import statistics
+
+    runs = [0.40, 0.38, 0.42]
+    assert bench._quiet(runs) == runs
+    assert bench._median_quiet(runs) == statistics.median(runs)
+
+
+def test_quiet_median_drops_contention_stalls():
+    # the r9 driver artifact's q3_priority_vs_overall vector: clean
+    # primaries then a contended sweep window; the old REPLACE protocol
+    # reported 1.64 s (6.97x) — the quiet median must stay on the clean
+    # runs' side
+    runs = [0.38, 0.38, 0.42, 0.79, 1.70, 1.64]
+    quiet = bench._quiet(runs)
+    assert 1.70 not in quiet and 1.64 not in quiet
+    assert bench._median_quiet(runs) < 0.5
+
+
+def test_quiet_median_pure_stall_sweep_changes_nothing():
+    primary = [0.38, 0.38, 0.39]
+    stalls = [1.70, 1.64, 1.80]
+    assert bench._median_quiet(primary + stalls) == bench._median_quiet(primary)
+
+
+def test_quiet_median_keeps_genuine_regressions():
+    # a real plan regression is slow on EVERY run — nothing is a stall
+    # relative to its own min, so the quiet median reports it honestly
+    runs = [4.1, 4.3, 4.2]
+    assert bench._quiet(runs) == runs
+    assert bench._median_quiet(runs) == 4.2
+
+
+def test_quiet_median_absolute_floor_for_subsecond_jitter():
+    # at the job-overhead floor 3x min alone would flag ordinary jitter;
+    # the +0.05 s floor keeps a 0.01->0.04 s spread intact
+    runs = [0.01, 0.04, 0.02]
+    assert bench._quiet(runs) == runs

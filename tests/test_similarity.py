@@ -408,3 +408,135 @@ def test_recall_report_scope_releases_pinned_frames(spark, tables, tmp_path):
         ).collect()
         assert rows and len(similarity._RECALL_PINNED) > 0
     assert similarity._RECALL_PINNED == []
+
+
+# --- semantic dedup on arrival (VERDICT r9 #4) ------------------------------
+
+
+def _unit_rows(rng, n, start_id, dim=64):
+    import numpy as np
+
+    out = []
+    for i in range(n):
+        v = rng.normal(size=dim)
+        out.append((start_id + i, [float(x) for x in v / np.linalg.norm(v)]))
+    return out
+
+
+def test_semantic_dedup_incremental_planted_arrival(spark, tmp_path):
+    """Planted-duplicate arrival: a batch duplicate of a STORED vector is
+    caught via the persisted-index probe, novel vectors are admitted and
+    APPENDED (the next batch dedups against them), a within-batch twin
+    keeps its min id, and losers fold through delete_keys_mor exactly
+    like the text family's loser sets."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    rng = np.random.default_rng(3)
+    stored = _unit_rows(rng, 40, 0)
+    emb = spark.createDataFrame(stored, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, path, n_clusters=4)
+
+    novel = _unit_rows(rng, 5, 100)
+    twin = _unit_rows(rng, 1, 300)[0][1]
+    batch_rows = (
+        [(200 + i, stored[i][1]) for i in range(3)]  # exact copies of history
+        + novel
+        + [(300, twin), (301, twin)]                 # within-batch twin pair
+    )
+    batch = spark.createDataFrame(batch_rows, "vec_id long, embedding array<double>")
+    # n_probe == n_clusters: exact probe, so the planted history dups are
+    # guaranteed caught (the recall dial at its exhaustive end)
+    ann = similarity.semantic_dedup_incremental(
+        spark, batch, path, threshold=0.95, n_probe=4, update_index=True
+    )
+    rows = {r.vec_id: r for r in ann.collect()}
+    assert len(rows) == len(batch_rows)
+    for i in range(3):  # history dups: caught, named, sim ~ 1.0
+        r = rows[200 + i]
+        assert not r.admitted and r.dup_of == i and r.dup_sim >= 0.95
+    for vid, _ in novel:  # novel: admitted
+        assert rows[vid].admitted and rows[vid].dup_of is None
+    assert rows[300].admitted            # min id of the twin pair survives
+    assert not rows[301].admitted and rows[301].dup_of == 300
+    assert rows[301].dup_sim is None     # batch-internal loser: no probe sim
+
+    # admitted vectors were appended: an exact copy of novel id 100 in the
+    # NEXT batch is now a history dup; a fresh vector still admits
+    batch2 = spark.createDataFrame(
+        [(400, dict(novel)[100])] + _unit_rows(rng, 1, 401),
+        "vec_id long, embedding array<double>",
+    )
+    ann2 = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup_incremental(
+            spark, batch2, path, threshold=0.95, n_probe=4
+        ).collect()
+    }
+    assert not ann2[400].admitted and ann2[400].dup_of == 100
+    assert ann2[401].admitted
+
+    # retry stability after its own append (the sink's crash-retry path):
+    # the replayed batch finds its own stored copies under its own ids and
+    # ignores them — the annotation is unchanged
+    retry = {
+        r.vec_id: r
+        for r in similarity.semantic_dedup_incremental(
+            spark, batch, path, threshold=0.95, n_probe=4
+        ).collect()
+    }
+    assert {v for v, r in retry.items() if r.admitted} == {
+        v for v, r in rows.items() if r.admitted
+    }
+    assert all(retry[v].dup_of == rows[v].dup_of for v in rows)
+
+    # losers route through delete_keys_mor: one position-sidecar commit
+    # against the staged batch table, no rewrite
+    tbl = str(tmp_path / "emb_tbl")
+    sn.write_snapshot(batch, tbl)
+    losers = ann.filter(~F.col("admitted")).select("vec_id")
+    sn.delete_keys_mor(spark, tbl, losers, "vec_id")
+    live = {r.vec_id for r in sn.read_snapshot(spark, tbl).collect()}
+    assert live == {v for v, r in rows.items() if r.admitted}
+
+
+def test_semantic_dedup_sink_exactly_once(spark, tmp_path):
+    """The foreachBatch sink: batch 2 dedups against batch 1 via the
+    appended index, admitted vectors land as snapshot versions keyed by
+    batch id, and a RETRY of a batch no-ops the output commit."""
+    import numpy as np
+
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    rng = np.random.default_rng(17)
+    stored = _unit_rows(rng, 30, 0)
+    emb = spark.createDataFrame(stored, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, path, n_clusters=4)
+    out = str(tmp_path / "out")
+    sink = similarity.semantic_dedup_sink(
+        spark, path, out, threshold=0.95, n_probe=4
+    )
+
+    b1 = spark.createDataFrame(
+        _unit_rows(rng, 3, 100), "vec_id long, embedding array<double>"
+    )
+    sink(b1, 0)
+    # batch 2: one copy of a b1 vector (new id), one copy of an ORIGINAL
+    # stored vector, one fresh
+    b1_vec = b1.filter("vec_id = 100").first().embedding
+    b2 = spark.createDataFrame(
+        [(200, b1_vec), (201, stored[5][1])] + _unit_rows(rng, 1, 202),
+        "vec_id long, embedding array<double>",
+    )
+    sink(b2, 1)
+    live = {r.vec_id for r in sn.read_snapshot(spark, out).collect()}
+    assert live == {100, 101, 102, 202}
+    v = sn.current_version(spark, out)
+    sink(b2, 1)  # Spark retries a failed micro-batch with the SAME id
+    assert sn.current_version(spark, out) == v
+    assert sn.read_snapshot(spark, out).count() == 4
