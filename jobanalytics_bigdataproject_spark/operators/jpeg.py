@@ -9,13 +9,16 @@ come straight from the T.81 spec text. No image library is involved —
 encode and decode are numpy + stdlib only.
 
 Scope (documented bounds, loud failures outside them):
-- baseline sequential DCT, 8-bit precision, Huffman entropy coding
-  (SOF0); progressive (SOF2) and arithmetic coding are rejected.
+- sequential baseline DCT (SOF0/1) AND progressive DCT (SOF2 —
+  spectral selection + successive approximation, VERDICT r9 #9), 8-bit
+  precision, Huffman entropy coding; arithmetic coding and the
+  hierarchical/lossless modes are rejected.
 - encoder emits 4:4:4 (no chroma subsampling) three-component YCbCr
-  with the Annex K tables; the decoder is more general: 1- or
+  with the Annex K tables (`encode_jpeg_progressive` adds a multi-scan
+  SOF2 twin with per-scan tables); the decoder is more general: 1- or
   3-component, sampling factors up to 2x2 (so 4:2:0 / 4:2:2 streams
   from real MJPEG cameras parse), DRI/RSTn restart intervals, 8- and
-  16-bit DQT precision.
+  16-bit DQT precision, table redefinition between scans.
 - the codec is a correctness/plumbing tier for Spark mapInPandas
   pipelines over SMALL frames; a production 100 TB video pipeline would
   swap `decode_jpeg` for libjpeg-turbo behind the same batch signature
@@ -478,10 +481,70 @@ def jpeg_end(raw: bytes, start: int = 0) -> int:
     raise ValueError("JPEG truncated (no EOI)")
 
 
+def _entropy_segments(raw: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect one scan's entropy data starting at *pos*: de-stuff 0xFF00,
+    split at RSTn markers; returns (segments, position of the next real
+    marker's 0xFF byte)."""
+    segments: list[bytearray] = [bytearray()]
+    while pos + 1 < len(raw):
+        b = raw[pos]
+        if b == 0xFF:
+            nxt = raw[pos + 1]
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytearray())
+                pos += 2
+                continue
+            break  # EOI or other marker
+        segments[-1].append(b)
+        pos += 1
+    return [bytes(s) for s in segments], pos
+
+
+def _reconstruct(
+    planes_blocks: dict[int, np.ndarray],
+    comps: list[tuple[int, int, int, int]],
+    qtables: dict[int, np.ndarray],
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+    mcux: int,
+    mcuy: int,
+) -> np.ndarray:
+    """Dequantize + batch IDCT per component, upsample to full res, color
+    transform — the shared tail of the baseline and progressive paths."""
+    out_planes = {}
+    for cid, hf, vf, tq in comps:
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError("JPEG frame references missing DQT table")
+        blocks_zz = planes_blocks[cid].reshape(-1, 64)
+        coef = (blocks_zz[:, _UNZIG].reshape(-1, 8, 8)) * q
+        pix = np.einsum("ji,bjk,kl->bil", _DCT, coef.astype(np.float64), _DCT) + 128.0
+        nby, nbx = mcuy * vf, mcux * hf
+        plane = _from_blocks(pix, nby * 8, nbx * 8)
+        if hf < hmax or vf < vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1)
+        out_planes[cid] = plane[:h, :w]
+
+    if len(comps) == 1:
+        y = np.clip(out_planes[comps[0][0]].round(), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    cids = [c[0] for c in comps]
+    return _ycbcr_to_rgb(out_planes[cids[0]], out_planes[cids[1]], out_planes[cids[2]])
+
+
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JPEG to an (H, W, 3) uint8 RGB array
-    (grayscale streams are replicated to 3 channels). Supports 8/16-bit
-    DQT, 1 or 3 components, sampling factors up to 2, and DRI/RSTn."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to an
+    (H, W, 3) uint8 RGB array (grayscale streams are replicated to 3
+    channels). Supports 8/16-bit DQT, 1 or 3 components, sampling
+    factors up to 2, and DRI/RSTn; SOF2 streams route to the
+    multi-scan spectral-selection + successive-approximation decoder
+    (``_decode_progressive``)."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -538,7 +601,9 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive DCT, Huffman — own path
+            return _decode_progressive(raw)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF marker 0x{marker:02X})")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -577,22 +642,7 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
     # entropy segments split at RST markers, stuffing removed
-    segments: list[bytearray] = [bytearray()]
-    while pos + 1 < len(raw):
-        b = raw[pos]
-        if b == 0xFF:
-            nxt = raw[pos + 1]
-            if nxt == 0x00:
-                segments[-1].append(0xFF)
-                pos += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytearray())
-                pos += 2
-                continue
-            break  # EOI or other marker
-        segments[-1].append(b)
-        pos += 1
+    segments, pos = _entropy_segments(raw, pos)
 
     by_id = {c[0]: c for c in comps}
     order = [by_id[s[0]] for s in scan]
@@ -646,23 +696,542 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                             k += 1
                         planes_blocks[cid][my * vf + by, mx * hf + bx] = zz
 
-    # dequantize + batch IDCT per component, then upsample to full res
-    out_planes = {}
-    for cid, hf, vf, tq in comps:
-        q = qtables.get(tq)
-        if q is None:
-            raise ValueError("JPEG frame references missing DQT table")
-        blocks_zz = planes_blocks[cid].reshape(-1, 64)
-        coef = (blocks_zz[:, _UNZIG].reshape(-1, 8, 8)) * q
-        pix = np.einsum("ji,bjk,kl->bil", _DCT, coef.astype(np.float64), _DCT) + 128.0
-        nby, nbx = mcuy * vf, mcux * hf
-        plane = _from_blocks(pix, nby * 8, nbx * 8)
-        if hf < hmax or vf < vmax:
-            plane = np.repeat(np.repeat(plane, vmax // vf, axis=0), hmax // hf, axis=1)
-        out_planes[cid] = plane[:h, :w]
+    return _reconstruct(
+        planes_blocks, comps, qtables, h, w, hmax, vmax, mcux, mcuy
+    )
 
-    if ncomp == 1:
-        y = np.clip(out_planes[comps[0][0]].round(), 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-    cids = [c[0] for c in comps]
-    return _ycbcr_to_rgb(out_planes[cids[0]], out_planes[cids[1]], out_planes[cids[2]])
+
+# --- progressive DCT (SOF2) — T.81 Annex G ----------------------------------
+#
+# A progressive stream delivers the SAME quantized coefficients as a
+# sequential one, split across scans along two public axes (T.81 G.1):
+# SPECTRAL SELECTION (each scan carries one zigzag band [Ss..Se]; DC and
+# AC never share a scan) and SUCCESSIVE APPROXIMATION (a first scan at
+# point transform Al sends coefficient bits above Al, refinement scans
+# at (Ah, Al=Ah-1) send one lower bit each). DC scans may interleave
+# all components; AC scans are single-component by rule. AC first scans
+# add the EOBn run symbols (r<15, s=0: a run of 1<<r + extra blocks
+# whose band is entirely zero); AC refinement scans send correction
+# bits for already-nonzero coefficients interleaved with newly-nonzero
+# insertions — the G.1.2.3 algorithm implemented below. Once every scan
+# is folded into the coefficient store, reconstruction is IDENTICAL to
+# baseline (`_reconstruct`), which is what the parity test pins.
+
+
+def _dc_first_scan(
+    reader, dc_t, zz, pred_ref, al
+):
+    s = reader.read_symbol(dc_t)
+    diff = _extend(reader.read_bits(s), s)
+    pred_ref[0] += diff
+    zz[0] = pred_ref[0] << al
+
+
+def _ac_first_block(reader, ac_t, zz, ss, se, al, eobrun):
+    """First AC scan for one block (Ah == 0); returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of 1<<r (+ extra bits) all-zero bands
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end in progressive scan")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, ac_t, zz, ss, se, al, eobrun):
+    """Refinement AC scan for one block (Ah == Al+1): newly-nonzero
+    insertions + one correction bit per already-nonzero coefficient
+    (T.81 G.1.2.3; the correction test `(coef & p1) == 0` relies on
+    two's-complement bit semantics, which Python ints share)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "refinement scan symbol with s != 1 (corrupt stream)"
+                    )
+                val = p1 if reader.read_bit() else -p1
+            # advance past r zero-history positions, emitting correction
+            # bits for nonzero-history positions encountered on the way
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (int(zz[k]) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        # the rest of the band lies inside an EOB run: only correction
+        # bits for already-nonzero coefficients are present
+        while k <= se:
+            if zz[k] != 0:
+                if reader.read_bit() and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(raw: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2, Huffman) JPEG: fold every scan's
+    spectral band / bit level into the per-component coefficient store,
+    then reconstruct exactly like baseline. Supports 1- or 3-component
+    frames, sampling factors up to 2, DRI/RSTn inside any scan, and
+    table redefinition between scans (DHT/DQT may precede each SOS)."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    planes_blocks: dict[int, np.ndarray] = {}
+    dims: tuple[int, int, int, int] | None = None  # hmax, vmax, mcux, mcuy
+
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        while pos + 2 <= len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
+        marker = raw[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (ln,) = struct.unpack_from(">H", raw, pos)
+        body = raw[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (may appear between scans)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                off += 1
+                if pq:
+                    vals = np.frombuffer(body[off : off + 128], dtype=">u2")
+                    off += 128
+                else:
+                    vals = np.frombuffer(body[off : off + 64], dtype=np.uint8)
+                    off += 64
+                zzq = np.zeros(64, dtype=np.int64)
+                zzq[ZIGZAG] = vals.astype(np.int64)
+                qtables[tq] = zzq.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (may be redefined per scan)
+            off = 0
+            while off < len(body):
+                cls, tid = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                htables[(cls, tid)] = _decode_map(bits, vals)
+                off += 17 + n
+        elif marker == 0xC2:  # SOF2
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision supported, got {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            if len(comps) not in (1, 3):
+                raise ValueError(f"{len(comps)}-component JPEG not supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise ValueError("sampling factors above 2 not supported")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            frame = (h, w, comps)
+            dims = (hmax, vmax, mcux, mcuy)
+            planes_blocks = {
+                c[0]: np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int64)
+                for c in comps
+            }
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unexpected SOF marker 0x{marker:02X} in progressive path"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — decode one scan, then keep walking
+            if frame is None or dims is None:
+                raise ValueError("JPEG scan before SOF2 frame header")
+            h, w, comps = frame
+            hmax, vmax, mcux, mcuy = dims
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                    for i in range(ns)]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+            pos += ln
+            segments, pos = _entropy_segments(raw, pos)
+            _decode_prog_scan(
+                segments, scan, comps, htables, planes_blocks,
+                restart_interval, ss, se, ah, al,
+                h, w, hmax, vmax, mcux, mcuy,
+            )
+            continue
+        pos += ln
+
+    if frame is None or dims is None:
+        raise ValueError("JPEG missing SOF2/SOS")
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = dims
+    return _reconstruct(
+        planes_blocks, comps, qtables, h, w, hmax, vmax, mcux, mcuy
+    )
+
+
+def _decode_prog_scan(
+    segments, scan, comps, htables, planes_blocks,
+    restart_interval, ss, se, ah, al,
+    h, w, hmax, vmax, mcux, mcuy,
+) -> None:
+    """Fold one progressive scan into the coefficient store."""
+    by_id = {c[0]: c for c in comps}
+    for cid, _, _ in scan:
+        if cid not in by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixing DC and AC (Ss=0, Se>0)")
+    elif len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    eobrun = 0
+    pred = {c[0]: [0] for c in comps}
+    units_in_interval = 0
+
+    def maybe_restart():
+        nonlocal seg_idx, reader, eobrun, units_in_interval, pred
+        if restart_interval and units_in_interval == restart_interval:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing RST segment in progressive scan")
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+            pred = {c[0]: [0] for c in comps}
+            units_in_interval = 0
+
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan: MCU traversal, every scan component
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                units_in_interval += 1
+                for cid, td, _ in scan:
+                    _, hf, vf, _ = by_id[cid]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            zz = planes_blocks[cid][my * vf + by, mx * hf + bx]
+                            if ah == 0:
+                                dc_t = htables.get((0, td))
+                                if dc_t is None:
+                                    raise ValueError(
+                                        "scan references missing DHT table"
+                                    )
+                                _dc_first_scan(reader, dc_t, zz, pred[cid], al)
+                            else:
+                                zz[0] |= reader.read_bit() << al
+        return
+
+    # non-interleaved scan (single component; DC or AC): one block per
+    # MCU, traversal over the COMPONENT's own block grid (T.81 A.2.2 —
+    # ceil of the scaled sample dims, NOT the MCU-padded grid)
+    cid, td, ta = scan[0]
+    _, hf, vf, _ = by_id[cid]
+    nbx = (w * hf + 8 * hmax - 1) // (8 * hmax)
+    nby = (h * vf + 8 * vmax - 1) // (8 * vmax)
+    for by in range(nby):
+        for bx in range(nbx):
+            maybe_restart()
+            units_in_interval += 1
+            zz = planes_blocks[cid][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    dc_t = htables.get((0, td))
+                    if dc_t is None:
+                        raise ValueError("scan references missing DHT table")
+                    _dc_first_scan(reader, dc_t, zz, pred[cid], al)
+                else:
+                    zz[0] |= reader.read_bit() << al
+                continue
+            ac_t = htables.get((1, ta))
+            if ac_t is None:
+                raise ValueError("scan references missing DHT table")
+            if ah == 0:
+                eobrun = _ac_first_block(reader, ac_t, zz, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(reader, ac_t, zz, ss, se, al, eobrun)
+
+
+# --- progressive encoder (fixture generator for the SOF2 decoder) -----------
+
+
+def _fixed_table(symbols: list[int]):
+    """A one-length canonical Huffman table over the symbols a scan
+    actually uses: every code ceil(log2(n+1)) bits, so the all-ones code
+    (reserved by T.81 C.2) is never assigned. Optimal compression is not
+    the point — a VALID table exercising the decoder is."""
+    syms = sorted(set(symbols))
+    if not syms:
+        syms = [0x00]
+    L = 1
+    while (1 << L) - 1 < len(syms):
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms, _canonical_codes(bits, syms)
+
+
+def _write_ops(bw: "_BitWriter", ops, codes) -> None:
+    for op in ops:
+        if op[0] == "sym":
+            code, ln = codes[op[1]]
+            bw.write(code, ln)
+        else:
+            _, v, n = op
+            if n:
+                bw.write(v, n)
+
+
+def _ops_ac_first(grid, ss, se, al, nby, nbx):
+    """Symbol/bit op-stream for a first AC scan (Ah=0): magnitude-shifted
+    coefficients (truncation toward zero, T.81 G.1.2.2), zero runs, ZRL,
+    and cross-block EOBn runs."""
+    ops: list[tuple] = []
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ops.append(("sym", nbits << 4))
+            ops.append(("bits", eobrun - (1 << nbits), nbits))
+            eobrun = 0
+
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = grid[by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                flush()
+                while r > 15:
+                    ops.append(("sym", 0xF0))
+                    r -= 16
+                tv = t if v > 0 else -t
+                s, bits = _magnitude(tv)
+                ops.append(("sym", (r << 4) | s))
+                ops.append(("bits", bits, s))
+                r = 0
+            if r:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+    return ops
+
+
+def _ops_ac_refine(grid, ss, se, al, nby, nbx):
+    """Symbol/bit op-stream for an AC refinement scan (Ah=Al+1): newly-
+    nonzero insertions + correction bits, placed by SIMULATING the
+    decoder's advance pointer — each ZRL carries exactly the correction
+    bits inside its 16-zero-history span, each R-S code the bits up to
+    its target, each EOBn the buffered bits of its run's blocks (the
+    G.1.2.3 association rule)."""
+    ops: list[tuple] = []
+    eobrun = 0
+    eob_bits: list[int] = []
+
+    def flush():
+        nonlocal eobrun, eob_bits
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            ops.append(("sym", nbits << 4))
+            ops.append(("bits", eobrun - (1 << nbits), nbits))
+            for b in eob_bits:
+                ops.append(("bits", b, 1))
+            eobrun = 0
+            eob_bits = []
+
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = grid[by, bx]
+            # events since the last emitted code, in positional order:
+            # None = zero-history position, int = correction bit of an
+            # already-nonzero position
+            events: list[int | None] = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    events.append(None)
+                elif t > 1:
+                    events.append(t & 1)
+                else:  # newly-nonzero target
+                    r = sum(1 for e in events if e is None)
+                    while r > 15:
+                        flush()
+                        ops.append(("sym", 0xF0))
+                        z = 0
+                        while z < 16:
+                            ev = events.pop(0)
+                            if ev is None:
+                                z += 1
+                            else:
+                                ops.append(("bits", ev, 1))
+                        r -= 16
+                    flush()
+                    ops.append(("sym", (r << 4) | 1))
+                    ops.append(("bits", 1 if v > 0 else 0, 1))
+                    for ev in events:
+                        if ev is not None:
+                            ops.append(("bits", ev, 1))
+                    events = []
+            if events:  # trailing zeros and/or corrections join an EOB run
+                eobrun += 1
+                eob_bits.extend(ev for ev in events if ev is not None)
+                if eobrun == 0x7FFF:
+                    flush()
+    flush()
+    return ops
+
+
+def encode_jpeg_progressive(px: np.ndarray, quality: int = 85) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a PROGRESSIVE (SOF2) JFIF
+    JPEG — the fixture generator for ``_decode_progressive`` and a
+    spec-shaped scan script in its own right: interleaved DC first scan
+    at Al=1, per-component AC first scans with a SPLIT luma spectral
+    band (1-5 then 6-63 — spectral selection exercised, not just
+    approximation), then DC + AC refinement scans at Ah=1/Al=0. The
+    quantized coefficients are IDENTICAL to ``encode_jpeg``'s at the
+    same quality (same FDCT, same Annex K tables), which is exactly why
+    decode-parity against the baseline encoding is a meaningful test.
+    AC scans carry per-scan fixed-length Huffman tables (redefined DHT
+    before each scan) because the Annex K baseline AC tables lack the
+    EOBn (n>=1) run symbols progressive scans need."""
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB, got {px.shape}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql, qc = scaled_quant_tables(quality)
+    ycc = _rgb_to_ycbcr(px.astype(np.float64))
+    h_p = (h + 7) // 8 * 8
+    w_p = (w + 7) // 8 * 8
+    ycc = np.pad(ycc, ((0, h_p - h), (0, w_p - w), (0, 0)), mode="edge")
+    grids = [_block_grid(ycc[..., c], q) for c, q in ((0, ql), (1, qc), (2, qc))]
+    mcuy, mcux = h_p // 8, w_p // 8
+
+    dc_codes = (_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+                _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def sos(comps_sel: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        body = bytes([len(comps_sel)])
+        for cid, td, ta in comps_sel:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, body)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, bytes([1]) + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x11, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    for cls, tid, bits, vals in (
+        (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ):
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    # scan 1: interleaved DC first, Al=1 (arithmetic point transform)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(3):
+                t = 0 if c == 0 else 1
+                v = int(grids[c][my, mx][0]) >> 1
+                diff = v - pred[c]
+                pred[c] = v
+                s, bits = _magnitude(diff)
+                code, ln = dc_codes[t][s]
+                bw.write(code, ln)
+                if s:
+                    bw.write(bits, s)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1) + bw.flush()
+
+    # AC first scans, Al=1 — luma band split exercises spectral selection
+    for ci, ss_, se_ in ((0, 1, 5), (1, 1, 63), (2, 1, 63), (0, 6, 63)):
+        ops = _ops_ac_first(grids[ci], ss_, se_, 1, mcuy, mcux)
+        bits_, vals_, codes = _fixed_table(
+            [o[1] for o in ops if o[0] == "sym"]
+        )
+        out += seg(0xFFC4, bytes([(1 << 4) | 0]) + bytes(bits_) + bytes(vals_))
+        bw = _BitWriter()
+        _write_ops(bw, ops, codes)
+        out += sos([(ci + 1, 0, 0)], ss_, se_, 0, 1) + bw.flush()
+
+    # DC refinement: one raw bit per block, interleaved, no tables
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(3):
+                bw.write(int(grids[c][my, mx][0]) & 1, 1)
+    out += sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0) + bw.flush()
+
+    # AC refinement scans, Ah=1/Al=0
+    for ci in (0, 1, 2):
+        ops = _ops_ac_refine(grids[ci], 1, 63, 0, mcuy, mcux)
+        bits_, vals_, codes = _fixed_table(
+            [o[1] for o in ops if o[0] == "sym"]
+        )
+        out += seg(0xFFC4, bytes([(1 << 4) | 0]) + bytes(bits_) + bytes(vals_))
+        bw = _BitWriter()
+        _write_ops(bw, ops, codes)
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0) + bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

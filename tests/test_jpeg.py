@@ -114,11 +114,17 @@ def test_marker_grammar_structurally_valid():
 def test_decode_rejects_unsupported_modes():
     raw = bytearray(jpeg.encode_jpeg(np.full((8, 8, 3), 50, np.uint8), 85))
     idx = raw.find(b"\xff\xc0")
-    raw[idx + 1] = 0xC2  # rebrand SOF0 as progressive
+    raw[idx + 1] = 0xC3  # rebrand SOF0 as lossless sequential
     with pytest.raises(ValueError, match="SOF"):
         jpeg.decode_jpeg(bytes(raw))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"not a jpeg")
+    # a baseline stream rebranded SOF2 routes to the progressive path,
+    # whose scan validation must refuse the Ss=0/Se=63 baseline scan
+    # header loudly (not mis-decode it as a DC scan)
+    raw[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="Ss=0"):
+        jpeg.decode_jpeg(bytes(raw))
 
 
 def test_jpeg_end_walks_concatenated_stream():
@@ -399,3 +405,105 @@ def test_partial_component_scan_refused():
     )
     with pytest.raises(ValueError, match="scan has 1 of the frame's 3"):
         jpeg.decode_jpeg(patched)
+
+
+# --- progressive DCT (SOF2) — VERDICT r9 #9 ---------------------------------
+
+
+def _prog_parity(img: np.ndarray, quality: int = 85) -> None:
+    """Progressive and baseline encodings at the same quality quantize to
+    the SAME coefficients, so their decodes must be bit-identical — the
+    anti-"inverse bugs cancel" device for the multi-scan path: the
+    baseline side of the comparison is pinned by its own hand-derived /
+    grammar tests, so a progressive scan that drops or misplaces even
+    one coefficient bit shows up as a pixel diff."""
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_parity_noise():
+    rng = np.random.default_rng(5)
+    _prog_parity(rng.integers(0, 256, size=(41, 53, 3)).astype(np.uint8))
+
+
+def test_progressive_parity_gradient_and_flat():
+    xx, yy = np.meshgrid(np.arange(48), np.arange(32))
+    grad = np.stack(
+        [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    _prog_parity(grad)  # long EOB runs across blocks (EOBn path)
+    _prog_parity(np.full((24, 24, 3), 130, np.uint8))  # every AC scan all-EOB
+    _prog_parity(multimodal.synth_frame_pixels(3), 60)  # synth fixture, low q
+
+
+def test_progressive_parity_odd_dims_and_qualities():
+    rng = np.random.default_rng(11)
+    for hw, q in (((8, 8), 95), ((17, 9), 85), ((9, 17), 30)):
+        _prog_parity(rng.integers(0, 256, size=(*hw, 3)).astype(np.uint8), q)
+
+
+def test_progressive_stream_structure():
+    """The emitted stream is really multi-scan SOF2: one SOF2 marker, the
+    planned 9 SOS scans (DC first, 4 AC first incl. the split luma band,
+    DC refine, 3 AC refine), per-scan DHT redefinitions, and jpeg_end
+    still walks it (MJPEG demux must not break on progressive members)."""
+    import struct as _s
+
+    img = multimodal.synth_frame_pixels(1)
+    raw = jpeg.encode_jpeg_progressive(img, 85)
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    pos, markers = 2, []
+    while pos + 2 <= len(raw):
+        assert raw[pos] == 0xFF
+        m = raw[pos + 1]
+        markers.append(m)
+        if m == 0xD9:
+            break
+        (ln,) = _s.unpack_from(">H", raw, pos + 2)
+        pos += 2 + ln
+        if m == 0xDA:  # skip entropy to next marker
+            while pos + 1 < len(raw) and not (
+                raw[pos] == 0xFF and raw[pos + 1] != 0x00
+                and not 0xD0 <= raw[pos + 1] <= 0xD7
+            ):
+                pos += 1
+    assert markers.count(0xC2) == 1 and 0xC0 not in markers
+    assert markers.count(0xDA) == 9
+    assert markers.count(0xC4) == 2 + 7  # 2 DC tables + one per AC scan
+    assert jpeg.jpeg_end(raw) == len(raw)
+
+
+def test_progressive_refinement_actually_refines():
+    """Truncating the stream after the first-pass scans (before the
+    refinement scans) must still decode — to a COARSER image: the
+    successive-approximation claim, observed rather than asserted from
+    structure. (A progressive decoder that secretly needs every scan
+    would throw; one that ignores refinement would decode both equal.)"""
+    img = multimodal.synth_frame_pixels(2)
+    raw = jpeg.encode_jpeg_progressive(img, 85)
+    # find the 6th SOS (the DC refinement scan) and cut there
+    import struct as _s
+
+    pos, cuts = 2, []
+    while pos + 2 <= len(raw):
+        m = raw[pos + 1]
+        if m == 0xD9:
+            break
+        (ln,) = _s.unpack_from(">H", raw, pos + 2)
+        if m == 0xDA:
+            cuts.append(pos)
+        pos += 2 + ln
+        if m == 0xDA:
+            while pos + 1 < len(raw) and not (
+                raw[pos] == 0xFF and raw[pos + 1] != 0x00
+                and not 0xD0 <= raw[pos + 1] <= 0xD7
+            ):
+                pos += 1
+    assert len(cuts) == 9
+    coarse = jpeg.decode_jpeg(raw[: cuts[5]] + b"\xff\xd9")
+    full = jpeg.decode_jpeg(raw)
+    err_coarse = np.abs(coarse.astype(int) - img.astype(int)).mean()
+    err_full = np.abs(full.astype(int) - img.astype(int)).mean()
+    assert not np.array_equal(coarse, full)
+    assert err_full < err_coarse  # refinement moves TOWARD the source
