@@ -675,8 +675,13 @@ def _semantic_dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame
         emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") <= 4))
         .select((F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding")
     )
+    # the arrival batch is SMALL relative to history by construction —
+    # that asymmetry is the whole point of probe-on-arrival (a daily
+    # batch against the corpus), and it keeps the exact-cosine re-rank
+    # (interpreted HOF dot products) proportional to arrivals, never
+    # to the stored half
     batch = (
-        emb.filter(F.col("vec_id") % 2 == 1)
+        emb.filter(F.col("vec_id") % 10 == 1)
         .select("vec_id", "embedding")
         .unionByName(planted)
     )
