@@ -2302,6 +2302,11 @@ _PRIORITY = [
     # full-rebuild oracle restricted to batch doc_ids, so the driver
     # hash-match is the incremental==batch proof
     "docs_substring_incremental",
+    # NEW r10 (VERDICT r9 #4), oracle-backed: the brute-force EXISTS
+    # twin — the hash-match proves probe==exhaustive on the driver
+    # fixture (planted exact copies are structurally probe-reachable
+    # at any n_probe; background pairs sit far below threshold)
+    "embeddings_semantic_dedup_incremental",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",
@@ -2329,7 +2334,6 @@ _ROWS_ONLY = {
     "ann_cosine_lsh",
     "embedding_near_dups_lsh",
     "embeddings_semantic_dedup",
-    "embeddings_semantic_dedup_incremental",
     "ann_cosine_ivf",
     "ann_cosine_ivf_indexed",
     "ann_cosine_vamana",
@@ -5945,6 +5949,63 @@ def _oracle_sql_literals() -> dict[str, str]:
                        OVER (PARTITION BY vec_id)), 0) AS unit
             FROM e JOIN m USING (dim)
             ORDER BY vec_id, dim
+        """,
+        # semantic dedup ON ARRIVAL (VERDICT r9 #4): the oracle is the
+        # brute-force EXISTS twin of the IVF probe — batch vector is a
+        # history dup iff its exact top-1 stored cosine (4dp, sequential
+        # double sums on both engines) clears the threshold; within-batch
+        # losers are min-direct-neighbor survivors over exact pairs. The
+        # hash-match therefore proves probe(n_probe=2) == exhaustive AND
+        # LSH+CC == exact pairs on the driver fixture: planted exact
+        # copies are probe-reachable at any n_probe >= 1 (an exact copy
+        # ranks its twin's cell first) and identical vectors collide in
+        # every SRP table; background cosines sit far below 0.95, so
+        # neither approximation has a boundary case to miss.
+        "embeddings_semantic_dedup_incremental": """
+            WITH stored AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            batch AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 1
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id % 2 = 0 AND vec_id <= 4
+            ),
+            hist AS (
+                SELECT vec_id, dup_of, sim FROM (
+                    SELECT b.vec_id, s.vec_id AS dup_of,
+                           ROUND(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE)) /
+                                 NULLIF(sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) *
+                                        sqrt(list_sum(list_transform(range(1, 65), i -> s.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE))), 0),
+                                 4) AS sim,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY b.vec_id
+                               ORDER BY ROUND(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE)) /
+                                              NULLIF(sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))) *
+                                                     sqrt(list_sum(list_transform(range(1, 65), i -> s.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE))), 0),
+                                              4) DESC, s.vec_id
+                           ) AS rn
+                    FROM batch b JOIN stored s ON b.vec_id <> s.vec_id
+                ) WHERE rn = 1 AND sim >= 0.95
+            ),
+            self_losers AS (
+                SELECT id_b AS vec_id, MIN(id_a) AS batch_dup_of FROM (
+                    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM batch a JOIN batch b ON a.vec_id < b.vec_id
+                    WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                                NULLIF(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+                                       sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 0),
+                                4) >= 0.95
+                ) GROUP BY id_b
+            )
+            SELECT b.vec_id,
+                   (h.dup_of IS NULL AND sl.batch_dup_of IS NULL) AS admitted,
+                   COALESCE(h.dup_of, sl.batch_dup_of) AS dup_of,
+                   h.sim AS dup_sim
+            FROM batch b
+            LEFT JOIN hist h ON b.vec_id = h.vec_id
+            LEFT JOIN self_losers sl ON b.vec_id = sl.vec_id
+            ORDER BY b.vec_id
         """,
         "embedding_near_dups": """
             SELECT * FROM (

@@ -651,6 +651,22 @@ def ivf_build_index(
     centroids.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def _assignment_score(vec: str, centroid: str) -> Column:
+    """The quantizer's cell-ranking score for a raw vector: maximize
+    ``q̂·c − |c|²/2`` over cells, which is exactly minimizing the
+    Euclidean distance of the L2-NORMALIZED vector to the centroid —
+    the metric ``ivf_build_index``'s spherical KMeans assigned with.
+    Probe and append must rank cells with THIS, not cosine-to-centroid
+    (see ivf_query's docstring for the observed failure)."""
+    nv = f"sqrt(aggregate({vec}, 0D, (acc, v) -> acc + double(v) * double(v)))"
+    dot_unit = (
+        f"aggregate(zip_with({vec}, {centroid}, (x, y) -> double(x) * y), 0D, "
+        f"(acc, v) -> acc + v) / nullif({nv}, 0D)"
+    )
+    c2 = f"aggregate({centroid}, 0D, (acc, v) -> acc + v * v)"
+    return F.expr(f"{dot_unit} - {c2} / 2")
+
+
 def ivf_query(
     spark,
     path: str,
@@ -660,8 +676,21 @@ def ivf_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Query a persisted IVF index: rank cells by query→centroid cosine,
-    probe the top ``n_probe`` cells, exact re-rank inside them.
+    """Query a persisted IVF index: rank cells by the ASSIGNMENT metric
+    (Euclidean distance of the L2-normalized query to each centroid —
+    the same metric the spherical KMeans quantizer assigned corpus
+    vectors with, the FAISS probe discipline), probe the top
+    ``n_probe`` cells, exact cosine re-rank inside them.
+
+    Why not rank cells by query→centroid COSINE: centroids are not unit
+    vectors, and argmin ||q̂−c||² = argmax (q̂·c − |c|²/2) while cosine
+    ranks by q̂·c/|c| — different orderings whenever centroid norms
+    differ. Under cosine ranking even an EXACT COPY of a stored vector
+    could rank its twin's assigned cell below n_probe (observed on the
+    driver fixture, r10: a planted duplicate escaped the n_probe=2
+    probe); under the assignment metric the copy's rank-1 cell IS the
+    twin's cell by construction, which is what makes the
+    semantic-dedup-on-arrival exactness argument structural.
 
     Scan shape: the probed (query_id, cell) frame is tiny and broadcast.
     The union of probed cell ids (≤ n_clusters values — metadata scale,
@@ -676,11 +705,11 @@ def ivf_query(
     the exact brute-force scan."""
     centroids = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cell_sim = cosine_expr("q_vec", "centroid")
-    wc = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), "cell")
+    cell_score = _assignment_score("q_vec", "centroid")
+    wc = Window.partitionBy("query_id").orderBy(F.desc("cell_score"), "cell")
     probed = (
         q.crossJoin(F.broadcast(centroids))
-        .select("query_id", "q_vec", "cell", cell_sim.alias("cell_sim"))
+        .select("query_id", "q_vec", "cell", cell_score.alias("cell_score"))
         .withColumn("cell_rank", F.row_number().over(wc))
         .filter(F.col("cell_rank") <= n_probe)
         .select("query_id", "q_vec", "cell")
@@ -820,10 +849,12 @@ def ivf_append(
     vec_col: str = "embedding",
 ) -> None:
     """Incremental IVF index maintenance: assign a batch of NEW vectors to
-    their nearest EXISTING centroid (cosine argmax against the broadcast
-    centroid table — no KMeans re-fit, which is the entire point of
-    cluster-at-ingest) and append them into the cell-partitioned corpus
-    layout. Completes the incremental-store family: dedup has
+    their nearest EXISTING centroid (the ASSIGNMENT metric — Euclidean
+    on the normalized vector, exactly what the build-time spherical
+    KMeans used, so an appended vector lands in the same cell a full
+    rebuild would put it — against the broadcast centroid table; no
+    KMeans re-fit, which is the entire point of cluster-at-ingest) and
+    append them into the cell-partitioned corpus layout. Completes the incremental-store family: dedup has
     ``dedup_batch_incremental``, distincts have the HLL store, quantiles
     have the histogram store — ANN now ingests daily batches without
     touching history.
@@ -836,11 +867,11 @@ def ivf_append(
     offline rebuild when the report says so."""
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids")
-    sim = cosine_expr(vec_col, "centroid")
+    score = _assignment_score(vec_col, "centroid")
     w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), "cell")
     assigned = (
         new_vectors.crossJoin(F.broadcast(centroids))
-        .select(id_col, vec_col, "cell", sim.alias("__sim"))
+        .select(id_col, vec_col, "cell", score.alias("__sim"))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(id_col, vec_col, "cell")

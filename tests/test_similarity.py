@@ -175,10 +175,14 @@ def test_ivf_append_full_probe_equals_bruteforce(spark, tables, tmp_path):
 
     corpus = spark.read.parquet(f"{path}/corpus")
     assert corpus.count() == n
-    # every appended vector landed in its argmax-cosine cell
+    # every appended vector landed in its ASSIGNMENT-metric cell — the
+    # cell the build-time spherical KMeans would have put it in (argmin
+    # Euclidean of the normalized vector == argmax q̂·c − |c|²/2), NOT
+    # argmax cosine-to-centroid, which diverges when centroid norms
+    # differ (the r10 probe-miss bug)
     cents = spark.read.parquet(f"{path}/centroids")
     got = corpus.filter(F.col("vec_id") >= cut).select("vec_id", "cell")
-    sim = similarity.cosine_expr("embedding", "centroid")
+    sim = similarity._assignment_score("embedding", "centroid")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("vec_id").orderBy(F.desc("__sim"), "cell")
@@ -540,3 +544,31 @@ def test_semantic_dedup_sink_exactly_once(spark, tmp_path):
     sink(b2, 1)  # Spark retries a failed micro-batch with the SAME id
     assert sn.current_version(spark, out) == v
     assert sn.read_snapshot(spark, out).count() == 4
+
+
+def test_ivf_probe_ranks_cells_by_assignment_metric(spark, tmp_path):
+    """r10 regression: an EXACT COPY of a stored vector must find its twin
+    at n_probe=1 — the copy's rank-1 cell is the twin's assigned cell
+    only if the probe ranks cells with the quantizer's own metric.
+    Mixed-norm fixture (norms 0.5x..2x) makes cosine-to-centroid and
+    assignment orderings genuinely diverge, so the old ranking fails
+    this test for some copy."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=64)
+        v = v / np.linalg.norm(v) * float(0.5 + 1.5 * rng.random())
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    similarity.ivf_build_index(emb, path, n_clusters=8)
+    copies = spark.createDataFrame(
+        [(1000 + i, rows[i][1]) for i in range(0, 120, 10)],
+        "vec_id long, embedding array<double>",
+    )
+    top = similarity.ivf_query(spark, path, copies, k=1, n_probe=1)
+    got = {r.query_id: (r.neighbor_id, r.sim) for r in top.collect()}
+    for qid in range(1000, 1120, 10):
+        assert got[qid][0] == qid - 1000 and got[qid][1] == 1.0, (qid, got.get(qid))

@@ -115,6 +115,14 @@ PROBES = [
     # to the raw run, so the delta vs docs_substring_dedup isolates the
     # exchange-width saving
     "docs_substring_dedup_hashed",
+    # round 10 (VERDICT r9 #8): the STORE-BACKED substring passes — the
+    # steady-state configuration. The untimed prime seeds the bucketed
+    # stores at that sf (ingest, measured separately like the index
+    # builds); the timed runs probe history as 8-byte keys through the
+    # Exchange-free bucketed scan, so both should scale like the hashed
+    # batch pass (~0.06), not the raw one (0.16)
+    "docs_substring_decontaminate_store",
+    "docs_substring_incremental",
     # round 7: LEFT SEMI interval-join batch twin (linear in events like
     # the outer twin) and MJPEG video near-dups (BOUNDED by the query's
     # 120-doc slice at any sf — the probe verifies the bound holds, i.e.
