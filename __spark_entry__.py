@@ -5954,7 +5954,9 @@ def _oracle_sql_literals() -> dict[str, str]:
         # brute-force EXISTS twin of the IVF probe — batch vector is a
         # history dup iff its exact top-1 stored cosine (4dp, sequential
         # double sums on both engines) clears the threshold; within-batch
-        # losers are min-direct-neighbor survivors over exact pairs. The
+        # losers come from the TRANSITIVE closure of exact pairs
+        # (recursive CTE), matching star-CC component-min survivorship
+        # even on chain-shaped clusters. The
         # hash-match therefore proves probe(n_probe=2) == exhaustive AND
         # LSH+CC == exact pairs on the driver fixture: planted exact
         # copies are probe-reachable at any n_probe >= 1 (an exact copy
@@ -5962,7 +5964,7 @@ def _oracle_sql_literals() -> dict[str, str]:
         # every SRP table; background cosines sit far below 0.95, so
         # neither approximation has a boundary case to miss.
         "embeddings_semantic_dedup_incremental": """
-            WITH stored AS (
+            WITH RECURSIVE stored AS (
                 SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
             ),
             batch AS (
@@ -5988,15 +5990,29 @@ def _oracle_sql_literals() -> dict[str, str]:
                     FROM batch b JOIN stored s ON b.vec_id <> s.vec_id
                 ) WHERE rn = 1 AND sim >= 0.95
             ),
+            batch_pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM batch a JOIN batch b ON a.vec_id < b.vec_id
+                WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+                            NULLIF(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
+                                   sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 0),
+                            4) >= 0.95
+            ),
+            -- transitive closure, matching Spark's connected-components
+            -- (star CC) survivorship exactly: a chain a~b~c collapses to
+            -- component min(a) even when (a,c) is below threshold
+            sym AS (
+                SELECT id_a AS s, id_b AS t FROM batch_pairs
+                UNION SELECT id_b, id_a FROM batch_pairs
+            ),
+            reach(s, t) AS (
+                SELECT s, t FROM sym
+                UNION
+                SELECT r.s, p.t FROM reach r JOIN sym p ON r.t = p.s WHERE r.s <> p.t
+            ),
             self_losers AS (
-                SELECT id_b AS vec_id, MIN(id_a) AS batch_dup_of FROM (
-                    SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                    FROM batch a JOIN batch b ON a.vec_id < b.vec_id
-                    WHERE ROUND(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
-                                NULLIF(sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE))) *
-                                       sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))), 0),
-                                4) >= 0.95
-                ) GROUP BY id_b
+                SELECT s AS vec_id, LEAST(s, MIN(t)) AS batch_dup_of
+                FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) < s
             )
             SELECT b.vec_id,
                    (h.dup_of IS NULL AND sl.batch_dup_of IS NULL) AS admitted,

@@ -26,8 +26,11 @@ re-measures at 0.48 s):
 3. **Robust statistic** (VERDICT r9 #5). The reported per-query number
    is the median of the QUIET-RUN SUBSET of everything observed for the
    query (primary + re-runs + sweep): runs above ``3x the query's own
-   minimum + 0.05 s`` carry the intra-query contention signature and are
-   excluded before the median. This supersedes two earlier protocols
+   SECOND-fastest run + 0.05 s`` carry the intra-query contention
+   signature and are excluded before the median (second-fastest, not
+   min, so a single anomalously fast fluke cannot disqualify every
+   normal run; a min-vs-second disagreement instead triggers extra
+   draws via ``_ambiguous``). This supersedes two earlier protocols
    that each failed in one direction: median-of-fastest-N (a top-N
    selection, biased downward — ADVICE r6) and sweep-REPLACES-primary
    (a contended sweep window replaced a healthy 0.38 s median with
@@ -114,10 +117,28 @@ def load_baselines() -> dict[str, float]:
 
 def _quiet(runs: list[float]) -> list[float]:
     """The quiet-run subset: runs without the intra-query contention
-    signature (> 3x the query's own minimum + 0.05 s absolute floor for
-    job-overhead jitter). On an idle box this is all of them."""
-    cut = 3.0 * min(runs) + 0.05
+    signature (> 3x the query's own fast anchor + 0.05 s absolute floor
+    for job-overhead jitter). On an idle box this is all of them.
+
+    The anchor is the SECOND-fastest run (min when only one exists):
+    keying the cut to the single minimum lets one anomalously FAST
+    outlier (a cache/AQE fluke) exclude every normal run and collapse
+    the median onto the fluke — the mirror image of the stall problem.
+    One fluke cannot move the second-order statistic, while a genuine
+    regression (all runs slow) still anchors on its own honest pace."""
+    anchor = sorted(runs)[min(1, len(runs) - 1)]
+    cut = 3.0 * anchor + 0.05
     return [r for r in runs if r <= cut]
+
+
+def _ambiguous(runs: list[float]) -> bool:
+    """The fastest and second-fastest runs disagree by the stall ratio —
+    either the min is a fluke or the rest are stalls; one more draw
+    settles which. Feeds the retry trigger alongside thin-quiet."""
+    if len(runs) < 2:
+        return False
+    a, b = sorted(runs)[:2]
+    return b > 3.0 * a + 0.05
 
 
 def _median_quiet(runs: list[float]) -> float:
@@ -308,7 +329,7 @@ def main() -> None:
         # draws — the quiet median is then a 1-2 sample statistic) or the
         # quiet median itself breaches the 2x bar (a real regression
         # keeps ALL its runs slow, so retries confirm rather than mask)
-        thin = len(_quiet(runs)) < n_runs
+        thin = len(_quiet(runs)) < n_runs or _ambiguous(runs)
         regressed = base is not None and med > 2.0 * base and med > 0.2
         retries_left = n_retries
         backoff = 0.5
@@ -327,7 +348,7 @@ def main() -> None:
                 break
             retries_left -= 1
             med = _median_quiet(runs)
-            thin = len(_quiet(runs)) < n_runs
+            thin = len(_quiet(runs)) < n_runs or _ambiguous(runs)
             regressed = base is not None and med > 2.0 * base and med > 0.2
 
         timings[name] = round(med, 3)

@@ -45,44 +45,29 @@ serving half.
 
 from __future__ import annotations
 
-import json
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+from jobanalytics_bigdataproject_spark.sources import sidecar
+
 _META = "_model_meta.json"
 
-
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+_fs = sidecar.fs_for  # shared py4j FileSystem triple (sources/sidecar.py)
 
 
 def _write_meta(spark: SparkSession, store_dir: str, meta: dict) -> None:
-    fs, _, jvm = _fs(spark, store_dir)
-    p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/{_META}")
-    stream = fs.create(p, True)
-    try:
-        stream.write(bytearray(json.dumps(meta).encode("utf-8")))
-    finally:
-        stream.close()
+    sidecar.write_json(spark, f"{store_dir}/{_META}", meta)
 
 
 def read_meta(spark: SparkSession, store_dir: str) -> dict:
-    fs, _, jvm = _fs(spark, store_dir)
-    p = jvm.org.apache.hadoop.fs.Path(f"{store_dir}/{_META}")
-    if not fs.exists(p):
+    try:
+        return sidecar.read_json(spark, f"{store_dir}/{_META}")
+    except FileNotFoundError:
         raise FileNotFoundError(
             f"no model store at {store_dir} (missing {_META}) — "
             "save_quality_model/save_language_model first"
-        )
-    stream = fs.open(p)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(text)
+        ) from None
 
 
 # fitted models are immutable once written (refresh overwrites the whole
@@ -107,6 +92,38 @@ def _load_pipeline(spark: SparkSession, store_dir: str, meta: dict):
     return model
 
 
+def _staged_pipeline_save(spark: SparkSession, model, store_dir: str) -> None:
+    """Persist the PipelineModel via write-then-swap, NOT an in-place
+    overwrite: a refresh on a live store must not delete the pipeline
+    directory while a concurrent scorer is mid-``PipelineModel.load``
+    (ADVICE-style crash window). The model writes to ``pipeline__staging``
+    first; the swap is two renames (live → old, staging → live) with
+    undo, so a reader resolves either the old or the new fit — the
+    remaining window is the instant between the renames, which a loading
+    reader survives by retrying (load errors are loud, never a mixed
+    coefficient set). Same choreography as ``bucket_store.compact``."""
+    staging = f"{store_dir}/pipeline__staging"
+    live = f"{store_dir}/pipeline"
+    old = f"{store_dir}/pipeline__old"
+    fs, _, jvm = _fs(spark, store_dir)
+    Path = jvm.org.apache.hadoop.fs.Path
+    for p in (staging, old):
+        if fs.exists(Path(p)):
+            fs.delete(Path(p), True)
+    model.write().overwrite().save(staging)
+    if fs.exists(Path(live)):
+        if not fs.rename(Path(live), Path(old)):
+            raise IOError(f"model store: could not stage out {live}")
+    if not fs.rename(Path(staging), Path(live)):
+        if fs.exists(Path(old)):
+            fs.rename(Path(old), Path(live))  # undo — old model intact
+        raise IOError(
+            f"model store: could not swap in {staging}; prior model restored"
+        )
+    if fs.exists(Path(old)):
+        fs.delete(Path(old), True)
+
+
 def save_quality_model(
     documents: DataFrame,
     store_dir: str,
@@ -115,13 +132,13 @@ def save_quality_model(
     salt: str = "split:v1",
 ) -> dict:
     """Fit the distilled quality classifier on *documents* and persist it
-    at *store_dir*; returns the meta dict. Overwrites any prior model
-    there (refresh = re-save)."""
+    at *store_dir*; returns the meta dict. Replaces any prior model
+    there via the staged swap (refresh = re-save)."""
     from jobanalytics_bigdataproject_spark.ml.quality import fit_quality_pipeline
 
     spark = documents.sparkSession
     model, (lo, hi) = fit_quality_pipeline(documents, n_features, train_bp, salt)
-    model.write().overwrite().save(f"{store_dir}/pipeline")
+    _staged_pipeline_save(spark, model, store_dir)
     meta = {
         "kind": "quality",
         "format": 1,
@@ -189,7 +206,7 @@ def save_language_model(
             "stored model"
         )
     model, langs = fitted
-    model.write().overwrite().save(f"{store_dir}/pipeline")
+    _staged_pipeline_save(spark, model, store_dir)
     meta = {
         "kind": "language",
         "format": 1,
@@ -226,8 +243,15 @@ def score_language(
         )
     model = _load_pipeline(spark, store_dir, meta)
     p = meta["params"]
+    # label_col is a FIT-time concern only (it feeds training labels,
+    # which the scoring output never reads) — replaying it at score time
+    # would refuse every unlabeled arrival batch, the exact corpus a
+    # stored model exists to serve. Pass it through only when the batch
+    # actually carries the column (keeps the store==fresh-fit
+    # equivalence bit-exact on the labeled fit corpus).
+    lc = p["label_col"] if p["label_col"] in (documents.columns or []) else None
     return score_language_with(
-        model, meta["langs"], documents, p["text_col"], p["label_col"],
+        model, meta["langs"], documents, p["text_col"], lc,
         p["min_hits"], p["min_prob"], p["train_bp"], p["salt"],
     )
 
@@ -290,7 +314,13 @@ def refresh(
     unconditionally). The refit reuses the STORED fit params, so a
     refresh never silently changes the operating point — change params
     by calling ``save_*_model`` explicitly. Returns True when a refit
-    happened. This is the ``maintain(model_stores=...)`` hook."""
+    happened. This is the ``maintain(model_stores=...)`` hook.
+
+    Concurrency: the refit lands via ``_staged_pipeline_save``'s
+    rename swap, so a scorer loading during the refresh resolves the
+    old or the new fit, never a half-written directory; the meta
+    sidecar (with the new ``fitted_utc`` cache key) is written only
+    after the swap completes."""
     meta = read_meta(spark, store_dir)
     if max_age_s is not None and time.time() - meta["fitted_utc"] <= max_age_s:
         return False

@@ -391,8 +391,8 @@ def ivfpq_append(
     vec_col: str = "embedding",
 ) -> None:
     """Incremental ingest into a persisted IVF×PQ index: assign each new
-    vector to its nearest existing coarse centroid (cosine, matching
-    ``ivfpq_query``'s probe ranking), encode with the STORED codebooks,
+    vector to its nearest existing coarse centroid (the quantizer's own
+    assignment metric, matching ``ivfpq_query``'s probe ranking), encode with the STORED codebooks,
     and append to the cell-partitioned codes layout.  No re-fit, history
     untouched — the same operational shape as ``similarity.ivf_append``
     and the MinHash signature store.  Centroid/codebook drift is the
@@ -410,7 +410,12 @@ def ivfpq_append(
     cents = np.empty((1 + max(r.cell for r in cent_rows), mm * dsub))
     for r in cent_rows:
         cents[r.cell] = r.centroid
-    cents_unit = _normalize_rows(cents)
+    # assignment-metric scoring (r10, propagated from the ivf_query fix):
+    # the coarse quantizer assigned by Euclidean distance of the unit
+    # vector, i.e. argmax m·c − |c|²/2 — cosine on normalized centroids
+    # orders cells differently whenever centroid norms differ, and an
+    # appended vector must land where a rebuild would put it
+    cents_half_sq = 0.5 * (cents * cents).sum(axis=1)
 
     schema = T.StructType(
         [
@@ -427,7 +432,7 @@ def ivfpq_append(
             mat = _normalize_rows(
                 np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             )
-            cell = np.argmax(mat @ cents_unit.T, axis=1).astype(np.int32)
+            cell = np.argmax(mat @ cents.T - cents_half_sq, axis=1).astype(np.int32)
             codes = np.empty((len(pdf), mm), dtype=np.int32)
             for s in range(mm):
                 x = mat[:, s * dsub : (s + 1) * dsub]
@@ -489,10 +494,12 @@ def ivfpq_query(
         cents[r.cell] = r.centroid
 
     q_ids, q_mat = _bounded_query_matrix(queries, id_col, vec_col, max_queries)
-    # coarse ranking: cosine(query, centroid) — both sides unit-normalized,
-    # ties broken by cell id (argsort is stable over -sim then cell order)
-    cell_sims = q_mat @ _normalize_rows(cents).T  # (Q, n_cells)
-    probe_idx = np.argsort(-cell_sims, axis=1, kind="stable")[:, :n_probe]
+    # coarse ranking by the ASSIGNMENT metric (argmax q̂·c − |c|²/2 —
+    # the r10 ivf_query fix propagated: cosine-to-centroid diverges from
+    # the quantizer's ordering when centroid norms differ), ties broken
+    # by cell id (argsort is stable over -score then cell order)
+    cell_scores = q_mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)
+    probe_idx = np.argsort(-cell_scores, axis=1, kind="stable")[:, :n_probe]
     probe_mask = np.zeros((len(q_ids), n_cells), dtype=bool)
     np.put_along_axis(probe_mask, probe_idx, True, axis=1)
     cells = sorted({int(c) for c in probe_idx.ravel()})

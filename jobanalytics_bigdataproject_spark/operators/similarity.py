@@ -1031,11 +1031,18 @@ def semantic_dedup_incremental(
         )
     )
     if update_index:
-        # the annotated frame stays LAZY and stable across this append:
-        # ivf_query listed the corpus files at call time (InMemoryFileIndex
-        # snapshot), and even a re-listing would drop the batch's own rows
-        # via the identity filter — the same footgun-discipline as the
-        # substring store's first-seen exclusion
+        # materialize ONCE before the append (localCheckpoint: eager,
+        # batch-scale, executor-stored, reclaimed by the ContextCleaner
+        # when the frame is dropped): without it the probe + LSH + CC
+        # pipeline would run twice — once for the append's evaluation and
+        # again at the caller's first action. The checkpoint also makes
+        # the returned frame trivially stable across the append; even
+        # unmaterialized it would be (ivf_query listed the corpus files
+        # at call time, and a re-listing would drop the batch's own rows
+        # via the identity filter — the substring store's first-seen
+        # exclusion discipline), but frozen-by-materialization beats
+        # stable-by-argument.
+        annotated = annotated.localCheckpoint(eager=True)
         ivf_append(
             annotated.filter("admitted").select(id_col, vec_col),
             index_path, id_col=id_col, vec_col=vec_col,
@@ -1078,7 +1085,10 @@ def semantic_dedup_sink(
             threshold=threshold, n_probe=n_probe, bits=bits,
             n_tables=n_tables, dim=dim, id_col=id_col, vec_col=vec_col,
             update_index=False,
-        )
+        # one materialization for the two consumers below — the snapshot
+        # commit and the index learn would otherwise each re-run the
+        # probe + LSH + CC pipeline (2x the hot-path cost per micro-batch)
+        ).localCheckpoint(eager=True)
         admitted = annotated.filter("admitted").select(id_col, vec_col)
         sn.write_snapshot(
             admitted, out_table, mode="append",

@@ -394,7 +394,8 @@ def vamana_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Serve a sharded Vamana index: rank shards by query→centroid cosine,
+    """Serve a sharded Vamana index: rank shards by the quantizer's
+    ASSIGNMENT metric (argmax q̂·c − |c|²/2 — see ivf_query's r10 note),
     static-IN partition filter so only probed shard directories are read
     (same pruning proof as ``ivf_query``), then COGROUP the probed queries
     with their shards and greedy-beam-search each shard's graph in numpy.
@@ -404,7 +405,7 @@ def vamana_query(
     every reachable node, and the build's connectivity fix-up makes the
     whole shard reachable, so full-probe + full-beam degrades to the exact
     scan — the anchor ann_recall_report measures the dial against."""
-    from jobanalytics_bigdataproject_spark.operators.similarity import cosine_expr
+    from jobanalytics_bigdataproject_spark.operators.similarity import _assignment_score
 
     centroids = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -412,7 +413,12 @@ def vamana_query(
     probed = (
         q.crossJoin(F.broadcast(centroids))
         .select(
-            "query_id", "q_vec", "shard", cosine_expr("q_vec", "centroid").alias("shard_sim")
+            "query_id", "q_vec", "shard",
+            # rank shards with the quantizer's ASSIGNMENT metric, not
+            # cosine-to-centroid — same r10 fix as ivf_query: the
+            # orderings diverge when centroid norms differ, and an exact
+            # copy of a stored vector must rank its twin's shard first
+            _assignment_score("q_vec", "centroid").alias("shard_sim"),
         )
         .withColumn("shard_rank", F.row_number().over(wc))
         .filter(F.col("shard_rank") <= n_probe)
@@ -495,7 +501,7 @@ def vamana_visit_report(
     nodes — an absolute cost that stays near-flat as shards grow, so the
     fraction SHRINKS with shard size (tools/scale_probe.py records it at
     sf0.1 and the 10x fixture)."""
-    from jobanalytics_bigdataproject_spark.operators.similarity import cosine_expr
+    from jobanalytics_bigdataproject_spark.operators.similarity import _assignment_score
 
     centroids = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -503,7 +509,12 @@ def vamana_visit_report(
     probed = (
         q.crossJoin(F.broadcast(centroids))
         .select(
-            "query_id", "q_vec", "shard", cosine_expr("q_vec", "centroid").alias("shard_sim")
+            "query_id", "q_vec", "shard",
+            # rank shards with the quantizer's ASSIGNMENT metric, not
+            # cosine-to-centroid — same r10 fix as ivf_query: the
+            # orderings diverge when centroid norms differ, and an exact
+            # copy of a stored vector must rank its twin's shard first
+            _assignment_score("q_vec", "centroid").alias("shard_sim"),
         )
         .withColumn("shard_rank", F.row_number().over(wc))
         .filter(F.col("shard_rank") <= n_probe)
@@ -566,11 +577,13 @@ def vamana_append(
     read nor written. Centroid drift under sustained appends degrades
     recall, not correctness (the vamana arm of ``ann_recall_report`` is
     the watchdog), same re-fit discipline as the IVF family."""
-    from jobanalytics_bigdataproject_spark.operators.similarity import cosine_expr
+    from jobanalytics_bigdataproject_spark.operators.similarity import _assignment_score
 
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{path}/centroids")
-    sim = cosine_expr(vec_col, "centroid")
+    # assignment metric, not cosine (r10 IVF fix propagated): appended
+    # vectors land in the shard a rebuild's quantizer would choose
+    sim = _assignment_score(vec_col, "centroid")
     wa = Window.partitionBy(id_col).orderBy(F.desc("__sim"), "shard")
     assigned = (
         new_vectors.crossJoin(F.broadcast(centroids))

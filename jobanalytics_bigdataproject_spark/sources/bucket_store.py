@@ -20,7 +20,12 @@ batches meant N file sets. This module fixes both structurally:
   ``compact`` rewrites the accumulated batches into one file set per
   bucket via a staging-directory + rename swap with undo (the same
   crash-safe choreography as vamana shard appends) — a long-running
-  dedup-on-arrival stream stays bounded in file count.
+  dedup-on-arrival stream stays bounded in file count. Crash-RETRY is
+  safe too (r10): the compacted snapshot's file names ride in a
+  ``_compact_snapshot.json`` sidecar inside the new live set, so a
+  compact that dies mid-adoption leaves enough information for the next
+  run to rescue a concurrent append's unadopted files from the retired
+  dir instead of deleting them with it.
 
 The bucket spec must survive process restarts even though the catalog
 is ephemeral (local derby; on a real cluster a persistent metastore
@@ -38,11 +43,12 @@ code/01_DataPreprocessing.scala:321-330); this is infrastructure the
 from __future__ import annotations
 
 import hashlib
-import json
 import time
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+from jobanalytics_bigdataproject_spark.sources import sidecar
 
 _META = "_bucket_meta.json"
 _DATA = "data"
@@ -55,36 +61,21 @@ def _table_name(path: str) -> str:
     return "bucket_store_" + hashlib.md5(path.encode("utf-8")).hexdigest()[:16]
 
 
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+_fs = sidecar.fs_for  # shared py4j FileSystem triple (sources/sidecar.py)
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    fs, _, jvm = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")
-    stream = fs.create(p, True)
-    try:
-        stream.write(bytearray(json.dumps(meta).encode("utf-8")))
-    finally:
-        stream.close()
+    sidecar.write_json(spark, f"{path}/{_META}", meta)
 
 
 def _read_meta(spark: SparkSession, path: str) -> dict:
-    fs, _, jvm = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{_META}")
-    if not fs.exists(p):
+    try:
+        return sidecar.read_json(spark, f"{path}/{_META}")
+    except FileNotFoundError:
         raise FileNotFoundError(
             f"no bucketed store at {path} (missing {_META}) — create() first, "
             "or this is a pre-bucketing store directory: rebuild it"
-        )
-    stream = fs.open(p)
-    try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return json.loads(text)
+        ) from None
 
 
 def _ddl(df: DataFrame) -> str:
@@ -194,6 +185,32 @@ def file_count(spark: SparkSession, path: str) -> int:
     return len(_data_files(fs, jvm, f"{path}/{_DATA}"))
 
 
+_COMPACT_SNAP = "_compact_snapshot.json"
+
+
+def _adopt_late(fs, jvm, data_path: str, old: str, snap_names: set) -> None:
+    """Rename every file in the retired dir that was NOT part of the
+    compacted snapshot into the live set (bucket-id file naming makes the
+    move layout-preserving); files already present in live (adopted by a
+    previous crashed attempt) are skipped. Raises with the recovery hint
+    on a failed rename — the retired dir then stays, and the snapshot
+    sidecar in the live set lets the NEXT compact() finish this adoption
+    instead of deleting the files (crash-retry safety, review finding
+    r10)."""
+    Path = jvm.org.apache.hadoop.fs.Path
+    live_names = {p.rsplit("/", 1)[-1] for p in _data_files(fs, jvm, data_path)}
+    for f in _data_files(fs, jvm, old):
+        nm = f.rsplit("/", 1)[-1]
+        if nm in snap_names or nm in live_names:
+            continue
+        if not fs.rename(Path(f), Path(f"{data_path}/{nm}")):
+            raise IOError(
+                f"compact: could not adopt late-arrival file {f}; retired "
+                f"dir {old} left in place — the next compact() resumes "
+                "this adoption from the snapshot sidecar"
+            )
+
+
 def compact(spark: SparkSession, path: str) -> int:
     """Rewrite the store into ONE file set per bucket (undoing append
     accumulation). Staging-dir + rename swap with undo: readers resolve
@@ -227,19 +244,48 @@ def compact(spark: SparkSession, path: str) -> int:
     staging = f"{path}/{_DATA}__staging"
     old = f"{path}/{_DATA}__old"
     stage_table = name + "_staging"
+    snap_sidecar = f"{data_path}/{_COMPACT_SNAP}"
 
     fs, _, jvm = _fs(spark, path)
     Path = jvm.org.apache.hadoop.fs.Path
-    for p in (staging, old):
-        if fs.exists(Path(p)):
-            fs.delete(Path(p), True)
+    if fs.exists(Path(staging)):
+        fs.delete(Path(staging), True)  # never referenced: safe to drop
+    if fs.exists(Path(old)):
+        # a PRIOR compact crashed after the swap: the retired dir still
+        # holds the old snapshot files (whose ROWS live compacted in the
+        # new live set — re-adopting them would duplicate) plus any
+        # late-arrival appends that were never adopted (whose rows exist
+        # NOWHERE else). The snapshot-name sidecar the swap carried into
+        # the live dir is what tells them apart; blindly deleting old —
+        # the pre-r10 behavior — silently lost the late batches
+        # (review finding r10).
+        try:
+            prior_snap = set(sidecar.read_json(spark, snap_sidecar)["files"])
+        except FileNotFoundError:
+            raise IOError(
+                f"compact: retired dir {old} exists but the live set has "
+                f"no {_COMPACT_SNAP} sidecar — cannot tell late-arrival "
+                "files from already-compacted ones; recover manually "
+                "(adopt unknown-named files, then delete the dir)"
+            ) from None
+        _adopt_late(fs, jvm, data_path, old, prior_snap)
+        fs.delete(Path(old), True)
+        fs.delete(Path(snap_sidecar), False)
 
     snapshot = _data_files(fs, jvm, data_path)
     if not snapshot:
         return 0
+    snap_names = {p.rsplit("/", 1)[-1] for p in snapshot}
     df = spark.read.parquet(*snapshot)
     spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
     _bucketed_write(df, stage_table, staging, meta, "overwrite")
+    # the snapshot-name record rides in the staging dir so that after the
+    # swap it lives in the NEW live set: a crash during adoption below
+    # leaves enough information for the next compact to finish the job
+    # instead of deleting the unadopted late files with data__old
+    sidecar.write_json(
+        spark, f"{staging}/{_COMPACT_SNAP}", {"files": sorted(snap_names)}
+    )
 
     # swap: live → old, staging → live; undo restores live on failure
     if not fs.rename(Path(data_path), Path(old)):
@@ -250,17 +296,9 @@ def compact(spark: SparkSession, path: str) -> int:
     # adopt late arrivals: files that landed after the snapshot listing
     # live only in the retired dir — rename them into the new live set
     # (names are UUID-unique and carry the bucket id) before deletion
-    snap_names = {p.rsplit("/", 1)[-1] for p in snapshot}
-    for f in _data_files(fs, jvm, old):
-        nm = f.rsplit("/", 1)[-1]
-        if nm not in snap_names and not fs.rename(
-            Path(f), Path(f"{data_path}/{nm}")
-        ):
-            raise IOError(
-                f"compact: could not adopt late-arrival file {f}; retired "
-                f"dir {old} left in place for manual recovery"
-            )
+    _adopt_late(fs, jvm, data_path, old, snap_names)
     fs.delete(Path(old), True)
+    fs.delete(Path(snap_sidecar), False)
     spark.sql(f"DROP TABLE IF EXISTS {stage_table}")  # external: files already moved
     # a fresh session running only maintain() never registered the table;
     # refresh is owed only to a catalog that knows it (ADVICE r9)

@@ -92,3 +92,14 @@ def test_quiet_median_absolute_floor_for_subsecond_jitter():
     # the +0.05 s floor keeps a 0.01->0.04 s spread intact
     runs = [0.01, 0.04, 0.02]
     assert bench._quiet(runs) == runs
+
+
+def test_quiet_median_fast_outlier_does_not_collapse():
+    # one fluke-fast run must not disqualify the normal runs: the cut
+    # anchors on the SECOND-fastest, so the median stays representative
+    runs = [0.10, 0.40, 0.41, 0.42]
+    assert bench._quiet(runs) == runs
+    assert bench._median_quiet(runs) == pytest.approx(0.405)
+    # and the min-vs-second disagreement is flagged for extra draws
+    assert bench._ambiguous(runs)
+    assert not bench._ambiguous([0.40, 0.41, 0.42])

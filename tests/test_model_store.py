@@ -195,3 +195,23 @@ def test_model_detail_telemetry(spark, tables, tmp_path):
     assert d["age_s"] >= 0
     assert len(d["cuts"]) == 2
     assert d["params"]["n_features"] == 1 << 15
+
+
+def test_supervised_language_store_scores_unlabeled_arrivals(spark, tmp_path):
+    """label_col is a FIT-time concern: a store fit with label_col="lang"
+    must score an arrival batch that carries only (doc_id, text) — the
+    exact corpus the store exists to serve (review finding r10)."""
+    docs = _corpus(spark)
+    store = str(tmp_path / "lmodel")
+    model_store.save_language_model(docs, store, label_col="lang")
+    arrivals = docs.select("doc_id", "text").filter("doc_id < 40")
+    out = model_store.score_language(spark, arrivals, store)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r.predicted_lang is not None for r in rows)
+    # and the sink path (the production consumer) works end-to-end
+    from jobanalytics_bigdataproject_spark.sources import snapshots as sn
+
+    out_tbl = str(tmp_path / "scored")
+    model_store.language_id_sink(spark, store, out_tbl)(arrivals, 0)
+    assert sn.read_snapshot(spark, out_tbl).count() == 40

@@ -131,8 +131,10 @@ def test_ivfpq_respects_probe_mask(spark, ivfpq_index):
         r.vec_id: r.cell
         for r in spark.read.parquet(f"{ivfpq_path}/codes").collect()
     }
-    # expected probed cell per query = argmax cosine(query, centroid), the
-    # rule ivfpq_query documents (ties impossible on the fixture)
+    # expected probed cell per query = the quantizer's ASSIGNMENT metric
+    # argmax q̂·c − |c|²/2 (the r10 fix — ivfpq_query ranks with the same
+    # rule the coarse KMeans assigned with; ties impossible on the
+    # fixture)
     cent = {r.cell: np.asarray(r.centroid) for r in
             spark.read.parquet(f"{ivfpq_path}/centroids").collect()}
     expected = {}
@@ -140,7 +142,7 @@ def test_ivfpq_respects_probe_mask(spark, ivfpq_index):
         v = np.asarray(r.embedding)
         v = v / np.linalg.norm(v)
         expected[r.vec_id] = max(
-            cent, key=lambda c: float(v @ (cent[c] / np.linalg.norm(cent[c])))
+            cent, key=lambda c: float(v @ cent[c] - 0.5 * cent[c] @ cent[c])
         )
     out = pq.ivfpq_query(spark, ivfpq_path, q, k=5, n_probe=1).collect()
     assert out, "probe-restricted scan must still return neighbors"

@@ -185,3 +185,55 @@ def test_check_id_reuse_catches_reuse_allows_replay(spark, tmp_path):
     # default (check off) keeps the documented hard-requirement contract:
     # no error, caller owns uniqueness
     substring.substring_dedup_incremental(spark, reused, path, k=4).count()
+
+
+def test_compact_crash_during_adoption_recovers_on_retry(spark, tmp_path, monkeypatch):
+    """Review finding r10: if compact crashes AFTER the swap but BEFORE
+    adopting a concurrent append's files, the retired dir still holds
+    the only copy of that batch. A retry used to delete data__old
+    blindly (silent loss + silent under-dedup forever); now the
+    snapshot-name sidecar carried into the live set lets the retry
+    finish the adoption."""
+    path = str(tmp_path / "store")
+    df0 = spark.createDataFrame([(1, 10, 0), (2, 20, 0)], "shingle long, doc_id long, pos int")
+    bucket_store.create(spark, df0, path, ["shingle"], num_buckets=4)
+    late = spark.createDataFrame([(99, 99, 9)], "shingle long, doc_id long, pos int")
+
+    orig_write = bucket_store._bucketed_write
+
+    def write_hook(df, name, data_path, meta, mode):
+        orig_write(df, name, data_path, meta, mode)
+        if name.endswith("_staging"):
+            bucket_store.append(spark, late, path)  # concurrent writer
+
+    def crash(*a, **k):
+        raise IOError("simulated crash before adoption")
+
+    monkeypatch.setattr(bucket_store, "_bucketed_write", write_hook)
+    monkeypatch.setattr(bucket_store, "_adopt_late", crash)
+    with pytest.raises(IOError, match="simulated crash"):
+        bucket_store.compact(spark, path)
+    monkeypatch.undo()
+
+    # the crashed state: live = compacted set + sidecar, old dir retired
+    # with the late batch unadopted. The retry must rescue it.
+    n = bucket_store.compact(spark, path)
+    assert 0 < n <= 4
+    rows = sorted(map(tuple, bucket_store.open(spark, path).collect()))
+    assert rows == [(1, 10, 0), (2, 20, 0), (99, 99, 9)]  # once each
+    # and the store still probes through the bucketed scan
+    probe = spark.createDataFrame([(99,)], "shingle long")
+    assert bucket_store.open(spark, path).join(probe, "shingle", "left_semi").count() == 1
+
+
+def test_compact_refuses_orphan_retired_dir_without_sidecar(spark, tmp_path):
+    """A data__old left by something OTHER than a post-r10 compact (no
+    sidecar to classify its files) must refuse loudly, not delete it."""
+    path = str(tmp_path / "store")
+    df0 = spark.createDataFrame([(1, 10, 0)], "shingle long, doc_id long, pos int")
+    bucket_store.create(spark, df0, path, ["shingle"], num_buckets=2)
+    fs, _, jvm = bucket_store._fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(Path(f"{path}/data__old"))
+    with pytest.raises(IOError, match="sidecar"):
+        bucket_store.compact(spark, path)

@@ -572,3 +572,48 @@ def test_ivf_probe_ranks_cells_by_assignment_metric(spark, tmp_path):
     got = {r.query_id: (r.neighbor_id, r.sim) for r in top.collect()}
     for qid in range(1000, 1120, 10):
         assert got[qid][0] == qid - 1000 and got[qid][1] == 1.0, (qid, got.get(qid))
+
+
+def test_vamana_and_ivfpq_probe_rank_by_assignment_metric(spark, tmp_path):
+    """r10 regression, propagated from the IVF fix: the vamana shard
+    probe and the IVFPQ coarse probe must rank by the quantizer's
+    assignment metric too — an exact copy of a stored vector finds its
+    twin at n_probe=1 on the same mixed-norm fixture."""
+    import numpy as np
+
+    from jobanalytics_bigdataproject_spark.operators import pq, vamana
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=64)
+        v = v / np.linalg.norm(v) * float(0.5 + 1.5 * rng.random())
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    copies = spark.createDataFrame(
+        [(1000 + i, rows[i][1]) for i in range(0, 120, 20)],
+        "vec_id long, embedding array<double>",
+    )
+
+    vpath = str(tmp_path / "vamana")
+    vamana.vamana_build_index(emb, vpath, n_shards=8, r=8, beam=16)
+    got = {
+        r.query_id: r.neighbor_id
+        for r in vamana.vamana_query(
+            spark, vpath, copies, k=1, n_probe=1, beam=32
+        ).collect()
+    }
+    for qid in range(1000, 1120, 20):
+        assert got[qid] == qid - 1000, (qid, got.get(qid))
+
+    ppath = str(tmp_path / "ivfpq")
+    pq.ivfpq_build_index(emb, ppath, n_clusters=8, m=8, k=32)
+    res = pq.ivfpq_query(spark, ppath, copies, k=3, n_probe=1)
+    by_q = {}
+    for r in res.collect():
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    for qid in range(1000, 1120, 20):
+        # ADC ranks by quantized distance, so assert the twin is IN the
+        # probed cell's top-3 (it can only be there if the probe ranked
+        # the twin's assigned cell first)
+        assert qid - 1000 in by_q[qid], (qid, by_q.get(qid))
