@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jobanalytics_bigdataproject_spark.sources.readers import fan_out_scan
+
 
 def _words(text_col: str):
     return F.split(F.trim(F.col(text_col)), r"\s+")
@@ -130,7 +132,14 @@ def duplicate_spans(
     rank (ordered corpus-wide by doc_id, pos) is ≥ 2. The span's first
     corpus occurrence is NOT listed — it stays. ``min_span_tokens``
     (VERDICT r8 #4) drops islands shorter than the threshold — the
-    paper's "only remove long duplicated passages" dial."""
+    paper's "only remove long duplicated passages" dial.
+
+    The shingle explode is the CPU-heavy stage (k-word slice+concat per
+    token position); ``fan_out_scan`` spreads it across the cluster when
+    the input scan under-parallelizes (identity at real scale — the
+    occurrence window is ordered by (doc_id, pos), so the result is
+    partitioning-independent)."""
+    documents = fan_out_scan(documents)
     sp = shingle_positions(documents, k, text_col, id_col, hash_shingles)
     occ = Window.partitionBy("shingle").orderBy("doc_id", "pos")
     dup_pos = (
@@ -153,6 +162,7 @@ def substring_dup_report(
     spans, and how many tokens those spans cover. Only documents with at
     least one duplicated span appear (the interesting rows; the totals
     query joins back to the corpus for rates)."""
+    documents = fan_out_scan(documents)
     spans = duplicate_spans(
         documents, k, text_col, id_col, hash_shingles, min_span_tokens
     )
@@ -194,6 +204,7 @@ def remove_duplicate_spans(
     ``min_span_tokens`` removes only islands at least that long (the
     ExactSubstr length threshold); ``max_doc_tokens`` bounds the per-doc
     re-assembly buffer — see ``_cut_spans``."""
+    documents = fan_out_scan(documents)
     spans = duplicate_spans(
         documents, k, text_col, id_col, hash_shingles, min_span_tokens
     )
@@ -238,6 +249,9 @@ def _cut_spans(
             ),
         ).otherwise(F.col(text_col))
         documents = documents.withColumn(text_col, guard)
+    # the token posexplode below is the second CPU-heavy per-row stage;
+    # identity when the caller (or real-scale input) already parallelizes
+    documents = fan_out_scan(documents)
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_words(text_col)).alias("pos", "word"),
@@ -307,8 +321,9 @@ def substring_decontaminate(
     side is broadcast-scale (and with ``hash_shingles`` 8 bytes per
     key); the corpus is shingled and probed in one linear pass, exactly
     the ``benchmark_contamination`` posture."""
+    corpus = fan_out_scan(corpus)
     ev = (
-        shingle_positions(eval_docs, k, text_col, id_col, hash_shingles)
+        shingle_positions(fan_out_scan(eval_docs), k, text_col, id_col, hash_shingles)
         .select("shingle")
         .distinct()
     )
@@ -344,6 +359,7 @@ def substring_decontaminate_incremental(
     from jobanalytics_bigdataproject_spark.sources import bucket_store
 
     store = bucket_store.open(spark, store_path)
+    corpus_batch = fan_out_scan(corpus_batch)
     sp = shingle_positions(corpus_batch, k, text_col, id_col, hash_shingles=True)
     dup_pos = sp.join(store.select("shingle"), "shingle", "left_semi").select(
         "doc_id", "pos"
@@ -409,7 +425,7 @@ def shingle_store_write(
     [path])`` compacts the accumulation back to one file set."""
     from jobanalytics_bigdataproject_spark.sources import bucket_store
 
-    sp = shingle_positions(documents, k, text_col, id_col, hash_shingles=True)
+    sp = shingle_positions(fan_out_scan(documents), k, text_col, id_col, hash_shingles=True)
     first = (
         sp.groupBy("shingle")
         .agg(F.min(F.struct("doc_id", "pos")).alias("first"))
@@ -478,6 +494,7 @@ def substring_dedup_incremental(
     from jobanalytics_bigdataproject_spark.sources import bucket_store
 
     store = bucket_store.open(spark, path)
+    new_docs = fan_out_scan(new_docs)
     store_keys = store.join(
         F.broadcast(new_docs.select(F.col(id_col).alias("doc_id"))),
         "doc_id",
@@ -540,7 +557,7 @@ def substring_store_learn(
     from jobanalytics_bigdataproject_spark.sources import bucket_store
 
     store = bucket_store.open(spark, path)
-    sp = shingle_positions(new_docs, k, text_col, id_col, hash_shingles=True)
+    sp = shingle_positions(fan_out_scan(new_docs), k, text_col, id_col, hash_shingles=True)
     fresh = (
         sp.join(store.select("shingle"), "shingle", "left_anti")
         .groupBy("shingle")
