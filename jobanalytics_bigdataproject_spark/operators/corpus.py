@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jobanalytics_bigdataproject_spark.functions.textfns import tokenize
+from jobanalytics_bigdataproject_spark.sources.readers import fan_out_scan
 
 # ---------------------------------------------------------------------------
 # Repetition / duplication quality signals (Gopher-style)
@@ -45,7 +46,11 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     corpus size, no joins.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    # fan_out_scan: the tokenize+posexplode map stage must not serialize on
+    # an under-parallel input scan (identity at real scale — guide §2.5)
+    ex = fan_out_scan(documents).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     # window exprs must be materialized before they can feed the explode
     led = ex.select(
@@ -119,7 +124,10 @@ def segment_dedup(
     the global dedup shuffle never carries text. Final per-doc rollup
     re-partitions on doc_id. Three exchanges, all linear."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    # fan_out_scan: see repetition_stats — identity at real scale
+    ex = fan_out_scan(documents).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, seg_len)]
     # concat_ws skips NULL leads, so the (possibly short) tail segment comes
@@ -276,6 +284,9 @@ def bm25_search(
     is TakeOrderedAndProject (never a global sort materialization)."""
     toks = tokenize(text_col)  # min_len=3, the tfidf/T3 tokenizer
     terms = [str(t) for t in query_terms]
+    # fan_out_scan: both the term explode and the totals pass tokenize
+    # every document — identity at real scale (guide §2.5)
+    documents = fan_out_scan(documents)
     ex = (
         documents.select("doc_id", F.size(toks).cast("long").alias("dl"), F.explode(toks).alias("term"))
         .filter(F.col("term").isin(terms))
@@ -351,6 +362,9 @@ def full_prep_pipeline(
 
     txt = F.col(text_col)
     *_, quality_bp = _quality_bp(txt, DEFAULT_STOPWORDS)
+    # fan_out_scan: the per-row quality/lang/dup expressions and the 8-gram
+    # explode below re-tokenize every document — identity at real scale
+    documents = fan_out_scan(documents)
     # the Gopher dup-token signal needs only unigram multiplicity, which is
     # ARRAY-NATIVE (size/array_distinct, no lambda) — so unlike the
     # standalone repetition_stats (which also ranks bi/tri-grams and earns
@@ -434,6 +448,9 @@ def benchmark_contamination(
     shuffled — probe-side only, then one per-doc count. Corpus docs with
     no match keep a 0 row via the final left join (pruned columns only)."""
     toks = tokenize(text_col, min_len=1)
+    # NOT fan_out_scan-ed (r10): the gram window already re-partitions by
+    # doc_id right after the explode; measured, fanning the scan added
+    # ~0.4 s here instead of saving
     ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, ngram)]
@@ -558,7 +575,10 @@ def bigram_novelty(documents: DataFrame, text_col: str = "text") -> DataFrame:
     hash-exact against the oracle.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    # fan_out_scan: see repetition_stats — identity at real scale
+    ex = fan_out_scan(documents).select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
+    )
     w = Window.partitionBy("doc_id").orderBy("pos")
     grams = (
         ex.select(
@@ -609,7 +629,8 @@ def unigram_logprob(
     """
     from jobanalytics_bigdataproject_spark.functions.exact import exact_div
 
-    toks = documents.select(
+    # fan_out_scan: see repetition_stats — identity at real scale
+    toks = fan_out_scan(documents).select(
         F.col(id_col), F.explode(tokenize(text_col, min_len=1)).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -678,7 +699,8 @@ def bigram_logprob(
     """
     from jobanalytics_bigdataproject_spark.functions.exact import exact_div
 
-    arrs = documents.select(
+    # fan_out_scan: see repetition_stats — identity at real scale
+    arrs = fan_out_scan(documents).select(
         F.col(id_col), tokenize(text_col, min_len=1).alias("arr")
     ).filter(F.size("arr") >= 2)
     n = F.size("arr")
@@ -823,6 +845,9 @@ def chunk_documents(
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != F.lit("")
     )
+    # NOT fanned out (unlike the explode-heavy siblings): the zero-shuffle
+    # property is this operator's contract (plan-gated in test_corpus.py)
+    # and the per-row slice/array_join work is light
     d = (
         documents.select("doc_id", toks.alias("toks"))
         .withColumn("n_tokens", F.size("toks"))
@@ -875,6 +900,9 @@ def curriculum_shards(
     txt = F.col(text_col)
     *_, quality_bp = _quality_bp(txt, DEFAULT_STOPWORDS)
     n_tokens = F.size(F.split(F.lower(F.trim(txt)), r"\s+"))
+    # fan_out_scan: the per-row quality expressions re-tokenize every
+    # document — identity at real scale (guide §2.5)
+    documents = fan_out_scan(documents)
     scored = documents.select(
         "doc_id",
         (quality_bp * 2).cast("long").alias("q_bp2"),

@@ -36,14 +36,18 @@ from jobanalytics_bigdataproject_spark.functions.textfns import (
     fingerprint,
     tokenize,
 )
+from jobanalytics_bigdataproject_spark.sources.readers import fan_out_scan
 
 
 def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: group by normalized-text md5. Returns one row per
     fingerprint with the group size and the smallest doc_id (the canonical
-    survivor). Shuffle key is the 32-hex-char hash — uniform, skew-free."""
+    survivor). Shuffle key is the 32-hex-char hash — uniform, skew-free.
+    ``fan_out_scan``: the md5-of-text map stage must not serialize on an
+    under-parallel scan (identity at real scale — guide §2.5)."""
     return (
-        documents.select(F.col("doc_id"), fingerprint(text_col).alias("doc_fp"))
+        fan_out_scan(documents)
+        .select(F.col("doc_id"), fingerprint(text_col).alias("doc_fp"))
         .groupBy("doc_fp")
         .agg(
             F.count("*").alias("dup_count"),
@@ -75,6 +79,10 @@ def _doc_shingles(documents: DataFrame, text_col: str, shingle_n: int) -> DataFr
     from pyspark.sql import Window
 
     toks = tokenize(text_col, min_len=1)
+    # NOT fan_out_scan-ed (r10): this helper is consumed TWICE by the
+    # MinHash self-join pipelines, and the heavy window/dedup work already
+    # runs post-exchange; measured, fanning the scan cost 0.5-1.2 s per
+    # query (two extra exchanges + partition probes) instead of saving
     ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, shingle_n)]
@@ -169,9 +177,11 @@ def simhash_docs(documents: DataFrame, text_col: str = "text") -> DataFrame:
     map-side partial sums). Near-dup candidates share the full hash or one
     of four 16-bit chunks (⇒ catches hamming distance ≤ 3)."""
     toks = tokenize(text_col, min_len=1)
-    ex = documents.select("doc_id", F.explode(toks).alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
-    )
+    # tokenize+explode+hash is the CPU-heavy map stage: fan out an
+    # under-parallel input scan (identity at real scale — guide §2.5)
+    ex = fan_out_scan(documents).select(
+        "doc_id", F.explode(toks).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
     # The 64 vote aggregates and the 64-term sign-pack are built as SQL
     # strings, ONE py4j parse per expression: constructing them from nested
     # Column objects cost ~1.8 s of driver time per fresh plan (hundreds of

@@ -159,7 +159,12 @@ def fuzzy_match_pairs_fast(
     (equivalence-tested against the brute block join, and the DuckDB
     oracle IS the brute form)."""
     L = F.length(name_col)
-    base = df.select(
+    # fan_out_scan (guide §2.5): the 8 leave-one-out substring keys are
+    # built per row in BOTH self-join legs — an under-parallel input scan
+    # serializes that map work twice; identity at real scale
+    from jobanalytics_bigdataproject_spark.sources.readers import fan_out_scan
+
+    base = fan_out_scan(df).select(
         F.col(id_col).alias("id"),
         F.col(name_col).alias("name"),
         F.col(block_col).alias("blk"),

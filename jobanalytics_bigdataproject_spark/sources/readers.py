@@ -63,6 +63,12 @@ def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = int(target or sc.defaultParallelism)
+    # NOT memoized per DataFrame object: returning the SAME repartitioned
+    # frame object to several consuming subtrees turns downstream joins
+    # into analyzer-level self-joins, whose attribute re-aliasing defeats
+    # exchange reuse — measured 5 s → 9-20 s on the MinHash self-join
+    # pipelines. Distinct-but-equal repartition subtrees canonicalize
+    # identically and ARE collapsed by runtime exchange reuse instead.
     try:
         current = df.rdd.getNumPartitions()
     except Exception:  # pragma: no cover — unanalyzable frame: leave as-is

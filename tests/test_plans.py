@@ -98,8 +98,15 @@ def test_curriculum_shards_exchange_budget(tables):
 
     df = corpus.curriculum_shards(tables["documents"])
     # one global percentile agg + one shard agg + the presentation sort;
-    # the cutoff row rides a broadcast, never a shuffle
-    assert inspect.count_exchanges(df) <= 3
+    # the cutoff row rides a broadcast, never a shuffle. r10: +2 round-robin
+    # fan-out exchanges (one per scan subtree) when the input scan is
+    # under-parallel — identity at real scale, see readers.fan_out_scan
+    assert inspect.count_exchanges(df) <= 5
+    # the budget's intent: no HASH shuffle beyond the two aggregations
+    plan = inspect.formatted_plan(df)
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
 
 
 def test_yoy_growth_exchange_budget(tables):
