@@ -2262,7 +2262,16 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     # limit() on an unordered frame is partition-order dependent; ordering by
     # a row hash makes the subset deterministic (TakeOrderedAndProject — no
     # full sort materialized) so gate metrics are reproducible across runs.
-    train = train.orderBy(F.xxhash64(*train.columns)).limit(100_000).cache()
+    # r10 (guide §2.5/§5): limit() always emits ONE partition, so without a
+    # fan-out every downstream stage-fit job (indexer count, IDF, scaler,
+    # each LBFGS iteration) ran single-task on the cached 100k rows —
+    # measured, the repartition + shared caches cut this query ~12.4→~7 s.
+    train = (
+        train.orderBy(F.xxhash64(*train.columns))
+        .limit(100_000)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
     # cache before the pipeline fit: each of the 8 stage fits (indexers,
     # IDF, ...) otherwise re-executes the lineitem⋈part join from scratch
     # small budget for the per-round gate: 64 TF features + 10 LR iters
@@ -2270,9 +2279,19 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat_model = mlp.build_feature_pipeline(num_tf_features=64).fit(train)
     train_f = feat_model.transform(train).select("features", "label").cache()
     lr = mlp.LinearRegression(maxIter=10, regParam=0.05, elasticNetParam=0.1).fit(train_f)
-    test_f = feat_model.transform(test)
+    # cache the featurized TEST side once: evaluate_models materializes one
+    # frame per model and each would otherwise re-run the join + transform
+    test_f = feat_model.transform(test).select("features", "label").cache()
     mean_label = train.agg(F.avg("label")).first()[0]
-    return mlp.evaluate_models({"lr": lr}, test_f, mean_label)
+    try:
+        return mlp.evaluate_models({"lr": lr}, test_f, mean_label)
+    finally:
+        # everything returned is already materialized (evaluate_models is
+        # eager); dropping the caches keeps every bench run computing from
+        # the parquet inputs instead of a previous run's cached plan
+        test_f.unpersist()
+        train_f.unpersist()
+        train.unpersist()
 
 
 # The correctness driver oracle-checks only the FIRST 50 queries() entries

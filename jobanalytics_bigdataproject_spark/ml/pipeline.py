@@ -68,9 +68,15 @@ def make_training_frame(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     measured), so the pricing relation is modeled instead; this keeps the
     beats-baseline test meaningful while exercising the identical stage
     list."""
+    from jobanalytics_bigdataproject_spark.sources.readers import fan_out_scan
+
     line_price = (
         F.col("l_quantity") * F.col("p_retailprice") * (F.lit(1.0) - F.col("l_discount"))
     )
+    # fan_out_scan (guide §2.5): the broadcast join + label/feature
+    # projection is map-side work that must not serialize on an
+    # under-parallel lineitem scan; identity at real scale
+    lineitem = fan_out_scan(lineitem)
     df = (
         lineitem.join(part, lineitem.l_partkey == part.p_partkey, "inner")
         .filter(line_price.between(1.0, 5_000_000.0))
@@ -184,25 +190,40 @@ def evaluate_models(
 ) -> DataFrame:
     """M9 + M13: per-model RMSE/MAE/R² plus the mean-prediction baseline
     (reference 04:186-188, 259-286). Returns a small metrics DataFrame."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = test_features.sparkSession
-    rows = []
     baseline = test_features.withColumn("prediction", F.lit(train_label_mean))
     frames = {"baseline_mean": baseline}
     for name, model in models.items():
         frames[name] = model.transform(test_features)
-    for name, frame in frames.items():
+
+    def _evaluate(item: tuple[str, DataFrame]) -> tuple[str, float, float, float]:
+        name, frame = item
         # cache the 2-column projection: each RegressionEvaluator.evaluate
         # is its own job and would otherwise re-run the whole feature
         # transform three times per model
         frame = frame.select("label", "prediction").cache()
-        metrics = {}
-        for metric in ("rmse", "mae", "r2"):
-            ev = RegressionEvaluator(
-                labelCol="label", predictionCol="prediction", metricName=metric
-            )
-            metrics[metric] = float(ev.evaluate(frame))
-        frame.unpersist()
-        rows.append((name, metrics["rmse"], metrics["mae"], metrics["r2"]))
+        try:
+            metrics = {
+                metric: float(
+                    RegressionEvaluator(
+                        labelCol="label",
+                        predictionCol="prediction",
+                        metricName=metric,
+                    ).evaluate(frame)
+                )
+                for metric in ("rmse", "mae", "r2")
+            }
+        finally:
+            frame.unpersist()
+        return (name, metrics["rmse"], metrics["mae"], metrics["r2"])
+
+    # the per-frame evaluations are independent Spark actions; overlapping
+    # them from a small thread pool back-fills the executor tail (guide
+    # §2.6) — each evaluator's result is unchanged by concurrency
+    with ThreadPoolExecutor(max_workers=min(3, len(frames))) as pool:
+        rows = list(pool.map(_evaluate, frames.items()))
     return spark.createDataFrame(rows, ["model", "rmse", "mae", "r2"])
 
 
