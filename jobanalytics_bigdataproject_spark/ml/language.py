@@ -54,6 +54,12 @@ def _language_base(
     """doc_id + lowercase text + heuristic answer + confident-band label
     index + deterministic md5 split — the shared front half of fit and
     score."""
+    from jobanalytics_bigdataproject_spark.sources.readers import fan_out_scan
+
+    # fan_out_scan (guide §2.5): the marker-lexicon heuristic and the
+    # char-trigram featurize both re-read every document; identity at
+    # real scale
+    documents = fan_out_scan(documents)
     # language_id echoes the corpus' labeled `lang` column; tolerate
     # unlabeled corpora (the common production case)
     docs_for_heur = (
@@ -155,6 +161,13 @@ def fit_language_pipeline(
     train = feat.filter("split = 'train' AND label IS NOT NULL").select(
         "features", "label"
     )
+    # right-size for the 30-iteration LBFGS loop (see quality.py — one
+    # task per partition per iteration)
+    from jobanalytics_bigdataproject_spark.sources.readers import (
+        right_size_for_iterations,
+    )
+
+    train = right_size_for_iterations(train, train.count())
     train.cache().count()  # materialize before the iterative fit
     try:
         model = LogisticRegression(

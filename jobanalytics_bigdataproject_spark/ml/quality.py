@@ -47,14 +47,30 @@ from jobanalytics_bigdataproject_spark.operators.text import quality_score
 
 
 def _labeled_base(
-    documents: DataFrame, lo: float, hi: float, train_bp: int, salt: str
+    documents: DataFrame,
+    lo: float,
+    hi: float,
+    train_bp: int,
+    salt: str,
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id + tokens + distillation label (1 = top band, 0 = bottom band,
     NULL = middle) + deterministic md5 train/holdout split. The cutoffs
     are FIT-TIME artifacts: at score time the stored (lo, hi) apply, so
     new arrivals are labeled by the trained operating point, not their
-    own batch's percentiles."""
-    qs = quality_score(documents).select("doc_id", "quality_score")
+    own batch's percentiles. ``scores`` lets the fit path pass its cached
+    (doc_id, quality_score) frame so the heavy per-row heuristic runs
+    once, not once per consumer."""
+    from jobanalytics_bigdataproject_spark.sources.readers import fan_out_scan
+
+    # fan_out_scan (guide §2.5): the per-row heuristic scoring and the
+    # tokenize both re-read every document; identity at real scale
+    documents = fan_out_scan(documents)
+    qs = (
+        scores
+        if scores is not None
+        else quality_score(documents).select("doc_id", "quality_score")
+    )
     bucket = F.substring(
         F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 4
     )
@@ -89,11 +105,24 @@ def fit_quality_pipeline(
     middle band = NULL (excluded from training — distillation only
     trusts the heuristic where it is confident). IDF is fit on the
     labeled train subset only (no leakage)."""
-    qs = quality_score(documents).select("quality_score")
-    lo, hi = qs.agg(
+    from jobanalytics_bigdataproject_spark.sources.readers import (
+        fan_out_scan,
+        right_size_for_iterations,
+    )
+
+    documents = fan_out_scan(documents)  # see _labeled_base
+    # The per-row heuristic is the most expensive map in this fit and was
+    # recomputed by the cutoff aggregate AND the labeled base; score it
+    # ONCE into a bounded (doc_id, score) cache shared by both (dropped
+    # before returning, so repeated fits recompute from the input).
+    scored = quality_score(documents).select("doc_id", "quality_score").cache()
+    lo, hi = scored.agg(
         F.percentile("quality_score", F.lit([1.0 / 3, 2.0 / 3])).alias("c")
     ).first()["c"]
-    base = _labeled_base(documents, lo, hi, train_bp, salt)
+    base = _labeled_base(documents, lo, hi, train_bp, salt, scores=scored)
+    # the tokenized/labeled base feeds the IDF fit, the train count and
+    # the train cache below — one cache saves two tokenize+hash passes
+    base = base.cache()
 
     tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=n_features)
     with_tf = tf.transform(base)
@@ -104,6 +133,10 @@ def fit_quality_pipeline(
     train = featurized.filter("split = 'train' AND label IS NOT NULL").select(
         "features", "label"
     )
+    # right-size for the 50-iteration LBFGS loop: one task per partition
+    # per iteration, so the fanned-out featurize partitioning must not
+    # leak into the cached training set (readers.right_size_for_iterations)
+    train = right_size_for_iterations(train, train.count())
     train.cache().count()  # materialize before the iterative fit
     try:
         lr = LogisticRegression(
@@ -112,6 +145,8 @@ def fit_quality_pipeline(
         model = lr.fit(train)
     finally:
         train.unpersist()
+        base.unpersist()
+        scored.unpersist()
 
     # Drop the training summary before the model is used for scoring: the
     # fitted model's summary pins the SparkSession, and the scoring task

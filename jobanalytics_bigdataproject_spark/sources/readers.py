@@ -78,6 +78,29 @@ def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def right_size_for_iterations(
+    df: DataFrame, n_rows: int, rows_per_partition: int = 2048
+) -> DataFrame:
+    """Right-size a frame that an ITERATIVE fit will re-scan many times
+    (guide §2.2 "fewer, larger partitions"): every LBFGS/EM/ALS round
+    schedules one task per partition, so partition count is a per-round
+    latency tax — a 2 700-row training set spread over 32 partitions pays
+    32 task launches × 50 iterations for microseconds of compute each.
+
+    Deterministic round-robin repartition to ``n_rows //
+    rows_per_partition`` partitions (≥1), capped at the session's default
+    parallelism so a large input still uses the whole cluster. The caller
+    supplies ``n_rows`` (it usually counts anyway to materialize a cache).
+    Not locality-based ``coalesce``: its parent-grouping is
+    nondeterministic run-to-run, which changes float-sum order inside
+    seed-pinned fits."""
+    sc = df.sparkSession.sparkContext
+    n_parts = max(
+        1, min(sc.defaultParallelism, int(n_rows) // max(1, int(rows_per_partition)))
+    )
+    return df.repartition(n_parts)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
