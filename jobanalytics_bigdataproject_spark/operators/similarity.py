@@ -92,7 +92,16 @@ def srp_bucket_expr(vec: str, bits: int = 8, dim: int = 64, offset: int = 0) -> 
     near-dup blocking in ``embedding_near_dups_lsh``).
 
     Built as ONE SQL-string parse (see ``cosine_expr``): the Column-object
-    form cost ~bits×10 py4j round-trips per fresh plan."""
+    form cost ~bits×10 py4j round-trips per fresh plan. The parsed Column
+    is additionally MEMOIZED per (vec, bits, dim, offset): even the single
+    string parse of this bits×dim expression tree measured ~0.25 s per
+    table per fresh plan (≈2 s for the 8-table near-dup blocking), and
+    Column expression trees are immutable — reusing one across plans is
+    free (r10)."""
+    key = (vec, bits, dim, offset)
+    cached = _SRP_EXPR_CACHE.get(key)
+    if cached is not None:
+        return cached
     terms = []
     for b in range(bits):
         lo, hi = offset + b * dim, offset + b * dim + dim - 1
@@ -102,7 +111,12 @@ def srp_bucket_expr(vec: str, bits: int = 8, dim: int = 64, offset: int = 0) -> 
             f"0D, (acc, s) -> acc + s)"
         )
         terms.append(f"if({proj} > 0D, shiftleft(1L, {b}), 0L)")
-    return F.expr(" | ".join(terms))
+    out = F.expr(" | ".join(terms))
+    _SRP_EXPR_CACHE[key] = out
+    return out
+
+
+_SRP_EXPR_CACHE: dict[tuple, Column] = {}
 
 
 def srp_bucket(vec: Column, bits: int = 8, dim: int = 64) -> Column:
@@ -596,6 +610,17 @@ def embedding_near_dups_lsh(
     tabled = embeddings.select(
         F.col(id_col), F.col(vec_col), F.posexplode(buckets).alias("table", "bucket")
     )
+    # Drop singleton buckets BEFORE the Python boundary (guide §4: ship
+    # only rows the function can use — a 1-member bucket cannot produce a
+    # pair, and by design most buckets are near-singleton). The count
+    # window shuffles on the same (table, bucket) key the groupBy needs,
+    # so applyInPandas reuses the partitioning instead of adding an
+    # exchange; the pandas stage then sees only the colliding minority.
+    from pyspark.sql import Window as _W
+
+    tabled = tabled.withColumn(
+        "__n", F.count(F.lit(1)).over(_W.partitionBy("table", "bucket"))
+    ).filter(F.col("__n") >= 2).drop("__n")
     return (
         tabled.groupBy("table", "bucket")
         .applyInPandas(per_bucket, schema)
