@@ -323,6 +323,14 @@ def als_event_affinity(
         .cache()
     )
     try:
+        # Right-size ALS's block grid to the DATA (guide §2.2): every one
+        # of the n_iter sweeps joins interaction blocks against a factor
+        # side, so user×item block count is a per-sweep task-launch tax —
+        # MLlib's default 10×10 grid schedules hundreds of near-empty
+        # tasks per sweep on a small ratings table. ~100k ratings per
+        # block, floor 1, cap at MLlib's default so large inputs keep
+        # full parallelism. Deterministic given the fixed seed + grid.
+        n_blocks = max(1, min(10, ratings.count() // 100_000))
         idx = StringIndexer(
             inputCol=type_col, outputCol="item", stringOrderType="alphabetAsc"
         ).fit(ratings)
@@ -331,6 +339,7 @@ def als_event_affinity(
             rank=rank, maxIter=n_iter, seed=seed, implicitPrefs=True,
             alpha=1.0, regParam=0.1, userCol=user_col, itemCol="item",
             ratingCol="cnt", coldStartStrategy="drop", nonnegative=True,
+            numUserBlocks=n_blocks, numItemBlocks=n_blocks,
         ).fit(rated)
         recs = model.recommendForAllUsers(top_n)
     finally:

@@ -411,7 +411,17 @@ def connected_components_star(
         pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _persist_round(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+        # lazy (eager=False) checkpoints: the convergence-signature agg
+        # right after each round is the action that materializes the
+        # round's edge set, so every round costs ONE job instead of two
+        # (r10 — the algorithm is latency-bound at small edge counts,
+        # 2 jobs × rounds was half its wall time). Reliable checkpoints
+        # stay eager: their write must not ride on the agg's lifetime.
+        return (
+            df.checkpoint()
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=False)
+        )
 
     u, v = F.col("u"), F.col("v")
     edges = _persist_round(
