@@ -46,11 +46,9 @@ def repetition_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     corpus size, no joins.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # fan_out_scan: the tokenize+posexplode map stage must not serialize on
-    # an under-parallel input scan (identity at real scale — guide §2.5)
-    ex = fan_out_scan(documents).select(
-        "doc_id", F.posexplode(toks).alias("pos", "tok")
-    )
+    # NOT fan_out_scan-ed (r10): the doc window re-partitions right after
+    # the explode — measured neutral (the shape fan-out does NOT help)
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     # window exprs must be materialized before they can feed the explode
     led = ex.select(
@@ -124,10 +122,9 @@ def segment_dedup(
     the global dedup shuffle never carries text. Final per-doc rollup
     re-partitions on doc_id. Three exchanges, all linear."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # fan_out_scan: see repetition_stats — identity at real scale
-    ex = fan_out_scan(documents).select(
-        "doc_id", F.posexplode(toks).alias("pos", "tok")
-    )
+    # NOT fan_out_scan-ed (r10): same window-follows-explode shape as
+    # repetition_stats — measured neutral
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, seg_len)]
     # concat_ws skips NULL leads, so the (possibly short) tail segment comes
@@ -575,10 +572,9 @@ def bigram_novelty(documents: DataFrame, text_col: str = "text") -> DataFrame:
     hash-exact against the oracle.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # fan_out_scan: see repetition_stats — identity at real scale
-    ex = fan_out_scan(documents).select(
-        "doc_id", F.posexplode(toks).alias("pos", "tok")
-    )
+    # NOT fan_out_scan-ed (r10): the doc window re-partitions right after
+    # the explode — measured neutral
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     grams = (
         ex.select(
@@ -629,8 +625,10 @@ def unigram_logprob(
     """
     from jobanalytics_bigdataproject_spark.functions.exact import exact_div
 
-    # fan_out_scan: see repetition_stats — identity at real scale
-    toks = fan_out_scan(documents).select(
+    # NOT fan_out_scan-ed (r10): the vocab count re-partitions right
+    # after the explode and the toks subtree has two consumers — measured
+    # neutral, and the fan-out broke the operator's 4-exchange budget gate
+    toks = documents.select(
         F.col(id_col), F.explode(tokenize(text_col, min_len=1)).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
@@ -699,8 +697,9 @@ def bigram_logprob(
     """
     from jobanalytics_bigdataproject_spark.functions.exact import exact_div
 
-    # fan_out_scan: see repetition_stats — identity at real scale
-    arrs = fan_out_scan(documents).select(
+    # NOT fan_out_scan-ed (r10): measured neutral (1.75 -> 1.72 s) — the
+    # localCheckpoint'd vocab already bounds recomputation
+    arrs = documents.select(
         F.col(id_col), tokenize(text_col, min_len=1).alias("arr")
     ).filter(F.size("arr") >= 2)
     n = F.size("arr")

@@ -43,11 +43,10 @@ def exact_dup_groups(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: group by normalized-text md5. Returns one row per
     fingerprint with the group size and the smallest doc_id (the canonical
     survivor). Shuffle key is the 32-hex-char hash — uniform, skew-free.
-    ``fan_out_scan``: the md5-of-text map stage must not serialize on an
-    under-parallel scan (identity at real scale — guide §2.5)."""
+    NOT fan_out_scan-ed (r10): measured neutral, and the one-exchange
+    budget gate is this operator's documented contract."""
     return (
-        fan_out_scan(documents)
-        .select(F.col("doc_id"), fingerprint(text_col).alias("doc_fp"))
+        documents.select(F.col("doc_id"), fingerprint(text_col).alias("doc_fp"))
         .groupBy("doc_fp")
         .agg(
             F.count("*").alias("dup_count"),
