@@ -2311,21 +2311,24 @@ def _ml_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   3. _ROWS_ONLY       — no oracle SQL by design (SURVEY.md §5.3); a checked
 #                         slot is wasted on them, so they go last.
 _PRIORITY = [
-    # Round 10: the six r9 priority names got green r9 rows and rotate
-    # out via _last_checked_round. This block holds only this round's
-    # NEW(ly) oracle-backed queries; the 26 r6-stale rows (VERDICT r9
-    # #1) auto-sort directly after it as the least-recently-checked —
-    # keep this block ≤8 so the 4-round staleness bound holds
-    # (tests/test_evidence_window.py enforces it).
-    # rows-only → ORACLE upgrade (VERDICT r9 #3): shares the
-    # full-rebuild oracle restricted to batch doc_ids, so the driver
-    # hash-match is the incremental==batch proof
-    "docs_substring_incremental",
-    # NEW r10 (VERDICT r9 #4), oracle-backed: the brute-force EXISTS
-    # twin — the hash-match proves probe==exhaustive on the driver
-    # fixture (planted exact copies are structurally probe-reachable
-    # at any n_probe; background pairs sit far below threshold)
-    "embeddings_semantic_dedup_incremental",
+    # Round 11 (VERDICT r10 #1): the r10 fan-out changes to these
+    # oracle-backed queries landed AFTER their last driver oracle rows —
+    # the substring family, the fuzzy self-join and bm25 were all
+    # re-planned in r10 (and bm25's fan-out was split per-subtree in
+    # r11) yet only builder-side 225/225 evidence covers the new plans.
+    # Putting them here gets driver hash-checks on the post-fan-out
+    # plans. The two r10 priority names (docs_substring_incremental,
+    # embeddings_semantic_dedup_incremental) got green r10 rows and
+    # rotate out via _last_checked_round. Keep this block ≤8 so the
+    # 4-round staleness bound holds (tests/test_evidence_window.py).
+    "docs_substring_dedup",
+    "docs_substring_dedup_hashed",
+    "docs_substring_dedup_min40",
+    "docs_substring_dup_report",
+    "docs_substring_decontaminate",
+    "docs_substring_decontaminate_store",
+    "customer_fuzzy_pairs",
+    "docs_bm25_search",
 ]
 _ROWS_ONLY = {
     "ann_recall_report",

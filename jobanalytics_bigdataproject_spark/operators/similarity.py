@@ -97,8 +97,18 @@ def srp_bucket_expr(vec: str, bits: int = 8, dim: int = 64, offset: int = 0) -> 
     string parse of this bits×dim expression tree measured ~0.25 s per
     table per fresh plan (≈2 s for the 8-table near-dup blocking), and
     Column expression trees are immutable — reusing one across plans is
-    free (r10)."""
-    key = (vec, bits, dim, offset)
+    free (r10). The key includes the active context's applicationId
+    (ADVICE r10): a cached Column holds py4j references into ITS gateway,
+    so after a context/JVM restart in the same driver process a stale
+    entry would raise — keying on the application retires the old
+    generation wholesale (applicationId is timestamped, so a recycled
+    object id cannot alias a dead context; the handful of leaked Columns
+    per dead context are kilobyte-scale)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    app = sc.applicationId if sc is not None else None
+    key = (app, vec, bits, dim, offset)
     cached = _SRP_EXPR_CACHE.get(key)
     if cached is not None:
         return cached

@@ -58,6 +58,14 @@ def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     local mode, total executor cores on a cluster). Streaming frames are
     returned untouched (``.rdd`` is illegal on them; micro-batch inputs
     arrive pre-partitioned by the source anyway).
+
+    Known blind spot (ADVICE r10): the probe reads the PRE-AQE physical
+    partition count, so at a post-shuffle call site it sees
+    ``spark.sql.shuffle.partitions`` — even when AQE will coalesce the
+    exchange to one runtime partition — and silently no-ops. Use this
+    helper on SCAN-ROOTED frames (every current call site); a frame whose
+    lineage already contains an exchange gains nothing from it anyway
+    (the shuffle itself spreads the rows).
     """
     if df.isStreaming:
         return df
@@ -71,7 +79,15 @@ def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     # identically and ARE collapsed by runtime exchange reuse instead.
     try:
         current = df.rdd.getNumPartitions()
-    except Exception:  # pragma: no cover — unanalyzable frame: leave as-is
+    except Exception as exc:  # pragma: no cover — unanalyzable frame
+        # leave the frame as-is but say so: a real analysis error in the
+        # caller's plan must not be mistaken for "already parallel enough"
+        # (ADVICE r10 — it will resurface at the caller's action anyway)
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "fan_out_scan: partition probe failed (%s); leaving frame as-is", exc
+        )
         return df
     if current >= target:
         return df

@@ -1,6 +1,7 @@
 """Dump ``explain("formatted")`` for named declared queries into
-``plans/r10/<query>_<tag>.txt`` — the before/after plan evidence the
-optimization round commits next to OPTIMIZATION_r10.md.
+``plans/<round>/<query>_<tag>.txt`` — the before/after plan evidence the
+optimization round commits next to OPTIMIZATION_<round>.md.
+``SPARK_GRAFT_PLAN_ROUND`` picks the round directory (default r11).
 
 Usage: python tools/dump_plan.py <tag> <query> [<query> ...]
        python tools/dump_plan.py before docs_substring_dedup ml_price_model
@@ -18,7 +19,9 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-_OUT = "/root/repo/plans/r10"
+_OUT = os.path.join(
+    "/root/repo/plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11")
+)
 
 
 def main() -> int:
