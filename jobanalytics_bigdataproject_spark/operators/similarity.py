@@ -1113,10 +1113,29 @@ def semantic_dedup_incremental(
         batch, threshold=threshold, bits=bits, n_tables=n_tables, dim=dim,
         id_col=id_col, vec_col=vec_col,
     )
-    comp = connected_components_star(pairs, id_a="id_a", id_b="id_b")
-    self_losers = comp.filter(F.col("doc_id") != F.col("component")).select(
-        F.col("doc_id").alias(id_col), F.col("component").alias("__batch_dup_of")
-    )
+
+    # The history probe and the within-batch LSH+CC arm are independent
+    # until the annotation join; CC's per-round convergence counts
+    # serialize its arm, so run both from a 2-thread pool (guide §2.6,
+    # r11 — same pattern as ann_recall_report / curate_video_corpus).
+    # Both outputs are id/metadata rows (batch-scale, never vectors), so
+    # the localCheckpoint that pins them is small at any corpus size.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _hist() -> DataFrame:
+        return hist.localCheckpoint()
+
+    def _self_losers() -> DataFrame:
+        comp = connected_components_star(pairs, id_a="id_a", id_b="id_b")
+        return comp.filter(F.col("doc_id") != F.col("component")).select(
+            F.col("doc_id").alias(id_col), F.col("component").alias("__batch_dup_of")
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as _pool:
+        _fh = _pool.submit(_hist)
+        _fs = _pool.submit(_self_losers)
+        hist, self_losers = _fh.result(), _fs.result()
+
     annotated = (
         batch.select(id_col, vec_col)
         .join(hist, id_col, "left")
