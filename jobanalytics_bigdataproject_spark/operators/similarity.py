@@ -682,7 +682,14 @@ def embedding_near_dups_lsh(
     buckets = F.array(
         *[srp_bucket_expr(vec_col, bits, dim, offset=t * bits * dim) for t in range(n_tables)]
     )
-    tabled = embeddings.select(
+    # fan_out_scan (guide §2.5, r11): the SRP bucket evaluation is
+    # n_tables × bits × dim interpreted HOF lambdas PER ROW — measured
+    # 0.7-0.8 s single-task on the one-row-group fixture scan; identity
+    # at real scale. Buckets are deterministic per row and the pair
+    # output is bucket-local, so the result is partitioning-independent.
+    from jobanalytics_bigdataproject_spark.sources.readers import fan_out_scan
+
+    tabled = fan_out_scan(embeddings).select(
         F.col(id_col), F.col(vec_col), F.posexplode(buckets).alias("table", "bucket")
     )
     # Drop singleton buckets BEFORE the Python boundary (guide §4: ship
