@@ -167,14 +167,8 @@ def fit_language_pipeline(
         right_size_for_iterations,
     )
 
-    # cache the featurized train side BEFORE the sizing count (ADVICE
-    # r10): the count and the sized cache otherwise each re-run the
-    # whole heuristic+featurize subtree — one pass instead of two; the
-    # pre-cache is dropped as soon as the sized cache is materialized
-    pre = train.cache()
-    train = right_size_for_iterations(pre, pre.count())
+    train = right_size_for_iterations(train, train.count())
     train.cache().count()  # materialize before the iterative fit
-    pre.unpersist()
     try:
         model = LogisticRegression(
             maxIter=30, regParam=0.01, family="multinomial",

@@ -135,14 +135,9 @@ def fit_quality_pipeline(
     )
     # right-size for the 50-iteration LBFGS loop: one task per partition
     # per iteration, so the fanned-out featurize partitioning must not
-    # leak into the cached training set (readers.right_size_for_iterations).
-    # The featurized train side is cached BEFORE the sizing count (ADVICE
-    # r10): the count and the sized cache otherwise each re-run the
-    # tokenize+TF+IDF subtree — one pass instead of two
-    pre = train.cache()
-    train = right_size_for_iterations(pre, pre.count())
+    # leak into the cached training set (readers.right_size_for_iterations)
+    train = right_size_for_iterations(train, train.count())
     train.cache().count()  # materialize before the iterative fit
-    pre.unpersist()
     try:
         lr = LogisticRegression(
             maxIter=50, regParam=0.01, featuresCol="features", labelCol="label"
